@@ -1,0 +1,137 @@
+"""Default / generated config emitters.
+
+``default_yaml()`` mirrors /root/reference/default.yaml (same keys, same
+defaults); ``generated_config()`` mirrors the fully-populated config of
+/root/reference/src/bin/gen_config.rs:6-86 including its production regex
+bank (simple email, UK postcode, RFC-2822 email — gen_config.rs:16-20).
+
+CLI: ``python -m qamd_ray.gen_config [--full]`` prints YAML to stdout
+(reference binary prints the generated config; K4 in SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import yaml
+
+from .config import Config
+
+ODD_CHARS_DEFAULT = ["&", "#", "  ", "@", "*", "ç", "ô", "ü"]  # default.yaml:45-55
+ODD_CHARS_GENERATED = ["!", "#", "  ", "@", "ë", "ç", "ô", "ü"]  # gen_config.rs:7
+
+# gen_config.rs:16-20 — the production regex bank
+REGEX_EMAIL_SIMPLE = r"^([\w\.\-]+)@([\w\-]+)((\.(\w){2,4})+)$"
+REGEX_UK_POSTCODE = (
+    r"([Gg][Ii][Rr] 0[Aa]{2})|((([A-Za-z][0-9]{1,2})|(([A-Za-z][A-Ha-hJ-Yj-y][0-9]{1,2})"
+    r"|(([A-Za-z][0-9][A-Za-z])|([A-Za-z][A-Ha-hJ-Yj-y][0-9]?[A-Za-z]))))\s?[0-9][A-Za-z]{2})"
+)
+REGEX_EMAIL_RFC2822 = (
+    r"((([a-zA-Z0-9!#$%&'*+/=?^_`{|}~-]+(\.[a-zA-Z0-9!#$%&'*+/=?^_`{|}~-]+)*)"
+    r"|(\"(([\x01-\x08\x0B\x0C\x0E-\x1F\x7F]|[\x21\x23-\x5B\x5D-\x7E])"
+    r"|(\\[\x01-\x09\x0B\x0C\x0E-\x7F]))*\"))@"
+    r"(([a-zA-Z0-9!#$%&'*+/=?^_`{|}~-]+(\.[a-zA-Z0-9!#$%&'*+/=?^_`{|}~-]+)*)"
+    r"|(\[(([\x01-\x08\x0B\x0C\x0E-\x1F\x7F]|[\x21-\x5A\x5E-\x7E])"
+    r"|(\\[\x01-\x09\x0B\x0C\x0E-\x7F]))*\])))"
+)
+REGEX_UK_MOBILE = r"^(\+44\s?7\d{3}|\(?07\d{3}\)?)\s?\d{3}\s?\d{3}$"  # default.yaml:151
+
+
+def _default_dict() -> dict:
+    return {
+        "basic_file_checks": {
+            "bad_filename": {
+                "setting": r"^([a-zA-Z0-9]+)\.([a-zA-Z0-9]+)$",
+                "desc": "File name should match the user specified pattern",
+            }
+        },
+        "metadata": {
+            "primary_variable": {
+                "setting": "HouseholdID",
+                "desc": "Counts the unique occurrences for the grouping variable specified",
+            },
+            "missing_variable_labels": {
+                "setting": True,
+                "desc": "Variables should have a label",
+            },
+            "value_defined_missing_no_label": {
+                "setting": True,
+                "desc": "User-defined missing values should have a label (SPSS only)",
+            },
+            "variable_odd_characters": {
+                "setting": list(ODD_CHARS_DEFAULT),
+                "desc": "Variable names and labels should not contain the specified characters",
+            },
+            "value_label_odd_characters": {
+                "setting": list(ODD_CHARS_DEFAULT),
+                "desc": "Value labels should not contain the specified characters",
+            },
+            "variable_label_max_length": {
+                "setting": 79,
+                "desc": "Variable labels should not exceed the defined number of characters",
+            },
+            "value_label_max_length": {
+                "setting": 39,
+                "desc": "Value labels should not exceed the defined number of characters",
+            },
+        },
+        "data_integrity": {
+            "duplicate_values": {
+                "setting": ["Caseno"],
+                "desc": "Variable should not contain duplicate/repeated values",
+            },
+            "string_value_odd_characters": {
+                "setting": list(ODD_CHARS_DEFAULT),
+                "desc": "String values should not contain the specified characters",
+            },
+            "system_missing_value_threshold": {
+                "setting": 25,
+                "desc": "Variable should not exceed the specified percentage of system missing values",
+            },
+        },
+        "disclosure_risk": {
+            "unique_values": {
+                "setting": 1,
+                "desc": (
+                    "Variable should not contain number of observations equal to "
+                    "or less than specified threshold"
+                ),
+            },
+            "string_value_stopword": {
+                "setting": ["stopword.txt"],
+                "desc": "String values should not contain user defined values",
+            },
+        },
+    }
+
+
+def _generated_dict() -> dict:
+    d = _default_dict()
+    d["metadata"]["variable_odd_characters"]["setting"] = list(ODD_CHARS_GENERATED)
+    d["metadata"]["value_label_odd_characters"]["setting"] = list(ODD_CHARS_GENERATED)
+    d["data_integrity"]["string_value_odd_characters"]["setting"] = list(ODD_CHARS_GENERATED)
+    d["disclosure_risk"]["regex_patterns"] = {
+        "setting": [REGEX_EMAIL_SIMPLE, REGEX_UK_POSTCODE, REGEX_EMAIL_RFC2822],
+        "desc": "Values matching a regex pattern fail. Can be used to find post codes and telephone numbers.",
+    }
+    return d
+
+
+def default_yaml() -> str:
+    return yaml.safe_dump(_default_dict(), sort_keys=False, allow_unicode=True)
+
+
+def generated_yaml() -> str:
+    return yaml.safe_dump(_generated_dict(), sort_keys=False, allow_unicode=True)
+
+
+def default_config() -> Config:
+    return Config.from_dict(_default_dict())
+
+
+def generated_config() -> Config:
+    return Config.from_dict(_generated_dict())
+
+
+if __name__ == "__main__":
+    print(generated_yaml() if "--full" in sys.argv else default_yaml())

@@ -1,0 +1,760 @@
+"""The QAMD check registry, distributed: a data health check over Parquet.
+
+This is the compatibility engine: it computes, over any Parquet/Arrow table,
+the same 16-check report the reference produces for one SPSS/Stata/SAS/CSV
+file (check registry src/check/mod.rs:26-55, stage lists 66-81), but as Ray
+Data dataflow instead of a single-threaded push parser:
+
+* the reference's in-RAM frequency table (src/readstat/context.rs:22,
+  built one cell at a time at src/readstat/handler.rs:133-151) becomes a
+  per-batch pyarrow group-by partial aggregation followed by one
+  ``groupby(["vi","value"]).aggregate(Sum, Min)`` shuffle;
+* per-variable "post" checks (src/check/post.rs:14-39) become vectorized
+  flag columns over the frequency table plus a tiny per-variable aggregate;
+* variable/metadata checks run driver-side (schema and label sets are
+  small by construction — they are column metadata, not data).
+
+Exact semantic quirks preserved (SURVEY.md §7 "what's hard"):
+* value identity is *string-rendering* equality incl. float ".0"
+  normalization (src/model/anyvalue.rs:25-41,82-94) — see
+  ``kernels.render_values``;
+* C7/C13/C15 count ``pass = variable_count − fail`` even though fail is
+  per *distinct value* (src/check/post.rs:163,348,388);
+* dictionary checks count per distinct *string* across variables, because
+  the reference keys its words map on the rendered value/label alone
+  (src/check/post.rs:172-186,205-226,420-443);
+* the stopword check fails only when ALL tokens are stopwords
+  (src/check/dictionary.rs:22-24);
+* ``metadata_only`` suppresses locators but not counts
+  (src/check/macros.rs:12-13);
+* the C13 invariant assert: per-variable occurrence sums equal
+  raw_case_count (src/check/post.rs:327-331).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .config import Config
+from . import kernels as K
+from .report import LOCATOR_CAP, Locator, Report, ReportMetadata, Status
+from .sources import ROW_COL, read_parquet_with_row_index, total_rows
+
+# Missingness ranks (src/model/missing.rs:7-12); priority order tagged >
+# defined > system > not-missing (src/readstat/handler.rs:104-114).
+NOT_MISSING, SYSTEM_MISSING, DEFINED_MISSING, TAGGED_MISSING = 0, 1, 2, 3
+
+
+@dataclass
+class VariableMeta:
+    """Reference Variable (src/model/variable.rs:8-15)."""
+
+    index: int
+    name: str
+    label: str = ""
+    type_: str = "Numeric"  # "Text" | "Numeric" (variable.rs:70-74)
+    value_format: str = ""
+    value_labels: str = ""  # KEY into the value-label-set map, not labels
+
+
+@dataclass
+class TableMeta:
+    """Sidecar metadata QAMD would read from the statistical file header.
+
+    Parquet carries none of SPSS/Stata's variable labels / value labels /
+    missing-value declarations, so the compat engine accepts them here
+    (they may also be stored as Arrow field metadata by the writer).
+    """
+
+    variables: list[VariableMeta] = field(default_factory=list)
+    # label-set key -> (rendered value -> label), src/readstat/handler.rs:161-184
+    value_labels: dict[str, dict[str, str]] = field(default_factory=dict)
+    # variable name -> rendered values declared user-missing (SPSS style)
+    defined_missing: dict[str, set[str]] = field(default_factory=dict)
+    file_name: str = ""
+    file_label: str = ""
+    file_encoding: Optional[str] = None
+
+    def label_for(self, var: VariableMeta, value: str) -> str:
+        """Per-cell label resolution (handler.rs:116-122): missing key ⇒ ''."""
+        return self.value_labels.get(var.value_labels, {}).get(value, "")
+
+
+def variables_from_schema(
+    schema: pa.Schema,
+    *,
+    variable_labels: Optional[dict[str, str]] = None,
+    value_formats: Optional[dict[str, str]] = None,
+    value_label_keys: Optional[dict[str, str]] = None,
+    row_col: str = ROW_COL,
+) -> list[VariableMeta]:
+    """Schema → variables; string columns are Text, everything else Numeric
+    (src/model/variable.rs:85-95; CSV columns always Text, csv/read.rs:84-91).
+    """
+    variable_labels = variable_labels or {}
+    value_formats = value_formats or {}
+    value_label_keys = value_label_keys or {}
+    out = []
+    i = 0
+    for f in schema:
+        if f.name == row_col:
+            continue
+        is_text = pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+        out.append(
+            VariableMeta(
+                index=i,
+                name=f.name,
+                label=variable_labels.get(f.name, ""),
+                type_="Text" if is_text else "Numeric",
+                value_format=value_formats.get(f.name, ""),
+                value_labels=value_label_keys.get(f.name, ""),
+            )
+        )
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frequency table — the reference's central data structure, as a shuffle
+# ---------------------------------------------------------------------------
+
+
+def frequency_table(
+    ds: "ray.data.Dataset",
+    variables: Sequence[VariableMeta],
+    row_col: str = ROW_COL,
+) -> "ray.data.Dataset":
+    """Distinct-value histogram per variable: (vi, value, n, first_row).
+
+    Reference: streaming upsert per cell (src/readstat/handler.rs:133-151)
+    keeping the first-seen row as representative. Here: per-batch pyarrow
+    group_by partials (combiner — bounds shuffle volume by distinct values
+    per batch, not rows) then one global two-key groupby. "First" is
+    min(global row index), which is execution-order independent.
+    """
+    var_names = [(v.index, v.name) for v in variables]
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        rows = K._as_array(batch[row_col])
+        pieces = []
+        for vi, name in var_names:
+            rendered = K.render_values(batch[name])
+            t = pa.table(
+                {
+                    "vi": pa.array(np.full(len(batch), vi, dtype=np.int32)),
+                    "value": rendered,
+                    "row": rows,
+                }
+            )
+            g = t.group_by(["vi", "value"]).aggregate([("row", "min"), ("row", "count")])
+            pieces.append(
+                pa.table(
+                    {
+                        "vi": g["vi"],
+                        "value": g["value"],
+                        "n": g["row_count"].cast(pa.int64()),
+                        "first_row": g["row_min"],
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    partial = ds.map_batches(_partials, batch_format="pyarrow")
+    agg = partial.groupby(["vi", "value"]).aggregate(
+        Sum("n", alias_name="n"), Min("first_row", alias_name="first_row")
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# the distributed health check
+# ---------------------------------------------------------------------------
+
+
+def _missing_rank_for(
+    values: pa.Array, dm_set: set[str], empty_is_missing: bool
+) -> np.ndarray:
+    """Missingness from the rendered value (nulls already render "").
+
+    Priority: defined > system (handler.rs:104-114); empty string ⇒
+    SYSTEM_MISSING matches the CSV reader rule (csv/read.rs:112-115) and is
+    how nulls surface after rendering.
+    """
+    vals = np.asarray(values, dtype=object)
+    rank = np.zeros(len(vals), dtype=np.int8)
+    if empty_is_missing:
+        rank[vals == ""] = SYSTEM_MISSING
+    if dm_set:
+        import pandas as pd
+
+        rank[pd.Index(vals).isin(dm_set)] = DEFINED_MISSING
+    return rank
+
+
+def health_check(
+    source: Union[str, Sequence[str], "ray.data.Dataset"],
+    config: Config,
+    *,
+    meta: Optional[TableMeta] = None,
+    empty_string_is_missing: bool = True,
+    row_col: str = ROW_COL,
+) -> Report:
+    """Run the full 16-check registry over a table; returns the Report.
+
+    ``source``: parquet path(s) (read with global row indices) or an
+    existing Dataset that already carries ``row_col``.
+    """
+    if isinstance(source, (str, list, tuple)):
+        ds = read_parquet_with_row_index(source, row_col=row_col)
+        n_rows = total_rows(source)
+        default_name = str(source if isinstance(source, str) else source[0]).split("/")[-1]
+    else:
+        ds = source
+        n_rows = ds.count()
+        default_name = ""
+
+    schema = ds.schema()
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    )
+    meta = meta or TableMeta()
+    if not meta.variables:
+        meta.variables = variables_from_schema(arrow_schema, row_col=row_col)
+    if not meta.file_name:
+        meta.file_name = default_name
+    variables = meta.variables
+    metadata_only = config.metadata_only
+
+    report = Report(
+        metadata=ReportMetadata(
+            file_name=meta.file_name,
+            raw_case_count=int(n_rows),
+            variable_count=len(variables),
+            data_type_occurrences={
+                t: sum(1 for v in variables if v.type_ == t) for t in ("Text", "Numeric")
+            },
+            file_label=meta.file_label,
+            file_encoding=meta.file_encoding,
+        )
+    )
+
+    # ---- stage 1: variable checks (src/check/variable.rs) — schema-sized --
+    _variable_checks(variables, config, report)
+
+    # ---- metadata-side post checks over label sets (small by construction)
+    _value_label_metadata_checks(meta, config, report)
+
+    # ---- stage 2+3: frequency table + value/post checks ------------------
+    freq = frequency_table(ds, variables, row_col=row_col)
+    flagged = _flag_freq(freq, meta, config, empty_string_is_missing)
+    flagged = flagged.materialize()  # distinct-value table: small vs input
+
+    stats = _per_variable_stats(flagged)
+    _post_checks(stats, flagged, meta, config, report, empty_string_is_missing)
+
+    if not metadata_only:
+        _collect_locators(flagged, meta, config, report)
+
+    return report
+
+
+# -- flag computation over the frequency table ------------------------------
+
+
+def _flag_freq(
+    freq: "ray.data.Dataset",
+    meta: TableMeta,
+    config: Config,
+    empty_is_missing: bool,
+) -> "ray.data.Dataset":
+    """Vectorized per-distinct-value flags: missing rank, label, odd chars,
+    label length, regex matches. One map_batches, zero-copy Arrow in."""
+    variables = {v.index: v for v in meta.variables}
+    text_vis = {v.index for v in meta.variables if v.type_ == "Text"}
+    dm_by_vi = {
+        v.index: meta.defined_missing.get(v.name, set()) for v in meta.variables
+    }
+    labels_by_vi = {
+        v.index: meta.value_labels.get(v.value_labels, {}) for v in meta.variables
+    }
+    odd = (
+        config.data_integrity.string_value_odd_characters.setting
+        if config.data_integrity.string_value_odd_characters
+        else None
+    )
+    vmax = (
+        int(config.metadata.value_label_max_length.setting)
+        if config.metadata.value_label_max_length
+        else None
+    )
+    regexes = (
+        [re.compile(p) for p in config.disclosure_risk.regex_patterns.setting]
+        if config.disclosure_risk.regex_patterns
+        else None
+    )
+
+    text_vi_arr = np.array(sorted(text_vis), dtype=np.int64)
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        vi = np.asarray(K._as_array(batch["vi"]))
+        values = K._as_array(batch["value"])
+        vals_np = np.asarray(values, dtype=object)
+        n = len(batch)
+
+        # label resolution (handler.rs:116-122): only variables that carry a
+        # label set contribute non-empty labels
+        labels = np.full(n, "", dtype=object)
+        for the_vi, lmap in labels_by_vi.items():
+            if lmap:
+                sel = vi == the_vi
+                if sel.any():
+                    labels[sel] = [lmap.get(x, "") for x in vals_np[sel]]
+
+        # missingness per distinct value
+        rank = np.zeros(n, dtype=np.int8)
+        if empty_is_missing:
+            rank[vals_np == ""] = SYSTEM_MISSING
+        for the_vi, dm in dm_by_vi.items():
+            if dm:
+                sel = vi == the_vi
+                if sel.any():
+                    hit = np.array([v in dm for v in vals_np[sel]])
+                    sub = rank[sel]
+                    sub[hit] = DEFINED_MISSING
+                    rank[sel] = sub
+
+        is_text = np.isin(vi, text_vi_arr)
+
+        cols = {
+            "vi": batch["vi"],
+            "value": batch["value"],
+            "n": batch["n"],
+            "first_row": batch["first_row"],
+            "missing": pa.array(rank),
+            "label": pa.array(labels, type=pa.string()),
+            "is_text": pa.array(is_text),
+        }
+
+        # C11 StringValueOddCharacters: Str values only (post.rs:262-299)
+        if odd is not None:
+            hit = np.asarray(K._as_array(K.contains_any(values, odd)).fill_null(False))
+            cols["odd_fail"] = pa.array(hit & is_text)
+        # C7 ValueLabelMaxLength over the value's label (post.rs:132-166)
+        if vmax is not None:
+            lab_len = np.array([len(l.encode("utf-8")) for l in labels])
+            cols["label_len_fail"] = pa.array(lab_len > vmax)
+        # C15 ValueRegexPatterns: any pattern matches value OR label
+        # (post.rs:354-391). Vectorized RE2 match per pattern (the Rust
+        # regex crate is RE2-equivalent); Python `re` fallback for patterns
+        # RE2 can't compile. Patterns evaluated once per batch, not
+        # recompiled per value as in the reference (post.rs:370).
+        if regexes is not None:
+            hit = np.zeros(n, dtype=bool)
+            lab_arr = pa.array(labels, type=pa.string())
+            for rx in regexes:
+                try:
+                    hv = np.asarray(
+                        K._as_array(pc.match_substring_regex(values, rx.pattern)).fill_null(False)
+                    )
+                    hl = np.asarray(
+                        K._as_array(pc.match_substring_regex(lab_arr, rx.pattern)).fill_null(False)
+                    )
+                    hit |= hv | hl
+                except pa.ArrowInvalid:
+                    for i in range(n):
+                        if not hit[i] and (rx.search(vals_np[i]) or rx.search(labels[i])):
+                            hit[i] = True
+            cols["regex_fail"] = pa.array(hit)
+        return pa.table(cols)
+
+    return freq.map_batches(_flags, batch_format="pyarrow")
+
+
+def _per_variable_stats(flagged: "ray.data.Dataset"):
+    """Tiny per-variable aggregate over the flagged frequency table."""
+    aggs = [
+        Sum("n", alias_name="total_n"),
+        Count(alias_name="n_distinct"),
+        Min("n", alias_name="min_occ"),
+        Sum("is_singleton", alias_name="n_singleton"),
+        Sum("sysmiss_n", alias_name="sysmiss_n"),
+        Sum("dm_nolabel_n", alias_name="dm_nolabel_n"),
+    ]
+    names = flagged.schema().names
+    for c in ("odd_fail", "label_len_fail", "regex_fail"):
+        if c in names:
+            aggs.append(Sum(c, alias_name=c + "s"))
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        n = K._as_array(batch["n"])
+        miss = np.asarray(K._as_array(batch["missing"]))
+        nn = np.asarray(n)
+        return (
+            batch.append_column("is_singleton", pa.array((nn == 1).astype(np.int64)))
+            .append_column(
+                "sysmiss_n", pa.array(np.where(miss == SYSTEM_MISSING, nn, 0))
+            )
+            .append_column(
+                "dm_nolabel_n",
+                pa.array(
+                    np.where(
+                        (miss == DEFINED_MISSING)
+                        & (np.asarray(K._as_array(pc.equal(batch["label"], "")))),
+                        nn,
+                        0,
+                    )
+                ),
+            )
+        )
+
+    stats = (
+        flagged.map_batches(_derive, batch_format="pyarrow")
+        .groupby("vi")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    return stats.set_index("vi")
+
+
+# -- driver-side checks over schema-sized metadata --------------------------
+
+
+def _variable_checks(variables, config: Config, report: Report) -> None:
+    """Stage-1 checks, once per column (src/check/variable.rs:9-116)."""
+    mo = config.metadata_only
+
+    s = config.disclosure_risk.date_format
+    if s is not None:
+        # DateFormat is declared DisclosureRisk but reported under
+        # DataIntegrity (src/check/variable.rs:31) — quirk preserved.
+        st = report.ensure("DateFormat", s.desc, "DataIntegrity")
+        for v in variables:
+            if any(p in v.value_format for p in s.setting):
+                st.fail += 1
+                st.add_locator(v.name, v.index, -1, mo)
+            else:
+                st.pass_ += 1
+
+    s = config.metadata.missing_variable_labels
+    if s is not None:
+        st = report.ensure("MissingVariableLabels", s.desc, "Metadata")
+        if s.setting:
+            for v in variables:
+                if v.label == "":
+                    st.fail += 1
+                    st.add_locator(v.name, v.index, -1, mo)
+                else:
+                    st.pass_ += 1
+
+    s = config.metadata.variable_label_max_length
+    if s is not None:
+        st = report.ensure(
+            "VariableLabelMaxLength",
+            f"{s.desc} ({s.setting} characters)",
+            "Metadata",
+        )
+        for v in variables:
+            if len(v.label.encode("utf-8")) > int(s.setting):
+                st.fail += 1
+                st.add_locator(v.name, v.index, -1, mo)
+            else:
+                st.pass_ += 1
+
+    s = config.metadata.variable_odd_characters
+    if s is not None:
+        st = report.ensure(
+            "VariableOddCharacters", f"{s.desc} {s.setting!r}", "Metadata"
+        )
+        for v in variables:
+            if any(p in v.name for p in s.setting) or any(
+                p in v.label for p in s.setting
+            ):
+                st.fail += 1
+                st.add_locator(v.name, v.index, -1, mo)
+            else:
+                st.pass_ += 1
+
+
+def _value_label_metadata_checks(meta: TableMeta, config: Config, report: Report) -> None:
+    """Post checks that touch only label sets / variable labels — these are
+    column metadata, small by construction, so they run on the driver
+    (C5/C6/C8: src/check/post.rs:95-129,169-202)."""
+    mo = config.metadata_only
+    variables = meta.variables
+
+    s = config.metadata.value_label_odd_characters
+    if s is not None:
+        st = report.ensure(
+            "ValueLabelOddCharacters", f"{s.desc} {s.setting!r}", "Metadata"
+        )
+        for v in variables:
+            labels = meta.value_labels.get(v.value_labels)
+            if labels is None:
+                continue
+            for _value, label in labels.items():
+                if any(p in label for p in s.setting):
+                    st.fail += 1
+                    st.add_locator(v.name, v.index, -1, mo)
+                else:
+                    st.pass_ += 1
+
+    # dictionary checks over label strings: keyed by the *string*, so a label
+    # shared by two variables counts once (post.rs:172-186 HashMap insert)
+    s = config.metadata.value_label_spellcheck
+    if s is not None:
+        words = K.load_wordlists(s.setting)
+        st = report.ensure("ValueLabelSpellcheck", s.desc, "Metadata")
+        seen: dict[str, VariableMeta] = {}
+        for v in variables:
+            if not v.value_labels:
+                continue
+            for _value, label in meta.value_labels.get(v.value_labels, {}).items():
+                seen[label] = v
+        for label, v in seen.items():
+            norm = K.normalize_word(label)
+            if norm == "" or K.only_contains(norm, words):
+                st.pass_ += 1
+            else:
+                st.fail += 1
+                st.add_locator(v.name, v.index, -1, mo)
+
+    s = config.metadata.variable_label_spellcheck
+    if s is not None:
+        words = K.load_wordlists(s.setting)
+        st = report.ensure("VariableLabelSpellcheck", s.desc, "Metadata")
+        seen2: dict[str, VariableMeta] = {}
+        for v in variables:
+            seen2[v.label] = v
+        for label, v in seen2.items():
+            norm = K.normalize_word(label)
+            if norm == "" or K.only_contains(norm, words):
+                st.pass_ += 1
+            else:
+                st.fail += 1
+                st.add_locator(v.name, v.index, -1, mo)
+
+
+# -- post checks over the aggregated stats ----------------------------------
+
+
+def _post_checks(
+    stats,
+    flagged: "ray.data.Dataset",
+    meta: TableMeta,
+    config: Config,
+    report: Report,
+    empty_is_missing: bool,
+) -> None:
+    variables = meta.variables
+    by_vi = {v.index: v for v in variables}
+    mo = config.metadata_only
+    raw_case_count = report.metadata.raw_case_count
+    variable_count = report.metadata.variable_count
+
+    # C13 invariant (post.rs:327-331): occurrence sums == raw_case_count
+    for vi, row in stats.iterrows():
+        assert int(row["total_n"]) == raw_case_count, (
+            f"case_count {raw_case_count} does not align with sum "
+            f"{int(row['total_n'])} for variable {by_vi[int(vi)].name}"
+        )
+
+    # C1 BadFileName (post.rs:44-67): fullmatch-like `is_match` on the name
+    s = config.basic_file_checks.bad_filename
+    if s is not None:
+        st = report.ensure("BadFileName", s.desc, "BasicFile")
+        if re.search(s.setting, report.metadata.file_name):
+            st.pass_ += 1
+        else:
+            st.fail += 1
+            st.add_locator("", -1, -1, mo)
+
+    # primary_variable → metadata.case_count (post.rs:72-89)
+    s = config.metadata.primary_variable
+    if s is not None:
+        report.metadata.case_count = 0
+        for v in variables:
+            if v.name == s.setting:
+                report.metadata.case_count = int(stats.loc[v.index, "n_distinct"])
+                break
+
+    # C10 DuplicateValues (post.rs:229-260)
+    s = config.data_integrity.duplicate_values
+    if s is not None:
+        st = report.ensure(
+            "DuplicateValues", f"{s.desc} (On variables {s.setting!r})", "DataIntegrity"
+        )
+        listed = list(s.setting)
+        for v in variables:
+            if v.name in listed and v.index in stats.index:
+                if int(stats.loc[v.index, "n_singleton"]) != raw_case_count:
+                    st.fail += 1
+                    st.add_locator(v.name, v.index, -1, mo)
+        st.pass_ = len(listed) - st.fail
+
+    # C11 StringValueOddCharacters (post.rs:262-299): per distinct Str value
+    s = config.data_integrity.string_value_odd_characters
+    if s is not None:
+        st = report.ensure(
+            "StringValueOddCharacters", f"{s.desc} {s.setting!r}", "DataIntegrity"
+        )
+        for vi, row in stats.iterrows():
+            if by_vi[int(vi)].type_ != "Text":
+                continue
+            fails = int(row.get("odd_fails", 0))
+            st.fail += fails
+            st.pass_ += int(row["n_distinct"]) - fails
+
+    # C13 SystemMissingOverThreshold (post.rs:303-351)
+    s = config.data_integrity.system_missing_value_threshold
+    if s is not None:
+        st = report.ensure(
+            "SystemMissingOverThreshold",
+            f"{s.desc} (Threshold: {s.setting}%)",
+            "DataIntegrity",
+        )
+        for vi, row in stats.iterrows():
+            if int(row["sysmiss_n"]) > 0:
+                pct = row["sysmiss_n"] / row["total_n"] * 100.0
+                if pct > float(s.setting):
+                    st.fail += 1
+                    v = by_vi[int(vi)]
+                    st.add_locator(v.name, v.index, -1, mo)
+        st.pass_ = variable_count - st.fail
+
+    # C7 ValueLabelMaxLength (post.rs:132-166): fail per distinct value whose
+    # label is over-long; pass normalized against variable_count (quirk)
+    s = config.metadata.value_label_max_length
+    if s is not None:
+        st = report.ensure(
+            "ValueLabelMaxLength", f"{s.desc} ({s.setting} characters)", "Metadata"
+        )
+        for vi, row in stats.iterrows():
+            st.fail += int(row.get("label_len_fails", 0))
+        st.pass_ = variable_count - st.fail
+
+    # C15 ValueRegexPatterns (post.rs:354-391): same pass quirk
+    s = config.disclosure_risk.regex_patterns
+    if s is not None:
+        st = report.ensure("ValueRegexPatterns", s.desc, "DisclosureRisk")
+        for vi, row in stats.iterrows():
+            st.fail += int(row.get("regex_fails", 0))
+        st.pass_ = variable_count - st.fail
+
+    # C16 VariablesWithUniqueValues (post.rs:394-418)
+    s = config.disclosure_risk.unique_values
+    if s is not None:
+        st = report.ensure("VariablesWithUniqueValues", s.desc, "DisclosureRisk")
+        for vi, row in stats.iterrows():
+            if int(row["min_occ"]) <= int(s.setting):
+                st.fail += 1
+                v = by_vi[int(vi)]
+                st.add_locator(v.name, v.index, -1, mo)
+            else:
+                st.pass_ += 1
+
+    # C9 ValueDefinedMissingNoLabel (src/check/value.rs:18-44): per CELL —
+    # every parsed cell increments pass or fail.
+    s = config.metadata.value_defined_missing_no_label
+    if s is not None:
+        st = report.ensure("ValueDefinedMissingNoLabel", s.desc, "Metadata")
+        total_cells = raw_case_count * variable_count
+        if s.setting:
+            fails = int(stats["dm_nolabel_n"].sum())
+            st.fail = fails
+            st.pass_ = total_cells - fails
+        else:
+            st.pass_ = total_cells
+
+    # C12 / C17 dictionary checks over distinct value *strings* of Text
+    # variables (post.rs:205-226,420-443): global dedup by string.
+    for check, cfg_setting, predicate in (
+        (
+            "StringValueSpellcheck",
+            config.data_integrity.string_value_spellcheck,
+            "spell",
+        ),
+        (
+            "StringValueStopword",
+            config.disclosure_risk.string_value_stopword,
+            "stop",
+        ),
+    ):
+        if cfg_setting is None:
+            continue
+        words = K.load_wordlists(cfg_setting.setting)
+        category = "DataIntegrity" if check == "StringValueSpellcheck" else "DisclosureRisk"
+        st = report.ensure(check, cfg_setting.desc, category)
+
+        def _judge(batch: pa.Table, pred=predicate, w=words) -> pa.Table:
+            vals = batch["value"]
+            ok = (
+                K.spellcheck_ok(vals, w) if pred == "spell" else K.stopword_ok(vals, w)
+            )
+            return pa.table(
+                {
+                    "pass_": pa.array(ok.astype(np.int64)),
+                    "fail": pa.array((~ok).astype(np.int64)),
+                    "vi": batch["vi"],
+                    "first_row": batch["first_row"],
+                    "value": batch["value"],
+                }
+            )
+
+        distinct = (
+            flagged.filter(expr="is_text == True")
+            .groupby("value")
+            .aggregate(Min("vi", alias_name="vi"), Min("first_row", alias_name="first_row"))
+        )
+        judged = distinct.map_batches(_judge, batch_format="pyarrow").materialize()
+        st.pass_ += int(judged.sum("pass_") or 0)
+        n_fail = int(judged.sum("fail") or 0)
+        st.fail += n_fail
+        if not mo and n_fail:
+            for r in (
+                judged.filter(expr="fail == 1")
+                .sort(["vi", "first_row"])
+                .limit(LOCATOR_CAP)
+                .take_all()
+            ):
+                v = by_vi[int(r["vi"])]
+                st.add_locator(v.name, v.index, int(r["first_row"]), mo)
+
+
+def _collect_locators(
+    flagged: "ray.data.Dataset", meta: TableMeta, config: Config, report: Report
+) -> None:
+    """Deterministic locator samples for the freq-table-driven checks:
+    filter fails, sort by (vi, first_row), cap at LOCATOR_CAP."""
+    by_vi = {v.index: v for v in meta.variables}
+    names = flagged.schema().names
+    plans = []
+    if "odd_fail" in names and "StringValueOddCharacters" in report.summary:
+        plans.append(("StringValueOddCharacters", "odd_fail", True))
+    if "label_len_fail" in names and "ValueLabelMaxLength" in report.summary:
+        plans.append(("ValueLabelMaxLength", "label_len_fail", False))
+    if "regex_fail" in names and "ValueRegexPatterns" in report.summary:
+        plans.append(("ValueRegexPatterns", "regex_fail", True))
+    for check, col, with_row in plans:
+        st = report.summary[check]
+        if st.fail == 0:
+            continue
+        rows = (
+            flagged.filter(expr=f"{col} == True")
+            .sort(["vi", "first_row"])
+            .limit(LOCATOR_CAP)
+            .take_all()
+        )
+        for r in rows:
+            v = by_vi[int(r["vi"])]
+            st.add_locator(
+                v.name, v.index, int(r["first_row"]) if with_row else -1, None
+            )

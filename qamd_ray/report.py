@@ -1,0 +1,203 @@
+"""Report model — the QAMD "data health check" result shape.
+
+Reimplements (not ports) /root/reference/src/report/mod.rs:
+
+* ``CheckName`` ordering — the 16-variant enum ordinal order
+  (src/check/mod.rs:26-55) drives report iteration order
+  (src/report/mod.rs:30-42).
+* ``Status`` {pass, fail, desc, locators, category} (report/mod.rs:126-132).
+* ``Locator`` {variable_name, variable_index, value_index}; the reference's
+  Eq/Ord compare variable_index ONLY while Hash covers all fields
+  (report/mod.rs:163-186) — here locators live in a set keyed on all three
+  fields (matching the reference's effective HashSet behavior) and sort by
+  (variable_index, value_index) for display.
+* Category display names (report/mod.rs:112-123).
+* HTML report caps locator tables at 1000 rows (report/html/mod.rs:110,115).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+# CheckName enum ordinal order — src/check/mod.rs:26-55.
+CHECK_ORDER: list[str] = [
+    "BadFileName",
+    "MissingVariableLabels",
+    "VariableOddCharacters",
+    "VariableLabelMaxLength",
+    "VariableLabelSpellcheck",
+    "ValueLabelOddCharacters",
+    "ValueLabelMaxLength",
+    "ValueLabelSpellcheck",
+    "ValueDefinedMissingNoLabel",
+    "DuplicateValues",
+    "StringValueOddCharacters",
+    "StringValueSpellcheck",
+    "SystemMissingOverThreshold",
+    "DateFormat",
+    "ValueRegexPatterns",
+    "VariablesWithUniqueValues",
+    "StringValueStopword",
+]
+_ORDINAL = {n: i for i, n in enumerate(CHECK_ORDER)}
+
+CATEGORY_DISPLAY = {
+    "BasicFile": "Basic file checks",
+    "Metadata": "Metadata",
+    "DataIntegrity": "Data integrity",
+    "DisclosureRisk": "Disclosure risk",
+}
+LOCATOR_CAP = 1000  # src/report/html/mod.rs:110,115
+
+
+def to_sentence(name: str) -> str:
+    """CamelCase → "Camel case" (src/check/mod.rs:110-132)."""
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append(" ")
+            out.append(ch)
+        else:
+            out.append(ch)
+    s = "".join(out).strip().lower()
+    return s[:1].upper() + s[1:]
+
+
+@dataclass(frozen=True, order=True)
+class Locator:
+    """Failure pointer (report/mod.rs:163-167); value_index −1 = whole
+    variable. Ordered by (variable_index, value_index) for display."""
+
+    variable_index: int
+    value_index: int
+    variable_name: str = ""
+
+
+@dataclass
+class Status:
+    """Per-check result (report/mod.rs:126-132). `pass` is a Python keyword
+    → stored as ``pass_``; serialized as "pass"."""
+
+    desc: str = ""
+    category: str = "Metadata"
+    pass_: int = 0
+    fail: int = 0
+    locators: Optional[set[Locator]] = None
+
+    def add_locator(self, name: str, var_index: int, value_index: int, metadata_only: Optional[bool]) -> None:
+        """include_locators! semantics (src/check/macros.rs:7-25): suppressed
+        entirely when metadata_only is truthy; counts unaffected."""
+        if metadata_only:
+            return
+        if self.locators is None:
+            self.locators = set()
+        if len(self.locators) < LOCATOR_CAP * 10:  # bound memory; display caps at 1000
+            self.locators.add(Locator(var_index, value_index, name))
+
+    def to_dict(self) -> dict:
+        d = {
+            "pass": int(self.pass_),
+            "fail": int(self.fail),
+            "desc": self.desc,
+            "category": self.category,
+        }
+        if self.locators is not None:
+            d["locators"] = [
+                {
+                    "variable_name": l.variable_name,
+                    "variable_index": l.variable_index,
+                    "value_index": l.value_index,
+                }
+                for l in sorted(self.locators)[:LOCATOR_CAP]
+            ]
+        else:
+            d["locators"] = None
+        return d
+
+
+@dataclass
+class ReportMetadata:
+    """src/report/mod.rs:45-61."""
+
+    file_name: str = ""
+    raw_case_count: int = 0
+    case_count: Optional[int] = None
+    variable_count: int = 0
+    data_type_occurrences: dict = field(default_factory=dict)  # {"Text": n, "Numeric": m}
+    creation_time: Optional[str] = None
+    modified_time: Optional[str] = None
+    file_label: str = ""
+    file_format_version: str = ""
+    file_encoding: Optional[str] = None
+    compression: str = ""
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+@dataclass
+class Report:
+    metadata: ReportMetadata = field(default_factory=ReportMetadata)
+    summary: dict[str, Status] = field(default_factory=dict)
+
+    def ensure(self, check: str, desc: str, category: str) -> Status:
+        """include_check! — insert-if-absent (src/check/macros.rs:1-5)."""
+        if check not in self.summary:
+            self.summary[check] = Status(desc=desc, category=category)
+        return self.summary[check]
+
+    def ordered(self) -> list[tuple[str, Status]]:
+        """Iteration sorted by CheckName ordinal (report/mod.rs:30-42)."""
+        return sorted(self.summary.items(), key=lambda kv: _ORDINAL.get(kv[0], 99))
+
+    def to_dict(self) -> dict:
+        return {
+            "metadata": self.metadata.to_dict(),
+            "summary": {k: v.to_dict() for k, v in self.ordered()},
+        }
+
+    def to_json(self, indent: Optional[int] = None) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    def to_html(self) -> str:
+        """Self-contained single-page report: four category sections, a table
+        per check, locator tables capped at LOCATOR_CAP rows (the reference
+        inlines Bootstrap/jQuery, report/html/mod.rs:19-102; we emit plain
+        minimal HTML with the same information architecture)."""
+        md = self.metadata
+        parts = [
+            "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+            f"<title>Data health check — {_html.escape(md.file_name)}</title>",
+            "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}"
+            "td,th{border:1px solid #ccc;padding:4px 8px}.fail{color:#b00}.pass{color:#080}</style>",
+            "</head><body>",
+            f"<h1>Data health check</h1><h2>{_html.escape(md.file_name)}</h2>",
+            "<h3>Metadata</h3><table>",
+        ]
+        for k, v in md.to_dict().items():
+            parts.append(f"<tr><th>{_html.escape(str(k))}</th><td>{_html.escape(str(v))}</td></tr>")
+        parts.append("</table>")
+        for cat_key, cat_disp in CATEGORY_DISPLAY.items():
+            rows = [(n, s) for n, s in self.ordered() if s.category == cat_key]
+            if not rows:
+                continue
+            parts.append(f"<h3>{_html.escape(cat_disp)}</h3>")
+            for name, st in rows:
+                parts.append(
+                    f"<h4>{_html.escape(to_sentence(name))}</h4>"
+                    f"<p>{_html.escape(st.desc)} — <span class='pass'>pass {st.pass_}</span>, "
+                    f"<span class='fail'>fail {st.fail}</span></p>"
+                )
+                if st.locators:
+                    parts.append("<table><tr><th>variable</th><th>index</th><th>row</th></tr>")
+                    for l in sorted(st.locators)[:LOCATOR_CAP]:
+                        parts.append(
+                            f"<tr><td>{_html.escape(l.variable_name)}</td>"
+                            f"<td>{l.variable_index}</td><td>{l.value_index}</td></tr>"
+                        )
+                    parts.append("</table>")
+        parts.append("</body></html>")
+        return "".join(parts)

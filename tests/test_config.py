@@ -1,0 +1,46 @@
+"""Config parsing/validation tests (reference src/config.rs:74-246 bounds;
+default.yaml must parse — mirrors bin/qamd.rs:292-301)."""
+
+import pytest
+
+from qamd_ray.config import Config
+from qamd_ray.gen_config import default_yaml
+
+
+def test_default_yaml_parses_and_validates():
+    cfg = Config.from_yaml(default_yaml())
+    assert cfg.basic_file_checks.bad_filename is not None
+    assert cfg.metadata.variable_odd_characters.setting[0] == "&"
+    assert "  " in cfg.metadata.variable_odd_characters.setting
+    assert cfg.data_integrity.system_missing_value_threshold.setting == 25
+    assert cfg.disclosure_risk.unique_values.setting == 1
+
+
+def test_absent_key_skips_check():
+    cfg = Config.from_dict({})
+    assert cfg.metadata.missing_variable_labels is None
+    assert cfg.quality_filter.odd_char_ratio_max is None
+
+
+def test_validation_rejects_empty_list():
+    with pytest.raises(ValueError):
+        Config.from_dict(
+            {"metadata": {"variable_odd_characters": {"setting": [], "desc": "d"}}}
+        )
+
+
+def test_validation_rejects_bad_threshold():
+    for bad in (0, 101):
+        with pytest.raises(ValueError):
+            Config.from_dict(
+                {
+                    "data_integrity": {
+                        "system_missing_value_threshold": {"setting": bad, "desc": "d"}
+                    }
+                }
+            )
+
+
+def test_bare_scalar_shorthand():
+    cfg = Config.from_dict({"metadata": {"variable_label_max_length": 79}})
+    assert cfg.metadata.variable_label_max_length.setting == 79

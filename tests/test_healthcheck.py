@@ -1,0 +1,216 @@
+"""Conformance tests for the distributed health check.
+
+Every expected (pass, fail) pair below is ported from the reference's own
+unit tests over its canonical 4-variable / 10-case fixture Context
+(/root/reference/src/check/post.rs:459-598 fixture; expectations at
+post.rs:600-858). The fixture is reproduced as a Parquet table + sidecar
+TableMeta, and the distributed pipeline must land on the identical counts.
+
+The reference tests each check in isolation; checks are independent, so one
+combined run asserts them all (one Ray pipeline instead of twelve).
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from qamd_ray.config import Config
+from qamd_ray.healthcheck import TableMeta, VariableMeta, health_check
+
+WORDS = os.path.join(os.path.dirname(__file__), "fixtures", "words.txt")
+STOPWORDS = os.path.join(os.path.dirname(__file__), "fixtures", "stopwords.txt")
+
+
+def _fixture_table() -> pa.Table:
+    # post.rs:459-598: `first` Text (3×"bar#", 3×"!baz", 4×"qux");
+    # `second` Text (2×"g@regs", 8 system-missing); `badid` Numeric
+    # (1,1,2,3,5..10 — one dup, one gap); `id` Numeric 1..10 unique.
+    return pa.table(
+        {
+            "first": ["bar#"] * 3 + ["!baz"] * 3 + ["qux"] * 4,
+            "second": ["g@regs", "g@regs"] + [None] * 8,
+            "badid": [1, 1, 2, 3, 5, 6, 7, 8, 9, 10],
+            "id": list(range(1, 11)),
+        }
+    )
+
+
+def _meta() -> TableMeta:
+    return TableMeta(
+        variables=[
+            VariableMeta(0, "first", "first fine label", "Text", "", "labels1"),
+            VariableMeta(1, "second", "second fine label", "Text", "", ""),
+            VariableMeta(2, "badid", "this is nt ok", "Numeric", "", ""),
+            VariableMeta(3, "id", "this is nt ok either", "Numeric", "", ""),
+        ],
+        value_labels={
+            "labels1": {
+                "qux": "this is fine",
+                "bar#": "this@ is far too long to pss the test",
+            }
+        },
+        file_name="goodfilename.dta",
+    )
+
+
+FULL_CONFIG = {
+    "basic_file_checks": {
+        "bad_filename": {"setting": "^([a-zA-Z0-9]+)\\.([a-zA-Z0-9]+)$", "desc": "d"}
+    },
+    "metadata": {
+        "primary_variable": {"setting": "first", "desc": "d"},
+        "missing_variable_labels": {"setting": True, "desc": "d"},
+        "variable_label_max_length": {"setting": 15, "desc": "d"},
+        "variable_odd_characters": {"setting": ["#", "@"], "desc": "d"},
+        "value_label_max_length": {"setting": 20, "desc": "d"},
+        "value_label_odd_characters": {"setting": ["#", "@", "!"], "desc": "d"},
+        "value_label_spellcheck": {"setting": [WORDS], "desc": "d"},
+        "variable_label_spellcheck": {"setting": [WORDS], "desc": "d"},
+    },
+    "data_integrity": {
+        "duplicate_values": {"setting": ["id", "badid"], "desc": "d"},
+        "system_missing_value_threshold": {"setting": 25, "desc": "d"},
+        "string_value_odd_characters": {"setting": ["#", "@", "!"], "desc": "d"},
+        "string_value_spellcheck": {"setting": [WORDS], "desc": "d"},
+    },
+    "disclosure_risk": {
+        "unique_values": {"setting": 2, "desc": "d"},
+        "regex_patterns": {"setting": ["^qux"], "desc": "d"},
+        "string_value_stopword": {"setting": [STOPWORDS], "desc": "d"},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("hc") / "fixture.parquet"
+    pq.write_table(_fixture_table(), p)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def report(fixture_path):
+    return health_check(fixture_path, Config.from_dict(FULL_CONFIG), meta=_meta())
+
+
+def _assert_setting(report, check, expect_pass, expect_fail):
+    st = report.summary[check]
+    assert (st.pass_, st.fail) == (expect_pass, expect_fail), (
+        f"{check}: got ({st.pass_}, {st.fail})"
+    )
+
+
+# --- expectations ported from the reference's unit tests -------------------
+
+
+def test_bad_filename(report):  # post.rs:600-620
+    _assert_setting(report, "BadFileName", 1, 0)
+
+
+def test_primary_variable(report):  # post.rs:622-644
+    assert report.metadata.case_count == 3
+
+
+def test_duplicate_values(report):  # post.rs:647-661
+    _assert_setting(report, "DuplicateValues", 1, 1)
+
+
+def test_system_missing_over_threshold(report):  # post.rs:663-686
+    _assert_setting(report, "SystemMissingOverThreshold", 3, 1)
+
+
+def test_unique_values(report):  # post.rs:688-707 (threshold 2)
+    _assert_setting(report, "VariablesWithUniqueValues", 1, 3)
+
+
+def test_value_label_max_length(report):  # post.rs:709-724 (max 20)
+    _assert_setting(report, "ValueLabelMaxLength", 3, 1)
+
+
+def test_value_label_odd_characters(report):  # post.rs:726-748
+    _assert_setting(report, "ValueLabelOddCharacters", 1, 1)
+
+
+def test_string_value_odd_characters(report):
+    # post.rs:262-299 semantics: distinct Str values "bar#", "!baz",
+    # "g@regs" fail; "qux" and "" pass; locators carry first-seen rows.
+    _assert_setting(report, "StringValueOddCharacters", 2, 3)
+    st = report.summary["StringValueOddCharacters"]
+    assert {(l.variable_index, l.value_index) for l in st.locators} == {
+        (0, 0),
+        (0, 3),
+        (1, 0),
+    }
+
+
+def test_regex_patterns(report):  # post.rs:771-786 (^qux)
+    _assert_setting(report, "ValueRegexPatterns", 3, 1)
+
+
+def test_value_label_spellcheck(report):  # post.rs:788-804
+    _assert_setting(report, "ValueLabelSpellcheck", 1, 1)
+
+
+def test_variable_label_spellcheck(report):  # post.rs:806-821
+    _assert_setting(report, "VariableLabelSpellcheck", 2, 2)
+
+
+def test_string_value_spellcheck(report):  # post.rs:823-839
+    _assert_setting(report, "StringValueSpellcheck", 3, 2)
+
+
+def test_string_value_stopword(report):  # post.rs:841-857
+    _assert_setting(report, "StringValueStopword", 4, 1)
+
+
+def test_variable_checks(report):
+    # variable.rs:48-116 over this fixture's 4 variables: all labeled,
+    # label byte lengths 16/17/13/20 vs max 15, no odd chars in names/labels
+    _assert_setting(report, "MissingVariableLabels", 4, 0)
+    _assert_setting(report, "VariableLabelMaxLength", 1, 3)
+    _assert_setting(report, "VariableOddCharacters", 4, 0)
+
+
+def test_report_shape(report):
+    d = report.to_dict()
+    assert d["metadata"]["raw_case_count"] == 10
+    assert d["metadata"]["variable_count"] == 4
+    assert d["metadata"]["data_type_occurrences"] == {"Text": 2, "Numeric": 2}
+    keys = list(d["summary"].keys())
+    # iteration order = CheckName ordinal (report/mod.rs:30-42)
+    assert keys[0] == "BadFileName" and keys[-1] == "StringValueStopword"
+    html = report.to_html()
+    assert "Basic file checks" in html and "Disclosure risk" in html
+
+
+# --- checks needing different meta/config run separately -------------------
+
+
+def test_value_defined_missing_no_label(fixture_path):
+    # value.rs:18-44: per-cell; declare badid value "2" as defined-missing
+    # with no label → 1 cell fails, 39 pass (10 cases × 4 vars)
+    meta = _meta()
+    meta.defined_missing = {"badid": {"2"}}
+    cfg = Config.from_dict(
+        {"metadata": {"value_defined_missing_no_label": {"setting": True, "desc": "d"}}}
+    )
+    r = health_check(fixture_path, cfg, meta=meta)
+    _assert_setting(r, "ValueDefinedMissingNoLabel", 39, 1)
+
+
+def test_metadata_only_suppresses_locators(fixture_path):
+    # macros.rs:12-13: metadata_only suppresses locators, not counts
+    cfg = Config.from_dict(
+        {
+            "data_integrity": {
+                "string_value_odd_characters": {"setting": ["#", "@", "!"], "desc": "d"}
+            }
+        }
+    )
+    cfg.metadata_only = True
+    r = health_check(fixture_path, cfg, meta=_meta())
+    st = r.summary["StringValueOddCharacters"]
+    assert (st.pass_, st.fail) == (2, 3)
+    assert st.locators is None
