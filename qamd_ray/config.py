@@ -100,6 +100,7 @@ class QualityFilter:
     path_odd_characters: Optional[Setting] = None  # list[str]
     path_max_length: Optional[Setting] = None  # int bytes
     missing_lang: Optional[Setting] = None  # bool
+    content_odd_characters: Optional[Setting] = None  # list[str] substring-any (C11 exact)
     odd_char_ratio_max: Optional[Setting] = None  # float 0..1 over content
     control_char_ratio_max: Optional[Setting] = None  # float 0..1
     max_line_length: Optional[Setting] = None  # int bytes

@@ -117,6 +117,81 @@ def _generated_dict() -> dict:
     return d
 
 
+def _quality_dict() -> dict:
+    """Default config for the source-code quality-filter pipeline (the
+    graft's flagship; section semantics in config.QualityFilter).
+
+    Thresholds are chosen so each planted defect class of synth.gen_corpus
+    lands decisively on one side (FIXTURES.md §F2): e.g. the odd-chars
+    defect drives the odd-char ratio far above 0.05, clean code sits near 0.
+    """
+    return {
+        "quality_filter": {
+            "bad_path": {
+                "setting": r"[A-Za-z0-9_\-./]+",
+                "desc": "Path must fully match the allowed-character pattern",
+            },
+            "path_odd_characters": {
+                "setting": list(ODD_CHARS_DEFAULT),
+                "desc": "Path should not contain the specified substrings",
+            },
+            "path_max_length": {"setting": 240, "desc": "Path byte length cap"},
+            "missing_lang": {"setting": True, "desc": "Declared lang tag should be present"},
+            "content_odd_characters": {
+                # QAMD's substring-any semantics (post.rs:262-299); the
+                # double-space entry of default.yaml:49 is dropped — code
+                # indents with runs of spaces
+                "setting": ["&#", "@@", "ç", "ô", "ü"],
+                "desc": "Content should not contain the specified substrings",
+            },
+            "odd_char_ratio_max": {
+                "setting": 0.05,
+                "desc": "Max fraction of non-printable-ASCII characters in content",
+            },
+            "control_char_ratio_max": {
+                "setting": 0.01,
+                "desc": "Max fraction of C0 control characters in content",
+            },
+            "max_line_length": {"setting": 2000, "desc": "Longest line byte cap"},
+            "max_avg_line_length": {"setting": 400.0, "desc": "Mean line byte cap"},
+            "min_content_length": {"setting": 10, "desc": "Min content bytes"},
+            "max_content_length": {"setting": 20000, "desc": "Max content bytes"},
+            "alnum_ratio_min": {
+                "setting": 0.25,
+                "desc": "Min fraction of alphanumeric characters",
+            },
+            "date_format": {"setting": True, "desc": "Flag content embedding date literals"},
+            "duplicate_content": {
+                "setting": True,
+                "desc": "Drop exact-duplicate content (first occurrence by (repo,path) kept)",
+            },
+            "stopword_only": {"setting": True, "desc": "Drop content whose tokens are all lexicon words"},
+            "langid_allowed": {
+                "setting": ["c", "go", "javascript", "markdown", "python", "rust"],
+                "desc": "Languages the classifier may confidently predict",
+            },
+            "langid_min_confidence": {
+                "setting": 0.9,
+                "desc": "Posterior confidence needed before langid disagreement drops a row",
+            },
+            "perplexity_max_bits_per_char": {
+                "setting": 6.0,
+                "desc": "Max char-LM cross-entropy (bits/char)",
+            },
+            "scrub_patterns": {"setting": True, "desc": "Scrub PII/credentials with the default bank"},
+            "toxicity_lexicon": {"setting": True, "desc": "Scrub lexicon tokens"},
+        }
+    }
+
+
+def quality_yaml() -> str:
+    return yaml.safe_dump(_quality_dict(), sort_keys=False, allow_unicode=True)
+
+
+def quality_config() -> Config:
+    return Config.from_dict(_quality_dict())
+
+
 def default_yaml() -> str:
     return yaml.safe_dump(_default_dict(), sort_keys=False, allow_unicode=True)
 

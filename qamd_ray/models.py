@@ -1,0 +1,248 @@
+"""Stateful model stages: language-ID and char-n-gram perplexity.
+
+The north star (BASELINE.json) calls for "a fastText langid actor pool and
+KenLM-style n-gram perplexity scorer".  fasttext/kenlm wheels are not in
+this environment, so both are small, pure-NumPy implementations of the
+published algorithms (public knowledge only):
+
+* ``LangIdModel`` — bag-of-hashed-char-n-gram linear classifier in the
+  style of Joulin et al. 2016 ("Bag of Tricks for Efficient Text
+  Classification"), reduced to multinomial naive Bayes over hashed char
+  trigrams (the closed-form fit keeps training deterministic and
+  dependency-free).
+* ``PerplexityModel`` — interpolated char-trigram language model in the
+  spirit of Heafield 2011 (KenLM), simplified to Jelinek-Mercer
+  interpolation over hashed count tables; score = bits per character.
+
+Both are trained at construction time from the deterministic synthetic
+corpus (synth.clean_samples — fixed seed, no external data), so every
+actor in the pool builds byte-identical weights.
+
+These are the pipeline's ONLY stateful stages (SURVEY.md §7): wrap as
+``ds.map_batches(LangIdScorer, fn_constructor_kwargs=..., concurrency=N,
+batch_size=B)`` — model built once per actor in ``__init__``, batches are
+zero-copy Arrow.  A module-level cache avoids re-training when several
+stages (or unit tests) construct the same model in one process.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import kernels as K
+from .config import Config
+from .synth import LANGS, clean_samples
+
+_CACHE: dict = {}
+
+
+def _bytes_of(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+
+
+def _trigram_hashes(b: np.ndarray, dim: int) -> np.ndarray:
+    """Hashed char trigrams of one byte string (vectorized)."""
+    if len(b) < 3:
+        return np.zeros(0, dtype=np.int64)
+    x = b.astype(np.int64)
+    return (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim
+
+
+class LangIdModel:
+    """Multinomial NB over hashed char trigrams; classes = LANGS."""
+
+    def __init__(
+        self,
+        corpus: Optional[dict[str, list[str]]] = None,
+        dim: int = 1 << 15,
+        alpha: float = 0.5,
+        samples_per_lang: int = 120,
+        seed: int = 7,
+    ):
+        self.dim = dim
+        self.alpha = alpha
+        if corpus is None:
+            corpus = {l: clean_samples(l, samples_per_lang, seed=seed) for l in LANGS}
+        self.classes = sorted(corpus)
+        counts = np.zeros((len(self.classes), dim), dtype=np.float64)
+        for i, lang in enumerate(self.classes):
+            for text in corpus[lang]:
+                h = _trigram_hashes(_bytes_of(text), dim)
+                if len(h):
+                    np.add.at(counts[i], h, 1.0)
+        totals = counts.sum(axis=1, keepdims=True)
+        self.logp = np.log(counts + alpha) - np.log(totals + alpha * dim)
+        self.logp = self.logp.astype(np.float32)
+
+    @classmethod
+    def default(cls) -> "LangIdModel":
+        key = ("langid", "default")
+        if key not in _CACHE:
+            _CACHE[key] = cls()
+        return _CACHE[key]
+
+    def predict(self, texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (predicted lang per text, posterior confidence of the argmax).
+
+        Empty/ultra-short texts predict "" with confidence 0.
+        """
+        preds = np.empty(len(texts), dtype=object)
+        confs = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            h = _trigram_hashes(_bytes_of(t or ""), self.dim)
+            if len(h) == 0:
+                preds[i] = ""
+                continue
+            scores = self.logp[:, h].sum(axis=1)
+            j = int(np.argmax(scores))
+            m = scores.max()
+            post = np.exp(scores - m)
+            confs[i] = post[j] / post.sum()
+            preds[i] = self.classes[j]
+        return preds, confs
+
+
+class PerplexityModel:
+    """Interpolated hashed char-trigram LM; score(text) = bits/char."""
+
+    LAMBDAS = (0.70, 0.25, 0.05)  # trigram, bigram, unigram
+
+    def __init__(
+        self,
+        corpus: Optional[list[str]] = None,
+        dim3: int = 1 << 22,
+        dim2: int = 1 << 18,
+        alpha: float = 0.1,
+        samples_per_lang: int = 120,
+        seed: int = 7,
+    ):
+        self.dim3, self.dim2, self.alpha = dim3, dim2, alpha
+        if corpus is None:
+            corpus = [t for l in LANGS for t in clean_samples(l, samples_per_lang, seed=seed)]
+        t3 = np.zeros(dim3, dtype=np.float64)  # count(c1 c2 c)
+        c2 = np.zeros(dim2, dtype=np.float64)  # count(c1 c2 ·)
+        b2 = np.zeros(dim2, dtype=np.float64)  # count(c1 c)
+        c1 = np.zeros(256, dtype=np.float64)   # count(c1 ·)
+        u1 = np.zeros(256, dtype=np.float64)   # count(c)
+        for text in corpus:
+            b = _bytes_of(text)
+            if len(b) < 3:
+                continue
+            x = b.astype(np.int64)
+            h3 = (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim3
+            hc2 = (x[:-2] * 8191 + x[1:-1]) % dim2
+            hb2 = (x[:-1] * 8191 + x[1:]) % dim2
+            np.add.at(t3, h3, 1.0)
+            np.add.at(c2, hc2, 1.0)
+            np.add.at(b2, hb2, 1.0)
+            np.add.at(c1, x[:-1], 1.0)
+            np.add.at(u1, x, 1.0)
+        self.t3, self.c2, self.b2, self.c1, self.u1 = t3, c2, b2, c1, u1
+        self.total = u1.sum()
+
+    @classmethod
+    def default(cls) -> "PerplexityModel":
+        key = ("ppl", "default")
+        if key not in _CACHE:
+            _CACHE[key] = cls()
+        return _CACHE[key]
+
+    def bits_per_char(self, texts: Sequence[str]) -> np.ndarray:
+        """Vectorized per-text cross-entropy in bits/char (0.0 for texts
+        shorter than 3 bytes — too short to score)."""
+        a = self.alpha
+        l3, l2, l1 = self.LAMBDAS
+        out = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            b = _bytes_of(t or "")
+            if len(b) < 3:
+                continue
+            x = b.astype(np.int64)
+            h3 = (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % self.dim3
+            hc2 = (x[:-2] * 8191 + x[1:-1]) % self.dim2
+            hb2 = (x[:-1] * 8191 + x[1:]) % self.dim2
+            p3 = (self.t3[h3] + a) / (self.c2[hc2] + a * 256.0)
+            p2 = (self.b2[hb2[1:]] + a) / (self.c1[x[1:-1]] + a * 256.0)
+            p1 = (self.u1[x[2:]] + a) / (self.total + a * 256.0)
+            p = l3 * p3 + l2 * p2 + l1 * p1
+            out[i] = float(-np.log2(p).mean())
+        return out
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+
+class LangIdScorer:
+    """Actor stage: adds ``langid_pred``, ``langid_conf``, ``f_langid``.
+
+    ``f_langid`` fires when the model confidently disagrees with the
+    declared ``lang`` tag, or predicts a language outside the allowed
+    list.  Gated on ``quality_filter.langid_min_confidence`` /
+    ``langid_allowed`` (absent → the pipeline skips this stage, matching
+    the reference's absent-key-skips-check convention).
+    """
+
+    def __init__(self, min_confidence: float = 0.5, allowed: Optional[list[str]] = None):
+        self.model = LangIdModel.default()
+        self.min_conf = float(min_confidence)
+        self.allowed = set(allowed) if allowed else None
+
+    @staticmethod
+    def from_config(config: Config) -> Optional[dict]:
+        q = config.quality_filter
+        if q.langid_min_confidence is None and q.langid_allowed is None:
+            return None
+        kw: dict = {}
+        if q.langid_min_confidence is not None:
+            kw["min_confidence"] = float(q.langid_min_confidence.setting)
+        if q.langid_allowed is not None:
+            kw["allowed"] = list(q.langid_allowed.setting)
+        return kw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch["content"], "")).to_pylist()
+        preds, confs = self.model.predict(texts)
+        declared = np.asarray(
+            K._as_array(pc.fill_null(batch["lang"], "")), dtype=object
+        )
+        confident = confs >= self.min_conf
+        fail = confident & (declared != "") & (preds != declared)
+        if self.allowed is not None:
+            in_allowed = np.array([p in self.allowed for p in preds])
+            fail |= confident & ~in_allowed
+        return (
+            batch.append_column("langid_pred", pa.array(list(preds), pa.string()))
+            .append_column("langid_conf", pa.array(confs))
+            .append_column("f_langid", pa.array(fail))
+        )
+
+
+class PerplexityScorer:
+    """Actor stage: adds ``ppl_bits``, ``f_perplexity``.
+
+    Gated on ``quality_filter.perplexity_max_bits_per_char``.
+    """
+
+    def __init__(self, max_bits_per_char: float = 6.0):
+        self.model = PerplexityModel.default()
+        self.max_bits = float(max_bits_per_char)
+
+    @staticmethod
+    def from_config(config: Config) -> Optional[dict]:
+        q = config.quality_filter
+        if q.perplexity_max_bits_per_char is None:
+            return None
+        return {"max_bits_per_char": float(q.perplexity_max_bits_per_char.setting)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch["content"], "")).to_pylist()
+        bits = self.model.bits_per_char(texts)
+        return batch.append_column("ppl_bits", pa.array(bits)).append_column(
+            "f_perplexity", pa.array(bits > self.max_bits)
+        )

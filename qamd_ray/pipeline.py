@@ -1,0 +1,472 @@
+"""The flagship pipeline: language-ID + quality-filter + scrub over code repos.
+
+Ray-Data-native rendering of BASELINE.json's north rule.  Lifecycle
+(SURVEY.md §3.4):
+
+    read_parquet (schema repo,path,commit,lang,content)
+      → RowRules          (stateless map_batches, zero-copy Arrow)
+      → LangIdScorer      (actor pool — model built once per actor)
+      → PerplexityScorer  (actor pool)
+      → duplicate verdict (shuffle of (sha,repo,path) ONLY — content never
+                           crosses the wire; losers broadcast back)
+      → Scrubber + keep   (stateless map_batches)
+      → write partitioned Parquet + per-shard lineage manifests
+      → per-repo report   (per-batch partial counts → tiny groupby("repo"))
+
+Scale notes, explicit:
+
+* The only all-to-all exchanges are (a) the dup-key groupby, which moves
+  three short string columns per row, and (b) the report groupby, which
+  moves one partial-count row per (repo × batch) — both O(keys), not
+  O(bytes).  Content itself streams straight from read to write.
+* Giant-repo skew never concentrates on one reducer because the report
+  pre-aggregates per batch (each batch emits ≤ distinct-repos-in-batch
+  rows) — the salted-key pattern of SURVEY.md §4 strengthened to a full
+  combiner.
+* The duplicate losers set is collected to the driver and broadcast via
+  ``ray.put`` — right whenever dups are a modest fraction (the common
+  corpus case).  For dup-dominated inputs use ops.dedup's fully
+  distributed groupby path instead.
+* Checkpoint/resume (north rule): ``run_checkpointed`` shards the input by
+  Parquet row group, writes ``part=<k>/data.parquet`` + ``manifest.json``
+  per shard, and on restart skips shards whose manifest validates.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from . import kernels as K
+from .config import Config
+from .models import LangIdScorer, PerplexityScorer
+from .report import LOCATOR_CAP
+from .rules import MODEL_DROP_FLAGS, RULES, RowRules, flag_col, keep_expression
+from .scrub import Scrubber
+
+Datasetish = Union[str, Sequence[str], "ray.data.Dataset"]
+
+INPUT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _as_dataset(source: Datasetish, columns: Optional[list[str]] = None) -> "ray.data.Dataset":
+    if isinstance(source, (str, list, tuple)):
+        return ray.data.read_parquet(list(source) if not isinstance(source, str) else source,
+                                     columns=columns)
+    return source
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def enrich(
+    ds: "ray.data.Dataset",
+    config: Config,
+    *,
+    model_concurrency: Union[int, tuple] = 4,
+    model_batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """rules → langid → perplexity.  Stateless rules run as plain tasks;
+    model stages are actor pools (state in ``__init__``, SURVEY.md §7.5)."""
+    out = ds.map_batches(RowRules(config), batch_format="pyarrow")
+    kw = LangIdScorer.from_config(config)
+    if kw is not None:
+        out = out.map_batches(
+            LangIdScorer,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            batch_size=model_batch_size,
+            concurrency=model_concurrency,
+        )
+    kw = PerplexityScorer.from_config(config)
+    if kw is not None:
+        out = out.map_batches(
+            PerplexityScorer,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            batch_size=model_batch_size,
+            concurrency=model_concurrency,
+        )
+    return out
+
+
+def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
+    """(repo,path) of every non-first duplicate, globally exact.
+
+    DuplicateValues re-expressed (reference counts singletons in its in-RAM
+    frequency table, src/check/post.rs:229-260).  Shuffles only
+    (content_sha256, repo, path); "first" = lexicographic min (repo,path),
+    order-independent under any parallelism.
+    """
+    proj = enriched.select_columns(["content_sha256", "repo", "path"])
+
+    _empty = pd.DataFrame(
+        {"repo": pd.Series([], dtype="string"), "path": pd.Series([], dtype="string")}
+    )
+
+    def _losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return _empty
+        g = g.sort_values(["repo", "path"])
+        return g.iloc[1:][["repo", "path"]]
+
+    losers = proj.groupby("content_sha256").map_groups(_losers, batch_format="pandas")
+    return [(r["repo"], r["path"]) for r in losers.take_all()]
+
+
+def finalize(
+    enriched: "ray.data.Dataset",
+    config: Config,
+    losers: Optional[list[tuple[str, str]]] = None,
+) -> "ray.data.Dataset":
+    """dup flag (broadcast losers) → scrub → keep column."""
+    ds = enriched
+    q = config.quality_filter
+    if q.duplicate_content is not None and q.duplicate_content.setting:
+        loser_ref = ray.put(set(losers or []))
+
+        def _dup(batch: pa.Table) -> pa.Table:
+            lose = ray.get(loser_ref)
+            if not lose:
+                return batch.append_column(
+                    "f_duplicate", pa.array(np.zeros(len(batch), dtype=bool))
+                )
+            repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
+            paths = np.asarray(K._as_array(batch["path"]), dtype=object)
+            hit = np.fromiter(
+                ((r, p) in lose for r, p in zip(repos, paths)), bool, len(batch)
+            )
+            return batch.append_column("f_duplicate", pa.array(hit))
+
+        ds = ds.map_batches(_dup, batch_format="pyarrow")
+    scrubber = Scrubber.from_config(config)
+    if scrubber is not None:
+        ds = ds.map_batches(scrubber, batch_format="pyarrow")
+    names = ds.schema().names
+    ds = ds.map_batches(keep_expression(names), batch_format="pyarrow")
+    return ds
+
+
+def quality_pipeline(
+    source: Datasetish,
+    config: Config,
+    *,
+    model_concurrency: Union[int, tuple] = 4,
+    model_batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """End-to-end in one Dataset graph (test/bench scale).
+
+    The enriched intermediate is materialized once so the dup-key pass and
+    the final pass don't recompute the model stages; at the 100-TB design
+    point use :func:`run_checkpointed`, whose phase-1 Parquet output plays
+    this role on disk.
+    """
+    ds = _as_dataset(source, columns=INPUT_COLUMNS)
+    enriched = enrich(
+        ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
+    ).materialize()
+    losers = None
+    q = config.quality_filter
+    if q.duplicate_content is not None and q.duplicate_content.setting:
+        losers = duplicate_losers(enriched)
+    return finalize(enriched, config, losers)
+
+
+# ---------------------------------------------------------------------------
+# per-repo report — QAMD's summary, grouped by repo (the "data file" unit)
+# ---------------------------------------------------------------------------
+
+# rule name → QAMD category (SURVEY.md §2.2 mapping)
+RULE_CATEGORY = {
+    "bad_path": "BasicFile",
+    "path_odd": "Metadata",
+    "path_len": "Metadata",
+    "missing_lang": "Metadata",
+    "content_odd": "DataIntegrity",
+    "odd_ratio": "DataIntegrity",
+    "control_ratio": "DataIntegrity",
+    "line_len": "Metadata",
+    "avg_line_len": "Metadata",
+    "min_len": "DataIntegrity",
+    "max_len": "DataIntegrity",
+    "alnum": "DataIntegrity",
+    "date": "DataIntegrity",
+    "stopword_only": "DisclosureRisk",
+    "spell_ratio": "DataIntegrity",
+    "langid": "DataIntegrity",
+    "perplexity": "DataIntegrity",
+    "duplicate": "DataIntegrity",
+}
+
+
+def _flag_columns(names: Sequence[str]) -> list[str]:
+    return [c for c in names if c.startswith("f_")] + [
+        c for c in ("scrubbed",) if c in names
+    ]
+
+
+def repo_report(final: "ray.data.Dataset") -> pa.Table:
+    """Per-repo pass/fail counts for every flag — one row per repo.
+
+    Per-batch partial aggregation (pandas groupby inside map_batches)
+    bounds the shuffle to O(repos × batches) rows regardless of skew; the
+    reference's whole-file counters (report summary HashMap) fall out as
+    the column sums of this table.
+    """
+    names = final.schema().names
+    flags = _flag_columns(names)
+    keep_col = "keep" in names
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = {c: (c, "sum") for c in flags}
+        if keep_col:
+            agg["n_keep"] = ("keep", "sum")
+        g = batch.groupby("repo", sort=False).agg(
+            n_rows=("repo", "size"), **agg
+        )
+        return g.reset_index()
+
+    aggs = [Sum(c, alias_name=c) for c in flags] + [Sum("n_rows", alias_name="n_rows")]
+    if keep_col:
+        aggs.append(Sum("n_keep", alias_name="n_keep"))
+    rep = (
+        final.map_batches(_partials, batch_format="pandas")
+        .groupby("repo")
+        .aggregate(*aggs)
+    )
+    t = pa.Table.from_pandas(rep.to_pandas(), preserve_index=False)
+    return t.sort_by("repo")
+
+
+def summary_report(repo_table: pa.Table, metadata_only: bool = False,
+                   locators: Optional[dict[str, list]] = None) -> dict:
+    """QAMD-shaped global summary: per-check {pass, fail, desc, category}
+    (Status shape, /root/reference/src/report/mod.rs:126-132), with
+    pass = total_rows − fail (row-level accounting)."""
+    total = int(pc.sum(repo_table["n_rows"]).as_py() or 0)
+    rule_desc = {r.name: r.desc for r in RULES}
+    summary = {}
+    for col in repo_table.column_names:
+        if not col.startswith("f_"):
+            continue
+        name = col[2:]
+        fail = int(pc.sum(repo_table[col]).as_py() or 0)
+        entry = {
+            "pass": total - fail,
+            "fail": fail,
+            "desc": rule_desc.get(name, name),
+            "category": RULE_CATEGORY.get(name, "DataIntegrity"),
+        }
+        if not metadata_only and locators and name in locators:
+            entry["locators"] = locators[name][:LOCATOR_CAP]
+        summary[name] = entry
+    out = {
+        "metadata": {
+            "row_count": total,
+            "repo_count": repo_table.num_rows,
+            "keep_count": int(pc.sum(repo_table["n_keep"]).as_py() or 0)
+            if "n_keep" in repo_table.column_names
+            else None,
+            "scrubbed_count": int(pc.sum(repo_table["scrubbed"]).as_py() or 0)
+            if "scrubbed" in repo_table.column_names
+            else None,
+        },
+        "summary": summary,
+    }
+    return out
+
+
+def locator_samples(final: "ray.data.Dataset", cap: int = LOCATOR_CAP) -> dict[str, list]:
+    """Deterministic failure locators per rule: up to ``cap`` smallest
+    (repo, path) pairs — one pass, per-batch top-k partials merged on the
+    driver (reference emits per-failure locators, capped at 1000 in the
+    HTML report, src/report/html/mod.rs:110,115)."""
+    names = [c for c in final.schema().names if c.startswith("f_")]
+    if not names:
+        return {}
+
+    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in names:
+            sub = batch.loc[batch[c].fillna(False), ["repo", "path"]]
+            if len(sub):
+                sub = sub.sort_values(["repo", "path"]).head(cap)
+                sub = sub.assign(rule=c[2:])
+                outs.append(sub)
+        if not outs:
+            return pd.DataFrame({"repo": [], "path": [], "rule": []})
+        return pd.concat(outs, ignore_index=True)
+
+    parts = final.map_batches(_partials, batch_format="pandas").to_pandas()
+    out: dict[str, list] = {}
+    for rule, g in parts.groupby("rule"):
+        g = g.sort_values(["repo", "path"]).head(cap)
+        out[rule] = [{"repo": r, "path": p} for r, p in zip(g["repo"], g["path"])]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checkpointed, resumable run (north rule: restart skips finished partitions)
+# ---------------------------------------------------------------------------
+
+
+def _shard_row_groups(paths: Sequence[str] | str, num_shards: int) -> list[list[dict]]:
+    from .sources import row_group_tasks
+
+    tasks = row_group_tasks(paths)
+    shards: list[list[dict]] = [[] for _ in range(min(num_shards, max(1, len(tasks))))]
+    for i, t in enumerate(tasks):
+        shards[i % len(shards)].append(t)
+    return [s for s in shards if s]
+
+
+def _read_shard(tasks: list[dict], columns: Optional[list[str]]) -> "ray.data.Dataset":
+    def _read(batch: pa.Table) -> pa.Table:
+        out = []
+        for task in batch.to_pylist():
+            pf = pq.ParquetFile(task["path"])
+            out.append(pf.read_row_group(task["row_group"], columns=columns))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(tasks).map_batches(_read, batch_size=1, batch_format="pyarrow")
+
+
+def _manifest_ok(manifest_path: str) -> bool:
+    try:
+        with open(manifest_path) as f:
+            m = json.load(f)
+        data = os.path.join(os.path.dirname(manifest_path), "data.parquet")
+        return os.path.exists(data) and pq.read_metadata(data).num_rows == m["rows"]
+    except (OSError, ValueError, KeyError):
+        return False
+
+
+def run_checkpointed(
+    input_paths: Sequence[str] | str,
+    out_dir: str,
+    config: Config,
+    *,
+    num_shards: int = 16,
+    model_concurrency: Union[int, tuple] = 2,
+    model_batch_size: int = 512,
+) -> dict:
+    """Three-phase resumable run; returns the run summary (also written to
+    ``out_dir/report.json``).
+
+    Layout:  ``out_dir/enriched/part=<k>/{data.parquet,manifest.json}``
+             ``out_dir/final/part=<k>/{data.parquet,manifest.json}``
+             ``out_dir/losers.json``  ``out_dir/report.json``
+
+    Each manifest records its input row groups, row count and wall time;
+    a shard whose manifest validates is skipped on restart — lineage +
+    metrics per partition, recompute = 0 for finished shards.
+    """
+    shards = _shard_row_groups(input_paths, num_shards)
+    enr_dir = os.path.join(out_dir, "enriched")
+    fin_dir = os.path.join(out_dir, "final")
+    os.makedirs(enr_dir, exist_ok=True)
+    os.makedirs(fin_dir, exist_ok=True)
+    stats = {"shards": len(shards), "phase1_skipped": 0, "phase3_skipped": 0}
+
+    # ---- phase 1: rules + models per shard -------------------------------
+    for k, tasks in enumerate(shards):
+        part = os.path.join(enr_dir, f"part={k}")
+        mpath = os.path.join(part, "manifest.json")
+        if _manifest_ok(mpath):
+            stats["phase1_skipped"] += 1
+            continue
+        t0 = time.time()
+        os.makedirs(part, exist_ok=True)
+        ds = _read_shard(tasks, INPUT_COLUMNS)
+        enriched = enrich(
+            ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
+        )
+        tbl = pa.concat_tables(list(enriched.iter_batches(batch_format="pyarrow")))
+        tmp = os.path.join(part, ".data.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(part, "data.parquet"))
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "rows": tbl.num_rows,
+                    "inputs": tasks,
+                    "wall_s": round(time.time() - t0, 3),
+                    "content_bytes": int(pc.sum(tbl["n_bytes"]).as_py() or 0),
+                },
+                f,
+            )
+        os.replace(mpath + ".tmp", mpath)
+
+    # ---- phase 2: global duplicate verdict over the enriched projection --
+    losers_path = os.path.join(out_dir, "losers.json")
+    q = config.quality_filter
+    want_dup = q.duplicate_content is not None and q.duplicate_content.setting
+    if want_dup:
+        if os.path.exists(losers_path):
+            with open(losers_path) as f:
+                losers = [tuple(x) for x in json.load(f)]
+        else:
+            proj = ray.data.read_parquet(
+                sorted(glob.glob(os.path.join(enr_dir, "part=*", "data.parquet"))),
+                columns=["content_sha256", "repo", "path"],
+            )
+            losers = duplicate_losers(proj)
+            with open(losers_path + ".tmp", "w") as f:
+                json.dump([list(x) for x in losers], f)
+            os.replace(losers_path + ".tmp", losers_path)
+    else:
+        losers = []
+
+    # ---- phase 3: dup flag + scrub + keep, per shard ---------------------
+    for k in range(len(shards)):
+        part = os.path.join(fin_dir, f"part={k}")
+        mpath = os.path.join(part, "manifest.json")
+        if _manifest_ok(mpath):
+            stats["phase3_skipped"] += 1
+            continue
+        t0 = time.time()
+        os.makedirs(part, exist_ok=True)
+        src = os.path.join(enr_dir, f"part={k}", "data.parquet")
+        ds = ray.data.read_parquet(src)
+        final = finalize(ds, config, losers)
+        tbl = pa.concat_tables(list(final.iter_batches(batch_format="pyarrow")))
+        tmp = os.path.join(part, ".data.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(part, "data.parquet"))
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "rows": tbl.num_rows,
+                    "keep": int(pc.sum(tbl["keep"]).as_py() or 0),
+                    "wall_s": round(time.time() - t0, 3),
+                },
+                f,
+            )
+        os.replace(mpath + ".tmp", mpath)
+
+    # ---- report ----------------------------------------------------------
+    final_ds = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(fin_dir, "part=*", "data.parquet")))
+    )
+    rt = repo_report(final_ds)
+    locs = locator_samples(final_ds)
+    rep = summary_report(rt, metadata_only=bool(config.metadata_only), locators=locs)
+    rep["run"] = stats
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(rep, f, indent=2)
+    return rep

@@ -1,0 +1,167 @@
+"""Compiled-regex PII / credential / toxicity scrubber.
+
+Grows the reference's ValueRegexPatterns check
+(/root/reference/src/check/post.rs:354-391 — which only FLAGS matches;
+default bank: simple email, UK postcode, RFC-2822 email,
+src/bin/gen_config.rs:16-20) into an in-place rewriter, per the north star:
+"a compiled-regex PII/toxicity scrubber (emails, phone numbers,
+credentials, slur lexicon) that rewrites content in place".
+
+Two-phase per batch, keeping the hot path vectorized:
+  1. a single alternation regex is run VECTORIZED over the whole column
+     (``pc.match_substring_regex``) to find candidate rows — the common
+     case (no PII) costs one Arrow kernel, no Python-per-row;
+  2. only matched rows are rewritten with Python ``re.sub`` per pattern.
+
+Patterns are compiled once in ``Scrubber.__init__`` (driver-side; the
+reference recompiled its regexes per value inside the loop, post.rs:370 —
+a known inefficiency deliberately not reproduced).
+
+Invariant (BASELINE.json input_hint): rows with no match pass through
+byte-identical — sha256(content) equality, tested in tests/test_scrub.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import kernels as K
+from .config import Config
+from .synth import TOXICITY_LEXICON
+
+
+@dataclass(frozen=True)
+class ScrubPattern:
+    name: str
+    pattern: str  # Python re syntax
+    replace: str
+
+
+# Default bank. Email/phone shapes extend the reference bank
+# (gen_config.rs:16-20, default.yaml:148-152 UK mobile); credential shapes
+# are standard public patterns (AWS key ids, PEM headers, password/token
+# assignments).
+DEFAULT_PATTERNS: list[ScrubPattern] = [
+    ScrubPattern("email", r"[\w.+-]+@[\w-]+(?:\.[\w-]{2,})+", "<EMAIL>"),
+    ScrubPattern(
+        "phone",
+        r"(?:\+44\s?7\d{3}|\(?07\d{3}\)?)\s?\d{3}\s?\d{3}\b",  # UK mobile, default.yaml:151
+        "<PHONE>",
+    ),
+    ScrubPattern("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ScrubPattern("pem", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ScrubPattern(
+        "password",
+        r"(?i)\b(password|passwd|secret|api_key|access_key|token)(\s*[:=]\s*)(\"[^\"\n]*\"|'[^'\n]*'|\S+)",
+        r"\1\2<SECRET>",
+    ),
+]
+
+
+def toxicity_pattern(lexicon: list[str]) -> ScrubPattern:
+    """Whole-word alternation over the slur/toxicity lexicon."""
+    alt = "|".join(re.escape(w) for w in sorted(lexicon, key=len, reverse=True))
+    return ScrubPattern("toxicity", r"(?i)\b(?:" + alt + r")\b", "<TOX>")
+
+
+class Scrubber:
+    """map_batches stage: rewrites content, adds ``scrubbed``/``n_scrubs``.
+
+    Stateless-task friendly: compiled patterns serialize with the callable
+    (re.Pattern pickles by re-compiling), so plain tasks amortize the
+    compile across batches without needing an actor pool.
+    """
+
+    def __init__(
+        self,
+        patterns: Optional[list[ScrubPattern]] = None,
+        toxicity_lexicon: Optional[list[str]] = None,
+        content_col: str = "content",
+    ):
+        pats = list(patterns if patterns is not None else DEFAULT_PATTERNS)
+        if toxicity_lexicon:
+            pats.append(toxicity_pattern(toxicity_lexicon))
+        self.patterns = pats
+        self.compiled = [(p.name, re.compile(p.pattern), p.replace) for p in pats]
+        # vectorized prefilter: RE2-compatible union (drop Python-only
+        # constructs by testing each against pyarrow at build time)
+        self.prefilters: list[str] = []
+        probe = pa.array(["x"], pa.string())
+        for p in pats:
+            try:
+                pc.match_substring_regex(probe, p.pattern)
+                self.prefilters.append(p.pattern)
+            except pa.ArrowInvalid:
+                self.prefilters.append("")  # not RE2-expressible → no prefilter
+        self.content_col = content_col
+
+    @staticmethod
+    def from_config(config: Config, content_col: str = "content") -> Optional["Scrubber"]:
+        q = config.quality_filter
+        if q.scrub_patterns is None and q.toxicity_lexicon is None:
+            return None
+        pats: Optional[list[ScrubPattern]] = None
+        if q.scrub_patterns is not None:
+            v = q.scrub_patterns.setting
+            if isinstance(v, (list, tuple)) and v and isinstance(v[0], dict):
+                pats = [
+                    ScrubPattern(d["name"], d["pattern"], d.get("replace", "<SCRUBBED>"))
+                    for d in v
+                ]
+            # bool True → default bank
+        lex: Optional[list[str]] = None
+        if q.toxicity_lexicon is not None:
+            v = q.toxicity_lexicon.setting
+            if isinstance(v, (list, tuple)) and v and all(str(p).endswith(".txt") for p in v):
+                lex = sorted(K.load_wordlists(v) - {""})
+            elif isinstance(v, (list, tuple)):
+                lex = [str(x) for x in v]
+            else:
+                lex = list(TOXICITY_LEXICON)
+        return Scrubber(patterns=pats, toxicity_lexicon=lex, content_col=content_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = K._as_array(pc.fill_null(batch[self.content_col], ""))
+        n = len(batch)
+        candidate = np.zeros(n, dtype=bool)
+        no_prefilter = False
+        for pat in self.prefilters:
+            if pat:
+                candidate |= np.asarray(
+                    K._as_array(pc.match_substring_regex(content, pat)).fill_null(False)
+                )
+            else:
+                no_prefilter = True
+        idx = np.arange(n) if no_prefilter else np.nonzero(candidate)[0]
+
+        n_scrubs = np.zeros(n, dtype=np.int64)
+        if len(idx) == 0:
+            out = batch
+        else:
+            vals = content.to_pylist()  # only materialized when candidates exist
+            changed = False
+            for i in idx:
+                s = vals[i]
+                hits = 0
+                for _name, rx, repl in self.compiled:
+                    s, k = rx.subn(repl, s)
+                    hits += k
+                if hits:
+                    vals[i] = s
+                    n_scrubs[i] = hits
+                    changed = True
+            if changed:
+                new = pa.array(vals, pa.string())
+                ci = batch.column_names.index(self.content_col)
+                out = batch.set_column(ci, self.content_col, new)
+            else:
+                out = batch
+        return out.append_column("scrubbed", pa.array(n_scrubs > 0)).append_column(
+            "n_scrubs", pa.array(n_scrubs)
+        )

@@ -1,0 +1,178 @@
+"""Flagship quality-filter pipeline tests: F1 vs the oracle, scrub
+invariants, checkpoint/resume — mirrors the reference's e2e fixture
+anchoring (src/readstat/read.rs:141-194) with the graft's synthetic corpus.
+"""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from qamd_ray.gen_config import quality_config
+from qamd_ray.oracle import oracle_labels
+from qamd_ray.pipeline import (
+    duplicate_losers,
+    enrich,
+    quality_pipeline,
+    repo_report,
+    run_checkpointed,
+    locator_samples,
+    summary_report,
+)
+from qamd_ray.synth import gen_corpus, strip_labels, write_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_corpus(n_rows=600, n_repos=12, seed=42)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return quality_config()
+
+
+@pytest.fixture(scope="module")
+def final_df(corpus, cfg):
+    ds = quality_pipeline(ray.data.from_arrow(strip_labels(corpus)), cfg, model_concurrency=2)
+    return ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_keep_drop_f1_vs_oracle(corpus, cfg, final_df):
+    """BASELINE.json gate: keep/drop F1 >= 0.99 vs the reference-faithful
+    single-process oracle. Deterministic rules on both sides → expect 1.0."""
+    labels = oracle_labels(strip_labels(corpus), cfg).to_pandas()
+    labels = labels.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert (final_df["repo"] == labels["repo"]).all()
+    y_true = labels["keep"].to_numpy()
+    y_pred = final_df["keep"].to_numpy()
+    tp = int((y_true & y_pred).sum())
+    fp = int((~y_true & y_pred).sum())
+    fn = int((y_true & ~y_pred).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1 {f1}: fp={fp} fn={fn}"
+
+
+def test_scrubbed_text_matches_oracle(corpus, cfg, final_df):
+    labels = oracle_labels(strip_labels(corpus), cfg).to_pandas()
+    labels = labels.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert (final_df["content"].to_numpy() == labels["scrubbed_content"].to_numpy()).all()
+
+
+def test_passthrough_sha256_invariant(corpus, cfg, final_df):
+    """input_hint: rows the scrubber does not touch are byte-identical —
+    sha256(content after) == content_sha256 (computed before scrub)."""
+    untouched = final_df[~final_df["scrubbed"]]
+    assert len(untouched) > 0
+    for c, h in zip(untouched["content"], untouched["content_sha256"]):
+        assert hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest() == h
+    touched = final_df[final_df["scrubbed"]]
+    assert len(touched) > 0
+    assert (touched["n_scrubs"] > 0).all()
+
+
+def test_planted_defects_are_dropped(corpus, cfg, final_df):
+    """Every row with a droppable planted defect must be keep=False."""
+    defects = corpus["defect"].to_pylist()
+    key = list(zip(corpus["repo"].to_pylist(), corpus["path"].to_pylist(), defects))
+    by_key = {(r, p): d for r, p, d in key}
+    droppable = {
+        "odd_chars", "control", "long_line", "tiny", "huge", "low_alnum",
+        "gibberish", "stopword_only", "bad_path", "empty",
+    }
+    kept_defects = [
+        by_key[(r, p)]
+        for r, p, keep in zip(final_df["repo"], final_df["path"], final_df["keep"])
+        if keep and by_key.get((r, p))
+    ]
+    assert not any(d in droppable for d in kept_defects), kept_defects
+
+
+def test_duplicate_losers_exact(corpus, cfg):
+    ds = ray.data.from_arrow(strip_labels(corpus))
+    enriched = enrich(ds, cfg, model_concurrency=2).materialize()
+    losers = duplicate_losers(enriched)
+    # independent check: python-side grouping
+    rows = strip_labels(corpus).to_pylist()
+    groups = {}
+    for r in rows:
+        h = hashlib.sha256(r["content"].encode("utf-8", "surrogatepass")).hexdigest()
+        groups.setdefault(h, []).append((r["repo"], r["path"]))
+    expected = set()
+    for keys in groups.values():
+        if len(keys) > 1:
+            expected.update(sorted(keys)[1:])
+    assert set(losers) == expected
+    assert len(expected) > 0
+
+
+def test_repo_report_and_summary(corpus, cfg, final_df):
+    ds = ray.data.from_pandas(final_df)
+    rt = repo_report(ds)
+    assert rt.num_rows == len(set(corpus["repo"].to_pylist()))
+    total = sum(rt["n_rows"].to_pylist())
+    assert total == corpus.num_rows
+    # per-repo flag sums must equal global sums
+    assert sum(rt["f_langid"].to_pylist()) == int(final_df["f_langid"].sum())
+    locs = locator_samples(ds)
+    rep = summary_report(rt, locators=locs)
+    assert rep["metadata"]["row_count"] == corpus.num_rows
+    assert rep["metadata"]["keep_count"] == int(final_df["keep"].sum())
+    for name, entry in rep["summary"].items():
+        assert entry["pass"] + entry["fail"] == corpus.num_rows
+        assert entry["fail"] == int(final_df["f_" + name].sum())
+    # locators present, deterministic, capped
+    assert any(locs.values())
+    for name, ls in locs.items():
+        assert ls == sorted(ls, key=lambda d: (d["repo"], d["path"]))
+        assert len(ls) <= 1000
+        assert len(ls) == min(int(final_df["f_" + name].sum()), 1000)
+
+
+def test_metadata_only_suppresses_locators(corpus, cfg, final_df):
+    """macros.rs:12-13 semantics: metadata_only drops locators, keeps counts."""
+    ds = ray.data.from_pandas(final_df)
+    rt = repo_report(ds)
+    locs = locator_samples(ds)
+    rep = summary_report(rt, metadata_only=True, locators=locs)
+    assert all("locators" not in e for e in rep["summary"].values())
+    assert rep["metadata"]["row_count"] == corpus.num_rows
+
+
+def test_checkpointed_run_and_resume(tmp_path, cfg):
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    write_corpus(src, n_rows=300, n_repos=8, seed=11, row_group_size=50)
+    rep = run_checkpointed(src, out, cfg, num_shards=3)
+    assert rep["run"] == {"shards": 3, "phase1_skipped": 0, "phase3_skipped": 0}
+    assert rep["metadata"]["row_count"] == 300
+
+    # kill two partitions (one per phase) and resume: only those recompute
+    shutil.rmtree(os.path.join(out, "final", "part=1"))
+    shutil.rmtree(os.path.join(out, "enriched", "part=2"))
+    rep2 = run_checkpointed(src, out, cfg, num_shards=3)
+    assert rep2["run"]["phase1_skipped"] == 2
+    assert rep2["run"]["phase3_skipped"] == 2
+    assert rep2["metadata"] == rep["metadata"]
+    assert {k: (v["pass"], v["fail"]) for k, v in rep2["summary"].items()} == {
+        k: (v["pass"], v["fail"]) for k, v in rep["summary"].items()
+    }
+    # manifests carry lineage + metrics
+    with open(os.path.join(out, "enriched", "part=0", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] > 0 and m["inputs"] and "wall_s" in m and m["content_bytes"] > 0
+
+
+def test_synth_determinism():
+    a = gen_corpus(200, 5, seed=3)
+    b = gen_corpus(200, 5, seed=3)
+    assert a.equals(b)
+    c = gen_corpus(200, 5, seed=4)
+    assert not a.equals(c)
