@@ -1,0 +1,15 @@
+"""Large-scale training-data operators beyond the reference's registry.
+
+The reference's only dedup-shaped operator is exact duplicate *detection*
+via its in-RAM frequency table (/root/reference/src/check/post.rs:229-260).
+This package supplies the operators a 100-TB training-data pipeline needs,
+each Ray-Data-first:
+
+* ``dedup``      — exact (hash groupby), MinHash+LSH, SimHash, n-gram
+                   Jaccard verification, embedding-cosine near-dup
+* ``similarity`` — brute-force cosine top-k + LSH-bucketed ANN
+* ``textstats``  — language-ID heuristic, quality scoring, token counts,
+                   document fingerprints
+* ``multimodal`` — binary-column decode/feature plumbing (decoders stubbed;
+                   the Ray-side schema/actor/batch plumbing is real)
+"""

@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are NOT available in this environment, so the
+decoders are STUBBED exactly as instructed: ``fake=False`` raises
+``NotImplementedError`` at the decode step; ``fake=True`` (the tested
+path) produces a deterministic payload-hash-seeded array of the declared
+shape.  Everything around the stub — the Arrow schema, actor-pool stage
+shape, batch sizing for wide binary rows, output layout — is real and
+tested, so swapping in a real decoder is a one-function change.
+
+Design notes for wide rows (SURVEY.md §7 "wide rows"): keep
+``batch_size`` small for these stages and ``batch_format="pyarrow"``
+throughout (binary columns round-trip Arrow cleanly; pandas would
+object-box them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .. import kernels as K
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # "image" | "audio" | "video"
+        pa.field("format", pa.string()),  # e.g. "png", "wav", "mp4"
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_frames", pa.int32()),
+        pa.field("payload", pa.binary()),
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded random bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    rows = {
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(kinds.tolist(), pa.string()),
+        "format": pa.array(
+            [{"image": "png", "audio": "wav", "video": "mp4"}[k] for k in kinds],
+            pa.string(),
+        ),
+        "width": pa.array(rng.integers(16, 64, n).astype(np.int32)),
+        "height": pa.array(rng.integers(16, 64, n).astype(np.int32)),
+        "n_frames": pa.array(
+            np.where(kinds == "video", rng.integers(8, 32, n), 1).astype(np.int32)
+        ),
+        "payload": pa.array(
+            [rng.integers(0, 256, int(sz)).astype(np.uint8).tobytes() for sz in rng.integers(256, 4096, n)],
+            pa.binary(),
+        ),
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
+    """Deterministic stand-in decode: payload-hash-seeded uint8 array."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c)).astype(np.uint8)
+
+
+class ImageDecoder:
+    """Actor stage: payload → decoded stats + optional resize.
+
+    Real plumbing, stubbed codec.  Emits ``pix_mean``, ``pix_std`` and,
+    when ``resize`` is set, a fixed-shape ``thumb`` (flattened uint8 list)
+    — the feature-extraction contract a real decoder would fill.
+    """
+
+    def __init__(self, resize: Optional[tuple[int, int]] = (8, 8), fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "no image codec available in this environment; "
+                "construct with fake=True for the deterministic stand-in"
+            )
+        self.resize = resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = K._as_array(batch["payload"]).to_pylist()
+        hs = np.asarray(K._as_array(batch["height"]), dtype=np.int64)
+        ws = np.asarray(K._as_array(batch["width"]), dtype=np.int64)
+        means, stds, thumbs = [], [], []
+        for p, h, w in zip(payloads, hs, ws):
+            img = _fake_pixels(p or b"", int(h), int(w))
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+            if self.resize:
+                rh, rw = self.resize
+                yi = (np.arange(rh) * h // rh).astype(int)
+                xi = (np.arange(rw) * w // rw).astype(int)
+                thumbs.append(img[np.ix_(yi, xi)].ravel())
+        out = batch.append_column("pix_mean", pa.array(means)).append_column(
+            "pix_std", pa.array(stds)
+        )
+        if self.resize:
+            out = out.append_column(
+                "thumb", pa.array([t.tolist() for t in thumbs], pa.list_(pa.uint8()))
+            )
+        return out
+
+
+class FrameSampler:
+    """Actor stage for video rows: sample ``k`` frame indices uniformly and
+    emit one row per sampled frame (flat_map-shaped via map_batches)."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch["media_id"]), dtype=np.int64)
+        frames = np.asarray(K._as_array(batch["n_frames"]), dtype=np.int64)
+        kinds = np.asarray(K._as_array(batch["kind"]), dtype=object)
+        out_id, out_frame = [], []
+        for i in range(len(batch)):
+            if kinds[i] != "video":
+                continue
+            n = max(1, int(frames[i]))
+            kk = min(self.k, n)
+            idx = (np.arange(kk) * n // kk).astype(np.int64)
+            out_id.extend([int(ids[i])] * kk)
+            out_frame.extend(idx.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_frame, pa.int64()),
+            }
+        )
+
+
+def decode_stats(
+    ds: "ray.data.Dataset", *, resize=(8, 8), concurrency: int = 2, batch_size: int = 16
+) -> "ray.data.Dataset":
+    """Image feature extraction as an actor pool; small batch_size because
+    rows are wide (binary payloads)."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"resize": resize, "fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset", k: int = 4, *, concurrency: int = 2, batch_size: int = 32
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

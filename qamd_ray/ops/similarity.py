@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``topk_cosine``  — brute-force exact baseline: per-batch numpy matmul
+  against a BROADCAST query matrix (``ray.put`` once, read per task — not
+  re-shipped per batch), per-batch top-k partials merged on the driver.
+  The full dataset is never materialized; the driver holds only
+  O(batches × k) candidate rows.
+* ``ivf_topk``     — the scale path: deterministic k-means centroids from a
+  sample, vectors bucketed by nearest centroid (one shuffle-free pass —
+  the bucket id is just a column), queries probe the ``nprobe`` nearest
+  centroid buckets only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import kernels as K
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact top-k by cosine for each query row → (query_id, vec_id, cosine).
+
+    Output sorted by (query_id, -cosine, vec_id); ties broken by vec_id so
+    results are deterministic across parallelism levels.
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(Q)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        ids = batch[id_col].to_numpy()
+        S = Qm @ M.T  # (nq, nb)
+        kk = min(k, S.shape[1])
+        out = []
+        for qi in range(S.shape[0]):
+            part = np.argpartition(-S[qi], kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[part], "cosine": S[qi, part]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    return (
+        parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    )
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 3
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a sample (numpy only)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float32))
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        S = X @ C.T
+        assign = S.argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 3,
+) -> pd.DataFrame:
+    """Approximate top-k: probe only the nprobe nearest centroid buckets.
+
+    Recall < 1 by design; nprobe = n_clusters degenerates to exact.
+    """
+    sample_rows = ds.limit(sample_size).to_pandas()
+    C = kmeans_centroids(np.stack(sample_rows[emb_col].to_numpy()), n_clusters, seed=seed)
+    c_ref = ray.put(C)
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    q_ref = ray.put(Q)
+    p_ref = ray.put(probe_sets)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm, Qm, probes = ray.get(c_ref), ray.get(q_ref), ray.get(p_ref)
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        ids = batch[id_col].to_numpy()
+        assign = (M @ Cm.T).argmax(axis=1)
+        out = []
+        for qi in range(len(Qm)):
+            mask = np.isin(assign, list(probes[qi]))
+            if not mask.any():
+                continue
+            sub = M[mask]
+            sub_ids = ids[mask]
+            s = sub @ Qm[qi]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame({"query_id": qi, "vec_id": sub_ids[part], "cosine": s[part]})
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)

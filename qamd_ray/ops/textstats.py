@@ -1,0 +1,139 @@
+"""Text analysis over a documents table: langid heuristic, quality score,
+token counts, fingerprints.
+
+Everything is a stateless vectorized ``map_batches`` stage; functions
+chosen so each has a DuckDB-expressible twin where possible (the driver's
+correctness oracle): token counts split on single spaces, fingerprints are
+``md5(lower(text))``-style, ratios returned alongside their integer
+numerators/denominators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import kernels as K
+
+# tiny per-language stopword lists (public common function words) for the
+# n-gram/stopword heuristic language-ID over natural-language documents
+LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+    "zh": set(),  # no latin stopwords; falls through to "unknown"
+}
+
+
+def token_count(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Adds ``n_tokens``: number of single-space-split tokens (DuckDB twin:
+    ``length(string_split(text, ' '))`` — empty string counts 1)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        toks = K._as_array(
+            pc.split_pattern(pc.fill_null(K._as_array(batch[text_col]), ""), " ")
+        )
+        offsets = np.asarray(toks.offsets)
+        return batch.append_column(
+            "n_tokens", pa.array((offsets[1:] - offsets[:-1]).astype(np.int64))
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def langid_heuristic(
+    ds: "ray.data.Dataset", text_col: str = "text", min_hits: int = 1
+) -> "ray.data.Dataset":
+    """Adds ``langid_guess``: argmax of per-language stopword hit counts
+    ("unknown" when no language reaches min_hits).  A deliberately simple
+    n-gram-free heuristic — the trained classifier lives in models.LangIdModel."""
+    langs = sorted(LANG_MARKERS)
+
+    def _f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.split()
+        scores = np.zeros((len(batch), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            marker = LANG_MARKERS[lang]
+            if marker:
+                scores[:, j] = toks.map(lambda ws: sum(w in marker for w in ws)).to_numpy()
+        best = scores.argmax(axis=1)
+        hits = scores.max(axis=1)
+        batch["langid_guess"] = np.where(
+            hits >= min_hits, np.array(langs, dtype=object)[best], "unknown"
+        )
+        return batch
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
+def quality_score(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Adds quality features + a composite score in [0,1]:
+
+    * ``n_chars_m``  — character count (measured, vs any declared column)
+    * ``n_tokens``   — single-space token count
+    * ``mean_token_len`` — n_chars over n_tokens
+    * ``alpha_ratio``    — [A-Za-z] fraction
+    * ``q_score``        — product of clamped sub-scores (length, token
+      shape, alphabetic density); 0 for empty docs
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+        toks = K._as_array(pc.split_pattern(text, " "))
+        offsets = np.asarray(toks.offsets)
+        n_tokens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        alpha = K.char_class_ratio(text, "[A-Za-z]")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok = np.where(n_tokens > 0, n_chars / np.maximum(n_tokens, 1), 0.0)
+        len_score = np.clip(n_chars / 200.0, 0, 1)
+        tok_score = np.clip(1.0 - np.abs(mean_tok - 6.0) / 20.0, 0, 1)
+        score = len_score * tok_score * np.clip(alpha * 1.5, 0, 1)
+        score = np.where(n_chars == 0, 0.0, score)
+        return (
+            batch.append_column("n_chars_m", pa.array(n_chars))
+            .append_column("n_tokens", pa.array(n_tokens))
+            .append_column("mean_token_len", pa.array(mean_tok))
+            .append_column("alpha_ratio", pa.array(alpha))
+            .append_column("q_score", pa.array(score))
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def fingerprint(
+    ds: "ray.data.Dataset", text_col: str = "text", out_col: str = "fingerprint"
+) -> "ray.data.Dataset":
+    """Adds ``fingerprint`` = md5 of the lowercased text (DuckDB twin:
+    ``md5(lower(text))``) — the exact-dup / citation key."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        vals = K._as_array(
+            pc.utf8_lower(pc.fill_null(K._as_array(batch[text_col]), ""))
+        ).to_pylist()
+        hs = [hashlib.md5(v.encode("utf-8", "surrogatepass")).hexdigest() for v in vals]
+        return batch.append_column(out_col, pa.array(hs, pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def rolling_fingerprints(
+    text: str, window: int = 32, base: int = 257, mod: int = (1 << 31) - 1
+) -> np.ndarray:
+    """Rolling (Rabin-Karp) hashes of every ``window``-byte span — the
+    winnowing building block for fine-grained duplicate spans.  Scalar
+    helper; batch use selects min-per-stride (winnowing) inside map_batches."""
+    b = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8).astype(np.int64)
+    if len(b) < window:
+        return np.zeros(0, dtype=np.int64)
+    pows = np.power(base, np.arange(window)[::-1], dtype=object)
+    pows = np.array([int(p) % mod for p in pows], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(b, window)
+    return (win * pows % mod).sum(axis=1) % mod

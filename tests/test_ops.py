@@ -1,0 +1,194 @@
+"""Tests for the training-data operators (dedup / similarity / textstats /
+multimodal) over the driver-generated testdata tables plus hand-built
+fixtures with planted near-duplicates."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from qamd_ray.ops import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def near_dup_table():
+    """50 docs; ids 0/1 near-identical, 2/3 identical, rest random words."""
+    rng = np.random.default_rng(8)
+    words = [f"w{chr(97+a)}{chr(97+b)}{chr(97+c)}" for a in range(6) for b in range(6) for c in range(6)]
+    texts = [
+        " ".join(words[i] for i in rng.integers(0, len(words), 40)) for _ in range(50)
+    ]
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts[0] = base + "ending one"
+    texts[1] = base + "ending two"
+    texts[2] = "identical content here " * 5
+    texts[3] = "identical content here " * 5
+    return pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup(near_dup_table):
+    ds = ray.data.from_arrow(near_dup_table)
+    out = dedup.exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert 3 not in set(out["doc_id"])  # loser of the identical pair
+    assert 2 in set(out["doc_id"])
+    assert len(out) == 49
+    groups = dedup.duplicate_groups(ds, "text", "doc_id").to_pandas()
+    assert len(groups) == 1 and groups.iloc[0]["n"] == 2 and groups.iloc[0]["min_id"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_table):
+    ds = ray.data.from_arrow(near_dup_table)
+    pairs = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got and (2, 3) in got
+    # random docs must not pair up at 0.8
+    assert all(a in (0, 2) for a, b in got)
+    # exact verification keeps the planted pairs
+    deduped, verified = dedup.minhash_dedup(
+        ds, jaccard_threshold=0.8, verify=True
+    )
+    ids = set(deduped.to_pandas()["doc_id"])
+    assert 1 not in ids and 3 not in ids and 0 in ids and 2 in ids
+
+
+def test_ngram_jaccard_exact():
+    assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.ngram_jaccard("", "") == 1.0
+    j = dedup.ngram_jaccard("abcdefghij", "abcdefghiX")
+    assert 0.0 < j < 1.0
+
+
+def test_simhash_pairs(near_dup_table):
+    ds = ray.data.from_arrow(near_dup_table)
+    pairs = dedup.simhash_pairs(ds, max_hamming=3)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (2, 3) in got  # identical → distance 0
+    assert (0, 1) in got  # near-identical token sets
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((40, 16)).astype(np.float32)
+    M[1] = M[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        }
+    )
+    pairs = dedup.embedding_dup_pairs(
+        ray.data.from_arrow(t), cosine_threshold=0.95, num_planes=8
+    )
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)
+
+
+def test_topk_cosine_exact_vs_numpy():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    Q = M[:3]  # first three vectors as queries
+    res = similarity.topk_cosine(emb, Q, k=5)
+    # numpy reference
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Mn.T
+    for qi in range(3):
+        expect = set(np.argsort(-S[qi])[:5].tolist())
+        got = set(res[res["query_id"] == qi]["vec_id"].tolist())
+        assert got == expect
+        # self-match first with cosine ~1
+        top = res[res["query_id"] == qi].iloc[0]
+        assert top["vec_id"] == df["vec_id"][qi] and top["cosine"] > 0.999
+
+
+def test_ivf_topk_recall():
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    Q = M[:5]
+    exact = similarity.topk_cosine(emb, Q, k=10)
+    approx = similarity.ivf_topk(emb, Q, k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4/8 buckets: decent recall
+
+
+def test_token_count_and_fingerprint(docs):
+    out = textstats.token_count(docs, "text").to_pandas()
+    df = docs.to_pandas()
+    expect = df["text"].map(lambda s: len(s.split(" ")))
+    assert (out.sort_values("doc_id")["n_tokens"].to_numpy()
+            == expect[out.sort_values("doc_id").index].to_numpy()).all()
+
+    fp = textstats.fingerprint(docs, "text").to_pandas().sort_values("doc_id")
+    want = df["text"].str.lower().map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert (fp["fingerprint"].to_numpy() == want[fp.index].to_numpy()).all()
+
+
+def test_quality_score_ranges(docs):
+    out = textstats.quality_score(docs, "text").to_pandas()
+    assert ((out["q_score"] >= 0) & (out["q_score"] <= 1)).all()
+    assert (out["n_chars_m"] == out["n_chars"]).all()  # matches declared column
+    empty = textstats.quality_score(
+        ray.data.from_arrow(pa.table({"text": pa.array(["", "real text here"])}))
+    ).to_pandas()
+    assert empty["q_score"][0] == 0.0 and empty["q_score"][1] > 0.0
+
+
+def test_langid_heuristic():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the cat and the dog in a house",
+                    "der hund ist nicht mit der katze",
+                    "le chat est dans la maison pour le chien",
+                    "xyzzy plugh",
+                ]
+            )
+        }
+    )
+    out = textstats.langid_heuristic(ray.data.from_arrow(t)).to_pandas()
+    assert out["langid_guess"].tolist() == ["en", "de", "fr", "unknown"]
+
+
+def test_multimodal_plumbing():
+    t = multimodal.synth_media_table(48, seed=21)
+    ds = ray.data.from_arrow(t)
+    out = multimodal.decode_stats(ds, resize=(4, 4)).to_pandas()
+    assert len(out) == 48
+    assert out["thumb"].map(len).eq(48).all()  # 4*4*3
+    assert ((out["pix_mean"] >= 0) & (out["pix_mean"] <= 255)).all()
+    # determinism: same payload → same stats
+    out2 = multimodal.decode_stats(ds, resize=(4, 4)).to_pandas()
+    assert (out.sort_values("media_id")["pix_mean"].to_numpy()
+            == out2.sort_values("media_id")["pix_mean"].to_numpy()).all()
+
+    frames = multimodal.sample_frames(ds, k=4).to_pandas()
+    vids = t.to_pandas().query("kind == 'video'")
+    assert set(frames["media_id"]) == set(vids["media_id"])
+    for mid, g in frames.groupby("media_id"):
+        nf = int(vids[vids["media_id"] == mid]["n_frames"].iloc[0])
+        assert len(g) == min(4, nf)
+        assert (g["frame_index"] < nf).all()
+
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageDecoder(fake=False)
