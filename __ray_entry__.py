@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (nor in qamd_ray) calls ray.init()/ray.shutdown() — the
+driver owns the Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (language-ID + quality-filter + scrub) over the
+    sf0.001 documents table mapped onto the code-repo schema of
+    BASELINE.json input_hint; returns the final per-row dataset (flags,
+    keep, scrubbed content)."""
+    from qamd_ray.gen_config import quality_config
+    from qamd_ray.pipeline import quality_pipeline
+    from qamd_ray.queries import documents_as_code_table
+
+    ds = documents_as_code_table("/root/testdata/sf0.001")
+    return quality_pipeline(ds, quality_config(), model_concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 and
+    the training-data op set (see qamd_ray/queries.py)."""
+    from qamd_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for the SQL-expressible subset; model/LSH/report ops
+    are rows-only by design (the driver records the weaker check)."""
+    from qamd_ray.queries import ORACLES
+
+    return dict(ORACLES)

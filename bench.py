@@ -1,0 +1,178 @@
+"""Benchmark harness: headline pipelines at $GRAFT_SF_DIR, one JSON line.
+
+    python bench.py             # timed run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
+                                # processes → throughput + efficiency
+
+Headline = the flagship quality-filter pipeline (rules → langid/ppl actor
+pools → dup verdict → scrub → per-repo report) over a deterministic
+synthetic source-code corpus (input_hint schema; documents/lineitem tables
+are too small to be the load).  The corpus parquet is generated once and
+cached under /tmp keyed by (rows, seed) — generation is excluded from the
+measurement; an untimed warm-up read precedes timing so the page cache is
+hot at both parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "24000"))
+BENCH_REPOS = int(os.environ.get("GRAFT_BENCH_REPOS", "120"))
+BENCH_SEED = 42
+
+
+def corpus_path() -> str:
+    path = f"/tmp/qamd_bench/corpus_r{BENCH_ROWS}_n{BENCH_REPOS}_s{BENCH_SEED}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from qamd_ray.synth import write_corpus
+
+        write_corpus(
+            path, n_rows=BENCH_ROWS, n_repos=BENCH_REPOS, seed=BENCH_SEED,
+            row_group_size=2048,
+        )
+    return path
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from qamd_ray.gen_config import quality_config
+    from qamd_ray.pipeline import quality_pipeline, repo_report, summary_report
+    from qamd_ray.ops import dedup, similarity
+    from qamd_ray.queries import (
+        q_events_hourly,
+        q_pricing_summary,
+        q_sessions,
+        q_topk_cosine,
+    )
+
+    src = corpus_path()
+    meta = pq.read_metadata(src)
+    content_bytes = sum(
+        meta.row_group(i).column(4).total_uncompressed_size
+        for i in range(meta.num_row_groups)
+    )
+
+    # warm page cache (untimed)
+    pq.read_table(src)
+
+    timings: dict[str, float] = {}
+    cfg = quality_config()
+
+    t0 = time.time()
+    out = quality_pipeline(src, cfg, model_concurrency=max(2, num_cpus // 4),
+                           model_batch_size=1024)
+    rep = summary_report(repo_report(out))
+    timings["quality_pipeline"] = time.time() - t0
+    assert rep["metadata"]["row_count"] == BENCH_ROWS
+
+    import ray.data as rd
+
+    def _as_docs(b):
+        # stable int64 doc ids from (repo, path) — no cross-batch collisions
+        import hashlib as _hl
+
+        import pyarrow as _pa
+
+        ids = [
+            int.from_bytes(_hl.md5(f"{r}/{p}".encode()).digest()[:8], "big") >> 1
+            for r, p in zip(b["repo"].to_pylist(), b["path"].to_pylist())
+        ]
+        return _pa.table({"doc_id": _pa.array(ids, _pa.int64()), "text": b["content"]})
+
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(
+        rd.read_parquet(src, columns=["repo", "path", "content"]).map_batches(
+            _as_docs, batch_format="pyarrow"
+        ),
+        jaccard_threshold=0.8,
+    )
+    timings["minhash_lsh"] = time.time() - t0
+
+    for name, fn in [
+        ("pricing_summary", q_pricing_summary),
+        ("events_hourly", q_events_hourly),
+        ("sessions", q_sessions),
+        ("topk_cosine", q_topk_cosine),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = time.time() - t0
+
+    total = timings["quality_pipeline"]
+    result = {
+        "metric": "flagship quality-filter pipeline wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_rows": BENCH_ROWS,
+        "content_mb": round(content_bytes / 1e6, 1),
+        "files_per_sec": round(BENCH_ROWS / total, 1),
+        "mb_per_sec": round(content_bytes / 1e6 / total, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    corpus_path()  # pre-generate so neither child pays generation
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"files_per_sec_{lo}": out[lo]["files_per_sec"],
+        f"files_per_sec_{hi}": out[hi]["files_per_sec"],
+        f"mb_per_sec_{lo}": out[lo]["mb_per_sec"],
+        f"mb_per_sec_{hi}": out[hi]["mb_per_sec"],
+        "num_cpus": [lo, hi],
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(f"error: GRAFT_SF_DIR {sf_dir!r} is not a directory", file=sys.stderr)
+        raise SystemExit(2)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

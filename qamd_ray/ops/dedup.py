@@ -172,61 +172,89 @@ def minhash_lsh_pairs(
     """
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "est_jaccard": pd.Series([], dtype="float64")}
+    )
 
-    class _Sig:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    def _explode(batch: pa.Table) -> pa.Table:
+        # keys only — 3 small ints per (doc, band); signatures are NOT
+        # carried through the shuffle (16× duplication) but recomputed for
+        # the few survivors below
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        sigs = mh.signatures(texts)  # (n, num_perm)
+        bh = np.concatenate(
+            [_band_hash(sigs[:, bi * r : (bi + 1) * r]) for bi in range(bands)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(texts))),
+                "band_hash": pa.array(bh),
+                id_col: pa.array(np.tile(ids, bands)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-            sigs = self.mh.signatures(texts)  # (n, num_perm)
-            n = len(texts)
-            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-            doc_ids = np.tile(ids, bands)
-            bh = np.concatenate(
-                [_band_hash(sigs[:, bi * r : (bi + 1) * r]) for bi in range(bands)]
-            )
-            sig_bytes = [sigs[i].tobytes() for i in range(n)] * bands
-            return pa.table(
-                {
-                    "band": pa.array(band_ids),
-                    "band_hash": pa.array(bh),
-                    id_col: pa.array(doc_ids),
-                    "sig": pa.array(sig_bytes, pa.binary()),
-                }
-            )
+    exploded = ds.map_batches(_explode, batch_format="pyarrow").materialize()
 
-    exploded = ds.map_batches(_Sig, batch_format="pyarrow", concurrency=2)
+    # Most buckets are singletons; count bucket sizes with a hash aggregate
+    # (no per-group Python), then pair only the rare collision buckets.
+    counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    if len(hot) == 0:
+        return empty
+    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+    import ray as _ray
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
-        rows = []
+    hot_ref = _ray.put(hot_keys)
+
+    def _only_hot(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(hot_ref)
+        b = np.asarray(K._as_array(batch["band"]))
+        h = np.asarray(K._as_array(batch["band_hash"]))
+        mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, h)), bool, len(batch))
+        return batch.filter(pa.array(mask))
+
+    surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    if len(surv) == 0:
+        return empty
+
+    # recompute signatures for the survivor docs only (cheap second pass:
+    # texts stream by, only candidate ids are hashed)
+    cand_ids = set(surv[id_col].astype(int))
+    cand_ref = _ray.put(cand_ids)
+
+    def _cand_sigs(batch: pa.Table) -> pa.Table:
+        cids = _ray.get(cand_ref)
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        mask = np.fromiter((int(i) in cids for i in ids), bool, len(batch))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        sel = np.nonzero(mask)[0]
+        sigs = [mh.signature(texts[i]).tobytes() for i in sel]
+        return pa.table({id_col: pa.array(ids[sel]), "sig": pa.array(sigs, pa.binary())})
+
+    sig_rows = ds.map_batches(_cand_sigs, batch_format="pyarrow").to_pandas()
+    sig_by_id = {
+        int(i): np.frombuffer(s, dtype=np.int64)
+        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
+    }
+
+    rows: list[tuple[int, int, float]] = []
+    for (_band, _bh), g in surv.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(set(int(x) for x in g[id_col]))
+        if len(ids) <= 1:
+            continue
+        sigs = np.stack([sig_by_id[i] for i in ids])
         for i in range(len(ids)):
             agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
             for off in np.nonzero(agree >= jaccard_threshold)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + off]), float(agree[off])))
-        if not rows:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
-
-    pairs = (
-        exploded.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+                rows.append((ids[i], ids[i + 1 + off], float(agree[off])))
+    pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
     if len(pairs) == 0:
         return pairs
     return (
@@ -376,32 +404,49 @@ def simhash_pairs(
                 }
             )
 
-    exploded = ds.map_batches(_FP, batch_format="pyarrow", concurrency=2)
+    exploded = ds.map_batches(_FP(), batch_format="pyarrow").materialize()
 
-    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
-        )
-        if len(g) <= 1:
-            return empty
+    # same collision-bucket prefilter as minhash_lsh_pairs: hash-aggregate
+    # counts, broadcast the rare hot keys, pair survivors on the driver
+    counts = (
+        exploded.select_columns(["block", "block_val"])
+        .groupby(["block", "block_val"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.filter(expr="n > 1").to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+    if len(hot) == 0:
+        return empty
+    hot_keys = set(zip(hot["block"].astype(int), hot["block_val"].astype(int)))
+    import ray as _ray
+
+    hot_ref = _ray.put(hot_keys)
+
+    def _only_hot(batch: pa.Table) -> pa.Table:
+        keys = _ray.get(hot_ref)
+        b = np.asarray(K._as_array(batch["block"]))
+        v = np.asarray(K._as_array(batch["block_val"]))
+        mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, v)), bool, len(batch))
+        return batch.filter(pa.array(mask))
+
+    surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    rows: list[tuple[int, int, int]] = []
+    for (_blk, _bv), g in surv.groupby(["block", "block_val"], sort=False):
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) <= 1:
+            continue
         ids = g[id_col].to_numpy()
         fps = g["fp"].to_numpy().astype(np.uint64)
-        rows = []
         for i in range(len(ids)):
             x = fps[i + 1 :] ^ fps[i]
             d = np.array([bin(int(v)).count("1") for v in x])
             for off in np.nonzero(d <= max_hamming)[0]:
                 rows.append((int(ids[i]), int(ids[i + 1 + off]), int(d[off])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else empty
-
-    pairs = (
-        exploded.groupby(["block", "block_val"])
-        .map_groups(_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else empty
     if len(pairs) == 0:
         return pairs
     return (

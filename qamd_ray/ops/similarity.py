@@ -35,18 +35,19 @@ def topk_cosine(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact top-k by cosine for each query row → (query_id, vec_id, cosine).
 
     Output sorted by (query_id, -cosine, vec_id); ties broken by vec_id so
     results are deterministic across parallelism levels.
     """
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(Q)
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         Qm = ray.get(q_ref)
-        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(Qm.dtype))
         ids = batch[id_col].to_numpy()
         S = Qm @ M.T  # (nq, nb)
         kk = min(k, S.shape[1])

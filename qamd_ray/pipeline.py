@@ -48,7 +48,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from . import kernels as K
 from .config import Config
@@ -113,20 +113,53 @@ def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
     (content_sha256, repo, path); "first" = lexicographic min (repo,path),
     order-independent under any parallelism.
     """
-    proj = enriched.select_columns(["content_sha256", "repo", "path"])
+    def _with_key(batch: pa.Table) -> pa.Table:
+        repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
+        paths = np.asarray(K._as_array(batch["path"]), dtype=object)
+        key = pa.array([f"{r}\x00{p}" for r, p in zip(repos, paths)], pa.string())
+        return pa.table({"content_sha256": batch["content_sha256"], "key": key})
 
-    _empty = pd.DataFrame(
-        {"repo": pd.Series([], dtype="string"), "path": pd.Series([], dtype="string")}
+    # hash aggregate only (no per-group Python): count + min-key per sha;
+    # duplicate shas are rare, so the dup table is small
+    agg = (
+        enriched.select_columns(["content_sha256", "repo", "path"])
+        .map_batches(_with_key, batch_format="pyarrow")
+        .groupby("content_sha256")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("key", alias_name="winner"),
+        )
     )
+    dups = agg.filter(expr="n > 1").to_pandas()
+    if len(dups) == 0:
+        return []
+    winner_by_sha = dict(zip(dups["content_sha256"], dups["winner"]))
+    loser_ref = ray.put(winner_by_sha)
 
-    def _losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return _empty
-        g = g.sort_values(["repo", "path"])
-        return g.iloc[1:][["repo", "path"]]
+    def _losers(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(loser_ref)
+        shas = np.asarray(K._as_array(batch["content_sha256"]), dtype=object)
+        repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
+        paths = np.asarray(K._as_array(batch["path"]), dtype=object)
+        mask = np.fromiter(
+            (
+                s in wmap and f"{r}\x00{p}" != wmap[s]
+                for s, r, p in zip(shas, repos, paths)
+            ),
+            bool,
+            len(batch),
+        )
+        sel = np.nonzero(mask)[0]
+        return pa.table(
+            {"repo": pa.array(repos[sel], pa.string()), "path": pa.array(paths[sel], pa.string())}
+        )
 
-    losers = proj.groupby("content_sha256").map_groups(_losers, batch_format="pandas")
-    return [(r["repo"], r["path"]) for r in losers.take_all()]
+    losers = (
+        enriched.select_columns(["content_sha256", "repo", "path"])
+        .map_batches(_losers, batch_format="pyarrow")
+        .take_all()
+    )
+    return [(r["repo"], r["path"]) for r in losers]
 
 
 def finalize(

@@ -1,0 +1,439 @@
+"""The driver-facing query registry: one entry per implemented operator.
+
+Each function takes ``sf_dir`` (a directory of the driver's testdata
+parquet tables) and returns a Dataset / DataFrame / Arrow table.  Where a
+DuckDB-equivalent exists, ``ORACLES[name]`` holds the ANSI SQL whose
+column NAMES and types match the Ray result exactly (the driver compares
+row counts, schemas and order-insensitive value hashes).  Non-SQL ops
+(model scoring, LSH, flagship pipeline) have no oracle entry and get the
+driver's rows-only check.
+
+None of these call ray.init — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from . import kernels as K
+from .gen_config import quality_config
+from .healthcheck import VariableMeta, frequency_table
+from .ops import dedup, similarity, textstats
+from .pipeline import quality_pipeline, repo_report
+from .sources import read_parquet_with_row_index
+
+
+def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# QAMD-check-shaped queries (healthcheck registry re-expressed per-table)
+# ---------------------------------------------------------------------------
+
+
+def q_freq_lang(sf_dir: str):
+    """Frequency table of documents.lang (the reference's central data
+    structure, src/readstat/handler.rs:133-151, as one groupby)."""
+    return (
+        _t(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_freq_returnflag(sf_dir: str):
+    """frequency_table() op over lineitem.l_returnflag → (value, n)."""
+    ds = read_parquet_with_row_index(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"])
+    freq = frequency_table(ds, [VariableMeta(index=0, name="l_returnflag")])
+    return freq.select_columns(["value", "n"])
+
+
+def q_dup_props_groups(sf_dir: str):
+    """DuplicateValues analogue (post.rs:229-260): duplicate event payloads
+    (events.props repeats; documents.text is unique by construction)."""
+    return dedup.duplicate_groups(
+        _t(sf_dir, "events", ["event_id", "props"]), "props", "event_id"
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text — winners only."""
+    return (
+        dedup.with_content_hash(_t(sf_dir, "documents", ["doc_id", "text"]))
+        .groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def q_empty_text_by_source(sf_dir: str):
+    """SystemMissingOverThreshold analogue (post.rs:303-351): per-source
+    empty/null text counts (integer pair, not a float ratio)."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        empty = pc.cast(pc.equal(text, ""), pa.int64())
+        t = pa.table({"source": batch["source"], "is_empty": empty})
+        g = t.group_by("source").aggregate([("is_empty", "sum"), ("is_empty", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_empty": g["is_empty_sum"],
+                "total": g["is_empty_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_empty", alias_name="n_empty"), Sum("total", alias_name="total"))
+    )
+
+
+def q_long_docs(sf_dir: str):
+    """Max-length check analogue (variable.rs:72-92): doc_ids with more
+    than 400 characters of text."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(pc.fill_null(batch["text"], ""))
+        return batch.filter(pc.greater(n, 400)).select(["doc_id"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_unique_value_sources(sf_dir: str):
+    """VariablesWithUniqueValues analogue (post.rs:394-418): sources whose
+    rarest text value occurs <= 1 times."""
+    per_value = (
+        _t(sf_dir, "documents", ["source", "text"])
+        .groupby(["source", "text"])
+        .aggregate(Count(alias_name="c"))
+    )
+    per_source = per_value.groupby("source").aggregate(Min("c", alias_name="min_c"))
+    return per_source.filter(expr="min_c <= 1").select_columns(["source"])
+
+
+def q_regex_flagged_parts(sf_dir: str):
+    """ValueRegexPatterns analogue (post.rs:354-391): part names matching
+    a pattern (color words leading the part name)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    pattern = r"^(red|green|blue) "
+
+    def _f(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(pc.fill_null(batch["p_name"], ""), pattern)
+        return batch.filter(pc.fill_null(hit, False)).select(["p_partkey", "p_name"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    return textstats.token_count(_t(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    return textstats.fingerprint(_t(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    """Stopword-marker language-ID heuristic (no SQL oracle — heuristic)."""
+    out = textstats.langid_heuristic(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "langid_guess"])
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality features; integer/deterministic columns only for comparison."""
+    out = textstats.quality_score(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_chars_m", "n_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# classic aggregates / windows (shuffle + streaming-shaped coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over lineitem.  Monetary values
+    are summed as integer cents (exact under any association order —
+    rounded doubles drift in the last ulp between engines)."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q_orders_per_customer(sf_dir: str):
+    return (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (hour, type)."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def _trunc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return (
+        ds.map_batches(_trunc, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the ordered,
+    partitioned-log pattern: groupby(user).map_groups over ts-sorted rows."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff()
+        new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(new_s.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# similarity / dedup over embeddings and documents (model/LSH — rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_cosine(sf_dir: str):
+    """Exact top-10 cosine neighbours for the first 5 vectors (ids only;
+    float64 so ordering matches DuckDB's double list_cosine_similarity)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    res = similarity.topk_cosine(emb, Q, k=10, dtype=np.float64)
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    return res[["query_id", "vec_id"]].astype("int64")
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 (no oracle: approximate by design)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy())
+    res = similarity.ivf_topk(emb, Q, k=10, n_clusters=16, nprobe=4)
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    return res[["query_id", "vec_id"]].astype("int64")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    pairs = dedup.simhash_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+    return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    pairs = dedup.embedding_dup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), cosine_threshold=0.95
+    )
+    return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship quality filter over documents mapped to the code-table schema
+# ---------------------------------------------------------------------------
+
+
+def documents_as_code_table(sf_dir: str) -> "ray.data.Dataset":
+    """Map the documents table onto the input_hint schema: source → repo,
+    doc_id → path, lang → lang, text → content."""
+    ds = _t(sf_dir, "documents")
+
+    def _map(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch["doc_id"]))
+        src = np.asarray(K._as_array(batch["source"]), dtype=object)
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pa.array([f"{s}/doc_{i}.txt" for s, i in zip(src, ids)], pa.string()),
+                "commit": pa.array(["0" * 12] * len(batch), pa.string()),
+                "lang": batch["lang"],
+                "content": pc.fill_null(batch["text"], ""),
+            }
+        )
+
+    return ds.map_batches(_map, batch_format="pyarrow")
+
+
+def q_quality_filter(sf_dir: str):
+    """Flagship pipeline over the mapped documents table (rows-only check:
+    langid/perplexity are model stages)."""
+    cfg = quality_config()
+    out = quality_pipeline(documents_as_code_table(sf_dir), cfg, model_concurrency=2)
+    return out.select_columns(["repo", "path", "keep", "scrubbed", "f_duplicate"])
+
+
+def q_quality_repo_report(sf_dir: str):
+    cfg = quality_config()
+    out = quality_pipeline(documents_as_code_table(sf_dir), cfg, model_concurrency=2)
+    return repo_report(out)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "freq_lang": q_freq_lang,
+    "freq_returnflag": q_freq_returnflag,
+    "dup_props_groups": q_dup_props_groups,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "empty_text_by_source": q_empty_text_by_source,
+    "long_docs": q_long_docs,
+    "unique_value_sources": q_unique_value_sources,
+    "regex_flagged_parts": q_regex_flagged_parts,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "langid_docs": q_langid_docs,
+    "quality_scores": q_quality_scores,
+    "pricing_summary": q_pricing_summary,
+    "orders_per_customer": q_orders_per_customer,
+    "events_hourly": q_events_hourly,
+    "sessions": q_sessions,
+    "topk_cosine": q_topk_cosine,
+    "ivf_topk": q_ivf_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dups": q_embedding_dups,
+    "quality_filter": q_quality_filter,
+    "quality_repo_report": q_quality_repo_report,
+}
+
+ORACLES = {
+    "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "freq_returnflag": (
+        "SELECT l_returnflag AS value, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
+    "dup_props_groups": (
+        "SELECT md5(props) AS content_md5, count(*) AS n, min(event_id) AS min_id "
+        "FROM events GROUP BY props HAVING count(*) > 1"
+    ),
+    "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "empty_text_by_source": (
+        "SELECT source, "
+        "CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty, "
+        "CAST(count(*) AS BIGINT) AS total FROM documents GROUP BY source"
+    ),
+    "long_docs": "SELECT doc_id FROM documents WHERE length(text) > 400",
+    "unique_value_sources": (
+        "SELECT source FROM (SELECT source, text, count(*) AS c FROM documents "
+        "GROUP BY source, text) GROUP BY source HAVING min(c) <= 1"
+    ),
+    "regex_flagged_parts": (
+        "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^(red|green|blue) ')"
+    ),
+    "token_counts": (
+        "SELECT doc_id, CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents"
+    ),
+    "fingerprints": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    "quality_scores": (
+        "SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars_m, "
+        "CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "orders_per_customer": (
+        "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "sessions": (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("
+        "  SELECT user_id, CASE WHEN prev_ts IS NULL "
+        "       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+        "  FROM (SELECT user_id, ts, lag(ts) OVER "
+        "        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)"
+        ") WHERE new_s = 1 GROUP BY user_id"
+    ),
+    "topk_cosine": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+        "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+}

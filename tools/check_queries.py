@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at a given sf dir and diff against oracle_sql() via DuckDB
+(row count + column names + order-insensitive value hash).
+
+Usage: python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(mine)} rows, cols {list(mine.columns)} (rows-only)")
+            continue
+        try:
+            want = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(mine) == len(want)
+        ok_cols = list(mine.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                mm = mine.copy()
+                for c in mm.columns:  # align dtypes for comparison
+                    if want[c].dtype != mm[c].dtype:
+                        try:
+                            mm[c] = mm[c].astype(want[c].dtype)
+                        except (TypeError, ValueError):
+                            mm[c] = mm[c].astype(str)
+                            want[c] = want[c].astype(str)
+                ok_vals = mm.equals(want)
+            except Exception:  # noqa: BLE001
+                ok_vals = False
+        if ok_rows and ok_cols and ok_vals:
+            print(f"OK    {name}: {len(mine)} rows")
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: rows {len(mine)}/{len(want)} cols_match={ok_cols} vals={ok_vals}")
+            if not ok_cols:
+                print(f"      mine: {list(mine.columns)}  oracle: {list(want.columns)}")
+            elif ok_rows:
+                neq = ~(mine == want).all(axis=1)
+                print(mine[neq].head(3))
+                print(want[neq].head(3))
+    print("FAILURES:", n_fail)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
