@@ -1,0 +1,159 @@
+"""CLI — the reference's ``qamd`` surface, Ray-side.
+
+Mirrors /root/reference/src/bin/qamd.rs (parse_arguments 57-135):
+
+    python -m qamd_ray run INPUT [-o OUT_DIR] [--config FILE]
+        [--encoded-config B64] [--output-format {json,html}]
+        [--metadata-only] [--num-shards N]
+    python -m qamd_ray check INPUT [--config FILE] ...   # healthcheck report
+    python -m qamd_ray gen-config [--full]               # default YAML (K4)
+
+``run`` executes the flagship quality-filter pipeline checkpointed
+(scrubbed parquet + manifests + report.json/html under OUT_DIR);
+``check`` runs the QAMD 16-check health report over any Parquet table.
+Flag semantics preserved: ``--encoded-config`` is base64 YAML
+(qamd.rs:196-209); ``--metadata-only`` suppresses locators but not counts
+(src/check/macros.rs:12-13).
+
+This module owns a Ray session (scripts do); library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import sys
+
+
+def _load_config(args):
+    from .config import Config
+    from .gen_config import default_config, quality_config
+
+    if args.encoded_config:
+        text = base64.b64decode(args.encoded_config).decode("utf-8")
+        cfg = Config.from_yaml(text)
+    elif args.config:
+        cfg = Config.from_yaml_file(args.config)
+    else:
+        cfg = quality_config() if args.cmd == "run" else default_config()
+    if args.metadata_only:
+        cfg.metadata_only = True
+    return cfg
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _emit(payload: str, out: str | None) -> None:
+    if out:
+        with open(out, "w", encoding="utf-8") as f:
+            f.write(payload)
+    else:
+        print(payload)
+
+
+def quality_summary_html(rep: dict) -> str:
+    """Minimal self-contained HTML for the quality-pipeline summary (the
+    reference ships a single-page HTML report, src/report/html/mod.rs)."""
+    import html as _h
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'><title>Quality report</title>",
+        "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}"
+        "td,th{border:1px solid #ccc;padding:4px 8px}.fail{color:#b00}</style></head><body>",
+        "<h1>Quality-filter report</h1><h3>Metadata</h3><table>",
+    ]
+    for k, v in rep.get("metadata", {}).items():
+        parts.append(f"<tr><th>{_h.escape(str(k))}</th><td>{_h.escape(str(v))}</td></tr>")
+    parts.append("</table><h3>Checks</h3><table><tr><th>check</th><th>category</th>"
+                 "<th>pass</th><th>fail</th><th>description</th></tr>")
+    for name, st in rep.get("summary", {}).items():
+        parts.append(
+            f"<tr><td>{_h.escape(name)}</td><td>{_h.escape(st.get('category',''))}</td>"
+            f"<td>{st.get('pass',0)}</td><td class='fail'>{st.get('fail',0)}</td>"
+            f"<td>{_h.escape(st.get('desc',''))}</td></tr>"
+        )
+    parts.append("</table></body></html>")
+    return "".join(parts)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="qamd_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def _common(sp):
+        sp.add_argument("input", help="parquet file/dir")
+        sp.add_argument("-c", "--config", help="YAML config file")
+        sp.add_argument("--encoded-config", help="base64-encoded YAML config")
+        sp.add_argument("-o", "--output", help="output path (run: directory)")
+        sp.add_argument("--output-format", choices=["json", "html"], default="json")
+        sp.add_argument("--metadata-only", action="store_true",
+                        help="suppress locators (counts unaffected)")
+
+    runp = sub.add_parser("run", help="quality-filter pipeline (checkpointed)")
+    _common(runp)
+    runp.add_argument("--num-shards", type=int, default=16)
+
+    checkp = sub.add_parser("check", help="QAMD health-check report")
+    _common(checkp)
+
+    genp = sub.add_parser("gen-config", help="print default YAML config")
+    genp.add_argument("--full", action="store_true")
+    genp.add_argument("--quality", action="store_true",
+                      help="quality_filter section instead of the QAMD registry")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-config":
+        from .gen_config import default_yaml, generated_yaml, quality_yaml
+
+        if args.quality:
+            print(quality_yaml())
+        else:
+            print(generated_yaml() if args.full else default_yaml())
+        return 0
+
+    cfg = _load_config(args)
+    _init_ray()
+
+    if args.cmd == "run":
+        from .pipeline import run_checkpointed
+
+        out_dir = args.output or (args.input.rstrip("/") + ".qamd_out")
+        rep = run_checkpointed(args.input, out_dir, cfg, num_shards=args.num_shards)
+        if args.output_format == "html":
+            _emit(quality_summary_html(rep), os.path.join(out_dir, "report.html"))
+        print(json.dumps(rep["metadata"]))
+        print(f"report: {os.path.join(out_dir, 'report.json')}")
+        return 0
+
+    if args.cmd == "check":
+        from .healthcheck import health_check
+
+        report = health_check(args.input, cfg)
+        payload = (
+            report.to_html() if args.output_format == "html" else report.to_json(indent=2)
+        )
+        _emit(payload, args.output)
+        return 0
+
+    return 1  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,11 +18,20 @@ Both are trained at construction time from the deterministic synthetic
 corpus (synth.clean_samples — fixed seed, no external data), so every
 actor in the pool builds byte-identical weights.
 
-These are the pipeline's ONLY stateful stages (SURVEY.md §7): wrap as
-``ds.map_batches(LangIdScorer, fn_constructor_kwargs=..., concurrency=N,
-batch_size=B)`` — model built once per actor in ``__init__``, batches are
-zero-copy Arrow.  A module-level cache avoids re-training when several
-stages (or unit tests) construct the same model in one process.
+These are the pipeline's ONLY stateful stages (SURVEY.md §7).  Two
+deployment modes:
+
+* plain tasks (the default via ``ModelScorers(lazy=True)``): the callable
+  carries only thresholds; models are built on first use in each worker
+  process and cached module-level (_SCORER_CACHE) — warm workers pay
+  nothing, no actor spin-up, elastic scaling;
+* classic actor pool (``map_batches(LangIdScorer,
+  fn_constructor_kwargs=..., concurrency=N)``): model built once per actor
+  in ``__init__`` — the right shape when construction must be eager or
+  the state cannot be rebuilt deterministically.
+
+A module-level cache avoids re-training when several stages (or unit
+tests) construct the same model in one process.
 """
 
 from __future__ import annotations
@@ -38,6 +47,7 @@ from .config import Config
 from .synth import LANGS, clean_samples
 
 _CACHE: dict = {}
+_SCORER_CACHE: dict = {}
 
 
 def _bytes_of(s: str) -> np.ndarray:
@@ -89,18 +99,23 @@ class LangIdModel:
         """→ (predicted lang per text, posterior confidence of the argmax).
 
         Empty/ultra-short texts predict "" with confidence 0.
+
+        Deliberately a per-document loop over small gathers: the batched
+        alternative (one concatenated gather + reduceat) materializes a
+        (classes × total_ngrams) matrix ~100 MB per batch and goes memory-
+        bandwidth-bound when many tasks run concurrently; per-doc gathers
+        keep the sub-MB ``logp`` table cache-resident and scale with CPUs.
         """
-        preds = np.empty(len(texts), dtype=object)
-        confs = np.zeros(len(texts), dtype=np.float64)
+        n = len(texts)
+        preds = np.full(n, "", dtype=object)
+        confs = np.zeros(n, dtype=np.float64)
         for i, t in enumerate(texts):
             h = _trigram_hashes(_bytes_of(t or ""), self.dim)
             if len(h) == 0:
-                preds[i] = ""
                 continue
             scores = self.logp[:, h].sum(axis=1)
             j = int(np.argmax(scores))
-            m = scores.max()
-            post = np.exp(scores - m)
+            post = np.exp(scores - scores.max())
             confs[i] = post[j] / post.sum()
             preds[i] = self.classes[j]
         return preds, confs
@@ -188,8 +203,9 @@ class LangIdScorer:
     the reference's absent-key-skips-check convention).
     """
 
-    def __init__(self, min_confidence: float = 0.5, allowed: Optional[list[str]] = None):
-        self.model = LangIdModel.default()
+    def __init__(self, min_confidence: float = 0.5, allowed: Optional[list[str]] = None,
+                 model: Optional[LangIdModel] = None):
+        self.model = model if model is not None else LangIdModel.default()
         self.min_conf = float(min_confidence)
         self.allowed = set(allowed) if allowed else None
 
@@ -229,8 +245,9 @@ class PerplexityScorer:
     Gated on ``quality_filter.perplexity_max_bits_per_char``.
     """
 
-    def __init__(self, max_bits_per_char: float = 6.0):
-        self.model = PerplexityModel.default()
+    def __init__(self, max_bits_per_char: float = 6.0,
+                 model: Optional[PerplexityModel] = None):
+        self.model = model if model is not None else PerplexityModel.default()
         self.max_bits = float(max_bits_per_char)
 
     @staticmethod
@@ -246,3 +263,77 @@ class PerplexityScorer:
         return batch.append_column("ppl_bits", pa.array(bits)).append_column(
             "f_perplexity", pa.array(bits > self.max_bits)
         )
+
+
+class ModelScorers:
+    """Fused scorer stage: langid + perplexity in ONE map_batches pass.
+
+    Each sub-stage is config-gated — pass only the kwargs of the enabled
+    models (see :func:`from_config`).  See the module docstring for the
+    two deployment modes (lazy plain-task vs eager actor pool).
+    """
+
+    def __init__(
+        self,
+        langid_kwargs: Optional[dict] = None,
+        ppl_kwargs: Optional[dict] = None,
+        lazy: bool = True,
+    ):
+        # ``lazy=True`` (the plain-task mode): the instance pickles per
+        # task carrying only these small kwargs; the models are built on
+        # first use IN the worker via the deterministic default()
+        # constructors and cached per worker process (_SCORER_CACHE), so
+        # warm workers pay nothing and there is no actor spin-up at all.
+        # (Broadcasting the trained weights through the object store was
+        # measured SLOWER here — fetching + localizing ~70 MB of tables
+        # costs ~5 s while re-training takes ~0.5 s.)
+        # ``lazy=False`` keeps the classic actor-pool behavior: models
+        # built eagerly in __init__, once per actor.
+        self.langid_kwargs = langid_kwargs
+        self.ppl_kwargs = ppl_kwargs
+        self._scorers: Optional[tuple] = None
+        if not lazy:
+            self._scorers = (
+                LangIdScorer(**langid_kwargs) if langid_kwargs is not None else None,
+                PerplexityScorer(**ppl_kwargs) if ppl_kwargs is not None else None,
+            )
+
+    def _resolve(self) -> tuple:
+        if self._scorers is not None:
+            return self._scorers
+        key = (
+            tuple(sorted((self.langid_kwargs or {}).items())) if self.langid_kwargs is not None else None,
+            tuple(sorted((self.ppl_kwargs or {}).items())) if self.ppl_kwargs is not None else None,
+        )
+        key = repr(key)
+        cached = _SCORER_CACHE.get(key)
+        if cached is None:
+            cached = (
+                LangIdScorer(**self.langid_kwargs)
+                if self.langid_kwargs is not None
+                else None,
+                PerplexityScorer(**self.ppl_kwargs)
+                if self.ppl_kwargs is not None
+                else None,
+            )
+            _SCORER_CACHE[key] = cached
+        self._scorers = cached
+        return cached
+
+    @staticmethod
+    def from_config(config: Config) -> Optional[dict]:
+        lk = LangIdScorer.from_config(config)
+        pk = PerplexityScorer.from_config(config)
+        if lk is None and pk is None:
+            return None
+        return {"langid_kwargs": lk, "ppl_kwargs": pk}
+
+
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langid, ppl = self._resolve()
+        if langid is not None:
+            batch = langid(batch)
+        if ppl is not None:
+            batch = ppl(batch)
+        return batch

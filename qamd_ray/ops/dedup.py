@@ -161,6 +161,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     seed: int = 1234,
+    driver_collect_threshold: int = 5_000_000,
 ) -> pd.DataFrame:
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -199,25 +200,33 @@ def minhash_lsh_pairs(
 
     exploded = ds.map_batches(_explode, batch_format="pyarrow").materialize()
 
-    # Most buckets are singletons; count bucket sizes with a hash aggregate
-    # (no per-group Python), then pair only the rare collision buckets.
-    counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n > 1").to_pandas()
-    if len(hot) == 0:
-        return empty
-    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+    # Most buckets are singletons; only collision buckets matter.  Small
+    # inputs (key table under ``driver_collect_threshold`` rows × 24 B)
+    # skip the shuffle: collect the key triples and find duplicated
+    # (band, hash) keys vectorized on the driver.  At scale the
+    # distributed path runs instead: hash-aggregate bucket counts (no
+    # per-group Python), broadcast the hot keys, filter.
     import ray as _ray
 
-    hot_ref = _ray.put(hot_keys)
+    if exploded.count() <= driver_collect_threshold:
+        df = exploded.to_pandas()
+        surv = df[df.duplicated(["band", "band_hash"], keep=False)]
+    else:
+        counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+        hot = counts.filter(expr="n > 1").to_pandas()
+        if len(hot) == 0:
+            return empty
+        hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+        hot_ref = _ray.put(hot_keys)
 
-    def _only_hot(batch: pa.Table) -> pa.Table:
-        keys = _ray.get(hot_ref)
-        b = np.asarray(K._as_array(batch["band"]))
-        h = np.asarray(K._as_array(batch["band_hash"]))
-        mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, h)), bool, len(batch))
-        return batch.filter(pa.array(mask))
+        def _only_hot(batch: pa.Table) -> pa.Table:
+            keys = _ray.get(hot_ref)
+            b = np.asarray(K._as_array(batch["band"]))
+            h = np.asarray(K._as_array(batch["band_hash"]))
+            mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, h)), bool, len(batch))
+            return batch.filter(pa.array(mask))
 
-    surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+        surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
     if len(surv) == 0:
         return empty
 
@@ -245,15 +254,32 @@ def minhash_lsh_pairs(
     }
 
     rows: list[tuple[int, int, float]] = []
+    seen_buckets: set[tuple] = set()
     for (_band, _bh), g in surv.groupby(["band", "band_hash"], sort=False):
         ids = sorted(set(int(x) for x in g[id_col]))
         if len(ids) <= 1:
             continue
-        sigs = np.stack([sig_by_id[i] for i in ids])
-        for i in range(len(ids)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off in np.nonzero(agree >= jaccard_threshold)[0]:
-                rows.append((ids[i], ids[i + 1 + off], float(agree[off])))
+        # Identical signatures form exact-dup clusters (empty docs, copied
+        # files) that would make all-pairs O(k²); pair each member to its
+        # cluster representative (min id) — transitive under union-find —
+        # then compare only representatives across clusters.
+        clusters: dict[bytes, list[int]] = {}
+        for i in ids:
+            clusters.setdefault(sig_by_id[i].tobytes(), []).append(i)
+        reps = sorted(members[0] for members in clusters.values())
+        bucket_key = tuple(reps)
+        if bucket_key in seen_buckets:  # same membership seen in another band
+            continue
+        seen_buckets.add(bucket_key)
+        for members in clusters.values():
+            rep = members[0]
+            rows.extend((rep, m, 1.0) for m in members[1:])
+        if len(reps) > 1:
+            sigs = np.stack([sig_by_id[i] for i in reps])
+            for i in range(len(reps)):
+                agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for off in np.nonzero(agree >= jaccard_threshold)[0]:
+                    rows.append((reps[i], reps[i + 1 + off], float(agree[off])))
     pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
     if len(pairs) == 0:
         return pairs
@@ -439,13 +465,23 @@ def simhash_pairs(
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) <= 1:
             continue
-        ids = g[id_col].to_numpy()
-        fps = g["fp"].to_numpy().astype(np.uint64)
-        for i in range(len(ids)):
-            x = fps[i + 1 :] ^ fps[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.nonzero(d <= max_hamming)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + off]), int(d[off])))
+        # identical fingerprints → representative pairing (avoids O(k²)
+        # blow-up on exact-dup clusters); distinct fps compared pairwise
+        clusters: dict[int, list[int]] = {}
+        for i, f in zip(g[id_col].to_numpy(), g["fp"].to_numpy().astype(np.uint64)):
+            clusters.setdefault(int(f), []).append(int(i))
+        for members in clusters.values():
+            members.sort()
+            rows.extend((members[0], m, 0) for m in members[1:])
+        reps = sorted((members[0], f) for f, members in clusters.items())
+        if len(reps) > 1:
+            ids = np.array([r[0] for r in reps], dtype=np.int64)
+            fps = np.array([r[1] for r in reps], dtype=np.uint64)
+            for i in range(len(ids)):
+                x = fps[i + 1 :] ^ fps[i]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for off in np.nonzero(d <= max_hamming)[0]:
+                    rows.append((int(ids[i]), int(ids[i + 1 + off]), int(d[off])))
     pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]) if rows else empty
     if len(pairs) == 0:
         return pairs

@@ -5,10 +5,11 @@ Ray-Data-native rendering of BASELINE.json's north rule.  Lifecycle
 
     read_parquet (schema repo,path,commit,lang,content)
       → RowRules          (stateless map_batches, zero-copy Arrow)
-      → LangIdScorer      (actor pool — model built once per actor)
-      → PerplexityScorer  (actor pool)
+      → ModelScorers      (langid + perplexity; deterministic models
+                           built lazily in each worker process and cached
+                           module-level — no actor spin-up)
       → duplicate verdict (shuffle of (sha,repo,path) ONLY — content never
-                           crosses the wire; losers broadcast back)
+                           crosses the wire; winner map broadcast back)
       → Scrubber + keep   (stateless map_batches)
       → write partitioned Parquet + per-shard lineage manifests
       → per-repo report   (per-batch partial counts → tiny groupby("repo"))
@@ -23,10 +24,10 @@ Scale notes, explicit:
   pre-aggregates per batch (each batch emits ≤ distinct-repos-in-batch
   rows) — the salted-key pattern of SURVEY.md §4 strengthened to a full
   combiner.
-* The duplicate losers set is collected to the driver and broadcast via
-  ``ray.put`` — right whenever dups are a modest fraction (the common
-  corpus case).  For dup-dominated inputs use ops.dedup's fully
-  distributed groupby path instead.
+* The duplicate winner map (one entry per duplicated distinct content) is
+  collected to the driver and broadcast via ``ray.put`` — right whenever
+  dups are a modest fraction (the common corpus case).  For dup-dominated
+  inputs use ops.dedup's fully distributed groupby path instead.
 * Checkpoint/resume (north rule): ``run_checkpointed`` shards the input by
   Parquet row group, writes ``part=<k>/data.parquet`` + ``manifest.json``
   per shard, and on restart skips shards whose manifest validates.
@@ -35,6 +36,7 @@ Scale notes, explicit:
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import time
@@ -52,7 +54,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from . import kernels as K
 from .config import Config
-from .models import LangIdScorer, PerplexityScorer
+from .models import ModelScorers
 from .report import LOCATOR_CAP
 from .rules import MODEL_DROP_FLAGS, RULES, RowRules, flag_col, keep_expression
 from .scrub import Scrubber
@@ -81,71 +83,114 @@ def enrich(
     model_concurrency: Union[int, tuple] = 4,
     model_batch_size: int = 512,
 ) -> "ray.data.Dataset":
-    """rules → langid → perplexity.  Stateless rules run as plain tasks;
-    model stages are actor pools (state in ``__init__``, SURVEY.md §7.5)."""
+    """rules → fused langid+perplexity, all stateless tasks.
+
+    The models are deterministic and cheap to build (~0.5 s), so each
+    worker process constructs them lazily on first use and caches them
+    module-level (models._SCORER_CACHE) — measured faster than both an
+    actor pool (per-run actor spin-up) and object-store broadcast
+    (fetch + localize of ~70 MB of tables costs more than re-training).
+    ``model_concurrency`` is kept for API compatibility with the eager
+    actor-pool deployment of ModelScorers."""
     out = ds.map_batches(RowRules(config), batch_format="pyarrow")
-    kw = LangIdScorer.from_config(config)
+    kw = ModelScorers.from_config(config)
     if kw is not None:
+        # plain tasks with lazy per-worker model construction — no actor
+        # spin-up; warm worker processes keep the models cached
         out = out.map_batches(
-            LangIdScorer,
-            fn_constructor_kwargs=kw,
+            ModelScorers(**kw),
             batch_format="pyarrow",
             batch_size=model_batch_size,
-            concurrency=model_concurrency,
-        )
-    kw = PerplexityScorer.from_config(config)
-    if kw is not None:
-        out = out.map_batches(
-            PerplexityScorer,
-            fn_constructor_kwargs=kw,
-            batch_format="pyarrow",
-            batch_size=model_batch_size,
-            concurrency=model_concurrency,
         )
     return out
 
 
-def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
-    """(repo,path) of every non-first duplicate, globally exact.
+def content_keys(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(content_sha256, repo, path) straight from the input — the light
+    projection for the dup-winner pass.  Content is read and hashed, then
+    dropped in the same task; only three short string columns leave it."""
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        content = K._as_array(pc.fill_null(batch["content"], ""))
+        sha = [
+            hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+            for s in content.to_pylist()
+        ]
+        return pa.table(
+            {
+                "content_sha256": pa.array(sha, pa.string()),
+                "repo": batch["repo"],
+                "path": batch["path"],
+            }
+        )
+
+    return ds.map_batches(_keys, batch_format="pyarrow")
+
+
+def duplicate_winners(
+    enriched: "ray.data.Dataset",
+    driver_collect_threshold: int = 5_000_000,
+    n_rows: Optional[int] = None,
+) -> dict[str, str]:
+    """{content_sha256 → winner "repo\\x00path"} for every sha seen >1×.
 
     DuplicateValues re-expressed (reference counts singletons in its in-RAM
-    frequency table, src/check/post.rs:229-260).  Shuffles only
-    (content_sha256, repo, path); "first" = lexicographic min (repo,path),
-    order-independent under any parallelism.
+    frequency table, src/check/post.rs:229-260).  "First" = lexicographic
+    min (repo,path) — order-independent under any parallelism.  The winner
+    map is small (one entry per DUPLICATED distinct content) and is
+    broadcast to the dup-flag stage.
+
+    Below ``driver_collect_threshold`` rows the (sha,key) projection is
+    collected and reduced vectorized on the driver (a distributed sort
+    shuffle costs seconds of fixed latency that dwarf tiny inputs); above
+    it, one hash aggregate — no per-group Python either way.
     """
+
     def _with_key(batch: pa.Table) -> pa.Table:
         repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
         paths = np.asarray(K._as_array(batch["path"]), dtype=object)
         key = pa.array([f"{r}\x00{p}" for r, p in zip(repos, paths)], pa.string())
         return pa.table({"content_sha256": batch["content_sha256"], "key": key})
 
-    # hash aggregate only (no per-group Python): count + min-key per sha;
-    # duplicate shas are rare, so the dup table is small
-    agg = (
-        enriched.select_columns(["content_sha256", "repo", "path"])
-        .map_batches(_with_key, batch_format="pyarrow")
-        .groupby("content_sha256")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("key", alias_name="winner"),
-        )
+    proj = enriched.select_columns(["content_sha256", "repo", "path"]).map_batches(
+        _with_key, batch_format="pyarrow"
     )
-    dups = agg.filter(expr="n > 1").to_pandas()
-    if len(dups) == 0:
+    if n_rows is None:
+        n_rows = enriched.count()
+    if n_rows <= driver_collect_threshold:
+        df = proj.to_pandas()
+        dup_mask = df.duplicated("content_sha256", keep=False)
+        dups = (
+            df[dup_mask]
+            .groupby("content_sha256", sort=False)["key"]
+            .min()
+            .reset_index()
+            .rename(columns={"key": "winner"})
+        )
+    else:
+        agg = proj.groupby("content_sha256").aggregate(
+            Count(alias_name="n"), Min("key", alias_name="winner")
+        )
+        dups = agg.filter(expr="n > 1").to_pandas()
+    return dict(zip(dups["content_sha256"], dups["winner"]))
+
+
+def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
+    """(repo,path) of every non-first duplicate — winner-map complement,
+    materialized for callers that need the explicit list (tests, reports).
+    """
+    winners = duplicate_winners(enriched)
+    if not winners:
         return []
-    winner_by_sha = dict(zip(dups["content_sha256"], dups["winner"]))
-    loser_ref = ray.put(winner_by_sha)
+    ref = ray.put(winners)
 
     def _losers(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(loser_ref)
+        wmap = ray.get(ref)
         shas = np.asarray(K._as_array(batch["content_sha256"]), dtype=object)
         repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
         paths = np.asarray(K._as_array(batch["path"]), dtype=object)
         mask = np.fromiter(
-            (
-                s in wmap and f"{r}\x00{p}" != wmap[s]
-                for s, r, p in zip(shas, repos, paths)
-            ),
+            (s in wmap and f"{r}\x00{p}" != wmap[s] for s, r, p in zip(shas, repos, paths)),
             bool,
             len(batch),
         )
@@ -165,24 +210,30 @@ def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
 def finalize(
     enriched: "ray.data.Dataset",
     config: Config,
-    losers: Optional[list[tuple[str, str]]] = None,
+    winners: Optional[dict[str, str]] = None,
 ) -> "ray.data.Dataset":
-    """dup flag (broadcast losers) → scrub → keep column."""
+    """dup flag (broadcast winner map) → scrub → keep column."""
     ds = enriched
     q = config.quality_filter
     if q.duplicate_content is not None and q.duplicate_content.setting:
-        loser_ref = ray.put(set(losers or []))
+        win_ref = ray.put(winners or {})
 
         def _dup(batch: pa.Table) -> pa.Table:
-            lose = ray.get(loser_ref)
-            if not lose:
+            wmap = ray.get(win_ref)
+            if not wmap:
                 return batch.append_column(
                     "f_duplicate", pa.array(np.zeros(len(batch), dtype=bool))
                 )
+            shas = np.asarray(K._as_array(batch["content_sha256"]), dtype=object)
             repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
             paths = np.asarray(K._as_array(batch["path"]), dtype=object)
             hit = np.fromiter(
-                ((r, p) in lose for r, p in zip(repos, paths)), bool, len(batch)
+                (
+                    s in wmap and f"{r}\x00{p}" != wmap[s]
+                    for s, r, p in zip(shas, repos, paths)
+                ),
+                bool,
+                len(batch),
             )
             return batch.append_column("f_duplicate", pa.array(hit))
 
@@ -190,9 +241,44 @@ def finalize(
     scrubber = Scrubber.from_config(config)
     if scrubber is not None:
         ds = ds.map_batches(scrubber, batch_format="pyarrow")
-    names = ds.schema().names
-    ds = ds.map_batches(keep_expression(names), batch_format="pyarrow")
+    # keep_expression derives the drop columns from each batch's own
+    # column names — calling ds.schema() here would execute the lazy
+    # finalize chain once per probe just to learn the names
+    ds = ds.map_batches(keep_expression(), batch_format="pyarrow")
+    # propagate the known output column names so downstream report helpers
+    # don't need a limit-1 execution of this chain just to read the schema
+    try:
+        base = enriched.schema(fetch_if_missing=False)
+        names = (
+            list(base.names) if base is not None else _enriched_columns(config)
+        )
+        if q.duplicate_content is not None and q.duplicate_content.setting:
+            names.append("f_duplicate")
+        if scrubber is not None:
+            names.extend(["scrubbed", "n_scrubs"])
+        names.append("keep")
+        ds._qamd_columns = names
+    except Exception:  # pragma: no cover - advisory only
+        pass
     return ds
+
+
+def _enriched_columns(config: Config, input_names: Sequence[str] = INPUT_COLUMNS) -> list[str]:
+    """Expected columns of enrich(config) output, derived without
+    executing the lazy chain (membership is what the report helpers need;
+    exact ordering is irrelevant)."""
+    r = RowRules(config)
+    names = list(input_names) + ["content_sha256", "n_bytes", "n_lines", "max_line_len"]
+    if "odd_ratio" in r.enabled:
+        names.append("odd_char_ratio")
+    names += [flag_col(n) for n in r.enabled]
+    kw = ModelScorers.from_config(config)
+    if kw is not None:
+        if kw.get("langid_kwargs") is not None:
+            names += ["langid_pred", "langid_conf", "f_langid"]
+        if kw.get("ppl_kwargs") is not None:
+            names += ["ppl_bits", "f_perplexity"]
+    return names
 
 
 def quality_pipeline(
@@ -202,22 +288,40 @@ def quality_pipeline(
     model_concurrency: Union[int, tuple] = 4,
     model_batch_size: int = 512,
 ) -> "ray.data.Dataset":
-    """End-to-end in one Dataset graph (test/bench scale).
+    """End-to-end, fully streaming — nothing is materialized.
 
-    The enriched intermediate is materialized once so the dup-key pass and
-    the final pass don't recompute the model stages; at the 100-TB design
-    point use :func:`run_checkpointed`, whose phase-1 Parquet output plays
-    this role on disk.
+    Two passes over the SOURCE (the standard dedup-then-filter shape):
+
+    1. light key pass — ``content_keys``: content is hashed and dropped
+       inside each task; only (sha, repo, path) leave it, reduced to the
+       winner map;
+    2. one fused pass — read → rules → models → dup flag → scrub → keep:
+       all plain ``map_batches`` stages, which Ray fuses into a single
+       task chain per block, so content never round-trips the object
+       store (an earlier materialize-based variant pushed ~2 bytes of
+       plasma traffic per content byte and capped scaling).
+
+    Re-reading the source twice assumes a re-readable input (Parquet; a
+    ``from_arrow``/trivially-recomputable Dataset).  For expensive
+    upstream lineage or restartable jobs use :func:`run_checkpointed`,
+    which persists the enriched intermediate to Parquet instead.
     """
     ds = _as_dataset(source, columns=INPUT_COLUMNS)
-    enriched = enrich(
-        ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
-    ).materialize()
-    losers = None
+    winners = None
     q = config.quality_filter
     if q.duplicate_content is not None and q.duplicate_content.setting:
-        losers = duplicate_losers(enriched)
-    return finalize(enriched, config, losers)
+        keys_ds = content_keys(
+            _as_dataset(source, columns=["repo", "path", "content"])
+        )
+        try:
+            n_rows = ds.count()  # metadata-only for parquet/from_arrow
+        except Exception:  # pragma: no cover
+            n_rows = None
+        winners = duplicate_winners(keys_ds, n_rows=n_rows)
+    enriched = enrich(
+        ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
+    )
+    return finalize(enriched, config, winners)
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +365,7 @@ def repo_report(final: "ray.data.Dataset") -> pa.Table:
     reference's whole-file counters (report summary HashMap) fall out as
     the column sums of this table.
     """
-    names = final.schema().names
+    names = getattr(final, "_qamd_columns", None) or final.schema().names
     flags = _flag_columns(names)
     keep_col = "keep" in names
 
@@ -329,7 +433,8 @@ def locator_samples(final: "ray.data.Dataset", cap: int = LOCATOR_CAP) -> dict[s
     (repo, path) pairs — one pass, per-batch top-k partials merged on the
     driver (reference emits per-failure locators, capped at 1000 in the
     HTML report, src/report/html/mod.rs:110,115)."""
-    names = [c for c in final.schema().names if c.startswith("f_")]
+    all_names = getattr(final, "_qamd_columns", None) or final.schema().names
+    names = [c for c in all_names if c.startswith("f_")]
     if not names:
         return {}
 
@@ -403,7 +508,7 @@ def run_checkpointed(
 
     Layout:  ``out_dir/enriched/part=<k>/{data.parquet,manifest.json}``
              ``out_dir/final/part=<k>/{data.parquet,manifest.json}``
-             ``out_dir/losers.json``  ``out_dir/report.json``
+             ``out_dir/winners.json``  ``out_dir/report.json``
 
     Each manifest records its input row groups, row count and wall time;
     a shard whose manifest validates is skipped on restart — lineage +
@@ -446,24 +551,24 @@ def run_checkpointed(
         os.replace(mpath + ".tmp", mpath)
 
     # ---- phase 2: global duplicate verdict over the enriched projection --
-    losers_path = os.path.join(out_dir, "losers.json")
+    winners_path = os.path.join(out_dir, "winners.json")
     q = config.quality_filter
     want_dup = q.duplicate_content is not None and q.duplicate_content.setting
     if want_dup:
-        if os.path.exists(losers_path):
-            with open(losers_path) as f:
-                losers = [tuple(x) for x in json.load(f)]
+        if os.path.exists(winners_path):
+            with open(winners_path) as f:
+                winners = json.load(f)
         else:
             proj = ray.data.read_parquet(
                 sorted(glob.glob(os.path.join(enr_dir, "part=*", "data.parquet"))),
                 columns=["content_sha256", "repo", "path"],
             )
-            losers = duplicate_losers(proj)
-            with open(losers_path + ".tmp", "w") as f:
-                json.dump([list(x) for x in losers], f)
-            os.replace(losers_path + ".tmp", losers_path)
+            winners = duplicate_winners(proj)
+            with open(winners_path + ".tmp", "w") as f:
+                json.dump(winners, f)
+            os.replace(winners_path + ".tmp", winners_path)
     else:
-        losers = []
+        winners = {}
 
     # ---- phase 3: dup flag + scrub + keep, per shard ---------------------
     for k in range(len(shards)):
@@ -476,7 +581,7 @@ def run_checkpointed(
         os.makedirs(part, exist_ok=True)
         src = os.path.join(enr_dir, f"part={k}", "data.parquet")
         ds = ray.data.read_parquet(src)
-        final = finalize(ds, config, losers)
+        final = finalize(ds, config, winners)
         tbl = pa.concat_tables(list(final.iter_batches(batch_format="pyarrow")))
         tmp = os.path.join(part, ".data.parquet.tmp")
         pq.write_table(tbl, tmp)

@@ -221,19 +221,26 @@ class RowRules:
         return pa.table(cols)
 
 
-def keep_expression(schema_names: list[str]) -> Callable[[pa.Table], pa.Table]:
-    """Final keep/drop: AND of the negated drop flags present in the schema.
+def keep_expression(schema_names: Optional[list[str]] = None) -> Callable[[pa.Table], pa.Table]:
+    """Final keep/drop: AND of the negated drop flags present in the batch.
 
     QAMD never drops rows — it counts pass/fail (SURVEY.md §2.3); the
     graft's ``keep`` is a derived column with all per-rule flags retained
-    for report parity.
+    for report parity.  Drop columns are resolved against each batch's own
+    column names (cheap, in-memory) so callers need not force a schema
+    probe on a lazy dataset; pass ``schema_names`` to pin them instead.
     """
-    drop_cols = [flag_col(r.name) for r in RULES if r.drops] + MODEL_DROP_FLAGS
-    drop_cols = [c for c in drop_cols if c in schema_names]
+    candidates = [flag_col(r.name) for r in RULES if r.drops] + MODEL_DROP_FLAGS
+    pinned = (
+        [c for c in candidates if c in schema_names] if schema_names is not None else None
+    )
 
     def _keep(batch: pa.Table) -> pa.Table:
+        cols = pinned if pinned is not None else [
+            c for c in candidates if c in batch.column_names
+        ]
         bad = np.zeros(len(batch), dtype=bool)
-        for c in drop_cols:
+        for c in cols:
             bad |= np.asarray(K._as_array(batch[c]).fill_null(False))
         return batch.append_column("keep", pa.array(~bad))
 

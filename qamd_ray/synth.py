@@ -267,6 +267,7 @@ def gen_corpus(
     n_repos: int = 40,
     seed: int = 42,
     defect_rates: Optional[dict[str, float]] = None,
+    lines: Optional[tuple[int, int]] = None,
 ) -> pa.Table:
     """The synthetic input table + a ``defect`` diagnostic column.
 
@@ -305,7 +306,8 @@ def gen_corpus(
         per_repo_counter[r] = k + 1
         ext = LANG_TEMPLATES[lang]["ext"]
         path = f"src/dir{k % 7}/file_{k}{ext}"
-        content = gen_content(lang, rng)
+        n_lines = int(rng.integers(lines[0], lines[1])) if lines else None
+        content = gen_content(lang, rng, n_lines=n_lines)
         d = "" if defect_idx[i] == len(defect_names) else defect_names[defect_idx[i]]
         if d == "dup" and contents:
             j = int(rng.integers(0, len(contents)))
@@ -357,12 +359,73 @@ def write_corpus(
     n_repos: int = 40,
     seed: int = 42,
     row_group_size: int = 512,
+    n_files: int = 1,
+    lines: Optional[tuple[int, int]] = None,
 ) -> pa.Table:
-    """Write the corpus (without the defect column) as one Parquet file with
-    several row groups (row-group granularity is the resume/parallelism
-    unit, see sources.row_group_tasks)."""
+    """Write the corpus (without the defect column) as Parquet.
+
+    ``n_files == 1``: one file at ``out_path`` with several row groups.
+    ``n_files > 1``: a DIRECTORY ``out_path/part-<i>.parquet`` — multiple
+    files make the read stage parallel from the first task (a single file
+    is one read task in Ray Data) and model the sharded layout a real
+    corpus would have.
+    """
     import pyarrow.parquet as pq
 
-    t = gen_corpus(n_rows=n_rows, n_repos=n_repos, seed=seed)
-    pq.write_table(strip_labels(t), out_path, row_group_size=row_group_size)
+    t = gen_corpus(n_rows=n_rows, n_repos=n_repos, seed=seed, lines=lines)
+    out = strip_labels(t)
+    if n_files <= 1:
+        pq.write_table(out, out_path, row_group_size=row_group_size)
+    else:
+        import os
+
+        os.makedirs(out_path, exist_ok=True)
+        step = (n_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = out.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part,
+                    f"{out_path}/part-{i:04d}.parquet",
+                    row_group_size=row_group_size,
+                )
     return t
+
+
+def _gen_shard(args: tuple) -> str:
+    out_path, i, rows, n_repos, seed, row_group_size, lines = args
+    import pyarrow.parquet as pq
+
+    t = gen_corpus(n_rows=rows, n_repos=n_repos, seed=seed * 1_000 + i, lines=lines)
+    path = f"{out_path}/part-{i:04d}.parquet"
+    pq.write_table(strip_labels(t), path, row_group_size=row_group_size)
+    return path
+
+
+def write_corpus_parallel(
+    out_path: str,
+    n_rows: int,
+    n_repos: int = 40,
+    seed: int = 42,
+    row_group_size: int = 2048,
+    n_files: int = 16,
+    lines: Optional[tuple[int, int]] = None,
+    processes: Optional[int] = None,
+) -> None:
+    """Multi-process corpus writer for bench-scale inputs.
+
+    Each shard generates with its own derived seed (deterministic); repos
+    are drawn from the same ``org/repoN`` namespace so cross-shard repo
+    grouping and skew still hold.  Duplicate planting is intra-shard only.
+    """
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(out_path, exist_ok=True)
+    rows = (n_rows + n_files - 1) // n_files
+    jobs = [
+        (out_path, i, rows, n_repos, seed, row_group_size, lines)
+        for i in range(n_files)
+    ]
+    with mp.get_context("spawn").Pool(processes or min(n_files, os.cpu_count() or 4)) as pool:
+        pool.map(_gen_shard, jobs)
