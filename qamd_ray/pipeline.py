@@ -29,8 +29,9 @@ Scale notes, explicit:
   dups are a modest fraction (the common corpus case).  For dup-dominated
   inputs use ops.dedup's fully distributed groupby path instead.
 * Checkpoint/resume (north rule): ``run_checkpointed`` shards the input by
-  Parquet row group, writes ``part=<k>/data.parquet`` + ``manifest.json``
-  per shard, and on restart skips shards whose manifest validates.
+  Parquet row group, writes ``part=<k>/data/`` (task-written Parquet files,
+  atomically published by directory rename) + ``manifest.json`` per shard,
+  and on restart skips shards whose manifest validates.
 """
 
 from __future__ import annotations
@@ -484,14 +485,37 @@ def _read_shard(tasks: list[dict], columns: Optional[list[str]]) -> "ray.data.Da
     return ray.data.from_items(tasks).map_batches(_read, batch_size=1, batch_format="pyarrow")
 
 
+def _shard_files(part_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(part_dir, "data", "*.parquet")))
+
+
 def _manifest_ok(manifest_path: str) -> bool:
+    """A shard is complete iff its manifest parses and the data directory's
+    Parquet row counts (metadata only — no data read) sum to the recorded
+    count."""
     try:
         with open(manifest_path) as f:
             m = json.load(f)
-        data = os.path.join(os.path.dirname(manifest_path), "data.parquet")
-        return os.path.exists(data) and pq.read_metadata(data).num_rows == m["rows"]
+        files = _shard_files(os.path.dirname(manifest_path))
+        return bool(files) and sum(pq.read_metadata(p).num_rows for p in files) == m["rows"]
     except (OSError, ValueError, KeyError):
         return False
+
+
+def _write_shard(ds: "ray.data.Dataset", part_dir: str) -> tuple[int, list[str]]:
+    """Distributed, atomic shard write: Ray tasks write Parquet files to a
+    temp dir (data never passes through the driver), then one rename
+    publishes it.  → (row_count, files)."""
+    import shutil
+
+    tmp = os.path.join(part_dir, ".data.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    rows = sum(pq.read_metadata(p).num_rows for p in glob.glob(os.path.join(tmp, "*.parquet")))
+    data_dir = os.path.join(part_dir, "data")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp, data_dir)
+    return rows, _shard_files(part_dir)
 
 
 def run_checkpointed(
@@ -506,8 +530,8 @@ def run_checkpointed(
     """Three-phase resumable run; returns the run summary (also written to
     ``out_dir/report.json``).
 
-    Layout:  ``out_dir/enriched/part=<k>/{data.parquet,manifest.json}``
-             ``out_dir/final/part=<k>/{data.parquet,manifest.json}``
+    Layout:  ``out_dir/enriched/part=<k>/{data/,manifest.json}``
+             ``out_dir/final/part=<k>/{data/,manifest.json}``
              ``out_dir/winners.json``  ``out_dir/report.json``
 
     Each manifest records its input row groups, row count and wall time;
@@ -534,17 +558,24 @@ def run_checkpointed(
         enriched = enrich(
             ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
         )
-        tbl = pa.concat_tables(list(enriched.iter_batches(batch_format="pyarrow")))
-        tmp = os.path.join(part, ".data.parquet.tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(part, "data.parquet"))
+        rows, files = _write_shard(enriched, part)
+        content_bytes = 0
+        for p in files:
+            md = pq.read_metadata(p)
+            sch = md.schema.to_arrow_schema()
+            ci = sch.get_field_index("content")
+            if ci >= 0:
+                content_bytes += sum(
+                    md.row_group(i).column(ci).total_uncompressed_size
+                    for i in range(md.num_row_groups)
+                )
         with open(mpath + ".tmp", "w") as f:
             json.dump(
                 {
-                    "rows": tbl.num_rows,
+                    "rows": rows,
                     "inputs": tasks,
                     "wall_s": round(time.time() - t0, 3),
-                    "content_bytes": int(pc.sum(tbl["n_bytes"]).as_py() or 0),
+                    "content_bytes": content_bytes,
                 },
                 f,
             )
@@ -560,7 +591,7 @@ def run_checkpointed(
                 winners = json.load(f)
         else:
             proj = ray.data.read_parquet(
-                sorted(glob.glob(os.path.join(enr_dir, "part=*", "data.parquet"))),
+                sorted(glob.glob(os.path.join(enr_dir, "part=*", "data", "*.parquet"))),
                 columns=["content_sha256", "repo", "path"],
             )
             winners = duplicate_winners(proj)
@@ -579,18 +610,19 @@ def run_checkpointed(
             continue
         t0 = time.time()
         os.makedirs(part, exist_ok=True)
-        src = os.path.join(enr_dir, f"part={k}", "data.parquet")
+        src = _shard_files(os.path.join(enr_dir, f"part={k}"))
         ds = ray.data.read_parquet(src)
         final = finalize(ds, config, winners)
-        tbl = pa.concat_tables(list(final.iter_batches(batch_format="pyarrow")))
-        tmp = os.path.join(part, ".data.parquet.tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(part, "data.parquet"))
+        rows, files = _write_shard(final, part)
+        n_keep = 0
+        for p in files:
+            t = pq.read_table(p, columns=["keep"])
+            n_keep += int(pc.sum(t["keep"]).as_py() or 0)
         with open(mpath + ".tmp", "w") as f:
             json.dump(
                 {
-                    "rows": tbl.num_rows,
-                    "keep": int(pc.sum(tbl["keep"]).as_py() or 0),
+                    "rows": rows,
+                    "keep": n_keep,
                     "wall_s": round(time.time() - t0, 3),
                 },
                 f,
@@ -599,7 +631,7 @@ def run_checkpointed(
 
     # ---- report ----------------------------------------------------------
     final_ds = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(fin_dir, "part=*", "data.parquet")))
+        sorted(glob.glob(os.path.join(fin_dir, "part=*", "data", "*.parquet")))
     )
     rt = repo_report(final_ds)
     locs = locator_samples(final_ds)
