@@ -31,7 +31,10 @@ def _expand(paths: str | Sequence[str]) -> list[str]:
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)))
+            hits = sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            ) or sorted(glob.glob(os.path.join(p, "**", "*.csv"), recursive=True))
+            out.extend(hits)
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(glob.glob(p)))
         else:
@@ -85,6 +88,51 @@ def read_parquet_with_row_index(
 
     return ray.data.from_items(tasks).map_batches(
         _read, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def read_table(
+    paths: str | Sequence[str],
+    columns: Optional[list[str]] = None,
+    empty_string_is_null: bool = True,
+) -> "ray.data.Dataset":
+    """Fuzzy reader dispatch by file extension (reference: read() picks a
+    parser by extension and errors otherwise, src/readstat/read.rs:21-39).
+
+    The statistical formats collapse to the two formats this engine
+    ingests: ``.parquet`` and ``.csv`` (the reference's pure-Rust CSV path,
+    src/readstat/csv/read.rs).  For CSV, the reference's "empty cell ⇒
+    SYSTEM_MISSING" rule (csv/read.rs:112-115) is applied as a vectorized
+    empty→null rewrite so downstream null handling is uniform.
+    Unknown extensions raise, like the reference's dispatcher.
+    """
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no input files under {paths!r}")
+    exts = {os.path.splitext(f)[1].lower() for f in files}
+    if exts <= {".parquet", ".pq"}:
+        return ray.data.read_parquet(files, columns=columns)
+    if exts <= {".csv"}:
+        ds = ray.data.read_csv(files)
+        if columns:
+            ds = ds.select_columns(columns)
+        if empty_string_is_null:
+            import pyarrow.compute as pc
+
+            def _null_empty(batch: pa.Table) -> pa.Table:
+                for i, field in enumerate(batch.schema):
+                    if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
+                        col = batch.column(i)
+                        mask = pc.equal(col, "")
+                        batch = batch.set_column(
+                            i, field.name, pc.if_else(pc.fill_null(mask, False), None, col)
+                        )
+                return batch
+
+            ds = ds.map_batches(_null_empty, batch_format="pyarrow")
+        return ds
+    raise ValueError(
+        f"unsupported input extension(s) {sorted(exts)}; expected .parquet or .csv"
     )
 
 

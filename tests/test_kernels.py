@@ -81,3 +81,31 @@ def test_chunked_inputs():
     assert list(K.tokens_all_in_set(ch, frozenset({"a", "b"}))) == [True, False]
     mx, mean, n = K.line_length_stats(ch)
     assert list(n) == [1, 1]
+
+
+def test_read_table_dispatch(tmp_path):
+    """S1 fuzzy dispatch parity (src/readstat/read.rs:21-39) + CSV
+    empty⇒missing rule (csv/read.rs:112-115)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from qamd_ray.sources import read_table
+
+    t = pa.table({"a": ["x", "", "y"], "b": [1, 2, 3]})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    with open(tmp_path / "t.csv", "w") as f:
+        f.write("a,b\nx,1\n,2\ny,3\n")
+
+    dp = read_table(str(tmp_path / "t.parquet")).to_pandas()
+    assert dp["a"].tolist() == ["x", "", "y"]  # parquet untouched
+
+    dc = read_table(str(tmp_path / "t.csv")).to_pandas()
+    dc = dc.sort_values("b").reset_index(drop=True)  # Ray doesn't preserve order
+    assert dc["a"][0] == "x" and dc["a"].isna()[1]  # empty ⇒ missing
+    assert dc["b"].tolist() == [1, 2, 3]
+
+    with open(tmp_path / "t.sav", "w") as f:
+        f.write("nope")
+    with pytest.raises(ValueError, match="unsupported input extension"):
+        read_table(str(tmp_path / "t.sav"))
