@@ -114,6 +114,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["quality_pipeline"] = time.time() - t0
     assert rep["metadata"]["row_count"] == BENCH_ROWS
 
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
     import ray.data as rd
 
     def _as_docs(b):
@@ -129,20 +131,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return _pa.table({"doc_id": _pa.array(ids, _pa.int64()), "text": b["content"]})
 
     t0 = time.time()
-    dedup.minhash_lsh_pairs(
-        rd.read_parquet(src, columns=["repo", "path", "content"]).map_batches(
-            _as_docs, batch_format="pyarrow"
-        ),
-        jaccard_threshold=0.8,
-    )
-    timings["minhash_lsh"] = time.time() - t0
+    if not headline_only:
+        dedup.minhash_lsh_pairs(
+            rd.read_parquet(src, columns=["repo", "path", "content"]).map_batches(
+                _as_docs, batch_format="pyarrow"
+            ),
+            jaccard_threshold=0.8,
+        )
+        timings["minhash_lsh"] = time.time() - t0
 
-    for name, fn in [
+    for name, fn in ([] if headline_only else [
         ("pricing_summary", q_pricing_summary),
         ("events_hourly", q_events_hourly),
         ("sessions", q_sessions),
         ("topk_cosine", q_topk_cosine),
-    ]:
+    ]):
         t0 = time.time()
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):
@@ -166,12 +169,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    if lo is None or hi is None:
+        pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        lo, hi = int(pair[0]), int(pair[1])
     corpus_path(SCALING_ROWS)  # pre-generate so neither child pays generation
     out = {}
     for n in (lo, hi):
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_ROWS=str(SCALING_ROWS)
+            os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+            GRAFT_HEADLINE_ONLY="1",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -54,9 +54,12 @@ def _init_ray():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    import logging
+
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
 def _emit(payload: str, out: str | None) -> None:
@@ -128,7 +131,16 @@ def main(argv: list[str] | None = None) -> int:
             print(generated_yaml() if args.full else default_yaml())
         return 0
 
-    cfg = _load_config(args)
+    import yaml as _yaml
+
+    try:
+        cfg = _load_config(args)
+    except FileNotFoundError as e:
+        print(f"error: config file not found: {e.filename}", file=sys.stderr)
+        return 2
+    except (ValueError, _yaml.YAMLError) as e:
+        print(f"error: invalid config: {e}", file=sys.stderr)
+        return 2
     _init_ray()
 
     if args.cmd == "run":

@@ -192,6 +192,35 @@ class Config:
             _nonempty_list(s, what)
         _pct(di.system_missing_value_threshold, "data_integrity.system_missing_value_threshold")
 
+        # quality_filter extension: same non-empty-list convention, plus
+        # ratio bounds in [0,1] and positive lengths
+        qf = self.quality_filter
+        for s, what in [
+            (qf.path_odd_characters, "quality_filter.path_odd_characters"),
+            (qf.content_odd_characters, "quality_filter.content_odd_characters"),
+            (qf.date_format, "quality_filter.date_format"),
+            (qf.langid_allowed, "quality_filter.langid_allowed"),
+        ]:
+            _nonempty_list(s, what)
+        for s, what in [
+            (qf.odd_char_ratio_max, "quality_filter.odd_char_ratio_max"),
+            (qf.control_char_ratio_max, "quality_filter.control_char_ratio_max"),
+            (qf.alnum_ratio_min, "quality_filter.alnum_ratio_min"),
+            (qf.spell_unknown_ratio_max, "quality_filter.spell_unknown_ratio_max"),
+            (qf.langid_min_confidence, "quality_filter.langid_min_confidence"),
+        ]:
+            if s is not None and not (0.0 <= float(s.setting) <= 1.0):
+                raise ValueError(f"{what}: ratio must be within 0.0..=1.0")
+        for s, what in [
+            (qf.path_max_length, "quality_filter.path_max_length"),
+            (qf.max_line_length, "quality_filter.max_line_length"),
+            (qf.max_content_length, "quality_filter.max_content_length"),
+        ]:
+            if s is not None and int(s.setting) <= 0:
+                raise ValueError(f"{what}: length must be positive")
+        if qf.repo_empty_content_threshold is not None:
+            _pct(qf.repo_empty_content_threshold, "quality_filter.repo_empty_content_threshold")
+
     # -- lookups used by the dictionary checks (src/config.rs:42-60) -------
 
     def dictionaries_for(self, check_name: str) -> list[str]:
