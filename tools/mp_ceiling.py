@@ -1,0 +1,71 @@
+"""Hardware-ceiling probe: the bench workload under bare multiprocessing.
+
+Runs RowRules + ModelScorers over the bench corpus shards with a plain
+``multiprocessing.Pool`` at several sizes — no Ray — to measure what N→4N
+process-scaling this machine can physically sustain for this workload
+(memory-bandwidth-bound beyond ~16 procs on the round-1 sandbox).  The
+Ray pipeline's scaling efficiency should be compared against THESE
+numbers, not against a theoretical 1.0 (see BENCH.md).
+
+Usage: python tools/mp_ceiling.py [corpus_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def work(args):
+    path, half = args
+    import pyarrow.parquet as pq
+
+    from qamd_ray.gen_config import quality_config
+    from qamd_ray.models import ModelScorers
+    from qamd_ray.rules import RowRules
+
+    t = pq.read_table(path)
+    n = t.num_rows // 2
+    t = t.slice(half * n, n)
+    cfg = quality_config()
+    rules = RowRules(cfg)
+    scorers = ModelScorers(**ModelScorers.from_config(cfg))
+    t0 = time.time()
+    scorers(rules(t))
+    return time.time() - t0
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        corpus = sys.argv[1]
+    else:
+        import bench
+
+        corpus = bench.corpus_path(bench.SCALING_ROWS)
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    if not files:
+        print(f"no parquet shards under {corpus}", file=sys.stderr)
+        return 2
+    jobs = [(f, s) for f in files for s in (0, 1)]
+    res: dict[int, float] = {}
+    for n in (2, 4, 8, 16, 32):
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(n) as pool:
+            pool.map(work, jobs[:2])  # warm spawn + model caches
+            t0 = time.time()
+            pool.map(work, jobs)
+            res[n] = time.time() - t0
+        print(f"pool={n}: {res[n]:.1f}s")
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+        if lo in res and hi in res:
+            print(f"bare-mp efficiency {lo}->{hi}: {(res[lo] / res[hi]) / 4:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
