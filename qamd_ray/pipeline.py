@@ -51,7 +51,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import kernels as K
 from .config import Config
@@ -174,6 +174,88 @@ def duplicate_winners(
         )
         dups = agg.filter(expr="n > 1").to_pandas()
     return dict(zip(dups["content_sha256"], dups["winner"]))
+
+
+def repo_integrity(
+    source: Datasetish, config: Optional[Config] = None
+) -> "ray.data.Dataset":
+    """Per-repo value-integrity stats + threshold flags — the repo-level
+    twins of SystemMissingOverThreshold (post.rs:303-351) and
+    VariablesWithUniqueValues / constant-value detection (post.rs:394-418),
+    with the repo playing the reference's "variable" role.
+
+    → (repo, n_rows, n_distinct, n_empty, min_occ, max_occ
+       [, f_repo_empty, f_repo_unique, f_repo_constant when config sets
+       repo_empty_content_threshold / unique_values]).
+
+    Shuffle shape: one groupby over (repo, content_sha256) — keys only —
+    then a per-repo aggregate of the group-count table.  Skewed giant
+    repos are fine: the second aggregate reduces one row per distinct
+    content, already combined by the first.
+    """
+    ds = _as_dataset(source, columns=["repo", "path", "content"])
+    keys = content_keys(ds)
+
+    EMPTY_SHA = hashlib.sha256(b"").hexdigest()
+
+    per_value = (
+        keys.select_columns(["repo", "content_sha256"])
+        .groupby(["repo", "content_sha256"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        c = np.asarray(K._as_array(batch["c"]), dtype=np.int64)
+        sha = np.asarray(K._as_array(batch["content_sha256"]), dtype=object)
+        empty = np.where(sha == EMPTY_SHA, c, 0)
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "n_rows": pa.array(c),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "n_empty": pa.array(empty),
+                "c": batch["c"],
+            }
+        )
+
+    agg = (
+        per_value.map_batches(_derive, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("one", alias_name="n_distinct"),
+            Sum("n_empty", alias_name="n_empty"),
+            Min("c", alias_name="min_occ"),
+            Max("c", alias_name="max_occ"),
+        )
+    )
+
+    if config is None:
+        return agg
+    q = config.quality_filter
+    empty_t = (
+        int(q.repo_empty_content_threshold.setting)
+        if q.repo_empty_content_threshold is not None
+        else None
+    )
+    uniq_t = int(q.unique_values.setting) if q.unique_values is not None else None
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        n = np.asarray(K._as_array(batch["n_rows"]), dtype=np.int64)
+        if empty_t is not None:
+            ne = np.asarray(K._as_array(batch["n_empty"]), dtype=np.int64)
+            batch = batch.append_column(
+                "f_repo_empty", pa.array(ne * 100.0 / np.maximum(n, 1) > empty_t)
+            )
+        if uniq_t is not None:
+            mo = np.asarray(K._as_array(batch["min_occ"]), dtype=np.int64)
+            mx = np.asarray(K._as_array(batch["max_occ"]), dtype=np.int64)
+            batch = batch.append_column("f_repo_unique", pa.array(mo <= uniq_t))
+            # constant-value dual: one content accounts for the whole repo
+            batch = batch.append_column("f_repo_constant", pa.array(mx == n))
+        return batch
+
+    return agg.map_batches(_flags, batch_format="pyarrow")
 
 
 def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:

@@ -26,7 +26,7 @@ from . import kernels as K
 from .gen_config import quality_config
 from .healthcheck import VariableMeta, frequency_table
 from .ops import dedup, similarity, textstats
-from .pipeline import quality_pipeline, repo_report
+from .pipeline import quality_pipeline, repo_integrity, repo_report
 from .sources import read_parquet_with_row_index
 
 
@@ -332,6 +332,15 @@ def documents_as_code_table(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(_map, batch_format="pyarrow")
 
 
+def q_repo_integrity(sf_dir: str):
+    """Per-repo value-integrity stats (SystemMissingOverThreshold +
+    VariablesWithUniqueValues at repo granularity) over documents mapped
+    to the code-table schema."""
+    return repo_integrity(documents_as_code_table(sf_dir)).select_columns(
+        ["repo", "n_rows", "n_distinct", "n_empty", "min_occ", "max_occ"]
+    )
+
+
 def q_quality_filter(sf_dir: str):
     """Flagship pipeline over the mapped documents table (rows-only check:
     langid/perplexity are model stages)."""
@@ -372,6 +381,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "repo_integrity": q_repo_integrity,
     "quality_filter": q_quality_filter,
     "quality_repo_report": q_quality_repo_report,
 }
@@ -429,6 +439,14 @@ ORACLES = {
         "  FROM (SELECT user_id, ts, lag(ts) OVER "
         "        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)"
         ") WHERE new_s = 1 GROUP BY user_id"
+    ),
+    "repo_integrity": (
+        "SELECT source AS repo, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT coalesce(text,'')) AS BIGINT) AS n_distinct, "
+        "CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty, "
+        "CAST(min(c) AS BIGINT) AS min_occ, CAST(max(c) AS BIGINT) AS max_occ "
+        "FROM (SELECT source, text, count(*) OVER (PARTITION BY source, coalesce(text,'')) AS c "
+        "      FROM documents) GROUP BY source"
     ),
     "topk_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "

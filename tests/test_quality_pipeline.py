@@ -176,3 +176,45 @@ def test_synth_determinism():
     assert a.equals(b)
     c = gen_corpus(200, 5, seed=4)
     assert not a.equals(c)
+
+
+def test_repo_integrity_flags():
+    """Repo-level C13/C16 twins: empty-content %, unique- and
+    constant-value detection per repo."""
+    import pyarrow as pa
+
+    from qamd_ray.config import Config
+    from qamd_ray.pipeline import repo_integrity
+
+    rows = []
+    # repo A: 4 rows, half empty -> f_repo_empty at threshold 25
+    rows += [("A", f"p{i}", "", "") for i in range(2)]
+    rows += [("A", f"q{i}", "", f"text {i}") for i in range(2)]
+    # repo B: constant content
+    rows += [("B", f"p{i}", "", "same body") for i in range(3)]
+    # repo C: all-distinct (min_occ == 1)
+    rows += [("C", f"p{i}", "", f"distinct {i}") for i in range(3)]
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([""] * len(rows)),
+            "content": pa.array([r[3] for r in rows]),
+        }
+    )
+    cfg = Config.from_dict(
+        {"quality_filter": {"repo_empty_content_threshold": {"setting": 25},
+                            "unique_values": {"setting": 1}}}
+    )
+    out = (
+        repo_integrity(ray.data.from_arrow(t), cfg)
+        .to_pandas()
+        .set_index("repo")
+        .sort_index()
+    )
+    assert out.loc["A", "n_empty"] == 2 and bool(out.loc["A", "f_repo_empty"])
+    assert not bool(out.loc["B", "f_repo_empty"])
+    assert bool(out.loc["B", "f_repo_constant"]) and not bool(out.loc["B", "f_repo_unique"])
+    assert bool(out.loc["C", "f_repo_unique"]) and not bool(out.loc["C", "f_repo_constant"])
+    assert out.loc["C", "n_distinct"] == 3 and out.loc["C", "min_occ"] == 1
