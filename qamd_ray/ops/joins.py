@@ -1,0 +1,91 @@
+"""Join operators: broadcast hash join, semi-join, anti-join.
+
+The reference is single-table and has no joins (SURVEY.md §2.3); these are
+the lookup shapes a training-data pipeline needs, built on the broadcast
+pattern (ray guide "joins and lookups"): the small side is shipped ONCE to
+the object store via ``ray.put`` and merged per batch inside
+``map_batches`` — no shuffle of the big side.
+
+Partitioning assumption (documented): the small side fits comfortably in
+worker memory (dimension tables, key sets, blocklists).  For two large
+sides, bucket both by ``hash(key) % B`` and join matching buckets
+pairwise — not implemented here because nothing in the reference or the
+north rule needs it; the flagship pipeline's only joins are broadcast
+lookups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import kernels as K
+
+
+def broadcast_hash_join(
+    big: "ray.data.Dataset",
+    small: Union[pd.DataFrame, pa.Table],
+    on: str | Sequence[str],
+    how: str = "inner",
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """big ⋈ small on ``on`` — per-batch pandas merge against the broadcast
+    small side.  ``how`` ∈ {"inner", "left"} (the shapes a broadcast join
+    can produce without shuffling the big side)."""
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_hash_join supports how='inner'|'left'")
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    keys = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small)
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=keys, how=how, suffixes=("", suffix))
+
+    return big.map_batches(_merge, batch_format="pandas")
+
+
+def _key_set(small, on: str) -> set:
+    if isinstance(small, pa.Table):
+        return set(small[on].to_pylist())
+    if isinstance(small, pd.DataFrame):
+        return set(small[on].tolist())
+    return set(small)
+
+
+def semi_join(
+    big: "ray.data.Dataset", small, on: str
+) -> "ray.data.Dataset":
+    """Rows of ``big`` whose key appears in the small side (broadcast key
+    set; the Bloom-filter variant drops in here at scale)."""
+    keys = ray.put(_key_set(small, on))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys)
+        vals = np.asarray(K._as_array(batch[on]))
+        mask = np.fromiter((v in ks for v in vals), bool, len(batch))
+        return batch.filter(pa.array(mask))
+
+    return big.map_batches(_filter, batch_format="pyarrow")
+
+
+def anti_join(
+    big: "ray.data.Dataset", small, on: str
+) -> "ray.data.Dataset":
+    """Rows of ``big`` whose key does NOT appear in the small side."""
+    keys = ray.put(_key_set(small, on))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys)
+        vals = np.asarray(K._as_array(batch[on]))
+        mask = np.fromiter((v not in ks for v in vals), bool, len(batch))
+        return batch.filter(pa.array(mask))
+
+    return big.map_batches(_filter, batch_format="pyarrow")

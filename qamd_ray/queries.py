@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from . import kernels as K
 from .gen_config import quality_config
 from .healthcheck import VariableMeta, frequency_table
-from .ops import dedup, similarity, textstats
+from .ops import dedup, joins, similarity, textstats
 from .pipeline import quality_pipeline, repo_integrity, repo_report
 from .sources import read_parquet_with_row_index
 
@@ -246,6 +246,37 @@ def q_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(_per_user, batch_format="pandas")
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join chain: orders ⋈ customer ⋈ nation → orders per
+    nation (no joins in the reference — SURVEY §2.3; the broadcast-small-
+    side pattern is the training-pipeline lookup shape)."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cn = cust.to_pandas().merge(
+        nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+    joined = joins.broadcast_hash_join(
+        _t(sf_dir, "orders", ["o_custkey"]), cn, on="o_custkey", how="inner"
+    )
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+def q_customers_without_urgent(sf_dir: str):
+    """Anti-join: customers with no urgent orders (broadcast key set)."""
+    import pyarrow.parquet as _pq
+
+    o = _pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    urgent = {
+        ck
+        for ck, pr in zip(o["o_custkey"].to_pylist(), o["o_orderpriority"].to_pylist())
+        if pr == "1-URGENT"
+    }
+    out = joins.anti_join(_t(sf_dir, "customer", ["c_custkey"]), urgent, on="c_custkey")
+    return out.select_columns(["c_custkey"])
+
+
 # ---------------------------------------------------------------------------
 # similarity / dedup over embeddings and documents (model/LSH — rows-only)
 # ---------------------------------------------------------------------------
@@ -376,6 +407,8 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
+    "orders_by_nation": q_orders_by_nation,
+    "customers_without_urgent": q_customers_without_urgent,
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -439,6 +472,15 @@ ORACLES = {
         "  FROM (SELECT user_id, ts, lag(ts) OVER "
         "        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)"
         ") WHERE new_s = 1 GROUP BY user_id"
+    ),
+    "orders_by_nation": (
+        "SELECT n_name, count(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "customers_without_urgent": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
     ),
     "repo_integrity": (
         "SELECT source AS repo, CAST(count(*) AS BIGINT) AS n_rows, "

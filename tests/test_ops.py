@@ -192,3 +192,34 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         multimodal.ImageDecoder(fake=False)
+
+
+def test_broadcast_joins():
+    """Broadcast hash / semi / anti joins (ops.joins) vs pandas truth."""
+    import pandas as pd
+
+    from qamd_ray.ops import joins
+
+    big = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+         "v": pa.array(list("abcde"), pa.string())}
+    )
+    small = pd.DataFrame({"k": [2, 3], "name": ["two", "three"]})
+    ds = ray.data.from_arrow(big)
+
+    inner = joins.broadcast_hash_join(ds, small, on="k").to_pandas()
+    assert sorted(zip(inner["v"], inner["name"])) == [("b", "two"), ("c", "three"), ("e", "two")]
+
+    left = joins.broadcast_hash_join(ds, small, on="k", how="left").to_pandas()
+    assert len(left) == 5 and left["name"].isna().sum() == 2
+
+    semi = joins.semi_join(ds, small, on="k").to_pandas()
+    assert sorted(semi["v"]) == ["b", "c", "e"]
+
+    anti = joins.anti_join(ds, small, on="k").to_pandas()
+    assert sorted(anti["v"]) == ["a", "d"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        joins.broadcast_hash_join(ds, small, on="k", how="outer")
