@@ -214,9 +214,40 @@ def health_check(
     existing Dataset that already carries ``row_col``.
     """
     if isinstance(source, (str, list, tuple)):
-        ds = read_parquet_with_row_index(source, row_col=row_col)
-        n_rows = total_rows(source)
-        default_name = str(source if isinstance(source, str) else source[0]).split("/")[-1]
+        first = str(source if isinstance(source, str) else source[0])
+        default_name = first.split("/")[-1]
+        if first.lower().endswith(".csv"):
+            # CSV path (reference csv/read.rs loads the whole file in
+            # memory — twice; we load once): pyarrow CSV reader with all
+            # columns as strings (CSV columns are always Text,
+            # csv/read.rs:84-91), empty cells ⇒ null (csv/read.rs:112-115),
+            # deterministic row index from file order
+            import pyarrow.csv as pacsv
+
+            paths = [source] if isinstance(source, str) else list(source)
+            tables = []
+            offset = 0
+            for p in paths:
+                t = pacsv.read_csv(
+                    p,
+                    convert_options=pacsv.ConvertOptions(
+                        strings_can_be_null=True, column_types=None
+                    ),
+                )
+                # render every column as string (Text) like the reference
+                t = pa.table(
+                    {f.name: pc.cast(t[f.name], pa.string()) for f in t.schema}
+                ).append_column(
+                    row_col, pa.array(np.arange(offset, offset + len(t), dtype=np.int64))
+                )
+                offset += len(t)
+                tables.append(t)
+            full = pa.concat_tables(tables)
+            ds = ray.data.from_arrow(full)
+            n_rows = full.num_rows
+        else:
+            ds = read_parquet_with_row_index(source, row_col=row_col)
+            n_rows = total_rows(source)
     else:
         ds = source
         n_rows = ds.count()
@@ -254,6 +285,11 @@ def health_check(
     _value_label_metadata_checks(meta, config, report)
 
     # ---- stage 2+3: frequency table + value/post checks ------------------
+    if n_rows == 0:
+        # header-only input: no cells, so no value/post checks fire — the
+        # report carries the variable checks and a 0 case count (the
+        # reference would likewise have an empty frequency table)
+        return report
     freq = frequency_table(ds, variables, row_col=row_col)
     flagged = _flag_freq(freq, meta, config, empty_string_is_missing)
     flagged = flagged.materialize()  # distinct-value table: small vs input

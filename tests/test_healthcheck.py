@@ -214,3 +214,29 @@ def test_metadata_only_suppresses_locators(fixture_path):
     st = r.summary["StringValueOddCharacters"]
     assert (st.pass_, st.fail) == (2, 3)
     assert st.locators is None
+
+
+def test_health_check_csv_path(tmp_path):
+    """The reference health-checks CSVs (csv/read.rs); so do we: all
+    columns Text, empty cell ⇒ system missing."""
+    from qamd_ray.config import Config
+    from qamd_ray.healthcheck import health_check
+
+    p = tmp_path / "mini.csv"
+    p.write_text("name,score\nalice,1\n,2\nbob,\ncarol,4\n")
+    cfg = Config.from_dict(
+        {
+            "data_integrity": {
+                "system_missing_value_threshold": {"setting": 20, "desc": "sysmiss"}
+            },
+            "metadata": {"missing_variable_labels": {"setting": True, "desc": "labels"}},
+        }
+    )
+    rep = health_check(str(p), cfg)
+    assert rep.metadata.raw_case_count == 4
+    assert rep.metadata.variable_count == 2
+    assert rep.metadata.data_type_occurrences == {"Text": 2, "Numeric": 0}
+    st = rep.summary["SystemMissingOverThreshold"]
+    # each column has 1/4 = 25% sysmiss > 20% threshold → both fail
+    assert (st.pass_, st.fail) == (0, 2)
+    assert rep.metadata.file_name == "mini.csv"
