@@ -372,6 +372,34 @@ def q_repo_integrity(sf_dir: str):
     )
 
 
+def q_rule_flags(sf_dir: str):
+    """The flagship's SQL-expressible rule subset, value-checked by the
+    driver: bad_path / path_len / missing_lang / min_len / max_len /
+    line_len flags over documents mapped to the code-table schema."""
+    from .config import Config
+    from .rules import RowRules
+
+    cfg = Config.from_dict(
+        {
+            "quality_filter": {
+                "bad_path": {"setting": r"[A-Za-z0-9_\-./]+"},
+                "path_max_length": {"setting": 240},
+                "missing_lang": {"setting": True},
+                "min_content_length": {"setting": 10},
+                "max_content_length": {"setting": 20000},
+                "max_line_length": {"setting": 2000},
+            }
+        }
+    )
+    out = documents_as_code_table(sf_dir).map_batches(
+        RowRules(cfg), batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["path", "f_bad_path", "f_path_len", "f_missing_lang",
+         "f_min_len", "f_max_len", "f_line_len"]
+    )
+
+
 def q_quality_filter(sf_dir: str):
     """Flagship pipeline over the mapped documents table (rows-only check:
     langid/perplexity are model stages)."""
@@ -414,6 +442,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "rule_flags": q_rule_flags,
     "repo_integrity": q_repo_integrity,
     "quality_filter": q_quality_filter,
     "quality_repo_report": q_quality_repo_report,
@@ -481,6 +510,16 @@ ORACLES = {
     "customers_without_urgent": (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "rule_flags": (
+        "SELECT source || '/doc_' || doc_id || '.txt' AS path, "
+        "NOT regexp_full_match(source || '/doc_' || doc_id || '.txt', '[A-Za-z0-9_\\-./]+') AS f_bad_path, "
+        "strlen(source || '/doc_' || doc_id || '.txt') > 240 AS f_path_len, "
+        "(lang IS NULL OR lang = '') AS f_missing_lang, "
+        "strlen(coalesce(text, '')) < 10 AS f_min_len, "
+        "strlen(coalesce(text, '')) > 20000 AS f_max_len, "
+        "list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> strlen(x))) > 2000 AS f_line_len "
+        "FROM documents"
     ),
     "repo_integrity": (
         "SELECT source AS repo, CAST(count(*) AS BIGINT) AS n_rows, "
