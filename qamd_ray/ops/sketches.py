@@ -1,0 +1,104 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The sketch pattern for aggregation at scale (ray guide "Aggregation at
+scale"): each ``map_batches`` task emits ONE serialized sketch per batch
+(bounded size regardless of rows), a tiny second stage merges them —
+the shuffle moves O(batches × sketch_size) bytes, never rows.
+
+HyperLogLog per Flajolet et al. 2007 (+ the standard small-range
+linear-counting correction), pure numpy, deterministic (md5-hashed keys).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .. import kernels as K
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (p=12 → ~1.6% typical error)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Add 64-bit hashes (vectorized)."""
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        alive = np.ones(len(h), dtype=bool)
+        for _ in range(64 - self.p + 1):
+            top = (cur & mask) != 0
+            done = alive & top
+            alive &= ~top
+            if not alive.any():
+                break
+            lz[alive] += 1
+            cur = cur << np.uint64(1)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    @staticmethod
+    def hash_strings(vals: list[str]) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(v.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+                for v in vals
+            ],
+            dtype=np.uint64,
+        )
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting small-range fix
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "HLL":
+        return cls(b[0], np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", col: str, p: int = 12
+) -> float:
+    """Approximate COUNT(DISTINCT col): one HLL per batch, merged on the
+    driver (sketches are tiny — 4 KB at p=12 — so the driver merge is
+    O(batches), not O(rows))."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = K._as_array(pc.cast(batch[col], pa.string())).to_pylist()
+        h = HLL(p)
+        h.add_hashes(HLL.hash_strings([v if v is not None else "" for v in vals]))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HLL(p)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").take_all():
+        merged = merged.merge(HLL.deserialize(row["sketch"]))
+    return merged.estimate()

@@ -230,6 +230,35 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (60-min window, 30-min slide): each event lands in
+    two windows — a flat-map-shaped map_batches duplicating rows with
+    their window starts, then the usual grouped count."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ts = K._as_array(batch["ts"])
+        et = K._as_array(batch["event_type"])
+        epoch = np.asarray(pc.cast(ts, pa.int64()))  # microseconds
+        half = 1_800_000_000  # 30 min in us
+        w1 = (epoch // half) * half          # window containing the event, aligned to slide
+        w0 = w1 - half                        # previous sliding window that still covers it
+        starts = np.concatenate([w0, w1])
+        types = pa.concat_arrays([et, et])
+        return pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "event_type": types,
+            }
+        )
+
+    return (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the ordered,
     partitioned-log pattern: groupby(user).map_groups over ts-sorted rows."""
@@ -435,6 +464,7 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
+    "events_sliding": q_events_sliding,
     "orders_by_nation": q_orders_by_nation,
     "customers_without_urgent": q_customers_without_urgent,
     "topk_cosine": q_topk_cosine,
@@ -493,6 +523,14 @@ ORACLES = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_sliding": (
+        "SELECT to_timestamp(w / 1000000.0)::TIMESTAMP AS window_start, event_type, "
+        "count(*) AS n FROM ("
+        "  SELECT unnest([ (epoch_us(ts) // 1800000000) * 1800000000,"
+        "                  (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 ]) AS w, "
+        "         event_type FROM events"
+        ") GROUP BY 1, 2"
     ),
     "sessions": (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("

@@ -223,3 +223,24 @@ def test_broadcast_joins():
 
     with pytest.raises(ValueError):
         joins.broadcast_hash_join(ds, small, on="k", how="outer")
+
+
+def test_hll_approx_distinct(docs):
+    """HLL sketch: within ~5% of exact distinct counts; merge = union."""
+    from qamd_ray.ops.sketches import HLL, approx_distinct
+
+    df = docs.to_pandas()
+    exact = df["text"].nunique()
+    est = approx_distinct(docs, "text")
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # merge property on disjoint halves equals the whole
+    h1, h2, hall = HLL(), HLL(), HLL()
+    a = HLL.hash_strings([f"k{i}" for i in range(2000)])
+    h1.add_hashes(a[:1000]); h2.add_hashes(a[1000:]); hall.add_hashes(a)
+    assert (h1.merge(h2).registers == hall.registers).all()
+    est2 = h1.merge(h2).estimate()
+    assert abs(est2 - 2000) / 2000 < 0.05
+
+    # serialization round-trip
+    assert (HLL.deserialize(hall.serialize()).registers == hall.registers).all()
