@@ -73,7 +73,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from qamd_ray.gen_config import quality_config
     from qamd_ray.pipeline import quality_pipeline, repo_report, summary_report
-    from qamd_ray.ops import dedup, similarity
+    from qamd_ray.ops import dedup
     from qamd_ray.queries import (
         q_events_hourly,
         q_pricing_summary,

@@ -42,11 +42,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from .config import Config
 from . import kernels as K
-from .report import LOCATOR_CAP, Locator, Report, ReportMetadata, Status
+from .report import LOCATOR_CAP, Report, ReportMetadata
 from .sources import ROW_COL, read_parquet_with_row_index, total_rows
 
 # Missingness ranks (src/model/missing.rs:7-12); priority order tagged >

@@ -13,16 +13,11 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray
 import ray.data
-
-from .. import kernels as K
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:

@@ -57,7 +57,7 @@ from . import kernels as K
 from .config import Config
 from .models import ModelScorers
 from .report import LOCATOR_CAP
-from .rules import MODEL_DROP_FLAGS, RULES, RowRules, flag_col, keep_expression
+from .rules import RULES, RowRules, flag_col, keep_expression
 from .scrub import Scrubber
 
 Datasetish = Union[str, Sequence[str], "ray.data.Dataset"]

@@ -24,7 +24,6 @@ src/check/variable.rs:20-46) are recorded but do not drop.
 from __future__ import annotations
 
 import hashlib
-import re
 from dataclasses import dataclass
 from typing import Callable, Optional
 
