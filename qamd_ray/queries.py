@@ -230,6 +230,17 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_top_users(sf_dir: str):
+    """Top-10 users by event count — ds.sort + limit coverage; ties broken
+    by user_id so both engines order identically."""
+    agg = (
+        _t(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+    )
+    return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (60-min window, 30-min slide): each event lands in
     two windows — a flat-map-shaped map_batches duplicating rows with
@@ -465,6 +476,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
     "events_sliding": q_events_sliding,
+    "top_users": q_top_users,
     "orders_by_nation": q_orders_by_nation,
     "customers_without_urgent": q_customers_without_urgent,
     "topk_cosine": q_topk_cosine,
@@ -523,6 +535,10 @@ ORACLES = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n "
         "FROM events GROUP BY 1, 2"
+    ),
+    "top_users": (
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        "ORDER BY n DESC, user_id LIMIT 10"
     ),
     "events_sliding": (
         "SELECT to_timestamp(w / 1000000.0)::TIMESTAMP AS window_start, event_type, "
