@@ -222,22 +222,29 @@ def health_check(
             # columns as strings (CSV columns are always Text,
             # csv/read.rs:84-91), empty cells ⇒ null (csv/read.rs:112-115),
             # deterministic row index from file order
+            import csv as _csv
+
             import pyarrow.csv as pacsv
 
             paths = [source] if isinstance(source, str) else list(source)
             tables = []
             offset = 0
             for p in paths:
+                # read the header first and pin every column to pa.string()
+                # so cells keep their RAW text ('01' stays '01', '1.50'
+                # stays '1.50') — the reference treats every CSV cell as
+                # Text (csv/read.rs:84-91); type inference + cast would
+                # normalize numeric-looking literals
+                with open(p, "r", encoding="utf-8", newline="") as fh:
+                    header = next(_csv.reader(fh))
                 t = pacsv.read_csv(
                     p,
                     convert_options=pacsv.ConvertOptions(
-                        strings_can_be_null=True, column_types=None
+                        strings_can_be_null=True,
+                        column_types={name: pa.string() for name in header},
                     ),
                 )
-                # render every column as string (Text) like the reference
-                t = pa.table(
-                    {f.name: pc.cast(t[f.name], pa.string()) for f in t.schema}
-                ).append_column(
+                t = t.append_column(
                     row_col, pa.array(np.arange(offset, offset + len(t), dtype=np.int64))
                 )
                 offset += len(t)

@@ -406,8 +406,15 @@ def simhash_pairs(
 
     Pigeonhole: distance ≤ 3 ⇒ at least one of 4 blocks identical, so
     grouping on each block finds all such pairs; exact distance verified
-    in-bucket.
+    in-bucket.  4 blocks guarantee recall only up to distance 3 — larger
+    ``max_hamming`` would silently miss pairs, so it is rejected.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "simhash_pairs: 4x16-bit banding guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming}); use more/smaller blocks "
+            "for larger radii"
+        )
 
     class _FP:
         def __init__(self):

@@ -71,7 +71,9 @@ def oracle_labels(table: pa.Table, config: Config) -> pa.Table:
         return col
 
     if g("bad_path") is not None:
-        rx = re.compile("^(?:" + str(g("bad_path")) + ")$")
+        # \Z (absolute end) — RE2's $ in the vectorized twin anchors at end
+        # of text, while Python's $ also matches before a trailing newline
+        rx = re.compile("(?:" + str(g("bad_path")) + r")\Z")
         rule("bad_path", lambda i: not rx.match(paths[i]))
     if g("path_odd_characters") is not None:
         pats = list(g("path_odd_characters"))
@@ -110,6 +112,37 @@ def oracle_labels(table: pa.Table, config: Config) -> pa.Table:
     if g("alnum_ratio_min") is not None:
         t = float(g("alnum_ratio_min"))
         rule("alnum", lambda i: len(contents[i]) > 0 and _ratio(contents[i], _ALNUM) < t)
+    if g("date_format") is not None:
+        from .rules import DATE_REGEXES
+
+        dr = g("date_format")
+        pats = (
+            list(dr)
+            if isinstance(dr, (list, tuple)) and dr and all(isinstance(p, str) for p in dr)
+            else list(DATE_REGEXES)
+        )
+        # re.ASCII: RE2 (the vectorized twin) treats \d/\b as ASCII-only
+        date_res = [re.compile(p, re.ASCII) for p in pats]
+        rule("date", lambda i: any(rx.search(contents[i]) for rx in date_res))
+    if g("spell_unknown_ratio_max") is not None:
+        t = float(g("spell_unknown_ratio_max"))
+        from .kernels import load_wordlists
+
+        spell_words = (
+            load_wordlists(g("spell_dictionaries"))
+            if g("spell_dictionaries") is not None
+            else frozenset()
+        )
+
+        def _spell(i):
+            norm = contents[i].translate(_PUNCT_TABLE).lower()
+            if norm == "":
+                return False
+            toks = norm.split(" ")
+            bad = sum(tok not in spell_words for tok in toks)
+            return bad / len(toks) > t
+
+        rule("spell_ratio", _spell)
     if g("stopword_only") is not None:
         v = g("stopword_only")
         if isinstance(v, (list, tuple)):

@@ -113,7 +113,22 @@ def read_table(
     if exts <= {".parquet", ".pq"}:
         return ray.data.read_parquet(files, columns=columns)
     if exts <= {".csv"}:
-        ds = ray.data.read_csv(files)
+        # pin every column to string so cells keep their raw text — CSV
+        # columns are always Text in the reference (csv/read.rs:84-91);
+        # inference would normalize '01'→1, '1.50'→1.5
+        import csv as _csv
+
+        import pyarrow.csv as pacsv
+
+        with open(files[0], "r", encoding="utf-8", newline="") as fh:
+            header = next(_csv.reader(fh))
+        ds = ray.data.read_csv(
+            files,
+            convert_options=pacsv.ConvertOptions(
+                strings_can_be_null=True,
+                column_types={name: pa.string() for name in header},
+            ),
+        )
         if columns:
             ds = ds.select_columns(columns)
         if empty_string_is_null:

@@ -422,9 +422,12 @@ def write_corpus_parallel(
     import os
 
     os.makedirs(out_path, exist_ok=True)
-    rows = (n_rows + n_files - 1) // n_files
+    # distribute the remainder so the total is exactly n_rows (a ceil per
+    # shard over-generates whenever n_files doesn't divide n_rows)
+    n_files = min(n_files, max(1, n_rows))
+    base, rem = divmod(n_rows, n_files)
     jobs = [
-        (out_path, i, rows, n_repos, seed, row_group_size, lines)
+        (out_path, i, base + (1 if i < rem else 0), n_repos, seed, row_group_size, lines)
         for i in range(n_files)
     ]
     with mp.get_context("spawn").Pool(processes or min(n_files, os.cpu_count() or 4)) as pool:

@@ -103,7 +103,8 @@ def test_read_table_dispatch(tmp_path):
     dc = read_table(str(tmp_path / "t.csv")).to_pandas()
     dc = dc.sort_values("b").reset_index(drop=True)  # Ray doesn't preserve order
     assert dc["a"][0] == "x" and dc["a"].isna()[1]  # empty ⇒ missing
-    assert dc["b"].tolist() == [1, 2, 3]
+    # CSV columns are always raw Text (csv/read.rs:84-91) — no inference
+    assert dc["b"].tolist() == ["1", "2", "3"]
 
     with open(tmp_path / "t.sav", "w") as f:
         f.write("nope")

@@ -30,7 +30,7 @@ def code_rows(draw, n=st.integers(1, 8)):
     k = draw(n)
     rows = {
         "repo": [draw(st.sampled_from(["org/a", "org/b"])) for _ in range(k)],
-        "path": [draw(st.text(string.ascii_letters + "/._- &#", min_size=1, max_size=40)) for _ in range(k)],
+        "path": [draw(st.text(string.ascii_letters + "/._- &#\n", min_size=1, max_size=40)) for _ in range(k)],
         "commit": ["c" * 8] * k,
         "lang": [draw(st.sampled_from(["python", "rust", ""])) for _ in range(k)],
         "content": [draw(TEXT) for _ in range(k)],
@@ -41,12 +41,25 @@ def code_rows(draw, n=st.integers(1, 8)):
 def _cfg() -> Config:
     # rule-only config: no model stages (deterministic scalar twins exist
     # for every rule; models are covered by the corpus-level F1 test)
+    import os
+
+    from qamd_ray.config import Setting
+
     cfg = quality_config()
     q = cfg.quality_filter
     q.langid_min_confidence = None
     q.langid_allowed = None
     q.perplexity_max_bits_per_char = None
     q.duplicate_content = None
+    # enable the flag-only date rule and the spellcheck-ratio rule so their
+    # oracle twins get property coverage too (ADVICE r1: oracle_labels must
+    # model every rule the pipeline can enable)
+    q.date_format = Setting(setting=True, desc="date literals")
+    q.spell_unknown_ratio_max = Setting(setting=0.5, desc="unknown ratio")
+    q.spell_dictionaries = Setting(
+        setting=[os.path.join(os.path.dirname(__file__), "fixtures", "words.txt")],
+        desc="dict",
+    )
     return cfg
 
 
