@@ -29,7 +29,11 @@ BENCH_SEED = 42
 BENCH_LINES = (40, 160)
 
 
-CORPUS_FILES = 16  # parallel read from the first task (1 file = 1 read task)
+CORPUS_FILES = 16
+# row-group size bounds read parallelism: Ray's parquet reader splits at
+# row-group granularity, so 24k rows / 16 files needs several row groups
+# per file or every fused read→…→write chain runs ≤16-wide on a 32-CPU box
+CORPUS_RG = int(os.environ.get("GRAFT_BENCH_RG", "512"))
 # --scaling uses a larger corpus so per-run fixed costs (~3-5 s of Ray
 # session choreography) amortize and the measurement reflects compute
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "240000"))
@@ -38,14 +42,14 @@ SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "240000"))
 def corpus_path(rows: int = BENCH_ROWS) -> str:
     path = (
         f"/tmp/qamd_bench/corpus_r{rows}_n{BENCH_REPOS}_s{BENCH_SEED}"
-        f"_f{CORPUS_FILES}_l{BENCH_LINES[0]}-{BENCH_LINES[1]}"
+        f"_f{CORPUS_FILES}_l{BENCH_LINES[0]}-{BENCH_LINES[1]}_g{CORPUS_RG}"
     )
     if not os.path.isdir(path) or len(os.listdir(path)) != CORPUS_FILES:
         from qamd_ray.synth import write_corpus_parallel
 
         write_corpus_parallel(
             path, n_rows=rows, n_repos=BENCH_REPOS, seed=BENCH_SEED,
-            row_group_size=2048, n_files=CORPUS_FILES, lines=BENCH_LINES,
+            row_group_size=CORPUS_RG, n_files=CORPUS_FILES, lines=BENCH_LINES,
         )
     return path
 
@@ -116,24 +120,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 
-    import ray.data as rd
-
     def _as_docs(b):
-        # stable int64 doc ids from (repo, path) — no cross-batch collisions
-        import hashlib as _hl
-
         import pyarrow as _pa
 
-        ids = [
-            int.from_bytes(_hl.md5(f"{r}/{p}".encode()).digest()[:8], "big") >> 1
-            for r, p in zip(b["repo"].to_pylist(), b["path"].to_pylist())
-        ]
-        return _pa.table({"doc_id": _pa.array(ids, _pa.int64()), "text": b["content"]})
+        # unique deterministic ids from the global row index — (repo, path)
+        # pairs repeat across corpus shards, so hashing them collides
+        return _pa.table({"doc_id": b["__row__"], "text": b["content"]})
 
     t0 = time.time()
     if not headline_only:
+        from qamd_ray.sources import read_parquet_with_row_index
+
         dedup.minhash_lsh_pairs(
-            rd.read_parquet(src, columns=["repo", "path", "content"]).map_batches(
+            read_parquet_with_row_index(src, columns=["content"]).map_batches(
                 _as_docs, batch_format="pyarrow"
             ),
             jaccard_threshold=0.8,

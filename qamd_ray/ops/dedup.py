@@ -120,7 +120,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Deterministic minhash signatures (num_perm independent affine hashes)."""
+    """Deterministic minhash signatures (num_perm independent affine hashes).
+
+    ``signatures`` is batched across ALL docs of a batch: one concatenated
+    byte array, k Horner steps for every window hash at once, then an
+    affine transform + ``np.minimum.reduceat`` over doc segments, chunked
+    so the work matrix stays cache-resident.  No per-doc distinct pass:
+    min over the shingle multiset equals min over the set, so duplicates
+    are harmless and a dedup sort costs more than it saves.  Python cost
+    is O(docs / chunk) per batch instead of O(docs); output is identical
+    to the scalar path (same polynomial, same modulus).
+    """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 1234):
         rng = np.random.default_rng(seed)
@@ -137,10 +147,71 @@ class MinHasher:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _P
         return vals.min(axis=1)
 
+    def _window_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(flat window hashes for all docs, per-doc segment starts)."""
+        k = self.k
+        arrs = [np.frombuffer((t or "").encode("utf-8", "replace"), dtype=np.uint8) for t in texts]
+        arrs = [
+            np.pad(b, (0, k - len(b)), constant_values=0) if len(b) < k else b
+            for b in arrs
+        ]
+        lens = np.array([len(b) for b in arrs], dtype=np.int64)
+        big = np.concatenate(arrs).astype(np.int64)
+        ends = np.cumsum(lens)
+        n_win = lens - k + 1  # ≥ 1 per doc after padding
+        # Horner over CONTIGUOUS slices (no gather): hash every consecutive
+        # window of the concatenated bytes — same polynomial sum(b[j]*257^j)
+        # mod P as the scalar path — then mask out doc-crossing windows.
+        L = len(big) - k + 1
+        h = np.zeros(L, dtype=np.int64)
+        for j in range(k - 1, -1, -1):
+            h = (h * 257 + big[j : j + L]) % _P
+        # windows starting in [end-k+1, end) of any non-final doc cross into
+        # the next doc; ranges are disjoint because every doc has ≥ k bytes
+        delta = np.zeros(L + 1, dtype=np.int8)
+        cut = ends[:-1]
+        delta[np.maximum(cut - k + 1, 0)] += 1
+        delta[np.minimum(cut, L)] -= 1
+        h = h[np.cumsum(delta[:-1]) == 0]
+        seg_starts = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        return h, seg_starts
+
+    # chunk size for the short-doc path: keeps the (num_perm × _CHUNK) work
+    # matrix and its temporaries cache-resident — an unchunked pass streams
+    # array-sized temporaries from RAM per permutation and goes
+    # memory-bandwidth-bound under a full worker pool
+    _CHUNK = 2048
+
     def signatures(self, texts: list[str]) -> np.ndarray:
-        return np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
-            (0, self.num_perm), dtype=np.int64
-        )
+        if not texts:
+            return np.zeros((0, self.num_perm), dtype=np.int64)
+        h_all, seg_starts = self._window_hashes(texts)
+        n_docs = len(texts)
+        seg_ends = np.append(seg_starts[1:], len(h_all))
+        sig = np.empty((n_docs, self.num_perm), dtype=np.int64)
+        aT, bT = self.a[:, None], self.b[:, None]
+        if len(h_all) <= n_docs * 256:
+            # short docs: flat chunked affine over all window hashes
+            # (Python cost O(docs/chunk)); a dedup sort would cost more
+            # than the duplicate affine work it saves
+            d0 = 0
+            while d0 < n_docs:
+                d1 = max(
+                    int(np.searchsorted(seg_ends, seg_starts[d0] + self._CHUNK, "left")) + 1,
+                    d0 + 1,
+                )
+                d1 = min(d1, n_docs)
+                lo, hi = int(seg_starts[d0]), int(seg_ends[d1 - 1])
+                vals = (aT * h_all[lo:hi] + bT) % _P  # (num_perm, m)
+                sig[d0:d1] = np.minimum.reduceat(vals, seg_starts[d0:d1] - lo, axis=1).T
+                d0 = d1
+        else:
+            # long docs: per-doc distinct windows (repetitive text carries
+            # 2-3× duplicate shingles) + one cache-resident affine matrix
+            for d in range(n_docs):
+                hu = np.unique(h_all[seg_starts[d] : seg_ends[d]])
+                sig[d] = ((aT * hu + bT) % _P).min(axis=1)
+        return sig
 
 
 def _band_hash(sig_rows: np.ndarray) -> np.ndarray:
@@ -181,108 +252,172 @@ def minhash_lsh_pairs(
     )
 
     def _explode(batch: pa.Table) -> pa.Table:
-        # keys only — 3 small ints per (doc, band); signatures are NOT
-        # carried through the shuffle (16× duplication) but recomputed for
-        # the few survivors below
+        # band rows carry keys only (3 small ints per (doc, band)); the
+        # full signature is emitted ONCE per doc on a band=-1 row so it is
+        # computed exactly once — no recompute pass
         texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
         ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        n = len(texts)
         sigs = mh.signatures(texts)  # (n, num_perm)
         bh = np.concatenate(
             [_band_hash(sigs[:, bi * r : (bi + 1) * r]) for bi in range(bands)]
         )
         return pa.table(
             {
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(texts))),
-                "band_hash": pa.array(bh),
-                id_col: pa.array(np.tile(ids, bands)),
+                "band": pa.array(
+                    np.concatenate(
+                        [np.repeat(np.arange(bands, dtype=np.int32), n),
+                         np.full(n, -1, dtype=np.int32)]
+                    )
+                ),
+                "band_hash": pa.array(
+                    np.concatenate([bh, np.zeros(n, dtype=np.int64)])
+                ),
+                id_col: pa.array(np.concatenate([np.tile(ids, bands), ids])),
+                "sig": pa.array(
+                    [None] * (bands * n) + [s.tobytes() for s in sigs], pa.binary()
+                ),
             }
         )
 
     exploded = ds.map_batches(_explode, batch_format="pyarrow").materialize()
 
     # Most buckets are singletons; only collision buckets matter.  Small
-    # inputs (key table under ``driver_collect_threshold`` rows × 24 B)
-    # skip the shuffle: collect the key triples and find duplicated
+    # inputs (key table under ``driver_collect_threshold`` rows) skip the
+    # shuffle: collect the keys + signatures and find duplicated
     # (band, hash) keys vectorized on the driver.  At scale the
-    # distributed path runs instead: hash-aggregate bucket counts (no
-    # per-group Python), broadcast the hot keys, filter.
+    # distributed path runs instead: hash-aggregate bucket counts over a
+    # sig-free projection (no per-group Python, no sig bytes in the
+    # shuffle), broadcast the hot keys, filter.
     import ray as _ray
 
     if exploded.count() <= driver_collect_threshold:
         df = exploded.to_pandas()
-        surv = df[df.duplicated(["band", "band_hash"], keep=False)]
+        sig_rows = df.loc[df["band"] == -1, [id_col, "sig"]]
+        band_df = df.loc[df["band"] >= 0, ["band", "band_hash", id_col]]
+        surv = band_df[band_df.duplicated(["band", "band_hash"], keep=False)]
     else:
-        counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+        band_rows = exploded.select_columns(["band", "band_hash", id_col]).filter(
+            expr="band >= 0"
+        )
+        counts = band_rows.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
         hot = counts.filter(expr="n > 1").to_pandas()
         if len(hot) == 0:
             return empty
-        hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+        # pack (band, band_hash) into one int64 key: band_hash < 2^31
+        hot_keys = np.unique(
+            (hot["band"].to_numpy().astype(np.int64) << 31)
+            + hot["band_hash"].to_numpy().astype(np.int64)
+        )
         hot_ref = _ray.put(hot_keys)
 
         def _only_hot(batch: pa.Table) -> pa.Table:
             keys = _ray.get(hot_ref)
-            b = np.asarray(K._as_array(batch["band"]))
-            h = np.asarray(K._as_array(batch["band_hash"]))
-            mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, h)), bool, len(batch))
+            b = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
+            h = np.asarray(K._as_array(batch["band_hash"]), dtype=np.int64)
+            mask = np.isin((b << 31) + h, keys)
             return batch.filter(pa.array(mask))
 
-        surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+        surv = band_rows.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+        cand_arr = np.unique(surv[id_col].to_numpy().astype(np.int64))
+        cand_ref = _ray.put(cand_arr)
+
+        def _surv_sigs(batch: pa.Table) -> pa.Table:
+            cids = _ray.get(cand_ref)
+            b = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
+            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+            mask = (b == -1) & np.isin(ids, cids)
+            return batch.filter(pa.array(mask)).select([id_col, "sig"])
+
+        sig_rows = exploded.map_batches(_surv_sigs, batch_format="pyarrow").to_pandas()
     if len(surv) == 0:
         return empty
+    sig_rows = sig_rows.sort_values(id_col).reset_index(drop=True)
+    if sig_rows[id_col].duplicated().any():
+        raise ValueError(
+            f"minhash_lsh_pairs: {id_col!r} must be unique per row (duplicate "
+            "ids make cluster membership depend on collection order)"
+        )
 
-    # recompute signatures for the survivor docs only (cheap second pass:
-    # texts stream by, only candidate ids are hashed)
-    cand_ids = set(surv[id_col].astype(int))
-    cand_ref = _ray.put(cand_ids)
+    # Identical signatures form exact-dup clusters (empty docs, copied
+    # files) that would make per-bucket all-pairs O(k²).  Handle them
+    # GLOBALLY and vectorized: pair every member to its cluster
+    # representative (min id — transitive under union-find), then band-pair
+    # only the representatives, whose buckets are small by construction.
+    rep = sig_rows.groupby("sig", sort=False)[id_col].transform("min")
+    rep_ids = rep.to_numpy().astype(np.int64)
+    all_ids = sig_rows[id_col].to_numpy().astype(np.int64)
+    member_mask = all_ids != rep_ids
+    rows: list[tuple[int, int, float]] = [
+        (int(r), int(m), 1.0) for r, m in zip(rep_ids[member_mask], all_ids[member_mask])
+    ]
+    # signature matrix over reps, straight from the bytes (no per-rep
+    # Python); int32 halves compare traffic (values < 2^31).  all_ids is
+    # sorted, so rep_sorted is sorted too.
+    rep_sorted = all_ids[~member_mask]
+    SIG = (
+        np.frombuffer(
+            b"".join(sig_rows["sig"].iloc[np.nonzero(~member_mask)[0]]), dtype=np.int64
+        )
+        .reshape(len(rep_sorted), -1)
+        .astype(np.int32)
+    )
+    rep_map = pd.Series(rep_ids, index=all_ids)
+    surv = surv.copy()
+    surv["rep"] = surv[id_col].map(rep_map)
+    surv = surv.drop_duplicates(["band", "band_hash", "rep"])
+    surv = surv[surv.duplicated(["band", "band_hash"], keep=False)]
+    exact_pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
 
-    def _cand_sigs(batch: pa.Table) -> pa.Table:
-        cids = _ray.get(cand_ref)
-        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-        mask = np.fromiter((int(i) in cids for i in ids), bool, len(batch))
-        if not mask.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.binary())})
-        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-        sel = np.nonzero(mask)[0]
-        sigs = [mh.signature(texts[i]).tobytes() for i in sel]
-        return pa.table({id_col: pa.array(ids[sel]), "sig": pa.array(sigs, pa.binary())})
-
-    sig_rows = ds.map_batches(_cand_sigs, batch_format="pyarrow").to_pandas()
-    sig_by_id = {
-        int(i): np.frombuffer(s, dtype=np.int64)
-        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
-    }
-
-    rows: list[tuple[int, int, float]] = []
-    seen_buckets: set[tuple] = set()
-    for (_band, _bh), g in surv.groupby(["band", "band_hash"], sort=False):
-        ids = sorted(set(int(x) for x in g[id_col]))
-        if len(ids) <= 1:
+    # Vectorized rep pairing: enumerate within-bucket (i<j) index pairs for
+    # every distinct bucket membership, then compute signature agreement
+    # for ALL candidate pairs in chunked numpy — no per-pair Python.
+    # Cross-band duplicate pairs are NOT pre-deduped: membership dedup
+    # already removes the bulk, and a global pair sort costs more than the
+    # ~10% redundant agree work (the final drop_duplicates handles them).
+    surv = surv.sort_values(["band", "band_hash", "rep"])
+    key = (surv["band"].to_numpy().astype(np.int64) << 31) + surv["band_hash"].to_numpy()
+    reps_col = surv["rep"].to_numpy().astype(np.int64)
+    starts = np.nonzero(np.diff(key, prepend=key[0] - 1))[0] if len(key) else np.array([], int)
+    sizes = np.append(starts[1:], len(key)) - starts
+    # enumerate (i<j) pairs per bucket, vectorized BY BUCKET SIZE: all
+    # buckets of size m gathered into one (n_buckets, m) matrix, one
+    # triu_indices per distinct size.  A near-dup pair sharing several
+    # bands is enumerated once per shared band (~10% extra agree work) —
+    # cheaper than any global pair dedup; drop_duplicates settles it.
+    pi_parts: list[np.ndarray] = []
+    pj_parts: list[np.ndarray] = []
+    for m in np.unique(sizes):
+        if m < 2:
             continue
-        # Identical signatures form exact-dup clusters (empty docs, copied
-        # files) that would make all-pairs O(k²); pair each member to its
-        # cluster representative (min id) — transitive under union-find —
-        # then compare only representatives across clusters.
-        clusters: dict[bytes, list[int]] = {}
-        for i in ids:
-            clusters.setdefault(sig_by_id[i].tobytes(), []).append(i)
-        reps = sorted(members[0] for members in clusters.values())
-        bucket_key = tuple(reps)
-        if bucket_key in seen_buckets:  # same membership seen in another band
-            continue
-        seen_buckets.add(bucket_key)
-        for members in clusters.values():
-            rep = members[0]
-            rows.extend((rep, m, 1.0) for m in members[1:])
-        if len(reps) > 1:
-            sigs = np.stack([sig_by_id[i] for i in reps])
-            for i in range(len(reps)):
-                agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for off in np.nonzero(agree >= jaccard_threshold)[0]:
-                    rows.append((reps[i], reps[i + 1 + off], float(agree[off])))
-    pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+        bs = starts[sizes == m]
+        mat = reps_col[bs[:, None] + np.arange(m)]
+        iu, ju = np.triu_indices(int(m), k=1)
+        pi_parts.append(mat[:, iu].ravel())
+        pj_parts.append(mat[:, ju].ravel())
+    near_rows: list[pd.DataFrame] = []
+    if pi_parts:
+        pi = np.concatenate(pi_parts)
+        pj = np.concatenate(pj_parts)
+        ia = np.searchsorted(rep_sorted, pi)
+        ib = np.searchsorted(rep_sorted, pj)
+        # driver-local chunked agree (a Ray fan-out was measured 4× slower
+        # at this size: shipping the pair chunks costs more than the math)
+        CH = 500_000
+        agree = np.empty(len(pi), dtype=np.float64)
+        for lo in range(0, len(pi), CH):
+            hi = min(lo + CH, len(pi))
+            agree[lo:hi] = (SIG[ia[lo:hi]] == SIG[ib[lo:hi]]).mean(axis=1)
+        keep = agree >= jaccard_threshold
+        if keep.any():
+            near_rows.append(
+                pd.DataFrame(
+                    {"id_a": pi[keep], "id_b": pj[keep], "est_jaccard": agree[keep]}
+                )
+            )
+    pairs = pd.concat([exact_pairs, *near_rows], ignore_index=True)
     if len(pairs) == 0:
-        return pairs
+        return empty
     return (
         pairs.sort_values(["id_a", "id_b", "est_jaccard"], ascending=[True, True, False])
         .drop_duplicates(subset=["id_a", "id_b"])
@@ -454,16 +589,20 @@ def simhash_pairs(
     )
     if len(hot) == 0:
         return empty
-    hot_keys = set(zip(hot["block"].astype(int), hot["block_val"].astype(int)))
+    # pack (block, block_val) into one int64 key: block_val < 2^16
+    hot_keys = np.unique(
+        (hot["block"].to_numpy().astype(np.int64) << 16)
+        + hot["block_val"].to_numpy().astype(np.int64)
+    )
     import ray as _ray
 
     hot_ref = _ray.put(hot_keys)
 
     def _only_hot(batch: pa.Table) -> pa.Table:
         keys = _ray.get(hot_ref)
-        b = np.asarray(K._as_array(batch["block"]))
-        v = np.asarray(K._as_array(batch["block_val"]))
-        mask = np.fromiter(((int(x), int(y)) in keys for x, y in zip(b, v)), bool, len(batch))
+        b = np.asarray(K._as_array(batch["block"]), dtype=np.int64)
+        v = np.asarray(K._as_array(batch["block_val"]), dtype=np.int64)
+        mask = np.isin((b << 16) + v, keys)
         return batch.filter(pa.array(mask))
 
     surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()

@@ -564,7 +564,9 @@ def _read_shard(tasks: list[dict], columns: Optional[list[str]]) -> "ray.data.Da
             out.append(pf.read_row_group(task["row_group"], columns=columns))
         return pa.concat_tables(out)
 
-    return ray.data.from_items(tasks).map_batches(_read, batch_size=1, batch_format="pyarrow")
+    return ray.data.from_items(tasks, override_num_blocks=len(tasks)).map_batches(
+        _read, batch_size=1, batch_format="pyarrow"
+    )
 
 
 def _shard_files(part_dir: str) -> list[str]:

@@ -86,7 +86,10 @@ def read_parquet_with_row_index(
             out.append(tbl.append_column(row_col, idx))
         return pa.concat_tables(out)
 
-    return ray.data.from_items(tasks).map_batches(
+    # one BLOCK per task: from_items defaults to a single block, which
+    # would make the whole read (and everything fused onto it) run in one
+    # serial Ray task
+    return ray.data.from_items(tasks, override_num_blocks=len(tasks)).map_batches(
         _read, batch_size=1, batch_format="pyarrow"
     )
 
