@@ -65,29 +65,38 @@ def exact_dedup(
 ) -> "ray.data.Dataset":
     """Keep the min-id row per distinct text — hash-partitioned, exact.
 
-    Two-step to avoid shuffling bodies: (1) groupby(hash) over (hash,id)
-    projection → winner ids; (2) semi-join back by broadcast winner-id set
-    when small, else an id-hash bucket filter.  Here the winner set is
-    returned via filter on a broadcast set (ids are ints — compact).
+    Two-step to avoid shuffling bodies: (1) groupby(hash) over a
+    (hash, id) projection, reduced to {hash → winner id} for hashes seen
+    MORE THAN ONCE — the broadcast is O(duplicated contents), not
+    O(distinct contents) (a winner-id set over all distinct docs would be
+    billions of entries at corpus scale); (2) a second hashing pass drops
+    every row whose hash is in the map with a different id.  Mirrors the
+    flagship's ``pipeline.duplicate_winners`` shape.
     """
     hashed = with_content_hash(ds, text_col)
-    winners = (
+    dups = (
         hashed.select_columns(["content_md5", id_col])
         .groupby("content_md5")
-        .aggregate(Min(id_col, alias_name="winner_id"))
+        .aggregate(Count(alias_name="n"), Min(id_col, alias_name="winner_id"))
+        .filter(expr="n > 1")
+        .to_pandas()
     )
-    winner_ids = set(winners.to_pandas()["winner_id"].tolist())
+    win = pd.Series(
+        dups["winner_id"].to_numpy(np.int64), index=dups["content_md5"].to_numpy(object)
+    )
     import ray as _ray
 
-    ref = _ray.put(winner_ids)
+    ref = _ray.put(win)
 
     def _keep(batch: pa.Table) -> pa.Table:
-        wid = _ray.get(ref)
-        ids = np.asarray(K._as_array(batch[id_col]))
-        mask = np.fromiter((int(i) in wid for i in ids), bool, len(batch))
-        return batch.filter(pa.array(mask))
+        w = _ray.get(ref)
+        md5s = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        winner = w.reindex(md5s).to_numpy()
+        keep = pd.isna(winner) | (winner == ids)
+        return batch.filter(pa.array(keep)).drop_columns(["content_md5"])
 
-    return ds.map_batches(_keep, batch_format="pyarrow")
+    return hashed.map_batches(_keep, batch_format="pyarrow")
 
 
 def duplicate_groups(

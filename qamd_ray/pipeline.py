@@ -176,6 +176,60 @@ def duplicate_winners(
     return dict(zip(dups["content_sha256"], dups["winner"]))
 
 
+def _winners_from_files(
+    paths: Sequence[str] | str, num_chunks: int = 64
+) -> dict[str, str]:
+    """Fast path of :func:`duplicate_winners` for Parquet sources under the
+    driver-collect threshold: one plain Ray task per row-group chunk reads
+    (repo, path, content), hashes, and returns only (sha, key) arrays; the
+    driver reduces them vectorized.  Skips a whole Ray-Data job's worth of
+    driver choreography (~0.5 s) — significant against a seconds-long run.
+    Same winner definition: lexicographic min "repo\\x00path" per sha seen
+    more than once.
+    """
+    from .sources import row_group_tasks
+
+    tasks = row_group_tasks(paths)
+    chunks: list[list[dict]] = [[] for _ in range(min(num_chunks, max(1, len(tasks))))]
+    for i, t in enumerate(tasks):
+        chunks[i % len(chunks)].append(t)
+
+    @ray.remote
+    def _keys_chunk(chunk: list[dict]) -> tuple[list[str], list[str]]:
+        shas: list[str] = []
+        keys: list[str] = []
+        for t in chunk:
+            tbl = pq.ParquetFile(t["path"]).read_row_group(
+                t["row_group"], columns=["repo", "path", "content"]
+            )
+            content = pc.fill_null(tbl["content"], "").to_pylist()
+            repos = tbl["repo"].to_pylist()
+            paths_ = tbl["path"].to_pylist()
+            shas.extend(
+                hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+                for s in content
+            )
+            keys.extend(f"{r}\x00{p}" for r, p in zip(repos, paths_))
+        return shas, keys
+
+    parts = ray.get([_keys_chunk.remote(c) for c in chunks if c])
+    df = pd.DataFrame(
+        {
+            "content_sha256": np.concatenate([p[0] for p in parts]) if parts else [],
+            "key": np.concatenate([p[1] for p in parts]) if parts else [],
+        }
+    )
+    dup_mask = df.duplicated("content_sha256", keep=False)
+    dups = (
+        df[dup_mask]
+        .groupby("content_sha256", sort=False)["key"]
+        .min()
+        .reset_index()
+        .rename(columns={"key": "winner"})
+    )
+    return dict(zip(dups["content_sha256"], dups["winner"]))
+
+
 def repo_integrity(
     source: Datasetish, config: Optional[Config] = None
 ) -> "ray.data.Dataset":
@@ -393,14 +447,21 @@ def quality_pipeline(
     winners = None
     q = config.quality_filter
     if q.duplicate_content is not None and q.duplicate_content.setting:
-        keys_ds = content_keys(
-            _as_dataset(source, columns=["repo", "path", "content"])
-        )
         try:
             n_rows = ds.count()  # metadata-only for parquet/from_arrow
         except Exception:  # pragma: no cover
             n_rows = None
-        winners = duplicate_winners(keys_ds, n_rows=n_rows)
+        if (
+            isinstance(source, (str, list, tuple))
+            and n_rows is not None
+            and n_rows <= 5_000_000
+        ):
+            winners = _winners_from_files(source)
+        else:
+            keys_ds = content_keys(
+                _as_dataset(source, columns=["repo", "path", "content"])
+            )
+            winners = duplicate_winners(keys_ds, n_rows=n_rows)
     enriched = enrich(
         ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
     )
@@ -452,7 +513,15 @@ def repo_report(final: "ray.data.Dataset") -> pa.Table:
     flags = _flag_columns(names)
     keep_col = "keep" in names
 
-    def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+    cols = ["repo", *flags] + (["keep"] if keep_col else [])
+
+    def _partials(batch: pa.Table) -> pd.DataFrame:
+        # project away content BEFORE the pandas conversion (zero-copy
+        # Arrow select) — pandas-ifying the wide final table (content
+        # strings → objects) costs more than the aggregation itself.
+        # A dataset-level select_columns would break task fusion / force
+        # an extra schema-resolving execution of the lazy chain.
+        batch = batch.select(cols).to_pandas()
         agg = {c: (c, "sum") for c in flags}
         if keep_col:
             agg["n_keep"] = ("keep", "sum")
@@ -465,7 +534,7 @@ def repo_report(final: "ray.data.Dataset") -> pa.Table:
     if keep_col:
         aggs.append(Sum("n_keep", alias_name="n_keep"))
     rep = (
-        final.map_batches(_partials, batch_format="pandas")
+        final.map_batches(_partials, batch_format="pyarrow")
         .groupby("repo")
         .aggregate(*aggs)
     )
@@ -520,8 +589,10 @@ def locator_samples(final: "ray.data.Dataset", cap: int = LOCATOR_CAP) -> dict[s
     names = [c for c in all_names if c.startswith("f_")]
     if not names:
         return {}
+    loc_cols = ["repo", "path", *names]
 
     def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[loc_cols]
         outs = []
         for c in names:
             sub = batch.loc[batch[c].fillna(False), ["repo", "path"]]
