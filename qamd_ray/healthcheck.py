@@ -80,6 +80,10 @@ class TableMeta:
     value_labels: dict[str, dict[str, str]] = field(default_factory=dict)
     # variable name -> rendered values declared user-missing (SPSS style)
     defined_missing: dict[str, set[str]] = field(default_factory=dict)
+    # variable name -> rendered Stata tagged-missing codes (".a".." .z") —
+    # filled by readers.read_stata; rank TAGGED_MISSING, the highest
+    # priority (src/readstat/handler.rs:104-114)
+    tagged_missing: dict[str, set[str]] = field(default_factory=dict)
     file_name: str = ""
     file_label: str = ""
     file_encoding: Optional[str] = None
@@ -181,7 +185,10 @@ def frequency_table(
 
 
 def _missing_rank_for(
-    values: pa.Array, dm_set: set[str], empty_is_missing: bool
+    values: pa.Array,
+    dm_set: set[str],
+    empty_is_missing: bool,
+    tm_set: Optional[set[str]] = None,
 ) -> np.ndarray:
     """Missingness from the rendered value (nulls already render "").
 
@@ -197,6 +204,10 @@ def _missing_rank_for(
         import pandas as pd
 
         rank[pd.Index(vals).isin(dm_set)] = DEFINED_MISSING
+    if tm_set:
+        import pandas as pd
+
+        rank[pd.Index(vals).isin(tm_set)] = TAGGED_MISSING
     return rank
 
 
@@ -326,6 +337,9 @@ def _flag_freq(
     dm_by_vi = {
         v.index: meta.defined_missing.get(v.name, set()) for v in meta.variables
     }
+    tm_by_vi = {
+        v.index: meta.tagged_missing.get(v.name, set()) for v in meta.variables
+    }
     labels_by_vi = {
         v.index: meta.value_labels.get(v.value_labels, {}) for v in meta.variables
     }
@@ -373,6 +387,15 @@ def _flag_freq(
                     hit = np.array([v in dm for v in vals_np[sel]])
                     sub = rank[sel]
                     sub[hit] = DEFINED_MISSING
+                    rank[sel] = sub
+        # tagged last: highest priority (handler.rs:104-114)
+        for the_vi, tm in tm_by_vi.items():
+            if tm:
+                sel = vi == the_vi
+                if sel.any():
+                    hit = np.array([v in tm for v in vals_np[sel]])
+                    sub = rank[sel]
+                    sub[hit] = TAGGED_MISSING
                     rank[sel] = sub
 
         is_text = np.isin(vi, text_vi_arr)

@@ -661,11 +661,25 @@ def embedding_dup_pairs(
     num_planes: int = 12,
     seed: int = 5,
     dim: Optional[int] = None,
+    driver_collect_threshold: int = 5_000_000,
 ) -> pd.DataFrame:
     """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH buckets
     (Charikar 2002) → exact cosine within buckets.  High-cosine pairs agree
     on most hyperplane signs, so they share a bucket with high probability;
-    increase recall by lowering num_planes or multi-probing."""
+    increase recall by lowering num_planes or multi-probing.
+
+    Same shape as the sibling LSH ops — NO per-group Python and no vector
+    bytes in any shuffle: (1) a key pass emits (bucket, id) only;
+    (2) collision buckets are found by collect (small inputs) or
+    hash-aggregate + broadcast (at scale); (3) vectors are re-fetched for
+    survivor ids only; (4) pairing is vectorized by bucket-size class with
+    one chunked row-wise dot product.
+    """
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[emb_col])
@@ -675,44 +689,88 @@ def embedding_dup_pairs(
 
     planes_ref = _ray.put(planes)
 
-    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+    def _keys(batch: pd.DataFrame) -> pd.DataFrame:
         P = _ray.get(planes_ref)
         M = np.stack(batch[emb_col].to_numpy())
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         signs = (M @ P) > 0
         bucket = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
-        return pd.DataFrame(
-            {
-                "bucket": bucket,
-                id_col: batch[id_col].to_numpy(),
-                "vec": [v.astype(np.float32).tobytes() for v in M],
-            }
-        )
+        return pd.DataFrame({"bucket": bucket, id_col: batch[id_col].to_numpy()})
 
-    exploded = ds.map_batches(_bucketize, batch_format="pandas")
-
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "cosine": pd.Series([], dtype="float64")}
-        )
-        if len(g) <= 1:
+    keyed = ds.map_batches(_keys, batch_format="pandas").materialize()
+    if keyed.count() <= driver_collect_threshold:
+        df = keyed.to_pandas()
+        surv = df[df.duplicated("bucket", keep=False)]
+    else:
+        counts = keyed.groupby("bucket").aggregate(Count(alias_name="n"))
+        hot = counts.filter(expr="n > 1").to_pandas()
+        if len(hot) == 0:
             return empty
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        M = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
-        S = M @ M.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= cosine_threshold:
-                    rows.append((int(ids[i]), int(ids[j]), float(S[i, j])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]) if rows else empty
+        hot_ref = _ray.put(np.unique(hot["bucket"].to_numpy().astype(np.int64)))
 
-    pairs = (
-        exploded.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas").to_pandas()
+        def _only_hot(batch: pa.Table) -> pa.Table:
+            keys = _ray.get(hot_ref)
+            b = np.asarray(K._as_array(batch["bucket"]), dtype=np.int64)
+            return batch.filter(pa.array(np.isin(b, keys)))
+
+        surv = keyed.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    if len(surv) == 0:
+        return empty
+
+    # re-fetch normalized vectors for survivor ids only
+    cand_ref = _ray.put(np.unique(surv[id_col].to_numpy().astype(np.int64)))
+
+    def _cand_vecs(batch: pd.DataFrame) -> pd.DataFrame:
+        cids = _ray.get(cand_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        mask = np.isin(ids, cids)
+        if not mask.any():
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "vec": []})
+        M = np.stack(batch[emb_col].to_numpy()[mask])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {id_col: ids[mask], "vec": [v.astype(np.float32).tobytes() for v in M]}
+        )
+
+    vec_rows = (
+        ds.map_batches(_cand_vecs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
     )
+    vid = vec_rows[id_col].to_numpy().astype(np.int64)
+    V = np.frombuffer(b"".join(vec_rows["vec"]), dtype=np.float32).reshape(len(vid), -1)
+
+    # vectorized pairing by bucket-size class (each id is in exactly ONE
+    # bucket — a single hash table — so pairs are already unique)
+    surv = surv.sort_values(["bucket", id_col])
+    bkt = surv["bucket"].to_numpy().astype(np.int64)
+    sid = surv[id_col].to_numpy().astype(np.int64)
+    starts = np.nonzero(np.diff(bkt, prepend=bkt[0] - 1))[0]
+    sizes = np.append(starts[1:], len(bkt)) - starts
+    pi_parts: list[np.ndarray] = []
+    pj_parts: list[np.ndarray] = []
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        bs = starts[sizes == m]
+        mat = sid[bs[:, None] + np.arange(m)]
+        iu, ju = np.triu_indices(int(m), k=1)
+        pi_parts.append(mat[:, iu].ravel())
+        pj_parts.append(mat[:, ju].ravel())
+    if not pi_parts:
+        return empty
+    pi = np.concatenate(pi_parts)
+    pj = np.concatenate(pj_parts)
+    ia = np.searchsorted(vid, pi)
+    ib = np.searchsorted(vid, pj)
+    cos = np.empty(len(pi), dtype=np.float64)
+    CH = 500_000
+    for lo in range(0, len(pi), CH):
+        hi = min(lo + CH, len(pi))
+        cos[lo:hi] = np.einsum("ij,ij->i", V[ia[lo:hi]], V[ib[lo:hi]])
+    keep = cos >= cosine_threshold
+    pairs = pd.DataFrame({"id_a": pi[keep], "id_b": pj[keep], "cosine": cos[keep]})
     if len(pairs) == 0:
-        return pairs
+        return empty
     return pairs.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)

@@ -52,25 +52,26 @@ def broadcast_hash_join(
     return big.map_batches(_merge, batch_format="pandas")
 
 
-def _key_set(small, on: str) -> set:
+def _key_set(small, on: str) -> pd.Index:
+    """Hashed index of the small side's keys (vectorized membership)."""
     if isinstance(small, pa.Table):
-        return set(small[on].to_pylist())
+        return pd.Index(small[on].to_pandas())
     if isinstance(small, pd.DataFrame):
-        return set(small[on].tolist())
-    return set(small)
+        return pd.Index(small[on])
+    return pd.Index(list(small))
 
 
 def semi_join(
     big: "ray.data.Dataset", small, on: str
 ) -> "ray.data.Dataset":
     """Rows of ``big`` whose key appears in the small side (broadcast key
-    set; the Bloom-filter variant drops in here at scale)."""
+    index; the Bloom-filter variant drops in here at scale)."""
     keys = ray.put(_key_set(small, on))
 
     def _filter(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys)
         vals = np.asarray(K._as_array(batch[on]))
-        mask = np.fromiter((v in ks for v in vals), bool, len(batch))
+        mask = pd.Index(vals).isin(ks)
         return batch.filter(pa.array(mask))
 
     return big.map_batches(_filter, batch_format="pyarrow")
@@ -85,7 +86,38 @@ def anti_join(
     def _filter(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys)
         vals = np.asarray(K._as_array(batch[on]))
-        mask = np.fromiter((v not in ks for v in vals), bool, len(batch))
+        mask = ~pd.Index(vals).isin(ks)
         return batch.filter(pa.array(mask))
 
     return big.map_batches(_filter, batch_format="pyarrow")
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | Sequence[str],
+    right_on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Distributed hash-shuffle join (``Dataset.join``) for two LARGE
+    sides — both sides are hash-partitioned on the key, so no side needs
+    to fit in memory.  Use :func:`broadcast_hash_join` when one side is a
+    dimension table; use this when both sides scale with the data.
+
+    ``num_partitions`` is the shuffle fan-out — size it to the cluster
+    (partitions ≈ cores; each partition must fit a worker's heap).
+    """
+    lkey = (on,) if isinstance(on, str) else tuple(on)
+    rkey = (
+        None
+        if right_on is None
+        else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=lkey,
+        right_on=rkey,
+    )

@@ -53,24 +53,36 @@ def langid_heuristic(
 ) -> "ray.data.Dataset":
     """Adds ``langid_guess``: argmax of per-language stopword hit counts
     ("unknown" when no language reaches min_hits).  A deliberately simple
-    n-gram-free heuristic — the trained classifier lives in models.LangIdModel."""
+    n-gram-free heuristic — the trained classifier lives in models.LangIdModel.
+
+    Vectorized: tokens flattened once per batch, per-language membership
+    via pandas' hashed ``Index.isin``, per-row counts via a cumsum over
+    the list offsets — no Python lambda per row."""
     langs = sorted(LANG_MARKERS)
 
-    def _f(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].fillna("").str.lower().str.split()
+    def _f(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(K._as_array(batch[text_col]), ""))
+        toks = K._as_array(pc.utf8_split_whitespace(text))
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        start, end = offsets[:-1], offsets[1:]
         scores = np.zeros((len(batch), len(langs)), dtype=np.int64)
-        for j, lang in enumerate(langs):
-            marker = LANG_MARKERS[lang]
-            if marker:
-                scores[:, j] = toks.map(lambda ws: sum(w in marker for w in ws)).to_numpy()
+        if len(flat):
+            idx = pd.Index(np.asarray(flat, dtype=object))
+            for j, lang in enumerate(langs):
+                marker = LANG_MARKERS[lang]
+                if marker:
+                    hit = idx.isin(marker)
+                    csum = np.concatenate([[0], np.cumsum(hit)])
+                    scores[:, j] = csum[end] - csum[start]
         best = scores.argmax(axis=1)
         hits = scores.max(axis=1)
-        batch["langid_guess"] = np.where(
+        guess = np.where(
             hits >= min_hits, np.array(langs, dtype=object)[best], "unknown"
         )
-        return batch
+        return batch.append_column("langid_guess", pa.array(guess, pa.string()))
 
-    return ds.map_batches(_f, batch_format="pandas")
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 def quality_score(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":

@@ -272,47 +272,117 @@ def q_events_sliding(sf_dir: str):
 
 def q_sessions(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the ordered,
-    partitioned-log pattern: groupby(user).map_groups over ts-sorted rows."""
-    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    partitioned-log pattern, fully vectorized: one global sort by
+    (user, ts, event_id) range-partitions the log into ordered contiguous
+    batches; each batch computes its interior session starts with a numpy
+    diff (NO per-group Python), emits per-user partial counts plus its two
+    boundary rows, and the driver stitches batch boundaries (a session
+    start at a batch's first row is revoked when the previous batch ends
+    with the same user within the gap)."""
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
 
-    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff()
-        new_s = gap.isna() | (gap > pd.Timedelta(minutes=30))
-        return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(new_s.sum())]}
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                }
+            )
+        u = np.asarray(K._as_array(batch["user_id"]), dtype=np.int64)
+        ts = np.asarray(pc.cast(K._as_array(batch["ts"]), pa.int64()))  # microseconds
+        eid = np.asarray(K._as_array(batch["event_id"]), dtype=np.int64)
+        new_s = np.ones(n, dtype=bool)
+        new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        users, counts = np.unique(u[new_s], return_counts=True)
+        k = len(users)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(k, np.int8), np.array([1, 2], np.int8)])
+                ),
+                "user_id": pa.array(np.concatenate([users, [u[0], u[-1]]])),
+                "n": pa.array(np.concatenate([counts.astype(np.int64), [0, 0]])),
+                "ts_us": pa.array(
+                    np.concatenate([np.zeros(k, np.int64), [ts[0], ts[-1]]])
+                ),
+                "event_id": pa.array(
+                    np.concatenate([np.zeros(k, np.int64), [eid[0], eid[-1]]])
+                ),
+            }
         )
 
-    return ds.groupby("user_id").map_groups(_per_user, batch_format="pandas")
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    totals = (
+        parts[parts["kind"] == 0]
+        .groupby("user_id", sort=False)["n"]
+        .sum()
+    )
+    firsts = parts[parts["kind"] == 1].sort_values(["user_id", "ts_us", "event_id"])
+    lasts = parts[parts["kind"] == 2].sort_values(["user_id", "ts_us", "event_id"])
+    # batches are contiguous sorted ranges, so sorting boundary rows by key
+    # recovers batch order; revoke the first-row session start of batch i
+    # when batch i-1 ends with the same user within the gap
+    fu = firsts["user_id"].to_numpy()[1:]
+    lu = lasts["user_id"].to_numpy()[:-1]
+    ft = firsts["ts_us"].to_numpy()[1:]
+    lt = lasts["ts_us"].to_numpy()[:-1]
+    revoke = fu[(fu == lu) & ((ft - lt) <= GAP_US)]
+    for user in revoke:
+        totals.loc[user] -= 1
+    out = totals.reset_index().rename(columns={"n": "n_sessions"})
+    return out[["user_id", "n_sessions"]].astype("int64")
 
 
 def q_orders_by_nation(sf_dir: str):
-    """Broadcast hash join chain: orders ⋈ customer ⋈ nation → orders per
-    nation (no joins in the reference — SURVEY §2.3; the broadcast-small-
-    side pattern is the training-pipeline lookup shape)."""
+    """orders ⋈ customer ⋈ nation → orders per nation, all-big-sides
+    distributed: orders pre-aggregated per customer (shuffle moves one row
+    per customer), nation (25 rows — the true dimension table) broadcast
+    into customer, then a hash-shuffle ``Dataset.join`` of the two
+    customer-keyed sides.  Neither orders nor customer ever lands on the
+    driver."""
     import pyarrow.parquet as _pq
 
-    cust = _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    cn = cust.to_pandas().merge(
-        nat.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-    joined = joins.broadcast_hash_join(
-        _t(sf_dir, "orders", ["o_custkey"]), cn, on="o_custkey", how="inner"
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_c"))
     )
-    return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+    nat = (
+        _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+        .to_pandas()
+        .rename(columns={"n_nationkey": "c_nationkey"})
+    )
+    cust = joins.broadcast_hash_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), nat, on="c_nationkey"
+    )
+    joined = joins.hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+    return joined.groupby("n_name").aggregate(Sum("n_c", alias_name="n_orders"))
 
 
 def q_customers_without_urgent(sf_dir: str):
-    """Anti-join: customers with no urgent orders (broadcast key set)."""
-    import pyarrow.parquet as _pq
+    """Anti-join: customers with no urgent orders.  The urgent key set is
+    built DISTRIBUTEDLY (filter + distinct on a pruned read — orders never
+    lands whole on the driver); only the distinct keys are broadcast."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    o = _pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
-    urgent = {
-        ck
-        for ck, pr in zip(o["o_custkey"].to_pylist(), o["o_orderpriority"].to_pylist())
-        if pr == "1-URGENT"
-    }
+    def _urgent(batch: pa.Table) -> pa.Table:
+        m = pc.equal(pc.fill_null(batch["o_orderpriority"], ""), "1-URGENT")
+        return batch.filter(m).select(["o_custkey"])
+
+    urgent = (
+        orders.map_batches(_urgent, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()["o_custkey"]
+    )
     out = joins.anti_join(_t(sf_dir, "customer", ["c_custkey"]), urgent, on="c_custkey")
     return out.select_columns(["c_custkey"])
 
@@ -326,10 +396,13 @@ def q_topk_cosine(sf_dir: str):
     """Exact top-10 cosine neighbours for the first 5 vectors (ids only;
     float64 so ordering matches DuckDB's double list_cosine_similarity)."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # row-group predicate pushdown: only the 5 query vectors leave storage
     qdf = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     ).to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qdf = qdf.sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     res = similarity.topk_cosine(emb, Q, k=10, dtype=np.float64)
     res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
@@ -340,9 +413,11 @@ def q_ivf_topk(sf_dir: str):
     """IVF approximate top-10 (no oracle: approximate by design)."""
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
     ).to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qdf = qdf.sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy())
     res = similarity.ivf_topk(emb, Q, k=10, n_clusters=16, nprobe=4)
     res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]

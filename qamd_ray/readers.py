@@ -1,0 +1,260 @@
+"""Statistical-format readers: Stata ``.dta`` and SAS ``.sas7bdat``.
+
+The reference dispatches on extension to readstat's C parsers
+(/root/reference/src/readstat/read.rs:21-63) and streams cells through one
+handler thread.  Here the pure-Python pandas parsers (public, bundled —
+``pandas.io.stata.StataReader`` / ``pandas.read_sas``) play that role, and
+the result is re-expressed in this engine's model:
+
+* data → an Arrow table / Ray Dataset carrying the global row index
+  (``sources.ROW_COL``), so the whole 16-check registry runs unchanged;
+* header metadata → :class:`healthcheck.TableMeta`: variable labels,
+  value-label sets (keyed like the reference's label-set map,
+  src/readstat/handler.rs:161-184), and Stata tagged missing values
+  (".a"–".z", src/readstat/handler.rs:104-114) — filling the
+  TAGGED_MISSING rank that Parquet/CSV inputs cannot express.
+
+Rendering rules (must match ``kernels.render_values`` — value identity in
+the reference is string-rendering equality, src/model/anyvalue.rs:82-94):
+
+* integer columns render bare ("1"); float columns render "1.0" for
+  integral values;
+* system missing ('.') renders "" (the SYSTEM_MISSING rule);
+* tagged missing ('.a'..'.z') renders as its tag string, the column is
+  emitted as a STRING column of rendered values (Arrow numerics cannot
+  carry tags), and the variable keeps its declared "Numeric" type via
+  the sidecar metadata — exactly how the reference keeps
+  Value::TaggedMissing alongside numeric values.
+
+A ``.dta``/``.sas7bdat`` file is a single-machine artifact (the reference
+reads it fully in RAM; these parsers are not splittable), so one file is
+read in one task; many files parallelize per file.  For corpus-scale
+inputs convert to Parquet once and use :mod:`qamd_ray.sources`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .healthcheck import TableMeta, VariableMeta
+from .sources import ROW_COL, _expand
+
+
+def _render_float(v: float) -> str:
+    """Scalar twin of kernels.render_values' float rule."""
+    if np.isnan(v):
+        return ""
+    if v == int(v) and abs(v) < 1e16:
+        return f"{int(v)}.0"
+    return repr(float(v))
+
+
+def _render_label_key(v, float_like: bool) -> str:
+    """Render a Stata value-label KEY the way the column's cells render."""
+    if isinstance(v, str):
+        return v
+    f = float(v)
+    if float_like:
+        return _render_float(f)
+    return str(int(f))
+
+
+def _column_to_arrow(
+    s: "pd.Series",
+) -> tuple[pa.Array, set[str], str, bool]:
+    """pandas column (convert_missing=True) → (array, tags, type_, float_like).
+
+    * numeric without tags → native Arrow numerics, NaN ⇒ null;
+    * numeric WITH tags → rendered string column + the tag set;
+    * strings → string column (Stata has no tagged missing for strings).
+    """
+    from pandas.io.stata import StataMissingValue
+
+    if pd.api.types.is_float_dtype(s.dtype):
+        return pa.array(s.to_numpy(dtype="float64"), pa.float64()), set(), "Numeric", True
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return pa.array(s.to_numpy(dtype="int64"), pa.int64()), set(), "Numeric", False
+    # object: strings, or numerics mixed with StataMissingValue
+    vals = s.to_numpy(dtype=object)
+    has_smv = any(isinstance(v, StataMissingValue) for v in vals)
+    if not has_smv:
+        return (
+            pa.array([None if v is None else str(v) for v in vals], pa.string()),
+            set(),
+            "Text",
+            False,
+        )
+    tags: set[str] = set()
+    out: list[str] = []
+    for v in vals:
+        if isinstance(v, StataMissingValue):
+            t = str(v)
+            if t == ".":
+                out.append("")  # system missing renders "" (csv/read.rs:112-115)
+            else:
+                tags.add(t)
+                out.append(t)
+        elif isinstance(v, (float, np.floating)):
+            out.append(_render_float(float(v)))
+        elif isinstance(v, (int, np.integer)):
+            out.append(_render_float(float(v)))  # numeric column ⇒ float rendering
+        elif v is None:
+            out.append("")
+        else:
+            out.append(str(v))
+    return pa.array(out, pa.string()), tags, "Numeric", True
+
+
+def read_stata_file(path: str) -> tuple[pa.Table, TableMeta]:
+    """One ``.dta`` file → (Arrow table with ``__row__``, TableMeta).
+
+    E2E anchor parity (read.rs:141-194: mtcars.dta → variable_count,
+    case_count, labels): ``meta.variables``/``value_labels`` carry what
+    readstat's metadata handler would, TAGGED_MISSING is derivable, and
+    the row index restores the reference's streaming row numbers.
+    """
+    from pandas.io.stata import StataReader
+
+    with StataReader(
+        path, convert_missing=True, convert_categoricals=False
+    ) as rdr:
+        df = rdr.read()
+        var_labels = rdr.variable_labels()
+        raw_value_labels = rdr.value_labels()
+        file_label = rdr.data_label or ""
+        # per-variable label-set key + display format (private but stable
+        # pandas attributes; absent ⇒ degrade to column-name keying)
+        lbllist = list(getattr(rdr, "_lbllist", []) or [])
+        varlist = list(getattr(rdr, "_varlist", []) or list(df.columns))
+        fmtlist = list(getattr(rdr, "_fmtlist", []) or [""] * len(varlist))
+
+    label_key_of = dict(zip(varlist, lbllist)) if lbllist else {}
+    fmt_of = dict(zip(varlist, fmtlist))
+
+    arrays: dict[str, pa.Array] = {}
+    variables: list[VariableMeta] = []
+    tagged: dict[str, set[str]] = {}
+    float_like_of: dict[str, bool] = {}
+    for i, name in enumerate(df.columns):
+        arr, tags, type_, float_like = _column_to_arrow(df[name])
+        arrays[str(name)] = arr
+        float_like_of[str(name)] = float_like
+        if tags:
+            tagged[str(name)] = tags
+        variables.append(
+            VariableMeta(
+                index=i,
+                name=str(name),
+                label=var_labels.get(name, "") or "",
+                type_=type_,
+                value_format=fmt_of.get(name, "") or "",
+                value_labels=label_key_of.get(name, "") or "",
+            )
+        )
+
+    # label sets: {set key: {rendered value: label}} — keys rendered the way
+    # the labelled column's cells render (int vs float rule)
+    key_float_like = {
+        v.value_labels: float_like_of.get(v.name, False)
+        for v in variables
+        if v.value_labels
+    }
+    value_labels = {
+        str(setname): {
+            _render_label_key(k, key_float_like.get(str(setname), False)): str(lab)
+            for k, lab in mapping.items()
+        }
+        for setname, mapping in raw_value_labels.items()
+    }
+
+    table = pa.table(arrays).append_column(
+        ROW_COL, pa.array(np.arange(len(df), dtype=np.int64))
+    )
+    meta = TableMeta(
+        variables=variables,
+        value_labels=value_labels,
+        tagged_missing=tagged,
+        file_name=os.path.basename(path),
+        file_label=file_label,
+    )
+    return table, meta
+
+
+def read_sas_file(path: str) -> tuple[pa.Table, TableMeta]:
+    """One ``.sas7bdat``/``.xpt`` file → (Arrow table with ``__row__``,
+    TableMeta).  SAS carries column labels but no value-label sets or
+    tagged missing (read.rs:58-63 parity)."""
+    df = pd.read_sas(path)
+    arrays: dict[str, pa.Array] = {}
+    variables: list[VariableMeta] = []
+    for i, name in enumerate(df.columns):
+        s = df[name]
+        if pd.api.types.is_numeric_dtype(s.dtype):
+            arrays[str(name)] = pa.array(s.to_numpy(dtype="float64"), pa.float64())
+            type_ = "Numeric"
+        else:
+            vals = [
+                v.decode("utf-8", "replace") if isinstance(v, bytes) else
+                (None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+                for v in s.to_numpy(dtype=object)
+            ]
+            arrays[str(name)] = pa.array(vals, pa.string())
+            type_ = "Text"
+        variables.append(VariableMeta(index=i, name=str(name), type_=type_))
+    table = pa.table(arrays).append_column(
+        ROW_COL, pa.array(np.arange(len(df), dtype=np.int64))
+    )
+    return table, TableMeta(variables=variables, file_name=os.path.basename(path))
+
+
+_READERS = {
+    ".dta": read_stata_file,
+    ".sas7bdat": read_sas_file,
+    ".xpt": read_sas_file,
+}
+
+
+def read_stat_table(
+    paths: str | Sequence[str],
+) -> tuple["ray.data.Dataset", TableMeta]:
+    """Extension dispatch for statistical formats (read.rs:21-39): every
+    file becomes one Arrow block (files parallelize; one file is one
+    reader task since these formats are not splittable).  Metadata comes
+    from the FIRST file; row indices are global across sorted files."""
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no input files under {paths!r}")
+    exts = {os.path.splitext(f)[1].lower() for f in files}
+    if len(exts) > 1 or next(iter(exts)) not in _READERS:
+        raise ValueError(
+            f"unsupported statistical input extension(s) {sorted(exts)}; "
+            f"expected one of {sorted(_READERS)}"
+        )
+    reader = _READERS[next(iter(exts))]
+    tables: list[pa.Table] = []
+    meta: Optional[TableMeta] = None
+    offset = 0
+    for f in files:
+        t, m = reader(f)
+        if meta is None:
+            meta = m
+        else:  # union tagged codes across files; first file wins elsewhere
+            for name, tags in m.tagged_missing.items():
+                meta.tagged_missing.setdefault(name, set()).update(tags)
+        if offset:
+            t = t.set_column(
+                t.schema.get_field_index(ROW_COL),
+                ROW_COL,
+                pa.array(np.arange(offset, offset + len(t), dtype=np.int64)),
+            )
+        offset += len(t)
+        tables.append(t)
+    assert meta is not None
+    return ray.data.from_arrow(tables), meta

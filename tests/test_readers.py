@@ -1,0 +1,105 @@
+"""Statistical-format readers: .dta parity with the reference's e2e anchor
+(/root/reference/src/readstat/read.rs:141-194 asserts variable_count /
+case_count / labels for mtcars.dta) plus TAGGED_MISSING derivation
+(src/readstat/handler.rs:104-114)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from qamd_ray.healthcheck import (
+    TAGGED_MISSING,
+    SYSTEM_MISSING,
+    _missing_rank_for,
+    health_check,
+)
+from qamd_ray.readers import read_stat_table, read_stata_file
+
+
+@pytest.fixture(scope="module")
+def dta_path(tmp_path_factory):
+    """A .dta with variable labels, value labels, system missing, and one
+    tagged missing (int16 sentinel 31000 byte-patched to .a = 32742 —
+    pandas cannot WRITE tagged missing; the patch is validated by pandas
+    itself reading the tag back)."""
+    path = str(tmp_path_factory.mktemp("dta") / "t.dta")
+    df = pd.DataFrame(
+        {
+            "age": np.array([34.0, 67.0, np.nan, 21.5], dtype="float64"),
+            "grp": np.array([1, 2, 1, 2], dtype="int8"),
+            "score": np.array([10, 31000, 25, 12], dtype="int16"),
+            "name": ["ann", "bob", "", "zoe"],
+        }
+    )
+    df.to_stata(
+        path,
+        write_index=False,
+        version=117,
+        variable_labels={"age": "Age in years", "grp": "Group code"},
+        value_labels={"grp": {1: "control", 2: "treatment"}},
+        data_label="test file",
+    )
+    raw = open(path, "rb").read()
+    pat = (31000).to_bytes(2, "little")
+    rep = (32742).to_bytes(2, "little")  # int16 '.a'
+    assert raw.count(pat) == 1
+    open(path, "wb").write(raw.replace(pat, rep))
+    return path
+
+
+def test_read_stata_meta_and_rendering(dta_path):
+    t, meta = read_stata_file(dta_path)
+    # e2e anchor shape (read.rs:148-181): counts + labels + formats
+    assert len(meta.variables) == 4 and len(t) == 4
+    by_name = {v.name: v for v in meta.variables}
+    assert by_name["age"].label == "Age in years"
+    assert by_name["age"].type_ == "Numeric"
+    assert by_name["name"].type_ == "Text"
+    assert meta.file_label == "test file"
+    # value labels keyed by label-set, rendered like the column's cells
+    assert meta.value_labels[by_name["grp"].value_labels] == {
+        "1": "control",
+        "2": "treatment",
+    }
+    # rendering identity (anyvalue.rs:25-41): float "34.0", sysmiss "",
+    # tagged ".a"
+    assert t["age"].to_pylist() == ["34.0", "67.0", "", "21.5"]
+    assert t["score"].to_pylist() == ["10.0", ".a", "25.0", "12.0"]
+    assert meta.tagged_missing == {"score": {".a"}}
+    assert t["__row__"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_tagged_missing_rank(dta_path):
+    t, meta = read_stata_file(dta_path)
+    rank = _missing_rank_for(
+        t["score"].combine_chunks(),
+        set(),
+        True,
+        meta.tagged_missing["score"],
+    )
+    assert list(rank) == [0, TAGGED_MISSING, 0, 0]
+    rank_age = _missing_rank_for(t["age"].combine_chunks(), set(), True)
+    assert list(rank_age) == [0, 0, SYSTEM_MISSING, 0]
+
+
+def test_health_check_over_dta(dta_path, ray_session):
+    from qamd_ray.gen_config import default_config
+
+    ds, meta = read_stat_table(dta_path)
+    report = health_check(ds, default_config(), meta=meta)
+    md = report.metadata
+    assert md.raw_case_count == 4
+    assert md.variable_count == 4
+    assert md.data_type_occurrences == {"Text": 1, "Numeric": 3}
+    # MissingVariableLabels (C2): score + name carry no label → 2 fail
+    assert report.summary["MissingVariableLabels"].fail == 2
+
+
+def test_read_stat_table_dispatch_errors(tmp_path):
+    bad = tmp_path / "t.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="unsupported statistical"):
+        read_stat_table(str(bad))
+    with pytest.raises(FileNotFoundError):
+        read_stat_table(str(tmp_path / "missing.dta"))
