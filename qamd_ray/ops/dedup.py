@@ -434,6 +434,80 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """EXACT char-k-gram Jaccard pairs ≥ threshold, computed distributedly:
+    explode each doc to its distinct grams, hash-shuffle self-join on gram
+    (``Dataset.join``), count shared grams per pair, then
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` with the per-doc gram counts broadcast.
+
+    This is the SQL-expressible twin of :func:`minhash_lsh_pairs` (the
+    driver's value-checked oracle for near-dup detection).  All-pairs over
+    common grams is quadratic in near-dup cluster size — run it on
+    bounded subsets; the LSH ops are the corpus-scale path.
+    Grams are CHARACTER-based (DuckDB ``substr`` semantics).
+    """
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        out_ids: list[int] = []
+        out_grams: list[str] = []
+        for i, t in zip(ids, texts):
+            gs = {t[j : j + k] for j in range(len(t) - k + 1)}
+            out_ids.extend([int(i)] * len(gs))
+            out_grams.extend(gs)
+        return pa.table(
+            {id_col: pa.array(out_ids, pa.int64()), "gram": pa.array(out_grams, pa.string())}
+        )
+
+    g = ds.map_batches(_grams, batch_format="pyarrow").materialize()
+    counts = (
+        g.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
+    )
+    n_of = pd.Series(
+        counts["n"].to_numpy(np.int64), index=counts[id_col].to_numpy(np.int64)
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["id_b", "gram"])
+
+    right = g.map_batches(_rename, batch_format="pyarrow")
+    joined = g.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("gram",)
+    )
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        a = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        b = np.asarray(K._as_array(batch["id_b"]), dtype=np.int64)
+        keep = a < b
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+
+    inter = (
+        joined.map_batches(_ordered, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="inter_n"))
+        .to_pandas()
+    )
+    if len(inter) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+    na = n_of.reindex(inter["id_a"]).to_numpy(np.float64)
+    nb = n_of.reindex(inter["id_b"]).to_numpy(np.float64)
+    i_n = inter["inter_n"].to_numpy(np.float64)
+    jac = i_n / (na + nb - i_n)
+    out = inter.loc[jac >= threshold, ["id_a", "id_b"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact char-k-gram Jaccard — the verification kernel for candidate
     pairs (and a standalone exact measure for small inputs)."""

@@ -443,6 +443,14 @@ def q_simhash_pairs(sf_dir: str):
     )
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT char-3-gram Jaccard near-dup pairs over the first 100 docs —
+    the value-checked oracle twin of minhash_pairs (distributed gram
+    self-join via Dataset.join; DuckDB twin uses substr + self-join)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).filter(expr="doc_id < 100")
+    return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.5)
+
+
 def q_embedding_dups(sf_dir: str):
     pairs = dedup.embedding_dup_pairs(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), cosine_threshold=0.95
@@ -557,6 +565,7 @@ QUERIES = {
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
     "rule_flags": q_rule_flags,
@@ -657,6 +666,20 @@ ORACLES = {
         "CAST(min(c) AS BIGINT) AS min_occ, CAST(max(c) AS BIGINT) AS max_occ "
         "FROM (SELECT source, text, count(*) OVER (PARTITION BY source, coalesce(text,'')) AS c "
         "      FROM documents) GROUP BY source"
+    ),
+    "jaccard_pairs": (
+        "WITH g AS ("
+        "  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram"
+        "  FROM (SELECT doc_id, coalesce(text,'') AS text,"
+        "               unnest(range(1, length(coalesce(text,'')) - 1)) AS i"
+        "        FROM documents WHERE doc_id < 100)"
+        "), c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n"
+        "  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2"
+        ") SELECT id_a, id_b FROM inter "
+        "JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b "
+        "WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5"
     ),
     "topk_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "

@@ -64,6 +64,18 @@ def test_minhash_lsh_finds_near_dups(near_dup_table):
     assert 1 not in ids and 3 not in ids and 0 in ids and 2 in ids
 
 
+def test_ngram_jaccard_pairs_distributed(near_dup_table):
+    """Distributed exact-Jaccard (gram self-join) finds the planted pairs
+    and agrees with the scalar kernel on the values."""
+    ds = ray.data.from_arrow(near_dup_table)
+    pairs = dedup.ngram_jaccard_pairs(ds, k=5, threshold=0.8)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got and (2, 3) in got
+    texts = near_dup_table["text"].to_pylist()
+    for a, b in got:
+        assert dedup.ngram_jaccard(texts[a], texts[b], 5) >= 0.8
+
+
 def test_ngram_jaccard_exact():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("", "") == 1.0
