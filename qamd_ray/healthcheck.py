@@ -227,7 +227,16 @@ def health_check(
     if isinstance(source, (str, list, tuple)):
         first = str(source if isinstance(source, str) else source[0])
         default_name = first.split("/")[-1]
-        if first.lower().endswith(".csv"):
+        if first.lower().endswith((".dta", ".sas7bdat", ".xpt")):
+            # statistical formats: full dispatch incl. header metadata
+            # (labels, value labels, tagged missing) — read.rs:21-39
+            from .readers import read_stat_table
+
+            ds, file_meta = read_stat_table(source)
+            if meta is None:
+                meta = file_meta
+            n_rows = ds.count()
+        elif first.lower().endswith(".csv"):
             # CSV path (reference csv/read.rs loads the whole file in
             # memory — twice; we load once): pyarrow CSV reader with all
             # columns as strings (CSV columns are always Text,

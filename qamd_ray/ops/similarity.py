@@ -5,13 +5,21 @@
   re-shipped per batch), per-batch top-k partials merged on the driver.
   The full dataset is never materialized; the driver holds only
   O(batches × k) candidate rows.
-* ``ivf_topk``     — the scale path: deterministic k-means centroids from a
-  sample, vectors bucketed by nearest centroid (one shuffle-free pass —
-  the bucket id is just a column), queries probe the ``nprobe`` nearest
-  centroid buckets only.
+* ``ivf_topk``     — in-pass approximation: deterministic k-means
+  centroids from a sample, vectors bucketed by nearest centroid (the
+  bucket id is just a column), queries probe the ``nprobe`` nearest
+  centroid buckets only — but every batch is still SCANNED.
+* ``ivf_build`` / ``ivf_query`` — the true scale path: the index is
+  PERSISTED as Parquet partitioned by centroid bucket (one directory per
+  bucket) + a centroids file; queries read ONLY the probed bucket
+  partitions (partition pruning at the read), so query cost is
+  O(probed fraction of the corpus), not O(corpus).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -135,6 +143,133 @@ def ivf_topk(
         return pd.concat(out, ignore_index=True)
 
     parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index: partitioned storage + partition-pruned queries
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 3,
+) -> np.ndarray:
+    """Build a persistent IVF index under ``index_dir``:
+
+    * ``centroids.npy`` — deterministic k-means centroids from a sample;
+    * ``vectors/bucket=<c>/...parquet`` — every vector (normalized,
+      float32 bytes) written partitioned by nearest-centroid bucket.
+
+    One streaming pass over the input; the shuffle-free bucket assignment
+    is just a column, and the partitioned write gives queries partition
+    pruning.  Returns the centroid matrix.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    sample_rows = ds.limit(sample_size).to_pandas()
+    C = kmeans_centroids(
+        np.stack(sample_rows[emb_col].to_numpy()), n_clusters, seed=seed
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    c_ref = ray.put(C)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        bucket = (M @ Cm.T).argmax(axis=1).astype(np.int32)
+        # bucket appears twice: as the hive partition key (directory
+        # pruning) and as a physical column (the per-row probe mask at
+        # query time — hive writers drop partition keys from the files)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "vec": [v.tobytes() for v in M],
+                "b": bucket,
+                "bucket": bucket,
+            }
+        )
+
+    ds.map_batches(_assign, batch_format="pandas").write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"dim": int(C.shape[1]), "n_clusters": int(len(C)), "id_col": id_col}, f)
+    return C
+
+
+def ivf_query(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the probed bucket partitions
+    (partition pruning at the read), exact cosine within them."""
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col, dim = meta["id_col"], meta["dim"]
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    # explicit partition pruning: only the probed bucket directories are
+    # ever opened (empty buckets simply have no directory)
+    import glob as _glob
+
+    dirs = [
+        f
+        for b in wanted
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "vectors", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not dirs:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    vec_ds = ray.data.read_parquet(dirs)
+    q_ref = ray.put(Q)
+    probe_ref = ray.put([set(map(int, row)) for row in probe])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm, probes = ray.get(q_ref), ray.get(probe_ref)
+        M = np.frombuffer(b"".join(batch["vec"]), dtype=np.float32).reshape(-1, dim)
+        ids = batch[id_col].to_numpy()
+        buckets = batch["b"].to_numpy().astype(np.int64)
+        out = []
+        for qi in range(len(Qm)):
+            mask = np.isin(buckets, list(probes[qi]))
+            if not mask.any():
+                continue
+            s = M[mask] @ Qm[qi]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[mask][part], "cosine": s[part]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = vec_ds.map_batches(_partial, batch_format="pandas").to_pandas()
     parts = parts.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )

@@ -1,0 +1,52 @@
+"""Per-group top-k (heavy hitters per key).
+
+Ray Data has global ``sort + limit`` but no per-group top-k; this is the
+combiner-shaped version: every batch emits AT MOST ``k`` rows per group it
+contains (a partial top-k — the per-batch combiner of SURVEY.md §4), so
+the collected table is bounded by O(groups × k × batches), never O(rows).
+The final per-group selection runs on that bounded table.
+
+Determinism: callers must pass ``tiebreak`` columns that make the order
+total (e.g. the entity id) — otherwise equal scores at the k boundary
+would depend on batch layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+import ray.data
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_cols: Sequence[str],
+    sort_col: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> pd.DataFrame:
+    """Top ``k`` rows per group ordered by ``sort_col`` (desc by default),
+    ties broken by ``tiebreak`` ascending.  → small pandas frame."""
+    group_cols = list(group_cols)
+    order_cols = [sort_col, *tiebreak]
+    order_asc = [ascending] + [True] * len(tiebreak)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(order_cols, ascending=order_asc)
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    part = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return (
+        part.sort_values(order_cols, ascending=order_asc)
+        .groupby(group_cols, sort=False)
+        .head(k)
+        .sort_values(group_cols + order_cols)
+        .reset_index(drop=True)
+    )

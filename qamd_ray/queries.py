@@ -241,6 +241,21 @@ def q_top_users(sf_dir: str):
     return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
 
 
+def q_top_users_by_type(sf_dir: str):
+    """Per-group top-k (heavy hitters): top-3 users per event_type.
+    Grouped count shuffle → per-batch partial top-k combiner → bounded
+    final selection (ops.topk.grouped_topk)."""
+    from .ops.topk import grouped_topk
+
+    counts = (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+    out = grouped_topk(counts, ["event_type"], "n", 3, tiebreak=["user_id"])
+    return out[["event_type", "user_id", "n"]]
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (60-min window, 30-min slide): each event lands in
     two windows — a flat-map-shaped map_batches duplicating rows with
@@ -424,6 +439,28 @@ def q_ivf_topk(sf_dir: str):
     return res[["query_id", "vec_id"]].astype("int64")
 
 
+def q_ivf_index_topk(sf_dir: str):
+    """Persistent IVF index: built once per sf_dir under /tmp (Parquet
+    partitioned by centroid bucket), queried with partition pruning —
+    only probed bucket directories are read (no oracle: approximate)."""
+    import hashlib as _hl
+    import os as _os
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = emb.count()
+    idx = f"/tmp/qamd_ivf_{_hl.md5(f'{sf_dir}:{n}'.encode()).hexdigest()[:10]}"
+    if not _os.path.isdir(_os.path.join(idx, "vectors")):
+        similarity.ivf_build(emb, idx, n_clusters=16)
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    ).to_pandas().sort_values("vec_id")
+    res = similarity.ivf_query(idx, np.stack(qdf["embedding"].to_numpy()), k=10, nprobe=4)
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    return res[["query_id", "vec_id"]].astype("int64")
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
     pairs = dedup.minhash_lsh_pairs(
@@ -560,10 +597,12 @@ QUERIES = {
     "sessions": q_sessions,
     "events_sliding": q_events_sliding,
     "top_users": q_top_users,
+    "top_users_by_type": q_top_users_by_type,
     "orders_by_nation": q_orders_by_nation,
     "customers_without_urgent": q_customers_without_urgent,
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
+    "ivf_index_topk": q_ivf_index_topk,
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -623,6 +662,13 @@ ORACLES = {
     "top_users": (
         "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
         "ORDER BY n DESC, user_id LIMIT 10"
+    ),
+    "top_users_by_type": (
+        "SELECT event_type, user_id, n FROM ("
+        "  SELECT event_type, user_id, count(*) AS n FROM events "
+        "  GROUP BY event_type, user_id"
+        ") QUALIFY row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY n DESC, user_id) <= 3"
     ),
     "events_sliding": (
         "SELECT to_timestamp(w / 1000000.0)::TIMESTAMP AS window_start, event_type, "

@@ -143,6 +143,29 @@ def test_ivf_topk_recall():
     assert np.mean(recalls) >= 0.6  # nprobe=4/8 buckets: decent recall
 
 
+def test_ivf_persistent_index(tmp_path):
+    """ivf_build/ivf_query: partitioned index on disk, partition-pruned
+    query, recall vs exact; identical probe set ⇒ identical results to the
+    in-pass ivf_topk."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    Q = M[:5]
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build(emb, idx, n_clusters=8)
+    # bucket-partitioned layout on disk
+    import glob as _glob
+
+    parts = _glob.glob(f"{idx}/vectors/bucket=*")
+    assert len(parts) >= 2
+    got = similarity.ivf_query(idx, Q, k=10, nprobe=4)
+    inpass = similarity.ivf_topk(emb, Q, k=10, n_clusters=8, nprobe=4)
+    for qi in range(5):
+        g = set(got[got["query_id"] == qi]["vec_id"])
+        e = set(inpass[inpass["query_id"] == qi]["vec_id"])
+        assert g == e  # same centroids/probes ⇒ same candidate set
+
+
 def test_token_count_and_fingerprint(docs):
     out = textstats.token_count(docs, "text").to_pandas()
     df = docs.to_pandas()

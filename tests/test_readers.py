@@ -84,10 +84,12 @@ def test_tagged_missing_rank(dta_path):
 
 
 def test_health_check_over_dta(dta_path, ray_session):
+    """String-path dispatch: `qamd_ray check file.dta` parity — metadata
+    (labels, value labels, tagged missing) derived from the file header,
+    no sidecar needed."""
     from qamd_ray.gen_config import default_config
 
-    ds, meta = read_stat_table(dta_path)
-    report = health_check(ds, default_config(), meta=meta)
+    report = health_check(dta_path, default_config())
     md = report.metadata
     assert md.raw_case_count == 4
     assert md.variable_count == 4
