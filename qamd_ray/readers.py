@@ -214,8 +214,236 @@ def read_sas_file(path: str) -> tuple[pa.Table, TableMeta]:
     return table, TableMeta(variables=variables, file_name=os.path.basename(path))
 
 
+# ---------------------------------------------------------------------------
+# SPSS .sav — pure-Python system-file parser (format publicly documented in
+# the PSPP manual, "System File Format"; reference parses it via readstat's
+# C library, src/readstat/read.rs:51-58)
+# ---------------------------------------------------------------------------
+
+
+def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
+    """One ``.sav`` system file → (Arrow table with ``__row__``, TableMeta).
+
+    Supports the common layout: header ($FL2, layout_code 2), numeric and
+    string variables (with continuation records), variable labels,
+    discrete user-missing declarations (ranges are skipped with the pair
+    recorded as rendered endpoints — the rendered-value model cannot
+    express an interval), value-label records, type-7 extensions
+    (skipped), and both uncompressed (0) and bytecode-compressed (1)
+    data.  Big-endian files are handled via the layout_code byte-order
+    probe.
+    """
+    import struct
+
+    buf = open(path, "rb").read()
+    if buf[:4] != b"$FL2":
+        raise ValueError(f"{path}: not an SPSS system file (missing $FL2)")
+    # byte order probe: layout_code is 2 (or 3) in the file's own order
+    for bo in ("<", ">"):
+        (layout,) = struct.unpack_from(bo + "i", buf, 64)
+        if layout in (2, 3):
+            break
+    else:
+        raise ValueError(f"{path}: unrecognized layout_code")
+    (_layout, _nominal, compression, _weight, ncases) = struct.unpack_from(
+        bo + "5i", buf, 64
+    )
+    (bias,) = struct.unpack_from(bo + "d", buf, 84)
+    file_label = buf[109:173].decode("latin-1").strip()
+    off = 176
+
+    names: list[str] = []
+    widths: list[int] = []  # 0 = numeric, >0 = string width
+    var_labels: list[str] = []
+    missing_by_var: dict[int, set[str]] = {}
+    dict_index_to_var: dict[int, int] = {}  # 1-based dictionary slot → var #
+    value_label_sets: list[tuple[dict[bytes, str], list[int]]] = []
+    dict_slot = 0
+
+    def _align4(n: int) -> int:
+        return (n + 3) & ~3
+
+    while off < len(buf):
+        (rec,) = struct.unpack_from(bo + "i", buf, off)
+        off += 4
+        if rec == 2:  # variable record
+            typ, has_label, n_missing, _pf, _wf = struct.unpack_from(
+                bo + "5i", buf, off
+            )
+            off += 20
+            name = buf[off : off + 8].decode("latin-1").strip()
+            off += 8
+            label = ""
+            if has_label:
+                (llen,) = struct.unpack_from(bo + "i", buf, off)
+                off += 4
+                label = buf[off : off + llen].decode("latin-1").strip()
+                off += _align4(llen)
+            dict_slot += 1
+            if typ == -1:  # continuation of a long string — occupies a slot
+                off += 8 * abs(n_missing)
+                continue
+            vals = [
+                struct.unpack_from(bo + "d", buf, off + 8 * j)[0]
+                for j in range(abs(n_missing))
+            ]
+            off += 8 * abs(n_missing)
+            var_no = len(names)
+            dict_index_to_var[dict_slot] = var_no
+            names.append(name)
+            widths.append(max(typ, 0))
+            var_labels.append(label)
+            if n_missing > 0:  # discrete declared-missing values
+                missing_by_var[var_no] = {
+                    _render_float(v) if typ == 0 else str(v) for v in vals
+                }
+            elif n_missing < 0 and vals:  # range (+ optional discrete)
+                missing_by_var[var_no] = {_render_float(v) for v in vals[2:]}
+        elif rec == 3:  # value labels, then a type-4 variable-index record
+            (count,) = struct.unpack_from(bo + "i", buf, off)
+            off += 4
+            labels: dict[bytes, str] = {}
+            for _ in range(count):
+                raw = buf[off : off + 8]
+                off += 8
+                llen = buf[off]
+                off += 1
+                lab = buf[off : off + llen].decode("latin-1").strip()
+                # value (8) + len byte + label padded to a multiple of 8
+                off += ((llen + 1 + 7) & ~7) - 1
+                labels[raw] = lab
+            (rec4,) = struct.unpack_from(bo + "i", buf, off)
+            off += 4
+            var_idx: list[int] = []
+            if rec4 == 4:
+                (nv,) = struct.unpack_from(bo + "i", buf, off)
+                off += 4
+                var_idx = list(struct.unpack_from(bo + f"{nv}i", buf, off))
+                off += 4 * nv
+            value_label_sets.append((labels, var_idx))
+        elif rec == 6:  # documents
+            (n_lines,) = struct.unpack_from(bo + "i", buf, off)
+            off += 4 + 80 * n_lines
+        elif rec == 7:  # extension
+            _sub, size, cnt = struct.unpack_from(bo + "3i", buf, off)
+            off += 12 + size * cnt
+        elif rec == 999:
+            off += 4  # filler
+            break
+        else:
+            raise ValueError(f"{path}: unknown record type {rec} at {off - 4}")
+
+    # ---- data ------------------------------------------------------------
+    n_vars = len(names)
+    segs = [max(1, (w + 7) // 8) for w in widths]  # 8-byte slots per variable
+    SYSMIS = struct.unpack(bo + "d", b"\xff\xff\xff\xff\xff\xff\xef\xff"
+                           if bo == "<" else b"\xff\xef\xff\xff\xff\xff\xff\xff")[0]
+
+    def _raw_blocks():
+        nonlocal off
+        if compression == 0:
+            while off + 8 <= len(buf):
+                yield buf[off : off + 8]
+                off += 8
+        else:  # bytecode compression (bias-coded small integers)
+            cmds: list[int] = []
+            while True:
+                if not cmds:
+                    if off + 8 > len(buf):
+                        return
+                    cmds = list(buf[off : off + 8])
+                    off += 8
+                c = cmds.pop(0)
+                if c == 0:
+                    continue
+                if c == 252:
+                    return
+                if c == 253:
+                    yield buf[off : off + 8]
+                    off += 8
+                elif c == 254:
+                    yield b" " * 8
+                elif c == 255:
+                    yield struct.pack(bo + "d", SYSMIS)
+                else:
+                    yield struct.pack(bo + "d", float(c) - bias)
+
+    blocks = _raw_blocks()
+    cols: list[list] = [[] for _ in range(n_vars)]
+    try:
+        for _case in range(ncases if ncases >= 0 else 10**18):
+            row_vals = []
+            for vi in range(n_vars):
+                raw = [next(blocks) for _ in range(segs[vi])]
+                if widths[vi] == 0:
+                    (v,) = struct.unpack(bo + "d", raw[0])
+                    row_vals.append(None if v == SYSMIS else v)
+                else:
+                    s = b"".join(raw)[: widths[vi]].decode("latin-1").rstrip()
+                    row_vals.append(s)
+            for vi, v in enumerate(row_vals):
+                cols[vi].append(v)
+    except StopIteration:
+        pass
+
+    arrays: dict[str, pa.Array] = {}
+    variables: list[VariableMeta] = []
+    value_labels: dict[str, dict[str, str]] = {}
+    # label sets keyed "ls<k>"; attach the key to each labelled variable
+    label_key_by_var: dict[int, str] = {}
+    for k, (labels, var_idx) in enumerate(value_label_sets):
+        key = f"ls{k}"
+        rendered: dict[str, str] = {}
+        for raw, lab in labels.items():
+            # keys are raw 8-byte slots: doubles for numeric variables,
+            # space-padded bytes for short strings — resolve per first
+            # labelled variable's type
+            first_var = dict_index_to_var.get(var_idx[0], 0) if var_idx else 0
+            if widths[first_var] == 0:
+                (v,) = struct.unpack(bo + "d", raw)
+                rendered[_render_float(v)] = lab
+            else:
+                rendered[raw.decode("latin-1").rstrip()] = lab
+        value_labels[key] = rendered
+        for di in var_idx:
+            if di in dict_index_to_var:
+                label_key_by_var[dict_index_to_var[di]] = key
+
+    defined_missing: dict[str, set[str]] = {}
+    for vi in range(n_vars):
+        if widths[vi] == 0:
+            arrays[names[vi]] = pa.array(cols[vi], pa.float64())
+            type_ = "Numeric"
+        else:
+            arrays[names[vi]] = pa.array(cols[vi], pa.string())
+            type_ = "Text"
+        if vi in missing_by_var and missing_by_var[vi]:
+            defined_missing[names[vi]] = missing_by_var[vi]
+        variables.append(
+            VariableMeta(
+                index=vi,
+                name=names[vi],
+                label=var_labels[vi],
+                type_=type_,
+                value_labels=label_key_by_var.get(vi, ""),
+            )
+        )
+    table = pa.table(arrays).append_column(
+        ROW_COL, pa.array(np.arange(len(cols[0]) if cols else 0, dtype=np.int64))
+    )
+    meta = TableMeta(
+        variables=variables,
+        value_labels=value_labels,
+        defined_missing=defined_missing,
+        file_name=os.path.basename(path),
+        file_label=file_label,
+    )
+    return table, meta
+
+
 _READERS = {
     ".dta": read_stata_file,
+    ".sav": read_sav_file,
     ".sas7bdat": read_sas_file,
     ".xpt": read_sas_file,
 }

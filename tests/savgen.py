@@ -1,0 +1,155 @@
+"""Minimal SPSS .sav writer — TEST FIXTURE GENERATOR ONLY.
+
+Implements just enough of the publicly documented system-file format
+(PSPP manual, "System File Format") to produce inputs for
+qamd_ray.readers.read_sav_file: header, numeric + short-string variables,
+variable labels, discrete user-missing declarations, one value-label set,
+and either raw (compression=0) or bias-bytecode (compression=1) data.
+
+Kept OUT of the package on purpose: a writer is not part of the engine's
+surface, and pairing reader tests with an independent encoder of the
+documented byte layout is the point of the exercise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+SYSMIS_BYTES = b"\xff\xff\xff\xff\xff\xff\xef\xff"  # lowest double, LE
+
+
+def _var_record(
+    name: str,
+    typ: int,
+    label: str = "",
+    missing: list[float] | None = None,
+) -> bytes:
+    missing = missing or []
+    out = struct.pack(
+        "<6i",
+        2,
+        typ,
+        1 if label else 0,
+        len(missing),
+        0x050800 if typ == 0 else 0x010000 + (typ << 8),
+        0x050800 if typ == 0 else 0x010000 + (typ << 8),
+    )
+    out += name.encode("latin-1")[:8].ljust(8)
+    if label:
+        lab = label.encode("latin-1")
+        out += struct.pack("<i", len(lab)) + lab.ljust((len(lab) + 3) & ~3, b"\x00")
+    for m in missing:
+        out += struct.pack("<d", m)
+    return out
+
+
+def _continuation_record() -> bytes:
+    return struct.pack("<6i", 2, -1, 0, 0, 0, 0) + b" " * 8
+
+
+def write_sav(
+    path: str,
+    columns: dict[str, list],
+    *,
+    var_labels: dict[str, str] | None = None,
+    missing: dict[str, list[float]] | None = None,
+    value_labels: tuple[str, dict[float, str]] | None = None,
+    file_label: str = "",
+    compression: int = 0,
+    bias: float = 100.0,
+) -> None:
+    """``columns``: name → list of float|None (numeric) or str (string)."""
+    var_labels = var_labels or {}
+    missing = missing or {}
+    names = list(columns)
+    n_cases = len(next(iter(columns.values())))
+    is_str = {n: isinstance(next((v for v in columns[n] if v is not None), ""), str)
+              for n in names}
+    width = {n: (max((len(str(v)) for v in columns[n]), default=1) if is_str[n] else 0)
+             for n in names}
+
+    out = bytearray()
+    out += b"$FL2"
+    out += b"@(#) qamd_ray savgen test writer".ljust(60)
+    out += struct.pack("<5i", 2, sum(max(1, (width[n] + 7) // 8) for n in names),
+                       compression, 0, n_cases)
+    out += struct.pack("<d", bias)
+    out += b"01 Jan 26" + b"00:00:00"
+    out += file_label.encode("latin-1")[:64].ljust(64)
+    out += b"\x00" * 3
+
+    dict_slot_of: dict[str, int] = {}
+    slot = 0
+    for n in names:
+        slot += 1
+        dict_slot_of[n] = slot
+        out += _var_record(n, width[n], var_labels.get(n, ""), missing.get(n))
+        for _ in range(max(1, (width[n] + 7) // 8) - 1):
+            slot += 1
+            out += _continuation_record()
+
+    if value_labels is not None:
+        target, mapping = value_labels
+        out += struct.pack("<2i", 3, len(mapping))
+        for val, lab in mapping.items():
+            lb = lab.encode("latin-1")
+            out += struct.pack("<d", float(val))
+            block = bytes([len(lb)]) + lb
+            out += block.ljust((len(block) + 7) & ~7, b" ")
+        out += struct.pack("<3i", 4, 1, dict_slot_of[target])
+
+    out += struct.pack("<2i", 999, 0)
+
+    # ---- data ------------------------------------------------------------
+    blocks: list[tuple[bytes, bool]] = []  # (8-byte block, is_string)
+    for case in range(n_cases):
+        for n in names:
+            v = columns[n][case]
+            if is_str[n]:
+                raw = str(v).encode("latin-1").ljust(max(1, (width[n] + 7) // 8) * 8)
+                blocks.extend(
+                    (raw[i : i + 8], True) for i in range(0, len(raw), 8)
+                )
+            else:
+                blocks.append(
+                    (SYSMIS_BYTES if v is None else struct.pack("<d", float(v)), False)
+                )
+    if compression == 0:
+        out += b"".join(b for b, _ in blocks)
+    else:
+        cmds: list[int] = []
+        lits: list[bytes] = []
+
+        def _flush():
+            nonlocal cmds, lits
+            while len(cmds) < 8:
+                cmds.append(0)
+            out.extend(bytes(cmds))
+            for l in lits:
+                out.extend(l)
+            cmds, lits = [], []
+
+        for b, s in blocks:
+            if s:
+                if b == b" " * 8:
+                    cmds.append(254)
+                else:
+                    cmds.append(253)
+                    lits.append(b)
+            elif b == SYSMIS_BYTES:
+                cmds.append(255)
+            else:
+                (v,) = struct.unpack("<d", b)
+                code = v + bias
+                if code == int(code) and 1 <= code <= 251:
+                    cmds.append(int(code))
+                else:
+                    cmds.append(253)
+                    lits.append(b)
+            if len(cmds) == 8:
+                _flush()
+        cmds.append(252)
+        _flush()
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -98,6 +98,69 @@ def test_health_check_over_dta(dta_path, ray_session):
     assert report.summary["MissingVariableLabels"].fail == 2
 
 
+@pytest.mark.parametrize("compression", [0, 1])
+def test_read_sav_roundtrip(tmp_path, compression):
+    """read_sav_file against an independent encoder of the documented
+    system-file byte layout (tests/savgen.py): values, labels, value-label
+    sets, discrete user-missing declarations, both compressions."""
+    from savgen import write_sav
+
+    from qamd_ray.readers import read_sav_file
+
+    path = str(tmp_path / f"t{compression}.sav")
+    write_sav(
+        path,
+        {
+            "age": [34.0, 67.0, None, 21.5],
+            "grp": [1.0, 2.0, 1.0, 9.0],
+            "city": ["london", "york", "", "leeds"],
+        },
+        var_labels={"age": "Age in years", "grp": "Group code"},
+        missing={"grp": [9.0]},
+        value_labels=("grp", {1.0: "control", 2.0: "treatment"}),
+        file_label="sav test",
+        compression=compression,
+    )
+    t, meta = read_sav_file(path)
+    assert t["age"].to_pylist() == [34.0, 67.0, None, 21.5]
+    assert t["grp"].to_pylist() == [1.0, 2.0, 1.0, 9.0]
+    assert t["city"].to_pylist() == ["london", "york", "", "leeds"]
+    by_name = {v.name: v for v in meta.variables}
+    assert by_name["age"].label == "Age in years"
+    assert by_name["age"].type_ == "Numeric"
+    assert by_name["city"].type_ == "Text"
+    assert meta.file_label == "sav test"
+    assert meta.defined_missing == {"grp": {"9.0"}}
+    assert meta.value_labels[by_name["grp"].value_labels] == {
+        "1.0": "control",
+        "2.0": "treatment",
+    }
+
+
+def test_health_check_over_sav(tmp_path, ray_session):
+    """C9 ValueDefinedMissingNoLabel lights up from REAL declared-missing
+    metadata (SPSS-only in the reference, src/check/value.rs:18-44): grp=9
+    is declared missing, carries no label, and occurs twice → 2 cell
+    fails."""
+    from savgen import write_sav
+
+    from qamd_ray.gen_config import default_config
+    from qamd_ray.healthcheck import health_check
+
+    path = str(tmp_path / "c9.sav")
+    write_sav(
+        path,
+        {"grp": [1.0, 9.0, 2.0, 9.0]},
+        missing={"grp": [9.0]},
+        value_labels=("grp", {1.0: "control", 2.0: "treatment"}),
+        compression=1,
+    )
+    report = health_check(path, default_config())
+    assert report.metadata.raw_case_count == 4
+    st = report.summary["ValueDefinedMissingNoLabel"]
+    assert st.fail == 2  # two cells of the unlabelled declared-missing 9.0
+
+
 def test_read_stat_table_dispatch_errors(tmp_path):
     bad = tmp_path / "t.csv"
     bad.write_text("a,b\n1,2\n")
