@@ -508,6 +508,59 @@ def ngram_jaccard_pairs(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
 
 
+def winnow_common_spans(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 16,
+    min_docs: int = 2,
+) -> "ray.data.Dataset":
+    """Fine-grained duplicate SPANS via winnowing (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): k-byte rolling hashes per doc, minimum per sliding
+    window of ``window`` hashes → a sparse, position-robust fingerprint
+    set; any shared span of ≥ ``k + window - 1`` bytes is guaranteed to
+    share a fingerprint.  → (fingerprint, n_docs, min_id) for every
+    fingerprint present in ≥ ``min_docs`` docs.
+
+    Shuffle shape: one groupby over (fingerprint, id) pairs — ints only,
+    deduped per doc inside the batch (combiner), never content.
+    """
+    from ..ops.textstats import rolling_fingerprints
+
+    def _fps(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        out_fp: list[np.ndarray] = []
+        out_id: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            h = rolling_fingerprints(t, window=k)
+            if len(h) < window:
+                continue
+            mins = np.unique(
+                np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            )
+            out_fp.append(mins)
+            out_id.append(np.full(len(mins), i, dtype=np.int64))
+        if not out_fp:
+            return pa.table(
+                {"fingerprint": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"fingerprint": pa.array(np.concatenate(out_fp)),
+             id_col: pa.array(np.concatenate(out_id))}
+        )
+
+    exploded = ds.map_batches(_fps, batch_format="pyarrow")
+    agg = exploded.groupby("fingerprint").aggregate(
+        Count(alias_name="n_docs"), Min(id_col, alias_name="min_id")
+    )
+    return agg.filter(expr=f"n_docs >= {int(min_docs)}")
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact char-k-gram Jaccard — the verification kernel for candidate
     pairs (and a standalone exact measure for small inputs)."""

@@ -488,6 +488,14 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
+def q_common_spans(sf_dir: str):
+    """Winnowed duplicate-span fingerprints shared by ≥2 docs (rows-only:
+    winnowing has no reasonable SQL twin)."""
+    return dedup.winnow_common_spans(
+        _t(sf_dir, "documents", ["doc_id", "text"]), k=8, window=16, min_docs=2
+    )
+
+
 def q_embedding_dups(sf_dir: str):
     pairs = dedup.embedding_dup_pairs(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), cosine_threshold=0.95
@@ -606,6 +614,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
     "rule_flags": q_rule_flags,
     "repo_integrity": q_repo_integrity,

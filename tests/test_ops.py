@@ -76,6 +76,25 @@ def test_ngram_jaccard_pairs_distributed(near_dup_table):
         assert dedup.ngram_jaccard(texts[a], texts[b], 5) >= 0.8
 
 
+def test_winnow_common_spans():
+    """A 120-char span planted in two docs must share a winnowed
+    fingerprint; unrelated random docs must not reach min_docs."""
+    rng = np.random.default_rng(4)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz ")
+    rand = lambda n: "".join(rng.choice(alphabet, n))
+    span = "def shared_helper(x):\n    return x * 42 + offset  # common lifted code " * 2
+    texts = [rand(300) + span + rand(300), rand(250) + span + rand(350)]
+    texts += [rand(600) for _ in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = dedup.winnow_common_spans(ds, k=8, window=16, min_docs=2).to_pandas()
+    assert len(out) >= 1
+    assert (out["min_id"] <= 1).all()  # only the planted pair shares spans
+    assert (out["n_docs"] == 2).all()
+
+
 def test_ngram_jaccard_exact():
     assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
     assert dedup.ngram_jaccard("", "") == 1.0
