@@ -227,7 +227,7 @@ def health_check(
     if isinstance(source, (str, list, tuple)):
         first = str(source if isinstance(source, str) else source[0])
         default_name = first.split("/")[-1]
-        if first.lower().endswith((".dta", ".sav", ".sas7bdat", ".xpt")):
+        if first.lower().endswith((".dta", ".sav", ".por", ".sas7bdat", ".xpt")):
             # statistical formats: full dispatch incl. header metadata
             # (labels, value labels, tagged missing) — read.rs:21-39
             from .readers import read_stat_table

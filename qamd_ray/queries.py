@@ -568,6 +568,32 @@ def q_rule_flags(sf_dir: str):
     )
 
 
+def q_quality_filter_rules(sf_dir: str):
+    """The flagship's keep/drop decision over the SQL-expressible rule
+    subset (no model/dup stages) — a VALUE-CHECKED twin of quality_filter:
+    the same RowRules + keep_expression code path the flagship runs,
+    hash-compared against a DuckDB AND-of-predicates oracle."""
+    from .config import Config
+    from .rules import RowRules, keep_expression
+
+    cfg = Config.from_dict(
+        {
+            "quality_filter": {
+                "bad_path": {"setting": r"[A-Za-z0-9_\-./]+"},
+                "path_max_length": {"setting": 240},
+                "missing_lang": {"setting": True},
+                "min_content_length": {"setting": 10},
+                "max_content_length": {"setting": 20000},
+                "max_line_length": {"setting": 2000},
+            }
+        }
+    )
+    out = documents_as_code_table(sf_dir).map_batches(
+        RowRules(cfg), batch_format="pyarrow"
+    ).map_batches(keep_expression(), batch_format="pyarrow")
+    return out.select_columns(["path", "keep"])
+
+
 def q_quality_filter(sf_dir: str):
     """Flagship pipeline over the mapped documents table (rows-only check:
     langid/perplexity are model stages)."""
@@ -618,6 +644,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "rule_flags": q_rule_flags,
     "repo_integrity": q_repo_integrity,
+    "quality_filter_rules": q_quality_filter_rules,
     "quality_filter": q_quality_filter,
     "quality_repo_report": q_quality_repo_report,
 }
@@ -713,6 +740,17 @@ ORACLES = {
         "strlen(coalesce(text, '')) > 20000 AS f_max_len, "
         "list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> strlen(x))) > 2000 AS f_line_len "
         "FROM documents"
+    ),
+    "quality_filter_rules": (
+        "SELECT source || '/doc_' || doc_id || '.txt' AS path, "
+        "NOT ( "
+        "  NOT regexp_full_match(source || '/doc_' || doc_id || '.txt', '[A-Za-z0-9_\\-./]+') "
+        "  OR strlen(source || '/doc_' || doc_id || '.txt') > 240 "
+        "  OR strlen(coalesce(text, '')) < 10 "
+        "  OR strlen(coalesce(text, '')) > 20000 "
+        "  OR list_max(list_transform(string_split(coalesce(text, ''), chr(10)), "
+        "              x -> strlen(x))) > 2000 "
+        ") AS keep FROM documents"
     ),
     "repo_integrity": (
         "SELECT source AS repo, CAST(count(*) AS BIGINT) AS n_rows, "

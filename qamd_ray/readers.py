@@ -441,9 +441,224 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
     return table, meta
 
 
+# ---------------------------------------------------------------------------
+# SPSS .por — portable (trigesimal text) format, per the PSPP manual
+# "Portable File Format"; reference parses it via readstat
+# (src/readstat/read.rs:51-58)
+# ---------------------------------------------------------------------------
+
+_POR_DIGITS = "0123456789ABCDEFGHIJKLMNOPQRST"  # base-30
+_POR_DIGIT_VAL = {c: i for i, c in enumerate(_POR_DIGITS)}
+
+
+class _PorStream:
+    """Character stream over a portable file with newlines removed."""
+
+    def __init__(self, text: str):
+        self.s = text
+        self.i = 0
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else "Z"
+
+    def take(self, n: int = 1) -> str:
+        out = self.s[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def number(self) -> Optional[float]:
+        """Base-30 number terminated by '/'; '*.' is sysmis (None)."""
+        while self.peek() == " ":
+            self.take()
+        if self.peek() == "*":
+            self.take(2)  # '*.'
+            return None
+        sign = 1.0
+        if self.peek() == "-":
+            sign = -1.0
+            self.take()
+        int_part = 0.0
+        frac = 0.0
+        scale = 1.0 / 30.0
+        exp = 0
+        seen_dot = False
+        exp_sign = 0
+        while True:
+            c = self.take()
+            if c == "/":
+                break
+            if c == ".":
+                seen_dot = True
+            elif c in ("+", "-") and exp_sign == 0:
+                exp_sign = 1 if c == "+" else -1
+                exp = 0
+            elif c in _POR_DIGIT_VAL:
+                d = _POR_DIGIT_VAL[c]
+                if exp_sign:
+                    exp = exp * 30 + d
+                elif seen_dot:
+                    frac += d * scale
+                    scale /= 30.0
+                else:
+                    int_part = int_part * 30 + d
+            else:
+                raise ValueError(f"bad portable number char {c!r} at {self.i}")
+        v = sign * (int_part + frac)
+        if exp_sign:
+            v *= 30.0 ** (exp_sign * exp)
+        return v
+
+    def string(self) -> str:
+        n = self.number()
+        return self.take(int(n or 0))
+
+
+def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
+    """One ``.por`` portable file → (Arrow table with ``__row__``,
+    TableMeta).  Supports the ASCII common case: numeric and string
+    variables, variable labels, discrete declared-missing values
+    (tag '8'; range tags 9/A/B are consumed and recorded by their
+    endpoints), value-label sets (tag 'D'), untagged trailing-'Z' data
+    termination.  Non-ASCII source character translation is not applied.
+    """
+    raw = open(path, "rb").read().decode("latin-1")
+    text = raw.replace("\r", "").replace("\n", "")
+    sig_at = text.find("SPSSPORT")
+    if sig_at < 0:
+        raise ValueError(f"{path}: not a portable file (missing SPSSPORT)")
+    st = _PorStream(text)
+    st.i = sig_at + len("SPSSPORT")
+    _version = st.take(1)
+    _date = st.string()
+    _time = st.string()
+
+    names: list[str] = []
+    widths: list[int] = []
+    var_labels: list[str] = []
+    missing: dict[int, set[str]] = {}
+    value_label_sets: list[tuple[dict, list[str]]] = []
+    file_label = ""
+
+    def _render(v: Optional[float], width: int) -> str:
+        if isinstance(v, str):
+            return v
+        if v is None:
+            return ""
+        return _render_float(v)
+
+    while True:
+        tag = st.take(1)
+        if tag in "123":  # product / author / subproduct identification
+            txt = st.string()
+            if tag == "1":
+                file_label = txt.strip()
+        elif tag in "45":  # variable count / precision
+            st.number()
+        elif tag == "6":  # weight variable
+            st.string()
+        elif tag == "7":  # variable record
+            w = int(st.number() or 0)
+            name = st.string().strip()
+            for _ in range(6):  # print fmt + write fmt triples
+                st.number()
+            names.append(name)
+            widths.append(w)
+            var_labels.append("")
+        elif tag == "8":  # one discrete missing value for the last variable
+            vi = len(names) - 1
+            v = st.string() if widths[vi] > 0 else st.number()
+            missing.setdefault(vi, set()).add(_render(v, widths[vi]))
+        elif tag == "B":  # missing range lo, hi — endpoints recorded
+            vi = len(names) - 1
+            lo, hi = st.number(), st.number()
+            missing.setdefault(vi, set()).update(
+                {_render(lo, 0), _render(hi, 0)}
+            )
+        elif tag in "9A":  # LOWEST-thru-x / x-thru-HIGHEST
+            vi = len(names) - 1
+            missing.setdefault(vi, set()).add(_render(st.number(), 0))
+        elif tag == "C":  # variable label for the last variable
+            var_labels[len(names) - 1] = st.string().strip()
+        elif tag == "D":  # value labels
+            nv = int(st.number() or 0)
+            vnames = [st.string().strip() for _ in range(nv)]
+            is_str = any(
+                widths[names.index(n)] > 0 for n in vnames if n in names
+            )
+            nl = int(st.number() or 0)
+            labels: dict[str, str] = {}
+            for _ in range(nl):
+                val = st.string() if is_str else st.number()
+                lab = st.string()
+                labels[_render(val, 1 if is_str else 0)] = lab.strip()
+            value_label_sets.append((labels, vnames))
+        elif tag == "E":  # documents
+            n_lines = int(st.number() or 0)
+            for _ in range(n_lines):
+                st.string()
+        elif tag == "F":  # end of dictionary — data follows
+            break
+        else:
+            raise ValueError(f"{path}: unknown portable tag {tag!r} at {st.i}")
+
+    cols: list[list] = [[] for _ in names]
+    while True:
+        while st.peek() == " ":
+            st.take()
+        if st.peek() == "Z" or st.i >= len(text):
+            break
+        for vi in range(len(names)):
+            if widths[vi] > 0:
+                cols[vi].append(st.string())
+            else:
+                cols[vi].append(st.number())
+
+    arrays: dict[str, pa.Array] = {}
+    variables: list[VariableMeta] = []
+    value_labels: dict[str, dict[str, str]] = {}
+    label_key_by_name: dict[str, str] = {}
+    for k, (labels, vnames) in enumerate(value_label_sets):
+        key = f"ls{k}"
+        value_labels[key] = labels
+        for n in vnames:
+            label_key_by_name[n] = key
+    defined_missing: dict[str, set[str]] = {}
+    for vi, name in enumerate(names):
+        if widths[vi] > 0:
+            arrays[name] = pa.array(cols[vi], pa.string())
+            type_ = "Text"
+        else:
+            arrays[name] = pa.array(cols[vi], pa.float64())
+            type_ = "Numeric"
+        if vi in missing and missing[vi]:
+            defined_missing[name] = missing[vi]
+        variables.append(
+            VariableMeta(
+                index=vi,
+                name=name,
+                label=var_labels[vi],
+                type_=type_,
+                value_labels=label_key_by_name.get(name, ""),
+            )
+        )
+    n_rows = len(cols[0]) if cols else 0
+    table = pa.table(arrays).append_column(
+        ROW_COL, pa.array(np.arange(n_rows, dtype=np.int64))
+    )
+    meta = TableMeta(
+        variables=variables,
+        value_labels=value_labels,
+        defined_missing=defined_missing,
+        file_name=os.path.basename(path),
+        file_label=file_label,
+    )
+    return table, meta
+
+
 _READERS = {
     ".dta": read_stata_file,
     ".sav": read_sav_file,
+    ".por": read_por_file,
     ".sas7bdat": read_sas_file,
     ".xpt": read_sas_file,
 }

@@ -1,0 +1,101 @@
+"""Minimal SPSS .por (portable) writer — TEST FIXTURE GENERATOR ONLY.
+
+Encodes the documented ASCII layout (PSPP manual, "Portable File
+Format"): 200-byte splash header, 256-byte translation table, SPSSPORT
+signature, tagged dictionary records, base-30 numbers, 80-column lines,
+trailing-'Z' termination.  Independent of qamd_ray.readers by design.
+"""
+
+from __future__ import annotations
+
+_DIGITS = "0123456789ABCDEFGHIJKLMNOPQRST"
+
+
+def _num(v: float | None) -> str:
+    if v is None:
+        return "*."
+    out = ""
+    if v < 0:
+        out += "-"
+        v = -v
+    ip = int(v)
+    frac = v - ip
+    digits = ""
+    while ip:
+        ip, d = divmod(ip, 30)
+        digits = _DIGITS[d] + digits
+    out += digits or "0"
+    if frac > 1e-12:
+        out += "."
+        for _ in range(10):
+            frac *= 30
+            d = int(frac + 1e-9)
+            out += _DIGITS[d]
+            frac -= d
+            if frac < 1e-9:
+                break
+    return out + "/"
+
+
+def _string(s: str) -> str:
+    return _num(len(s)) + s
+
+
+def write_por(
+    path: str,
+    columns: dict[str, list],
+    *,
+    var_labels: dict[str, str] | None = None,
+    missing: dict[str, list] | None = None,
+    value_labels: tuple[list[str], dict[float, str]] | None = None,
+    product: str = "qamd_ray porgen test writer",
+) -> None:
+    var_labels = var_labels or {}
+    missing = missing or {}
+    names = list(columns)
+    is_str = {
+        n: isinstance(next((v for v in columns[n] if v is not None), ""), str)
+        for n in names
+    }
+    width = {
+        n: (max((len(str(v)) for v in columns[n]), default=1) if is_str[n] else 0)
+        for n in names
+    }
+
+    body = "SPSSPORT" + "A" + _string("20260101") + _string("000000")
+    body += "1" + _string(product)
+    body += "4" + _num(len(names)) + "5" + _num(6)
+    for n in names:
+        body += "7" + _num(width[n]) + _string(n)
+        fmt = (1, 8, 2) if is_str[n] else (5, 8, 2)
+        for trip in (fmt, fmt):
+            for x in trip:
+                body += _num(x)
+        if n in var_labels:
+            body += "C" + _string(var_labels[n])
+        for m in missing.get(n, []):
+            body += "8" + (_string(m) if is_str[n] else _num(float(m)))
+    if value_labels is not None:
+        targets, mapping = value_labels
+        body += "D" + _num(len(targets))
+        for t in targets:
+            body += _string(t)
+        body += _num(len(mapping))
+        for val, lab in mapping.items():
+            body += _num(float(val)) + _string(lab)
+    body += "F"
+    n_cases = len(next(iter(columns.values())))
+    for case in range(n_cases):
+        for n in names:
+            v = columns[n][case]
+            body += _string(str(v)) if is_str[n] else _num(v)
+
+    header = ("ASCII SPSS PORT FILE" + " " * 40)[:40] * 5  # 200-byte splash
+    table = "".join(chr(32 + (i % 95)) for i in range(256))  # placeholder map
+    stream = header + table + body
+    # 80-column lines, last line padded with 'Z'
+    pad = (-len(stream)) % 80 or 80
+    stream += "Z" * pad
+    lines = [stream[i : i + 80] for i in range(0, len(stream), 80)]
+    with open(path, "w", newline="") as f:
+        f.write("\n".join(lines) + "\n")

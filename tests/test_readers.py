@@ -161,6 +161,40 @@ def test_health_check_over_sav(tmp_path, ray_session):
     assert st.fail == 2  # two cells of the unlabelled declared-missing 9.0
 
 
+def test_read_por_roundtrip(tmp_path):
+    """read_por_file against an independent base-30 encoder of the
+    documented portable layout (tests/porgen.py): values incl. sysmis and
+    fractions, labels, value labels, discrete missing."""
+    from porgen import write_por
+
+    from qamd_ray.readers import read_por_file
+
+    path = str(tmp_path / "t.por")
+    write_por(
+        path,
+        {
+            "age": [34.0, 67.0, None, 21.5],
+            "grp": [1.0, 2.0, 1.0, 9.0],
+            "city": ["london", "york", "", "leeds"],
+        },
+        var_labels={"age": "Age in years"},
+        missing={"grp": [9.0]},
+        value_labels=(["grp"], {1.0: "control", 2.0: "treatment"}),
+    )
+    t, meta = read_por_file(path)
+    assert t["age"].to_pylist() == [34.0, 67.0, None, 21.5]
+    assert t["grp"].to_pylist() == [1.0, 2.0, 1.0, 9.0]
+    assert t["city"].to_pylist() == ["london", "york", "", "leeds"]
+    by_name = {v.name: v for v in meta.variables}
+    assert by_name["age"].label == "Age in years"
+    assert by_name["city"].type_ == "Text"
+    assert meta.defined_missing == {"grp": {"9.0"}}
+    assert meta.value_labels[by_name["grp"].value_labels] == {
+        "1.0": "control",
+        "2.0": "treatment",
+    }
+
+
 def test_read_stat_table_dispatch_errors(tmp_path):
     bad = tmp_path / "t.csv"
     bad.write_text("a,b\n1,2\n")
