@@ -1,12 +1,23 @@
-"""Mergeable sketches: HyperLogLog approximate distinct count.
+"""Mergeable sketches: HyperLogLog, Count-Min, Bloom, quantile summary.
 
 The sketch pattern for aggregation at scale (ray guide "Aggregation at
 scale"): each ``map_batches`` task emits ONE serialized sketch per batch
 (bounded size regardless of rows), a tiny second stage merges them —
 the shuffle moves O(batches × sketch_size) bytes, never rows.
 
-HyperLogLog per Flajolet et al. 2007 (+ the standard small-range
-linear-counting correction), pure numpy, deterministic (md5-hashed keys).
+* HyperLogLog (Flajolet et al. 2007, + small-range linear counting) —
+  approximate distinct count.
+* Count-Min (Cormode & Muthukrishnan 2005) — approximate per-key counts
+  / heavy hitters; merge = elementwise sum; estimates never undercount.
+* Bloom filter (Bloom 1970) — broadcastable membership with no false
+  negatives; the at-scale replacement for the exact key set in
+  ``ops.joins.semi_join``.
+* QuantileSketch — per-batch evenly spaced order statistics merged as a
+  weighted sample (the simplest mergeable summary with a bounded-error
+  flavor of Greenwald-Khanna; documented approximation, not an
+  implementation of the GK bound).
+
+All pure numpy, deterministic (md5-hashed keys).
 """
 
 from __future__ import annotations
@@ -102,3 +113,266 @@ def approx_distinct(
     for row in ds.map_batches(_sketch, batch_format="pyarrow").take_all():
         merged = merged.merge(HLL.deserialize(row["sketch"]))
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — approximate per-key counts, heavy hitters
+# ---------------------------------------------------------------------------
+
+
+class CountMin:
+    """d×w counter matrix; estimate = min over rows (never undercounts)."""
+
+    def __init__(self, d: int = 4, w: int = 2048, table: np.ndarray | None = None):
+        self.d, self.w = d, w
+        self.table = table if table is not None else np.zeros((d, w), dtype=np.int64)
+        # deterministic row seeds for the md5-based hash family
+        self.seeds = [f"cms{j}".encode() for j in range(d)]
+
+    def _rows_cols(self, keys: list[str]) -> np.ndarray:
+        out = np.empty((self.d, len(keys)), dtype=np.int64)
+        for j, seed in enumerate(self.seeds):
+            out[j] = [
+                int.from_bytes(hashlib.md5(seed + k.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+                % self.w
+                for k in keys
+            ]
+        return out
+
+    def add(self, keys: list[str], counts: np.ndarray | None = None) -> None:
+        if not keys:
+            return
+        c = counts if counts is not None else np.ones(len(keys), dtype=np.int64)
+        cols = self._rows_cols(keys)
+        for j in range(self.d):
+            np.add.at(self.table[j], cols[j], c)
+
+    def estimate(self, keys: list[str]) -> np.ndarray:
+        if not keys:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._rows_cols(keys)
+        return np.min(
+            np.stack([self.table[j][cols[j]] for j in range(self.d)]), axis=0
+        )
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.d, self.w) == (other.d, other.w)
+        return CountMin(self.d, self.w, self.table + other.table)
+
+    def serialize(self) -> bytes:
+        return np.array([self.d, self.w], dtype=np.int64).tobytes() + self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "CountMin":
+        d, w = np.frombuffer(b[:16], dtype=np.int64)
+        return cls(int(d), int(w), np.frombuffer(b[16:], dtype=np.int64).reshape(d, w).copy())
+
+
+def approx_topk(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 10,
+    *,
+    d: int = 4,
+    w: int = 2048,
+    candidates_per_batch: int = 64,
+) -> "pd.DataFrame":
+    """Approximate top-k heavy hitters of ``col``: one Count-Min sketch +
+    the batch's own top ``candidates_per_batch`` keys per batch; the
+    driver merges the sketches and scores the union of candidates.  A true
+    heavy hitter is in some batch's local top list with overwhelming
+    probability; counts come from the merged sketch (never undercounted).
+    → (value, approx_n) sorted desc, ties by value."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        vals = K._as_array(pc.cast(batch[col], pa.string()))
+        vc = pa.table({"v": vals}).group_by("v").aggregate([("v", "count")])
+        keys = [x if x is not None else "" for x in vc["v"].to_pylist()]
+        counts = np.asarray(vc["v_count"], dtype=np.int64)
+        cm = CountMin(d, w)
+        cm.add(keys, counts)
+        top = np.argsort(-counts, kind="stable")[:candidates_per_batch]
+        return pa.table(
+            {
+                "sketch": pa.array([cm.serialize()], pa.binary()),
+                "cands": pa.array([[keys[i] for i in top]], pa.list_(pa.string())),
+            }
+        )
+
+    merged = CountMin(d, w)
+    cands: set[str] = set()
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").take_all():
+        merged = merged.merge(CountMin.deserialize(row["sketch"]))
+        cands.update(row["cands"])
+    keys = sorted(cands)
+    est = merged.estimate(keys)
+    out = pd.DataFrame({"value": keys, "approx_n": est})
+    return (
+        out.sort_values(["approx_n", "value"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable membership, no false negatives
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Bit array of 2^p bits with ``k`` md5-derived hash functions."""
+
+    def __init__(self, p: int = 20, k: int = 4, bits: np.ndarray | None = None):
+        self.p, self.k = p, k
+        self.m = 1 << p
+        self.bits = bits if bits is not None else np.zeros(self.m // 8, dtype=np.uint8)
+
+    def _positions(self, keys: list[str]) -> np.ndarray:
+        # double hashing: pos_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher)
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(k.encode("utf-8", "surrogatepass")).digest(), "big")
+                for k in keys
+            ],
+            dtype=object,
+        )
+        h1 = np.array([int(x) & (self.m - 1) for x in h], dtype=np.int64)
+        h2 = np.array([(int(x) >> 64) | 1 for x in h], dtype=object)
+        return np.stack(
+            [
+                (h1 + np.array([int(y) * i & (self.m - 1) for y in h2])) & (self.m - 1)
+                for i in range(self.k)
+            ]
+        )
+
+    def add(self, keys: list[str]) -> None:
+        if not keys:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, keys: list[str]) -> np.ndarray:
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            hit &= (self.bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.p, self.k) == (other.p, other.k)
+        return BloomFilter(self.p, self.k, self.bits | other.bits)
+
+
+def bloom_semi_join(
+    big: "ray.data.Dataset",
+    small_keys: list[str],
+    on: str,
+    *,
+    p: int = 20,
+    k: int = 4,
+) -> "ray.data.Dataset":
+    """Semi-join with a broadcast Bloom filter instead of the exact key
+    set: NO false negatives (every true match survives), a bounded false-
+    positive rate passes a few extra rows — the standard pre-filter when
+    the small side's key set is too large to broadcast exactly (follow
+    with an exact join on the survivors)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    bf = BloomFilter(p, k)
+    bf.add([str(x) for x in small_keys])
+    ref = _ray.put(bf)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        f = _ray.get(ref)
+        vals = [
+            x if x is not None else ""
+            for x in K._as_array(pc.cast(batch[on], pa.string())).to_pylist()
+        ]
+        return batch.filter(pa.array(f.contains(vals)))
+
+    return big.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quantile summary — mergeable order-statistics sample
+# ---------------------------------------------------------------------------
+
+
+class QuantileSketch:
+    """Per-batch evenly spaced order statistics, merged as a weighted
+    sample.  With ``size`` retained points per batch the rank error after
+    merging b batches is O(n / (size)) per batch segment — small for the
+    sizes used here; this is the pragmatic mergeable summary, not a
+    Greenwald-Khanna implementation."""
+
+    def __init__(self, size: int = 256):
+        self.size = size
+        self.values = np.zeros(0, dtype=np.float64)
+        self.weights = np.zeros(0, dtype=np.float64)
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        if len(v) <= self.size:
+            picks, w = v, np.ones(len(v))
+        else:
+            idx = np.linspace(0, len(v) - 1, self.size).round().astype(np.int64)
+            picks = v[idx]
+            w = np.full(self.size, len(v) / self.size)
+        self.values = np.concatenate([self.values, picks])
+        self.weights = np.concatenate([self.weights, w])
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        out = QuantileSketch(self.size)
+        out.values = np.concatenate([self.values, other.values])
+        out.weights = np.concatenate([self.weights, other.weights])
+        return out
+
+    def quantile(self, q: float) -> float:
+        if len(self.values) == 0:
+            return float("nan")
+        order = np.argsort(self.values, kind="stable")
+        v, w = self.values[order], self.weights[order]
+        cw = np.cumsum(w)
+        target = q * cw[-1]
+        return float(v[np.searchsorted(cw, target, side="left").clip(0, len(v) - 1)])
+
+    def serialize(self) -> bytes:
+        return (
+            np.array([self.size, len(self.values)], dtype=np.int64).tobytes()
+            + self.values.tobytes()
+            + self.weights.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "QuantileSketch":
+        size, n = np.frombuffer(b[:16], dtype=np.int64)
+        out = cls(int(size))
+        out.values = np.frombuffer(b[16 : 16 + 8 * n], dtype=np.float64).copy()
+        out.weights = np.frombuffer(b[16 + 8 * n :], dtype=np.float64).copy()
+        return out
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset", col: str, qs: list[float], *, size: int = 256
+) -> list[float]:
+    """Approximate quantiles of ``col``: one QuantileSketch per batch
+    merged on the driver (O(batches × size) driver bytes, never rows)."""
+
+    def _sketch(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(size)
+        s.add(np.asarray(K._as_array(batch[col]).cast(pa.float64()).fill_null(np.nan)))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    merged = QuantileSketch(size)
+    for row in ds.map_batches(_sketch, batch_format="pyarrow").take_all():
+        merged = merged.merge(QuantileSketch.deserialize(row["sketch"]))
+    return [merged.quantile(q) for q in qs]

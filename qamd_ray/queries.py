@@ -488,6 +488,18 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
+def q_approx_top_langs(sf_dir: str):
+    """Count-Min + per-batch candidates heavy hitters over documents.lang.
+    The sketch is deterministic and 5 distinct keys cannot collide in a
+    4×2048 table, so the estimates equal the exact counts and the DuckDB
+    GROUP BY twin is an exact oracle here."""
+    from .ops import sketches
+
+    out = sketches.approx_topk(_t(sf_dir, "documents", ["lang"]), "lang", k=3)
+    out["approx_n"] = out["approx_n"].astype("int64")
+    return out
+
+
 def q_common_spans(sf_dir: str):
     """Winnowed duplicate-span fingerprints shared by ≥2 docs (rows-only:
     winnowing has no reasonable SQL twin)."""
@@ -640,6 +652,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
     "rule_flags": q_rule_flags,
@@ -740,6 +753,10 @@ ORACLES = {
         "strlen(coalesce(text, '')) > 20000 AS f_max_len, "
         "list_max(list_transform(string_split(coalesce(text, ''), chr(10)), x -> strlen(x))) > 2000 AS f_line_len "
         "FROM documents"
+    ),
+    "approx_top_langs": (
+        "SELECT lang AS value, count(*) AS approx_n FROM documents "
+        "GROUP BY lang ORDER BY approx_n DESC, value LIMIT 3"
     ),
     "quality_filter_rules": (
         "SELECT source || '/doc_' || doc_id || '.txt' AS path, "

@@ -279,6 +279,54 @@ def test_broadcast_joins():
         joins.broadcast_hash_join(ds, small, on="k", how="outer")
 
 
+def test_countmin_topk(docs):
+    """Count-Min estimates never undercount; approx top-k over a skewed
+    column matches the exact top-k."""
+    from qamd_ray.ops import sketches
+
+    out = sketches.approx_topk(docs, "lang", k=3)
+    exact = (
+        docs.to_pandas()["lang"].value_counts().sort_values(ascending=False)
+    )
+    assert list(out["value"]) == list(exact.index[:3])
+    # never undercounts
+    for v, n in zip(out["value"], out["approx_n"]):
+        assert n >= exact[v]
+
+
+def test_bloom_semi_join(docs):
+    """Bloom pre-filter: every true match survives (no false negatives);
+    false positives stay rare at this sizing."""
+    from qamd_ray.ops import sketches
+
+    df = docs.to_pandas()
+    keys = [str(x) for x in df["doc_id"].iloc[:50]]
+    out = sketches.bloom_semi_join(docs, keys, on="doc_id").to_pandas()
+    got = set(out["doc_id"].astype(str))
+    assert set(keys) <= got  # no false negatives
+    assert len(got) <= len(keys) + max(5, len(df) // 100)  # few FPs
+
+    bf = sketches.BloomFilter(p=16, k=4)
+    bf.add(keys)
+    assert bf.contains(keys).all()
+    others = [str(x) for x in df["doc_id"].iloc[50:]]
+    assert bf.contains(others).mean() < 0.05
+
+
+def test_quantile_sketch(events_num=None):
+    """Merged per-batch summaries land within ~2% rank error of numpy."""
+    from qamd_ray.ops import sketches
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(0, 1, 20_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)}))
+    got = sketches.approx_quantiles(ds, "x", [0.1, 0.5, 0.9, 0.99])
+    for q, g in zip([0.1, 0.5, 0.9, 0.99], got):
+        # compare by RANK error (value error is unbounded in the tail)
+        rank = (vals <= g).mean()
+        assert abs(rank - q) < 0.02, (q, g, rank)
+
+
 def test_hll_approx_distinct(docs):
     """HLL sketch: within ~5% of exact distinct counts; merge = union."""
     from qamd_ray.ops.sketches import HLL, approx_distinct
