@@ -1,12 +1,18 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are NOT available in this environment, so the
-decoders are STUBBED exactly as instructed: ``fake=False`` raises
-``NotImplementedError`` at the decode step; ``fake=True`` (the tested
-path) produces a deterministic payload-hash-seeded array of the declared
-shape.  Everything around the stub — the Arrow schema, actor-pool stage
-shape, batch sizing for wide binary rows, output layout — is real and
-tested, so swapping in a real decoder is a one-function change.
+Round-2 upgrade: formats that need no external codec are decoded FOR REAL
+with the standard library —
+
+* images: netpbm **P5 (PGM) / P6 (PPM)** binary rasters (plain header
+  parse + ``np.frombuffer``);
+* audio: **WAV** via the stdlib ``wave`` module (16-bit PCM).
+
+Compressed codecs (png/jpeg/mp3/mp4…) still have no library in this
+environment: ``fake=False`` raises ``NotImplementedError`` for them, and
+``fake=True`` substitutes the deterministic payload-hash-seeded stand-in.
+Everything around decode — the Arrow schema, actor-pool stage shape,
+small-batch sizing for wide binary rows, output layout — is real either
+way, so swapping in a full codec is a one-function change.
 
 Design notes for wide rows (SURVEY.md §7 "wide rows"): keep
 ``batch_size`` small for these stages and ``batch_format="pyarrow"``
@@ -17,6 +23,7 @@ object-box them).
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Optional
 
 import numpy as np
@@ -30,7 +37,7 @@ MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
         pa.field("kind", pa.string()),  # "image" | "audio" | "video"
-        pa.field("format", pa.string()),  # e.g. "png", "wav", "mp4"
+        pa.field("format", pa.string()),  # e.g. "ppm", "wav", "mp4"
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
         pa.field("n_frames", pa.int32()),
@@ -39,26 +46,109 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# real codecs (pure stdlib/numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """uint8 (h, w) → P5, (h, w, 3) → P6."""
+    if img.ndim == 2:
+        magic = b"P5"
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """P5 (grey) / P6 (rgb) binary raster → uint8 array (h,w[,3])."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace separated, with
+    # optional '#' comment lines; data starts after the single whitespace
+    # byte following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return data.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float32 samples in [-1, 1] of channel 0, sample rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n, rate, width, ch = f.getnframes(), f.getframerate(), f.getsampwidth(), f.getnchannels()
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported (got {8 * width}-bit)")
+    samples = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)[:, 0]
+    return samples.astype(np.float32) / 32768.0, rate
+
+
 def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded random bytes)."""
+    """Deterministic media rows with REAL payloads where a stdlib codec
+    exists: images are valid P6 rasters, audio rows are valid 16-bit WAV;
+    video rows keep opaque fake bytes (no container codec here)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    widths = rng.integers(16, 64, n).astype(np.int32)
+    heights = rng.integers(16, 64, n).astype(np.int32)
+    n_frames = np.where(kinds == "video", rng.integers(8, 32, n), 1).astype(np.int32)
+    payloads: list[bytes] = []
+    for i in range(n):
+        if kinds[i] == "image":
+            img = rng.integers(0, 256, (int(heights[i]), int(widths[i]), 3)).astype(np.uint8)
+            payloads.append(encode_netpbm(img))
+        elif kinds[i] == "audio":
+            t = np.arange(1600 + int(rng.integers(0, 1600)))
+            wavef = 8000 * np.sin(2 * np.pi * t * float(rng.uniform(0.01, 0.1)))
+            wavef += rng.normal(0, 500, len(t))
+            payloads.append(encode_wav(wavef.astype(np.int16)))
+        else:
+            payloads.append(rng.integers(0, 256, int(rng.integers(256, 4096))).astype(np.uint8).tobytes())
     rows = {
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds.tolist(), pa.string()),
         "format": pa.array(
-            [{"image": "png", "audio": "wav", "video": "mp4"}[k] for k in kinds],
+            [{"image": "ppm", "audio": "wav", "video": "mp4"}[k] for k in kinds],
             pa.string(),
         ),
-        "width": pa.array(rng.integers(16, 64, n).astype(np.int32)),
-        "height": pa.array(rng.integers(16, 64, n).astype(np.int32)),
-        "n_frames": pa.array(
-            np.where(kinds == "video", rng.integers(8, 32, n), 1).astype(np.int32)
-        ),
-        "payload": pa.array(
-            [rng.integers(0, 256, int(sz)).astype(np.uint8).tobytes() for sz in rng.integers(256, 4096, n)],
-            pa.binary(),
-        ),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
+        "n_frames": pa.array(n_frames),
+        "payload": pa.array(payloads, pa.binary()),
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
@@ -72,26 +162,35 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 class ImageDecoder:
     """Actor stage: payload → decoded stats + optional resize.
 
-    Real plumbing, stubbed codec.  Emits ``pix_mean``, ``pix_std`` and,
-    when ``resize`` is set, a fixed-shape ``thumb`` (flattened uint8 list)
-    — the feature-extraction contract a real decoder would fill.
+    ``ppm``/``pgm`` payloads decode FOR REAL; other formats use the
+    deterministic stand-in when ``fake=True`` and raise otherwise.
+    Emits ``pix_mean``, ``pix_std`` and, when ``resize`` is set, a
+    fixed-shape ``thumb`` (flattened uint8 list).
     """
 
     def __init__(self, resize: Optional[tuple[int, int]] = (8, 8), fake: bool = True):
-        if not fake:
-            raise NotImplementedError(
-                "no image codec available in this environment; "
-                "construct with fake=True for the deterministic stand-in"
-            )
         self.resize = resize
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = K._as_array(batch["payload"]).to_pylist()
+        fmts = np.asarray(K._as_array(batch["format"]), dtype=object)
         hs = np.asarray(K._as_array(batch["height"]), dtype=np.int64)
         ws = np.asarray(K._as_array(batch["width"]), dtype=np.int64)
         means, stds, thumbs = [], [], []
-        for p, h, w in zip(payloads, hs, ws):
-            img = _fake_pixels(p or b"", int(h), int(w))
+        for p, fmt, h, w in zip(payloads, fmts, hs, ws):
+            if fmt in ("ppm", "pgm"):
+                img = decode_netpbm(p or b"")
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                h, w = img.shape[:2]
+            elif self.fake:
+                img = _fake_pixels(p or b"", int(h), int(w))
+            else:
+                raise NotImplementedError(
+                    f"no codec for image format {fmt!r} in this environment; "
+                    "construct with fake=True for the deterministic stand-in"
+                )
             means.append(float(img.mean()))
             stds.append(float(img.std()))
             if self.resize:
@@ -107,6 +206,51 @@ class ImageDecoder:
                 "thumb", pa.array([t.tolist() for t in thumbs], pa.list_(pa.uint8()))
             )
         return out
+
+
+class AudioFeatures:
+    """Actor stage for audio rows: REAL WAV decode → per-clip features
+    (n_samples, sample_rate, duration_s, rms, peak).  Non-audio rows are
+    dropped (the stage is a per-modality branch)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = np.asarray(K._as_array(batch["kind"]), dtype=object)
+        fmts = np.asarray(K._as_array(batch["format"]), dtype=object)
+        ids = np.asarray(K._as_array(batch["media_id"]), dtype=np.int64)
+        payloads = K._as_array(batch["payload"]).to_pylist()
+        rows = {k: [] for k in ("media_id", "n_samples", "sample_rate", "duration_s", "rms", "peak")}
+        for i in range(len(batch)):
+            if kinds[i] != "audio":
+                continue
+            if fmts[i] == "wav":
+                samples, rate = decode_wav(payloads[i] or b"")
+            elif self.fake:
+                seed = int.from_bytes(hashlib.sha256(payloads[i] or b"").digest()[:8], "big") % (2**32)
+                samples = np.random.default_rng(seed).normal(0, 0.1, 1600).astype(np.float32)
+                rate = 16000
+            else:
+                raise NotImplementedError(
+                    f"no codec for audio format {fmts[i]!r} in this environment"
+                )
+            rows["media_id"].append(int(ids[i]))
+            rows["n_samples"].append(len(samples))
+            rows["sample_rate"].append(int(rate))
+            rows["duration_s"].append(len(samples) / rate)
+            rows["rms"].append(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0)
+            rows["peak"].append(float(np.abs(samples).max()) if len(samples) else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "n_samples": pa.array(rows["n_samples"], pa.int64()),
+                "sample_rate": pa.array(rows["sample_rate"], pa.int64()),
+                "duration_s": pa.array(rows["duration_s"], pa.float64()),
+                "rms": pa.array(rows["rms"], pa.float64()),
+                "peak": pa.array(rows["peak"], pa.float64()),
+            }
+        )
 
 
 class FrameSampler:
@@ -145,6 +289,19 @@ def decode_stats(
     return ds.map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"resize": resize, "fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(
+    ds: "ray.data.Dataset", *, concurrency: int = 2, batch_size: int = 32
+) -> "ray.data.Dataset":
+    """Audio feature extraction (real WAV decode) as an actor pool."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"fake": False},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

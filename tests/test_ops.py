@@ -244,8 +244,50 @@ def test_multimodal_plumbing():
         assert len(g) == min(4, nf)
         assert (g["frame_index"] < nf).all()
 
+    # fake=False raises only for formats without a real codec, at decode
+    fake_row = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "format": pa.array(["png"], pa.string()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+            "payload": pa.array([b"xx"], pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecoder(fake=False)
+        multimodal.ImageDecoder(fake=False)(fake_row)
+
+
+def test_multimodal_real_codecs():
+    """ppm images and wav audio decode FOR REAL (stdlib codecs): stats
+    must equal the encoded ground truth, not a stand-in."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (10, 6, 3)).astype(np.uint8)
+    assert (multimodal.decode_netpbm(multimodal.encode_netpbm(img)) == img).all()
+    samples = (np.sin(np.arange(3200) * 0.05) * 8000).astype(np.int16)
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 16000))
+    assert rate == 16000 and len(dec) == 3200
+    assert np.allclose(dec, samples / 32768.0, atol=1e-6)
+
+    t = multimodal.synth_media_table(48, seed=21)
+    df = t.to_pandas()
+    ds = ray.data.from_arrow(t)
+    # image stats equal the truly-decoded pixels for every ppm row
+    out = multimodal.decode_stats(ds, resize=(4, 4)).to_pandas().set_index("media_id")
+    for _, r in df[df["kind"] == "image"].iterrows():
+        truth = multimodal.decode_netpbm(r["payload"])
+        assert abs(out.loc[r["media_id"], "pix_mean"] - truth.mean()) < 1e-9
+    # audio features from the real WAV decode
+    feats = multimodal.audio_features(ds).to_pandas().set_index("media_id")
+    audio = df[df["kind"] == "audio"]
+    assert set(feats.index) == set(audio["media_id"])
+    for _, r in audio.iterrows():
+        dec, rate = multimodal.decode_wav(r["payload"])
+        got = feats.loc[r["media_id"]]
+        assert got["n_samples"] == len(dec) and got["sample_rate"] == rate
+        assert abs(got["rms"] - float(np.sqrt(np.mean(dec**2)))) < 1e-9
 
 
 def test_broadcast_joins():
