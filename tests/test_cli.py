@@ -1,0 +1,57 @@
+"""CLI smoke tests: the reference's `qamd` surface end-to-end in-process
+(src/bin/qamd.rs parity — run / check / gen-config)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from qamd_ray.cli import main
+
+
+def test_cli_check_parquet(tmp_path, ray_session, capsys):
+    t = pa.table(
+        {
+            "name": pa.array(["ann", "bob", "", "ann"], pa.string()),
+            "score": pa.array([1.0, 2.0, None, 1.0], pa.float64()),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "report.json")
+    assert main(["check", src, "-o", out]) == 0
+    rep = json.load(open(out))
+    assert rep["metadata"]["raw_case_count"] == 4
+    assert rep["metadata"]["variable_count"] == 2
+
+
+def test_cli_check_dta(tmp_path, ray_session, capsys):
+    src = str(tmp_path / "t.dta")
+    pd.DataFrame(
+        {"age": np.array([30.0, 40.0], dtype="float64"), "name": ["a", "b"]}
+    ).to_stata(src, write_index=False, version=117)
+    out = str(tmp_path / "report.json")
+    assert main(["check", src, "-o", out]) == 0
+    rep = json.load(open(out))
+    assert rep["metadata"]["raw_case_count"] == 2
+
+
+def test_cli_run_pipeline(tmp_path, ray_session, capsys):
+    from qamd_ray.synth import write_corpus
+
+    src = str(tmp_path / "in.parquet")
+    write_corpus(src, n_rows=120, n_repos=5, seed=3, row_group_size=40)
+    out_dir = str(tmp_path / "out")
+    assert main(["run", src, "-o", out_dir, "--num-shards", "2"]) == 0
+    rep = json.load(open(f"{out_dir}/report.json"))
+    assert rep["metadata"]["row_count"] == 120
+    assert rep["run"]["shards"] == 2
+
+
+def test_cli_bad_config(tmp_path, capsys):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("quality_filter: [unbalanced\n  - : : :")
+    assert main(["check", "x.parquet", "-c", str(bad)]) == 2
+    assert main(["check", "x.parquet", "-c", str(tmp_path / "absent.yaml")]) == 2
