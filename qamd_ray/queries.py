@@ -256,6 +256,30 @@ def q_top_users_by_type(sf_dir: str):
     return out[["event_type", "user_id", "n"]]
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 events per event_type, selected
+    by smallest md5(event_id) — hash-ordering makes a uniform-ish,
+    execution-order-independent, SQL-expressible sample (the per-key
+    reservoir a training pipeline uses for balanced subsets).  Reuses the
+    per-group top-k combiner."""
+    import hashlib as _hl
+
+    from .ops.topk import grouped_topk
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch["event_id"]), dtype=np.int64)
+        h = [_hl.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    out = grouped_topk(
+        keyed, ["event_type"], "h", 5, ascending=True, tiebreak=["event_id"]
+    )
+    return out[["event_type", "event_id"]]
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (60-min window, 30-min slide): each event lands in
     two windows — a flat-map-shaped map_batches duplicating rows with
@@ -644,6 +668,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "top_users": q_top_users,
     "top_users_by_type": q_top_users_by_type,
+    "stratified_sample": q_stratified_sample,
     "orders_by_nation": q_orders_by_nation,
     "customers_without_urgent": q_customers_without_urgent,
     "topk_cosine": q_topk_cosine,
@@ -711,6 +736,12 @@ ORACLES = {
     "top_users": (
         "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
         "ORDER BY n DESC, user_id LIMIT 10"
+    ),
+    "stratified_sample": (
+        "SELECT event_type, event_id FROM events "
+        "QUALIFY row_number() OVER ("
+        "  PARTITION BY event_type "
+        "  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 5"
     ),
     "top_users_by_type": (
         "SELECT event_type, user_id, n FROM ("
