@@ -1,0 +1,157 @@
+"""Ordered-log window operators: per-event session assignment.
+
+``sessionize`` gives every event its per-user session ordinal (1-based)
+under an inactivity-gap rule — the per-ROW version of the session-count
+query, and the building block for session-level features.
+
+Plan shape (no per-group Python):
+
+1. one global ``sort`` by (user, ts, order) — the all-to-all a
+   sessionization fundamentally needs (co-located ordered user streams) —
+   materialized once so two passes see IDENTICAL blocks;
+2. pass A (``batch_size=None`` ⇒ one batch per block): per-batch numpy
+   gap/diff → local per-user session ordinals + one boundary row per
+   block edge + per-(block, user) session counts;
+3. driver: order blocks by their first key, build per-(block, user)
+   OFFSETS (sessions of that user in earlier blocks) and the set of
+   blocks whose first row's session start is revoked (previous block ends
+   with the same user within the gap) — O(blocks × users-per-block) rows,
+   never events;
+4. pass B: broadcast the offset map, add ``session_seq = local + offset
+   [- 1 if revoked-first-user row]`` per batch — still streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import kernels as K
+
+
+def _block_key(u: np.ndarray, ts: np.ndarray, oid: np.ndarray) -> tuple:
+    return (int(u[0]), int(ts[0]), int(oid[0]))
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    *,
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> "ray.data.Dataset":
+    """→ the input rows + ``session_seq`` (1-based per-user session
+    ordinal in (ts, order) order)."""
+    sorted_ds = ds.sort([user_col, ts_col, order_col]).materialize()
+
+    def _pass_a(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "oid": pa.array([], pa.int64()),
+                }
+            )
+        u = np.asarray(K._as_array(batch[user_col]), dtype=np.int64)
+        ts = np.asarray(pc.cast(K._as_array(batch[ts_col]), pa.int64()))
+        oid = np.asarray(K._as_array(batch[order_col]), dtype=np.int64)
+        new_s = np.ones(n, dtype=bool)
+        new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        users, counts = np.unique(u[new_s], return_counts=True)
+        k = len(users)
+        _, bt, bo = _block_key(u, ts, oid)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(k, np.int8), np.array([1, 2], np.int8)])
+                ),
+                "user_id": pa.array(np.concatenate([users, [u[0], u[-1]]])),
+                "n": pa.array(np.concatenate([counts.astype(np.int64), [0, 0]])),
+                "ts_us": pa.array(np.concatenate([np.full(k, bt, np.int64), [ts[0], ts[-1]]])),
+                "oid": pa.array(np.concatenate([np.full(k, bo, np.int64), [oid[0], oid[-1]]])),
+            }
+        )
+
+    import pandas as pd
+
+    parts = sorted_ds.map_batches(
+        _pass_a, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    firsts = parts[parts["kind"] == 1].sort_values(["user_id", "ts_us", "oid"])
+    lasts = parts[parts["kind"] == 2].sort_values(["user_id", "ts_us", "oid"])
+    # block keys in global order; counts rows carry (first_ts, first_oid)
+    block_keys = list(
+        zip(firsts["user_id"].astype(int), firsts["ts_us"].astype(int), firsts["oid"].astype(int))
+    )
+    # revoked first rows: previous block ends with same user within gap
+    revoked: dict[tuple, int] = {}
+    fu = firsts["user_id"].to_numpy()
+    lu = lasts["user_id"].to_numpy()
+    ft = firsts["ts_us"].to_numpy()
+    lt = lasts["ts_us"].to_numpy()
+    for i in range(1, len(block_keys)):
+        if fu[i] == lu[i - 1] and (ft[i] - lt[i - 1]) <= gap_us:
+            revoked[block_keys[i]] = int(fu[i])
+    # per-(block, user) offsets = user's sessions in earlier blocks
+    counts = parts[parts["kind"] == 0].copy()
+    # counts rows tag their block via (ts_us, oid) = the block's first key
+    key_order = {bk: i for i, bk in enumerate(block_keys)}
+    first_pair_to_idx = {(int(t), int(o)): i for i, (_, t, o) in enumerate(block_keys)}
+    counts["blk"] = [
+        first_pair_to_idx[(int(t), int(o))]
+        for t, o in zip(counts["ts_us"], counts["oid"])
+    ]
+    # apply revocation to the counts themselves (the revoked block has one
+    # fewer session for that user)
+    for bk, uid in revoked.items():
+        i = key_order[bk]
+        sel = (counts["blk"] == i) & (counts["user_id"] == uid)
+        counts.loc[sel, "n"] -= 1
+    counts = counts.sort_values("blk")
+    offsets: dict[tuple[int, int], int] = {}  # (block_idx, user) -> offset
+    running: dict[int, int] = {}
+    for r in counts.itertuples():
+        offsets[(int(r.blk), int(r.user_id))] = running.get(int(r.user_id), 0)
+        running[int(r.user_id)] = running.get(int(r.user_id), 0) + int(r.n)
+    off_ref = ray.put(
+        (
+            {(int(t), int(o)): i for i, (_, t, o) in enumerate(block_keys)},
+            offsets,
+            {key_order[bk]: uid for bk, uid in revoked.items()},
+        )
+    )
+
+    def _pass_b(batch: pa.Table) -> pa.Table:
+        pair_to_idx, offs, revoked_user = ray.get(off_ref)
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("session_seq", pa.array([], pa.int64()))
+        u = np.asarray(K._as_array(batch[user_col]), dtype=np.int64)
+        ts = np.asarray(pc.cast(K._as_array(batch[ts_col]), pa.int64()))
+        oid = np.asarray(K._as_array(batch[order_col]), dtype=np.int64)
+        blk = pair_to_idx[(int(ts[0]), int(oid[0]))]
+        new_s = np.ones(n, dtype=np.int64)
+        new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        if revoked_user.get(blk) == int(u[0]):
+            new_s[0] = 0
+        # per-user cumulative within block: reset cumsum at user changes
+        cs = np.cumsum(new_s)
+        user_start = np.zeros(n, dtype=np.int64)
+        changes = np.nonzero(np.diff(u, prepend=u[0] - 1))[0]
+        user_start[changes] = cs[changes] - new_s[changes]
+        local = cs - np.maximum.accumulate(user_start)
+        base = np.array([offs.get((blk, int(x)), 0) for x in u], dtype=np.int64)
+        return batch.append_column("session_seq", pa.array(local + base))
+
+    return sorted_ds.map_batches(_pass_b, batch_format="pyarrow", batch_size=None)

@@ -380,6 +380,16 @@ def q_sessions(sf_dir: str):
     return out[["user_id", "n_sessions"]].astype("int64")
 
 
+def q_sessionize(sf_dir: str):
+    """Per-EVENT session assignment (1-based per-user ordinal under the
+    30-min gap rule) — ops.windows.sessionize; SQL twin is a windowed
+    cumulative sum over the lag-gap marker."""
+    from .ops.windows import sessionize
+
+    out = sessionize(_t(sf_dir, "events", ["user_id", "ts", "event_id"]))
+    return out.select_columns(["event_id", "user_id", "session_seq"])
+
+
 def q_orders_by_nation(sf_dir: str):
     """orders ⋈ customer ⋈ nation → orders per nation, all-big-sides
     distributed: orders pre-aggregated per customer (shuffle moves one row
@@ -665,6 +675,7 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
+    "sessionize": q_sessionize,
     "events_sliding": q_events_sliding,
     "top_users": q_top_users,
     "top_users_by_type": q_top_users_by_type,
@@ -757,6 +768,15 @@ ORACLES = {
         "                  (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 ]) AS w, "
         "         event_type FROM events"
         ") GROUP BY 1, 2"
+    ),
+    "sessionize": (
+        "SELECT event_id, user_id, CAST(SUM(new_s) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM ("
+        "  SELECT event_id, user_id, ts, CASE WHEN prev_ts IS NULL "
+        "       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+        "  FROM (SELECT event_id, user_id, ts, lag(ts) OVER "
+        "        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events))"
     ),
     "sessions": (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("

@@ -290,6 +290,38 @@ def test_multimodal_real_codecs():
         assert abs(got["rms"] - float(np.sqrt(np.mean(dec**2)))) < 1e-9
 
 
+def test_sessionize_vs_pandas():
+    """Per-event session ordinals match a pandas window reference, with a
+    user stream long enough to span multiple sorted blocks."""
+    from qamd_ray.ops.windows import sessionize
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    users = rng.integers(0, 5, n)  # few users → long per-user runs
+    ts = np.cumsum(rng.integers(1, 40, n)) * 60_000_000  # minutes in us
+    t = pa.table(
+        {
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    # several input blocks so the sort produces several ordered blocks
+    tables = [t.slice(i, 500) for i in range(0, n, 500)]
+    out = (
+        sessionize(ray.data.from_arrow(tables))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    gap = df.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+    first = ~df.duplicated("user_id")
+    df["session_seq"] = (gap | first).astype(int).groupby(df["user_id"]).cumsum()
+    want = df.sort_values("event_id").reset_index(drop=True)
+    assert (out["session_seq"].to_numpy() == want["session_seq"].to_numpy()).all()
+
+
 def test_broadcast_joins():
     """Broadcast hash / semi / anti joins (ops.joins) vs pandas truth."""
     import pandas as pd
