@@ -115,6 +115,15 @@ def read_table(
     exts = {os.path.splitext(f)[1].lower() for f in files}
     if exts <= {".parquet", ".pq"}:
         return ray.data.read_parquet(files, columns=columns)
+    if exts <= {".dta", ".sav", ".por", ".sas7bdat", ".xpt"}:
+        # native statistical readers (data only — use readers.read_stat_table
+        # directly when the header metadata is needed too)
+        from .readers import read_stat_table
+
+        ds, _meta = read_stat_table(files)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     if exts <= {".csv"}:
         # pin every column to string so cells keep their raw text — CSV
         # columns are always Text in the reference (csv/read.rs:84-91);

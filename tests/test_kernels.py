@@ -106,7 +106,13 @@ def test_read_table_dispatch(tmp_path):
     # CSV columns are always raw Text (csv/read.rs:84-91) — no inference
     assert dc["b"].tolist() == ["1", "2", "3"]
 
+    # statistical formats now dispatch to the native readers (S2-S4);
+    # a corrupt payload surfaces the reader's own error
     with open(tmp_path / "t.sav", "w") as f:
         f.write("nope")
-    with pytest.raises(ValueError, match="unsupported input extension"):
+    with pytest.raises(ValueError, match="not an SPSS system file"):
         read_table(str(tmp_path / "t.sav"))
+    with open(tmp_path / "t.xyz", "w") as f:
+        f.write("nope")
+    with pytest.raises(ValueError, match="unsupported input extension"):
+        read_table(str(tmp_path / "t.xyz"))
