@@ -163,22 +163,34 @@ class Report:
         return json.dumps(self.to_dict(), indent=indent)
 
     def to_html(self) -> str:
-        """Self-contained single-page report: four category sections, a table
-        per check, locator tables capped at LOCATOR_CAP rows (the reference
-        inlines Bootstrap/jQuery, report/html/mod.rs:19-102; we emit plain
-        minimal HTML with the same information architecture)."""
+        """Self-contained single-page report with the reference's
+        information architecture (report/html/mod.rs:19-126): a metadata
+        card, one section per category, a pass/fail badge row per check,
+        and CLICKABLE expandable locator tables capped at LOCATOR_CAP —
+        rendered with native ``<details>`` instead of the reference's
+        inlined Bootstrap/jQuery (no network, no JS)."""
         md = self.metadata
         parts = [
             "<!DOCTYPE html><html><head><meta charset='utf-8'>",
             f"<title>Data health check — {_html.escape(md.file_name)}</title>",
-            "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}"
-            "td,th{border:1px solid #ccc;padding:4px 8px}.fail{color:#b00}.pass{color:#080}</style>",
-            "</head><body>",
+            "<style>"
+            "body{font-family:system-ui,sans-serif;margin:2em;max-width:60em}"
+            "table{border-collapse:collapse;margin:0.5em 0}"
+            "td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}"
+            ".badge{display:inline-block;padding:1px 8px;border-radius:9px;"
+            "font-size:0.85em;color:#fff}"
+            ".bp{background:#2a7f2a}.bf{background:#b02a2a}.bz{background:#888}"
+            "details{margin:0.4em 0 1em 0}summary{cursor:pointer}"
+            "h3{border-bottom:2px solid #eee;padding-bottom:0.2em}"
+            ".meta th{background:#f7f7f7}"
+            "</style></head><body>",
             f"<h1>Data health check</h1><h2>{_html.escape(md.file_name)}</h2>",
-            "<h3>Metadata</h3><table>",
+            "<h3>Metadata</h3><table class='meta'>",
         ]
         for k, v in md.to_dict().items():
-            parts.append(f"<tr><th>{_html.escape(str(k))}</th><td>{_html.escape(str(v))}</td></tr>")
+            parts.append(
+                f"<tr><th>{_html.escape(str(k))}</th><td>{_html.escape(str(v))}</td></tr>"
+            )
         parts.append("</table>")
         for cat_key, cat_disp in CATEGORY_DISPLAY.items():
             rows = [(n, s) for n, s in self.ordered() if s.category == cat_key]
@@ -186,18 +198,28 @@ class Report:
                 continue
             parts.append(f"<h3>{_html.escape(cat_disp)}</h3>")
             for name, st in rows:
-                parts.append(
-                    f"<h4>{_html.escape(to_sentence(name))}</h4>"
-                    f"<p>{_html.escape(st.desc)} — <span class='pass'>pass {st.pass_}</span>, "
-                    f"<span class='fail'>fail {st.fail}</span></p>"
+                fail_cls = "bf" if st.fail else "bz"
+                head = (
+                    f"<b>{_html.escape(to_sentence(name))}</b> "
+                    f"<span class='badge bp'>pass {st.pass_}</span> "
+                    f"<span class='badge {fail_cls}'>fail {st.fail}</span> "
+                    f"— {_html.escape(st.desc)}"
                 )
                 if st.locators:
-                    parts.append("<table><tr><th>variable</th><th>index</th><th>row</th></tr>")
-                    for l in sorted(st.locators)[:LOCATOR_CAP]:
+                    shown = sorted(st.locators)[:LOCATOR_CAP]
+                    parts.append(
+                        f"<details><summary>{head} "
+                        f"(show {len(shown)} locator{'s' if len(shown) != 1 else ''})"
+                        "</summary>"
+                        "<table><tr><th>variable</th><th>index</th><th>row</th></tr>"
+                    )
+                    for l in shown:
                         parts.append(
                             f"<tr><td>{_html.escape(l.variable_name)}</td>"
                             f"<td>{l.variable_index}</td><td>{l.value_index}</td></tr>"
                         )
-                    parts.append("</table>")
+                    parts.append("</table></details>")
+                else:
+                    parts.append(f"<p>{head}</p>")
         parts.append("</body></html>")
         return "".join(parts)
