@@ -64,6 +64,38 @@ def test_minhash_lsh_finds_near_dups(near_dup_table):
     assert 1 not in ids and 3 not in ids and 0 in ids and 2 in ids
 
 
+def test_minhash_distributed_path_matches_driver_path(near_dup_table):
+    """driver_collect_threshold=0 forces the at-scale path (hash-aggregate
+    bucket counts + broadcast hot keys + distributed sig filter); it must
+    produce exactly the pairs of the driver-collect path."""
+    ds = ray.data.from_arrow(near_dup_table)
+    a = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+    b = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.8, driver_collect_threshold=0)
+    assert a[["id_a", "id_b"]].reset_index(drop=True).equals(
+        b[["id_a", "id_b"]].reset_index(drop=True)
+    )
+
+
+def test_embedding_dedup_distributed_path():
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((40, 16)).astype(np.float32)
+    M[1] = M[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = dedup.embedding_dup_pairs(ds, cosine_threshold=0.95, num_planes=8)
+    b = dedup.embedding_dup_pairs(
+        ds, cosine_threshold=0.95, num_planes=8, driver_collect_threshold=0
+    )
+    assert a[["id_a", "id_b"]].reset_index(drop=True).equals(
+        b[["id_a", "id_b"]].reset_index(drop=True)
+    )
+
+
 def test_ngram_jaccard_pairs_distributed(near_dup_table):
     """Distributed exact-Jaccard (gram self-join) finds the planted pairs
     and agrees with the scalar kernel on the values."""

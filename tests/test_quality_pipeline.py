@@ -111,6 +111,22 @@ def test_duplicate_losers_exact(corpus, cfg):
             expected.update(sorted(keys)[1:])
     assert set(losers) == expected
     assert len(expected) > 0
+    # distributed winner paths agree with each other and the expectation
+    from qamd_ray.pipeline import _winners_from_files, duplicate_winners, content_keys
+
+    keys_ds = content_keys(ds)
+    win_driver = duplicate_winners(keys_ds)
+    win_dist = duplicate_winners(content_keys(ds), driver_collect_threshold=0)
+    assert win_driver == win_dist
+    expected_winners = {
+        hashlib.sha256(r["content"].encode("utf-8", "surrogatepass")).hexdigest()
+        for r in rows
+    }
+    assert set(win_driver) <= expected_winners
+    for sha, keys in groups.items():
+        if len(keys) > 1:
+            r0, p0 = sorted(keys)[0]
+            assert win_driver[sha] == f"{r0}\x00{p0}"
 
 
 def test_repo_report_and_summary(corpus, cfg, final_df):
