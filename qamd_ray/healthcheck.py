@@ -256,7 +256,9 @@ def health_check(
                 # Text (csv/read.rs:84-91); type inference + cast would
                 # normalize numeric-looking literals
                 with open(p, "r", encoding="utf-8", newline="") as fh:
-                    header = next(_csv.reader(fh))
+                    header = next(_csv.reader(fh), None)
+                if header is None:
+                    raise ValueError(f"empty CSV file: {p}")
                 t = pacsv.read_csv(
                     p,
                     convert_options=pacsv.ConvertOptions(

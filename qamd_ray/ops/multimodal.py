@@ -70,18 +70,21 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     channels = 3 if payload[:2] == b"P6" else 1
     # header: magic, width, height, maxval — whitespace separated, with
     # optional '#' comment lines; data starts after the single whitespace
-    # byte following maxval
-    pos, fields = 2, []
+    # byte following maxval.  Every scan is bounded: a truncated header
+    # must raise, never spin (empty slices are not whitespace).
+    pos, fields, end = 2, [], len(payload)
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":
-            while payload[pos : pos + 1] not in (b"\n", b""):
+            while pos < end and payload[pos : pos + 1] != b"\n":
                 pos += 1
             continue
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= end:
+            raise ValueError("truncated netpbm header")
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields

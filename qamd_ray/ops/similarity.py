@@ -198,11 +198,20 @@ def ivf_build(
             }
         )
 
-    ds.map_batches(_assign, batch_format="pandas").write_parquet(
-        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
-    )
+    # write to a temp dir and publish atomically — a crashed/concurrent
+    # build must never leave a half-usable vectors/ directory
+    import shutil
+
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"dim": int(C.shape[1]), "n_clusters": int(len(C)), "id_col": id_col}, f)
+    tmp = os.path.join(index_dir, ".vectors.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(_assign, batch_format="pandas").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    final = os.path.join(index_dir, "vectors")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)  # vectors/ appears only when complete
     return C
 
 

@@ -310,74 +310,22 @@ def q_events_sliding(sf_dir: str):
 
 
 def q_sessions(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — the ordered,
-    partitioned-log pattern, fully vectorized: one global sort by
-    (user, ts, event_id) range-partitions the log into ordered contiguous
-    batches; each batch computes its interior session starts with a numpy
-    diff (NO per-group Python), emits per-user partial counts plus its two
-    boundary rows, and the driver stitches batch boundaries (a session
-    start at a batch's first row is revoked when the previous batch ends
-    with the same user within the gap)."""
-    GAP_US = 30 * 60 * 1_000_000
-    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"]).sort(
-        ["user_id", "ts", "event_id"]
-    )
+    """Session COUNT per user (30-min inactivity gap) = max per-user
+    session ordinal from ops.windows.sessionize — one implementation of
+    the sort + per-batch diff + boundary-stitch machinery, shared with
+    the per-event q_sessionize."""
+    from ray.data.aggregate import Max
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
-            return pa.table(
-                {
-                    "kind": pa.array([], pa.int8()),
-                    "user_id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "ts_us": pa.array([], pa.int64()),
-                    "event_id": pa.array([], pa.int64()),
-                }
-            )
-        u = np.asarray(K._as_array(batch["user_id"]), dtype=np.int64)
-        ts = np.asarray(pc.cast(K._as_array(batch["ts"]), pa.int64()))  # microseconds
-        eid = np.asarray(K._as_array(batch["event_id"]), dtype=np.int64)
-        new_s = np.ones(n, dtype=bool)
-        new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
-        users, counts = np.unique(u[new_s], return_counts=True)
-        k = len(users)
-        return pa.table(
-            {
-                "kind": pa.array(
-                    np.concatenate([np.zeros(k, np.int8), np.array([1, 2], np.int8)])
-                ),
-                "user_id": pa.array(np.concatenate([users, [u[0], u[-1]]])),
-                "n": pa.array(np.concatenate([counts.astype(np.int64), [0, 0]])),
-                "ts_us": pa.array(
-                    np.concatenate([np.zeros(k, np.int64), [ts[0], ts[-1]]])
-                ),
-                "event_id": pa.array(
-                    np.concatenate([np.zeros(k, np.int64), [eid[0], eid[-1]]])
-                ),
-            }
-        )
+    from .ops.windows import sessionize
 
-    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    totals = (
-        parts[parts["kind"] == 0]
-        .groupby("user_id", sort=False)["n"]
-        .sum()
+    out = sessionize(_t(sf_dir, "events", ["user_id", "ts", "event_id"]))
+    proj = out.map_batches(
+        lambda b: b.select(["user_id", "session_seq"]), batch_format="pyarrow"
     )
-    firsts = parts[parts["kind"] == 1].sort_values(["user_id", "ts_us", "event_id"])
-    lasts = parts[parts["kind"] == 2].sort_values(["user_id", "ts_us", "event_id"])
-    # batches are contiguous sorted ranges, so sorting boundary rows by key
-    # recovers batch order; revoke the first-row session start of batch i
-    # when batch i-1 ends with the same user within the gap
-    fu = firsts["user_id"].to_numpy()[1:]
-    lu = lasts["user_id"].to_numpy()[:-1]
-    ft = firsts["ts_us"].to_numpy()[1:]
-    lt = lasts["ts_us"].to_numpy()[:-1]
-    revoke = fu[(fu == lu) & ((ft - lt) <= GAP_US)]
-    for user in revoke:
-        totals.loc[user] -= 1
-    out = totals.reset_index().rename(columns={"n": "n_sessions"})
-    return out[["user_id", "n_sessions"]].astype("int64")
+    agg = proj.groupby("user_id").aggregate(
+        Max("session_seq", alias_name="n_sessions")
+    )
+    return agg.to_pandas().astype("int64")
 
 
 def q_sessionize(sf_dir: str):
@@ -481,8 +429,11 @@ def q_ivf_index_topk(sf_dir: str):
     import os as _os
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n = emb.count()
-    idx = f"/tmp/qamd_ivf_{_hl.md5(f'{sf_dir}:{n}'.encode()).hexdigest()[:10]}"
+    # cache key fingerprints the source file (mtime+size), not just the
+    # row count — a regenerated table must not hit a stale index
+    st = _os.stat(f"{sf_dir}/embeddings.parquet")
+    key = _hl.md5(f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    idx = f"/tmp/qamd_ivf_{key}"
     if not _os.path.isdir(_os.path.join(idx, "vectors")):
         similarity.ivf_build(emb, idx, n_clusters=16)
     qdf = pq.read_table(

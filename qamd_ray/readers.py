@@ -93,6 +93,10 @@ def _column_to_arrow(
         )
     tags: set[str] = set()
     out: list[str] = []
+    # rendering follows the column's true numeric kind: a tagged INTEGER
+    # column must keep the bare integer rendering ("10", not "10.0") so
+    # string-rendering value identity matches untagged files
+    float_like = any(isinstance(v, (float, np.floating)) for v in vals)
     for v in vals:
         if isinstance(v, StataMissingValue):
             t = str(v)
@@ -104,12 +108,12 @@ def _column_to_arrow(
         elif isinstance(v, (float, np.floating)):
             out.append(_render_float(float(v)))
         elif isinstance(v, (int, np.integer)):
-            out.append(_render_float(float(v)))  # numeric column ⇒ float rendering
+            out.append(_render_float(float(v)) if float_like else str(int(v)))
         elif v is None:
             out.append("")
         else:
             out.append(str(v))
-    return pa.array(out, pa.string()), tags, "Numeric", True
+    return pa.array(out, pa.string()), tags, "Numeric", float_like
 
 
 def read_stata_file(path: str) -> tuple[pa.Table, TableMeta]:
@@ -283,10 +287,18 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
             if typ == -1:  # continuation of a long string — occupies a slot
                 off += 8 * abs(n_missing)
                 continue
-            vals = [
-                struct.unpack_from(bo + "d", buf, off + 8 * j)[0]
-                for j in range(abs(n_missing))
-            ]
+            # missing-value slots: doubles for numeric variables,
+            # 8-byte space-padded strings for string variables (PSPP spec)
+            if typ == 0:
+                vals = [
+                    struct.unpack_from(bo + "d", buf, off + 8 * j)[0]
+                    for j in range(abs(n_missing))
+                ]
+            else:
+                vals = [
+                    buf[off + 8 * j : off + 8 * (j + 1)].decode("latin-1").rstrip()
+                    for j in range(abs(n_missing))
+                ]
             off += 8 * abs(n_missing)
             var_no = len(names)
             dict_index_to_var[dict_slot] = var_no
@@ -667,10 +679,13 @@ _READERS = {
 def read_stat_table(
     paths: str | Sequence[str],
 ) -> tuple["ray.data.Dataset", TableMeta]:
-    """Extension dispatch for statistical formats (read.rs:21-39): every
-    file becomes one Arrow block (files parallelize; one file is one
-    reader task since these formats are not splittable).  Metadata comes
-    from the FIRST file; row indices are global across sorted files."""
+    """Extension dispatch for statistical formats (read.rs:21-39): one
+    Ray task parses each file (these formats are not splittable, so the
+    file is the parallel unit) and its Arrow table STAYS in the object
+    store (``from_arrow_refs`` — the driver holds only per-file metadata,
+    never the data).  Metadata comes from the FIRST sorted file; tagged
+    codes union across files; row indices are global in file order.
+    Single-file inputs skip the task round-trip."""
     files = _expand(paths)
     if not files:
         raise FileNotFoundError(f"no input files under {paths!r}")
@@ -680,24 +695,42 @@ def read_stat_table(
             f"unsupported statistical input extension(s) {sorted(exts)}; "
             f"expected one of {sorted(_READERS)}"
         )
-    reader = _READERS[next(iter(exts))]
-    tables: list[pa.Table] = []
-    meta: Optional[TableMeta] = None
-    offset = 0
+    ext = next(iter(exts))
+
+    if len(files) == 1:
+        t, meta = _READERS[ext](files[0])
+        return ray.data.from_arrow(t), meta
+
+    import ray as _ray
+
+    @_ray.remote(num_returns=2)
+    def _parse(path: str, ext: str):
+        t, m = _READERS[ext](path)
+        return t, (len(t), m)
+
+    t_refs: list = []
+    info_refs: list = []
     for f in files:
-        t, m = reader(f)
-        if meta is None:
-            meta = m
-        else:  # union tagged codes across files; first file wins elsewhere
-            for name, tags in m.tagged_missing.items():
-                meta.tagged_missing.setdefault(name, set()).update(tags)
-        if offset:
-            t = t.set_column(
-                t.schema.get_field_index(ROW_COL),
-                ROW_COL,
-                pa.array(np.arange(offset, offset + len(t), dtype=np.int64)),
-            )
-        offset += len(t)
-        tables.append(t)
-    assert meta is not None
-    return ray.data.from_arrow(tables), meta
+        t_ref, info_ref = _parse.remote(f, ext)
+        t_refs.append(t_ref)
+        info_refs.append(info_ref)
+    infos = _ray.get(info_refs)  # (n_rows, meta) per file — small
+    meta = infos[0][1]
+    for _n, m in infos[1:]:
+        for name, tags in m.tagged_missing.items():
+            meta.tagged_missing.setdefault(name, set()).update(tags)
+    offsets = np.concatenate([[0], np.cumsum([n for n, _ in infos])[:-1]])
+
+    @_ray.remote
+    def _shift(t: pa.Table, offset: int) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index(ROW_COL),
+            ROW_COL,
+            pa.array(np.arange(offset, offset + len(t), dtype=np.int64)),
+        )
+
+    shifted = [
+        t_ref if off == 0 else _shift.remote(t_ref, int(off))
+        for t_ref, off in zip(t_refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(shifted), meta

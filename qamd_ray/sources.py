@@ -31,9 +31,13 @@ def _expand(paths: str | Sequence[str]) -> list[str]:
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            hits = sorted(
-                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
-            ) or sorted(glob.glob(os.path.join(p, "**", "*.csv"), recursive=True))
+            hits: list[str] = []
+            for ext in ("parquet", "csv", "dta", "sav", "por", "sas7bdat", "xpt"):
+                hits = sorted(
+                    glob.glob(os.path.join(p, "**", f"*.{ext}"), recursive=True)
+                )
+                if hits:
+                    break
             out.extend(hits)
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(glob.glob(p)))
@@ -133,7 +137,9 @@ def read_table(
         import pyarrow.csv as pacsv
 
         with open(files[0], "r", encoding="utf-8", newline="") as fh:
-            header = next(_csv.reader(fh))
+            header = next(_csv.reader(fh), None)
+        if header is None:
+            raise ValueError(f"empty CSV file: {files[0]}")
         ds = ray.data.read_csv(
             files,
             convert_options=pacsv.ConvertOptions(

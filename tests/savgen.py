@@ -22,7 +22,7 @@ def _var_record(
     name: str,
     typ: int,
     label: str = "",
-    missing: list[float] | None = None,
+    missing: list | None = None,
 ) -> bytes:
     missing = missing or []
     out = struct.pack(
@@ -39,7 +39,10 @@ def _var_record(
         lab = label.encode("latin-1")
         out += struct.pack("<i", len(lab)) + lab.ljust((len(lab) + 3) & ~3, b"\x00")
     for m in missing:
-        out += struct.pack("<d", m)
+        if typ == 0:
+            out += struct.pack("<d", float(m))
+        else:  # string variables declare missing as 8-byte padded strings
+            out += str(m).encode("latin-1")[:8].ljust(8)
     return out
 
 

@@ -65,7 +65,9 @@ def test_read_stata_meta_and_rendering(dta_path):
     # rendering identity (anyvalue.rs:25-41): float "34.0", sysmiss "",
     # tagged ".a"
     assert t["age"].to_pylist() == ["34.0", "67.0", "", "21.5"]
-    assert t["score"].to_pylist() == ["10.0", ".a", "25.0", "12.0"]
+    # integer columns keep the bare rendering even when tagged (value
+    # identity must match untagged files)
+    assert t["score"].to_pylist() == ["10", ".a", "25", "12"]
     assert meta.tagged_missing == {"score": {".a"}}
     assert t["__row__"].to_pylist() == [0, 1, 2, 3]
 
@@ -193,6 +195,32 @@ def test_read_por_roundtrip(tmp_path):
         "1.0": "control",
         "2.0": "treatment",
     }
+
+
+def test_read_stat_table_multi_file(tmp_path, ray_session):
+    """Multi-file inputs parse in Ray tasks (tables stay in the object
+    store) with global row indices in sorted-file order."""
+    for i in range(3):
+        pd.DataFrame(
+            {"x": np.array([i * 10.0, i * 10.0 + 1], dtype="float64")}
+        ).to_stata(str(tmp_path / f"f{i}.dta"), write_index=False, version=117)
+    ds, meta = read_stat_table(str(tmp_path))
+    df = ds.to_pandas().sort_values("__row__").reset_index(drop=True)
+    assert df["__row__"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert df["x"].tolist() == [0.0, 1.0, 10.0, 11.0, 20.0, 21.0]
+    assert len(meta.variables) == 1
+
+
+def test_empty_csv_clean_error(tmp_path, ray_session):
+    from qamd_ray.gen_config import default_config
+    from qamd_ray.sources import read_table
+
+    empty = tmp_path / "e.csv"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="empty CSV"):
+        read_table(str(empty))
+    with pytest.raises(ValueError, match="empty CSV"):
+        health_check(str(empty), default_config())
 
 
 def test_read_stat_table_dispatch_errors(tmp_path):
