@@ -1,31 +1,32 @@
-"""Ordered-log window operators: per-event session assignment.
+"""Ordered-log window operators: session counts + per-event assignment.
 
-``sessionize`` gives every event its per-user session ordinal (1-based)
-under an inactivity-gap rule — the per-ROW version of the session-count
-query, and the building block for session-level features.
+``session_counts`` gives sessions-per-user; ``sessionize`` gives every
+event its per-user session ordinal (1-based) under an inactivity-gap
+rule.  Both share ONE implementation of the subtle part — per-block
+session detection and cross-block boundary stitching.
 
 Plan shape (no per-group Python):
 
 1. one global ``sort`` by (user, ts, order) — the all-to-all a
-   sessionization fundamentally needs (co-located ordered user streams) —
-   materialized once so two passes see IDENTICAL blocks;
+   sessionization fundamentally needs (co-located ordered user streams);
 2. pass A (``batch_size=None`` ⇒ one batch per block): per-batch numpy
-   gap/diff → local per-user session ordinals + one boundary row per
-   block edge + per-(block, user) session counts;
-3. driver: order blocks by their first key, build per-(block, user)
-   OFFSETS (sessions of that user in earlier blocks) and the set of
-   blocks whose first row's session start is revoked (previous block ends
-   with the same user within the gap) — O(blocks × users-per-block) rows,
-   never events;
-4. pass B: broadcast the offset map, add ``session_seq = local + offset
-   [- 1 if revoked-first-user row]`` per batch — still streaming.
+   gap/diff → per-(block, user) session counts + one boundary row per
+   block edge;
+3. driver stitch: order blocks by their first key, REVOKE the session
+   start at a block's first row when the previous block ends with the
+   same user within the gap, adjust that block's count —
+   O(blocks × users-per-block) rows, never events.
+
+``session_counts`` stops there (single streaming pass over the sort).
+``sessionize`` materializes the sort so a second pass sees identical
+blocks, turns the stitched counts into per-(block, user) OFFSETS, and
+pass B broadcasts them to emit ``session_seq`` per row — still streaming.
 """
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,23 +35,10 @@ import ray.data
 
 from .. import kernels as K
 
-
-def _block_key(u: np.ndarray, ts: np.ndarray, oid: np.ndarray) -> tuple:
-    return (int(u[0]), int(ts[0]), int(oid[0]))
+DEFAULT_GAP_US = 30 * 60 * 1_000_000
 
 
-def sessionize(
-    ds: "ray.data.Dataset",
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    order_col: str = "event_id",
-    *,
-    gap_us: int = 30 * 60 * 1_000_000,
-) -> "ray.data.Dataset":
-    """→ the input rows + ``session_seq`` (1-based per-user session
-    ordinal in (ts, order) order)."""
-    sorted_ds = ds.sort([user_col, ts_col, order_col]).materialize()
-
+def _pass_a_fn(user_col: str, ts_col: str, order_col: str, gap_us: int):
     def _pass_a(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
@@ -70,7 +58,7 @@ def sessionize(
         new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         users, counts = np.unique(u[new_s], return_counts=True)
         k = len(users)
-        _, bt, bo = _block_key(u, ts, oid)
+        bt, bo = int(ts[0]), int(oid[0])
         return pa.table(
             {
                 "kind": pa.array(
@@ -83,64 +71,102 @@ def sessionize(
             }
         )
 
-    import pandas as pd
+    return _pass_a
 
+
+def _stitched_counts(
+    sorted_ds: "ray.data.Dataset",
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int,
+) -> tuple[pd.DataFrame, dict, dict]:
+    """Run pass A + the boundary stitch.  → (per-(block, user) counts with
+    a ``blk`` ordinal, revocation already applied;
+    first-key-pair → block ordinal map; {block ordinal → revoked user})."""
     parts = sorted_ds.map_batches(
-        _pass_a, batch_format="pyarrow", batch_size=None
+        _pass_a_fn(user_col, ts_col, order_col, gap_us),
+        batch_format="pyarrow",
+        batch_size=None,
     ).to_pandas()
     firsts = parts[parts["kind"] == 1].sort_values(["user_id", "ts_us", "oid"])
     lasts = parts[parts["kind"] == 2].sort_values(["user_id", "ts_us", "oid"])
-    # block keys in global order; counts rows carry (first_ts, first_oid)
-    block_keys = list(
-        zip(firsts["user_id"].astype(int), firsts["ts_us"].astype(int), firsts["oid"].astype(int))
-    )
-    # revoked first rows: previous block ends with same user within gap
-    revoked: dict[tuple, int] = {}
+    # blocks are contiguous sorted ranges, so sorting boundary rows by key
+    # recovers block order; revoke the first-row session start of block i
+    # when block i-1 ends with the same user within the gap
+    pair_to_idx = {
+        (int(t), int(o)): i
+        for i, (t, o) in enumerate(zip(firsts["ts_us"], firsts["oid"]))
+    }
     fu = firsts["user_id"].to_numpy()
     lu = lasts["user_id"].to_numpy()
     ft = firsts["ts_us"].to_numpy()
     lt = lasts["ts_us"].to_numpy()
-    for i in range(1, len(block_keys)):
+    revoked: dict[int, int] = {}
+    for i in range(1, len(fu)):
         if fu[i] == lu[i - 1] and (ft[i] - lt[i - 1]) <= gap_us:
-            revoked[block_keys[i]] = int(fu[i])
-    # per-(block, user) offsets = user's sessions in earlier blocks
+            revoked[i] = int(fu[i])
     counts = parts[parts["kind"] == 0].copy()
-    # counts rows tag their block via (ts_us, oid) = the block's first key
-    key_order = {bk: i for i, bk in enumerate(block_keys)}
-    first_pair_to_idx = {(int(t), int(o)): i for i, (_, t, o) in enumerate(block_keys)}
     counts["blk"] = [
-        first_pair_to_idx[(int(t), int(o))]
-        for t, o in zip(counts["ts_us"], counts["oid"])
+        pair_to_idx[(int(t), int(o))] for t, o in zip(counts["ts_us"], counts["oid"])
     ]
-    # apply revocation to the counts themselves (the revoked block has one
-    # fewer session for that user)
-    for bk, uid in revoked.items():
-        i = key_order[bk]
+    for i, uid in revoked.items():
         sel = (counts["blk"] == i) & (counts["user_id"] == uid)
         counts.loc[sel, "n"] -= 1
-    counts = counts.sort_values("blk")
-    offsets: dict[tuple[int, int], int] = {}  # (block_idx, user) -> offset
+    return counts.sort_values("blk"), pair_to_idx, revoked
+
+
+def session_counts(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    *,
+    gap_us: int = DEFAULT_GAP_US,
+) -> pd.DataFrame:
+    """Sessions per user → (user_id, n_sessions).  One streaming pass
+    over the sorted log; only per-(block, user) partials reach the
+    driver."""
+    sorted_ds = ds.sort([user_col, ts_col, order_col])
+    counts, _, _ = _stitched_counts(sorted_ds, user_col, ts_col, order_col, gap_us)
+    totals = counts.groupby("user_id", sort=False)["n"].sum()
+    out = totals.reset_index().rename(columns={"n": "n_sessions"})
+    return out[["user_id", "n_sessions"]].astype("int64")
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    *,
+    gap_us: int = DEFAULT_GAP_US,
+) -> "ray.data.Dataset":
+    """→ the input rows + ``session_seq`` (1-based per-user session
+    ordinal in (ts, order) order)."""
+    # materialized so pass A and pass B see IDENTICAL blocks
+    sorted_ds = ds.sort([user_col, ts_col, order_col]).materialize()
+    counts, pair_to_idx, revoked = _stitched_counts(
+        sorted_ds, user_col, ts_col, order_col, gap_us
+    )
+    # per-(block, user) offsets = user's (revocation-adjusted) sessions in
+    # earlier blocks
+    offsets: dict[tuple[int, int], int] = {}
     running: dict[int, int] = {}
     for r in counts.itertuples():
         offsets[(int(r.blk), int(r.user_id))] = running.get(int(r.user_id), 0)
         running[int(r.user_id)] = running.get(int(r.user_id), 0) + int(r.n)
-    off_ref = ray.put(
-        (
-            {(int(t), int(o)): i for i, (_, t, o) in enumerate(block_keys)},
-            offsets,
-            {key_order[bk]: uid for bk, uid in revoked.items()},
-        )
-    )
+    off_ref = ray.put((pair_to_idx, offsets, revoked))
 
     def _pass_b(batch: pa.Table) -> pa.Table:
-        pair_to_idx, offs, revoked_user = ray.get(off_ref)
+        p2i, offs, revoked_user = ray.get(off_ref)
         n = len(batch)
         if n == 0:
             return batch.append_column("session_seq", pa.array([], pa.int64()))
         u = np.asarray(K._as_array(batch[user_col]), dtype=np.int64)
         ts = np.asarray(pc.cast(K._as_array(batch[ts_col]), pa.int64()))
         oid = np.asarray(K._as_array(batch[order_col]), dtype=np.int64)
-        blk = pair_to_idx[(int(ts[0]), int(oid[0]))]
+        blk = p2i[(int(ts[0]), int(oid[0]))]
         new_s = np.ones(n, dtype=np.int64)
         new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         if revoked_user.get(blk) == int(u[0]):

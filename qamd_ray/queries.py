@@ -310,22 +310,13 @@ def q_events_sliding(sf_dir: str):
 
 
 def q_sessions(sf_dir: str):
-    """Session COUNT per user (30-min inactivity gap) = max per-user
-    session ordinal from ops.windows.sessionize — one implementation of
-    the sort + per-batch diff + boundary-stitch machinery, shared with
-    the per-event q_sessionize."""
-    from ray.data.aggregate import Max
+    """Session COUNT per user (30-min inactivity gap) —
+    ops.windows.session_counts: one streaming pass over the sorted log,
+    sharing the per-block diff + boundary-stitch core with the per-event
+    q_sessionize."""
+    from .ops.windows import session_counts
 
-    from .ops.windows import sessionize
-
-    out = sessionize(_t(sf_dir, "events", ["user_id", "ts", "event_id"]))
-    proj = out.map_batches(
-        lambda b: b.select(["user_id", "session_seq"]), batch_format="pyarrow"
-    )
-    agg = proj.groupby("user_id").aggregate(
-        Max("session_seq", alias_name="n_sessions")
-    )
-    return agg.to_pandas().astype("int64")
+    return session_counts(_t(sf_dir, "events", ["user_id", "ts", "event_id"]))
 
 
 def q_sessionize(sf_dir: str):
