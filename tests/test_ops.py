@@ -354,6 +354,43 @@ def test_sessionize_vs_pandas():
     assert (out["session_seq"].to_numpy() == want["session_seq"].to_numpy()).all()
 
 
+def test_sessionize_property_random_streams():
+    """Randomized small event streams (many users, gap-straddling
+    timestamps, forced multi-block layout) against the pandas window
+    reference — hammers the boundary-stitch/revocation logic."""
+    from qamd_ray.ops.windows import session_counts, sessionize
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(30, 400))
+        users = rng.integers(0, int(rng.integers(1, 8)), n)
+        # gaps clustered around the 30-min threshold to stress ties
+        step_min = rng.choice([1, 29, 30, 31, 90], size=n)
+        ts = np.cumsum(step_min) * 60_000_000
+        t = pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64)),
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+        blocks = [t.slice(i, 37) for i in range(0, n, 37)]
+        ds = ray.data.from_arrow(blocks)
+        out = (
+            sessionize(ds).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        gap = df.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+        first = ~df.duplicated("user_id")
+        df["want"] = (gap | first).astype(int).groupby(df["user_id"]).cumsum()
+        want = df.sort_values("event_id").reset_index(drop=True)
+        assert (out["session_seq"].to_numpy() == want["want"].to_numpy()).all(), seed
+        # counts agree with the per-event maxima
+        counts = session_counts(ds).set_index("user_id")["n_sessions"]
+        maxima = want.groupby("user_id")["want"].max()
+        assert counts.sort_index().equals(maxima.sort_index().astype("int64")), seed
+
+
 def test_broadcast_joins():
     """Broadcast hash / semi / anti joins (ops.joins) vs pandas truth."""
     import pandas as pd
