@@ -136,6 +136,40 @@ def fingerprint(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def hash_split(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Leakage-safe deterministic train/test split: EVERY row of a key
+    lands on the same side (md5(salt+key) as a uniform [0,1) draw), so
+    grouped content (a repo, a source, a user) never straddles the
+    boundary.  Pure per-batch filter — no shuffle, no state, stable
+    under any parallelism.  → (train, test)."""
+    # hex comparison == numeric comparison for fixed-width lowercase hex
+    threshold = format(int(test_fraction * 16**8), "08x") + "0" * 24
+
+    def _filter(want_test: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            keys = K._as_array(pc.cast(batch[key_col], pa.string())).to_pylist()
+            mask = np.array(
+                [
+                    hashlib.md5((salt + (k or "")).encode("utf-8", "surrogatepass")).hexdigest()
+                    < threshold
+                    for k in keys
+                ]
+            )
+            return batch.filter(pa.array(mask if want_test else ~mask))
+
+        return _f
+
+    return (
+        ds.map_batches(_filter(False), batch_format="pyarrow"),
+        ds.map_batches(_filter(True), batch_format="pyarrow"),
+    )
+
+
 def rolling_fingerprints(
     text: str, window: int = 32, base: int = 257, mod: int = (1 << 31) - 1
 ) -> np.ndarray:

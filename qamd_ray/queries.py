@@ -159,6 +159,16 @@ def q_langid_docs(sf_dir: str):
     return out.select_columns(["doc_id", "langid_guess"])
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Deterministic group-level test split (25% of SOURCES, all their
+    docs together — no group straddles the boundary): test-side rows.
+    Oracle: the identical md5 hex-threshold comparison in DuckDB."""
+    _train, test = textstats.hash_split(
+        _t(sf_dir, "documents", ["doc_id", "source"]), "source", test_fraction=0.25
+    )
+    return test.select_columns(["doc_id", "source"])
+
+
 def q_quality_scores(sf_dir: str):
     """Quality features; integer/deterministic columns only for comparison."""
     out = textstats.quality_score(_t(sf_dir, "documents", ["doc_id", "text"]))
@@ -613,6 +623,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
+    "leakage_safe_split": q_leakage_safe_split,
     "pricing_summary": q_pricing_summary,
     "orders_per_customer": q_orders_per_customer,
     "events_hourly": q_events_hourly,
@@ -668,6 +679,10 @@ ORACLES = {
         "AS n_tokens FROM documents"
     ),
     "fingerprints": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    "leakage_safe_split": (
+        "SELECT doc_id, source FROM documents "
+        "WHERE md5('split' || source) < '40000000000000000000000000000000'"
+    ),
     "quality_scores": (
         "SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars_m, "
         "CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens "
