@@ -5,11 +5,20 @@ via its in-RAM frequency table (/root/reference/src/check/post.rs:229-260).
 This package supplies the operators a 100-TB training-data pipeline needs,
 each Ray-Data-first:
 
-* ``dedup``      — exact (hash groupby), MinHash+LSH, SimHash, n-gram
-                   Jaccard verification, embedding-cosine near-dup
-* ``similarity`` — brute-force cosine top-k + LSH-bucketed ANN
+* ``dedup``      — exact (hash groupby), MinHash+LSH, SimHash, exact
+                   n-gram Jaccard (gram self-join), winnowed common
+                   spans, embedding-cosine near-dup
+* ``similarity`` — brute-force cosine top-k, in-pass IVF, persistent
+                   bucket-partitioned IVF index (ivf_build / ivf_query)
+* ``joins``      — broadcast hash/semi/anti + hash-shuffle Dataset.join
+                   wrapper for two large sides
+* ``topk``       — per-group top-k with per-batch combiners
+* ``windows``    — session counts + per-event session assignment over
+                   the sorted log
+* ``sketches``   — mergeable HyperLogLog, Count-Min, Bloom filter,
+                   quantile summary
 * ``textstats``  — language-ID heuristic, quality scoring, token counts,
-                   document fingerprints
-* ``multimodal`` — binary-column decode/feature plumbing (decoders stubbed;
-                   the Ray-side schema/actor/batch plumbing is real)
+                   document fingerprints, leakage-safe hash splits
+* ``multimodal`` — binary-column decode/feature stages (netpbm + WAV
+                   decode for real; compressed codecs stubbed)
 """
