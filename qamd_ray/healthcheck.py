@@ -80,6 +80,11 @@ class TableMeta:
     value_labels: dict[str, dict[str, str]] = field(default_factory=dict)
     # variable name -> rendered values declared user-missing (SPSS style)
     defined_missing: dict[str, set[str]] = field(default_factory=dict)
+    # variable name -> [(lo, hi)] numeric ranges declared user-missing
+    # (SPSS "lo THRU hi"; ±inf endpoints encode LOWEST/HIGHEST)
+    defined_missing_ranges: dict[str, list[tuple[float, float]]] = field(
+        default_factory=dict
+    )
     # variable name -> rendered Stata tagged-missing codes (".a".." .z") —
     # filled by readers.read_stata; rank TAGGED_MISSING, the highest
     # priority (src/readstat/handler.rs:104-114)
@@ -351,6 +356,9 @@ def _flag_freq(
     tm_by_vi = {
         v.index: meta.tagged_missing.get(v.name, set()) for v in meta.variables
     }
+    dmr_by_vi = {
+        v.index: meta.defined_missing_ranges.get(v.name, []) for v in meta.variables
+    }
     labels_by_vi = {
         v.index: meta.value_labels.get(v.value_labels, {}) for v in meta.variables
     }
@@ -396,6 +404,25 @@ def _flag_freq(
                 sel = vi == the_vi
                 if sel.any():
                     hit = np.array([v in dm for v in vals_np[sel]])
+                    sub = rank[sel]
+                    sub[hit] = DEFINED_MISSING
+                    rank[sel] = sub
+        # SPSS "lo THRU hi" ranges: parse the RENDERED numeric value back
+        # (empty/non-numeric renders never match a range)
+        for the_vi, ranges in dmr_by_vi.items():
+            if ranges:
+                sel = vi == the_vi
+                if sel.any():
+                    sub_vals = vals_np[sel]
+                    f = np.full(len(sub_vals), np.nan)
+                    for j, v in enumerate(sub_vals):
+                        try:
+                            f[j] = float(v)
+                        except (TypeError, ValueError):
+                            pass
+                    hit = np.zeros(len(sub_vals), dtype=bool)
+                    for lo, hi in ranges:
+                        hit |= (f >= lo) & (f <= hi)
                     sub = rank[sel]
                     sub[hit] = DEFINED_MISSING
                     rank[sel] = sub

@@ -260,6 +260,7 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
     widths: list[int] = []  # 0 = numeric, >0 = string width
     var_labels: list[str] = []
     missing_by_var: dict[int, set[str]] = {}
+    ranges_by_var: dict[int, list[tuple[float, float]]] = {}
     dict_index_to_var: dict[int, int] = {}  # 1-based dictionary slot → var #
     value_label_sets: list[tuple[dict[bytes, str], list[int]]] = []
     dict_slot = 0
@@ -309,8 +310,12 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
                 missing_by_var[var_no] = {
                     _render_float(v) if typ == 0 else str(v) for v in vals
                 }
-            elif n_missing < 0 and vals:  # range (+ optional discrete)
-                missing_by_var[var_no] = {_render_float(v) for v in vals[2:]}
+            elif n_missing < 0 and len(vals) >= 2:  # lo THRU hi (+ discrete)
+                ranges_by_var.setdefault(var_no, []).append(
+                    (float(vals[0]), float(vals[1]))
+                )
+                if len(vals) > 2:
+                    missing_by_var[var_no] = {_render_float(v) for v in vals[2:]}
         elif rec == 3:  # value labels, then a type-4 variable-index record
             (count,) = struct.unpack_from(bo + "i", buf, off)
             off += 4
@@ -447,6 +452,9 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
         variables=variables,
         value_labels=value_labels,
         defined_missing=defined_missing,
+        defined_missing_ranges={
+            names[vi]: rs for vi, rs in ranges_by_var.items() if rs
+        },
         file_name=os.path.basename(path),
         file_label=file_label,
     )
@@ -548,6 +556,7 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
     widths: list[int] = []
     var_labels: list[str] = []
     missing: dict[int, set[str]] = {}
+    ranges: dict[int, list[tuple[float, float]]] = {}
     value_label_sets: list[tuple[dict, list[str]]] = []
     file_label = ""
 
@@ -580,15 +589,20 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
             vi = len(names) - 1
             v = st.string() if widths[vi] > 0 else st.number()
             missing.setdefault(vi, set()).add(_render(v, widths[vi]))
-        elif tag == "B":  # missing range lo, hi — endpoints recorded
+        elif tag == "B":  # missing range lo THRU hi
             vi = len(names) - 1
             lo, hi = st.number(), st.number()
-            missing.setdefault(vi, set()).update(
-                {_render(lo, 0), _render(hi, 0)}
-            )
-        elif tag in "9A":  # LOWEST-thru-x / x-thru-HIGHEST
+            ranges.setdefault(vi, []).append((float(lo or 0), float(hi or 0)))
+        elif tag == "9":  # LOWEST thru x
             vi = len(names) - 1
-            missing.setdefault(vi, set()).add(_render(st.number(), 0))
+            ranges.setdefault(vi, []).append(
+                (float("-inf"), float(st.number() or 0))
+            )
+        elif tag == "A":  # x thru HIGHEST
+            vi = len(names) - 1
+            ranges.setdefault(vi, []).append(
+                (float(st.number() or 0), float("inf"))
+            )
         elif tag == "C":  # variable label for the last variable
             var_labels[len(names) - 1] = st.string().strip()
         elif tag == "D":  # value labels
@@ -661,6 +675,9 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
         variables=variables,
         value_labels=value_labels,
         defined_missing=defined_missing,
+        defined_missing_ranges={
+            names[vi]: rs for vi, rs in ranges.items() if rs
+        },
         file_name=os.path.basename(path),
         file_label=file_label,
     )

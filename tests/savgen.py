@@ -23,14 +23,20 @@ def _var_record(
     typ: int,
     label: str = "",
     missing: list | None = None,
+    missing_range: tuple[float, float] | None = None,
 ) -> bytes:
-    missing = missing or []
+    if missing_range is not None:
+        missing = list(missing_range)  # lo, hi written as doubles
+        n_missing_field = -2
+    else:
+        missing = missing or []
+        n_missing_field = len(missing)
     out = struct.pack(
         "<6i",
         2,
         typ,
         1 if label else 0,
-        len(missing),
+        n_missing_field,
         0x050800 if typ == 0 else 0x010000 + (typ << 8),
         0x050800 if typ == 0 else 0x010000 + (typ << 8),
     )
@@ -56,6 +62,7 @@ def write_sav(
     *,
     var_labels: dict[str, str] | None = None,
     missing: dict[str, list[float]] | None = None,
+    missing_ranges: dict[str, tuple[float, float]] | None = None,
     value_labels: tuple[str, dict[float, str]] | None = None,
     file_label: str = "",
     compression: int = 0,
@@ -64,6 +71,7 @@ def write_sav(
     """``columns``: name → list of float|None (numeric) or str (string)."""
     var_labels = var_labels or {}
     missing = missing or {}
+    missing_ranges = missing_ranges or {}
     names = list(columns)
     n_cases = len(next(iter(columns.values())))
     is_str = {n: isinstance(next((v for v in columns[n] if v is not None), ""), str)
@@ -86,7 +94,10 @@ def write_sav(
     for n in names:
         slot += 1
         dict_slot_of[n] = slot
-        out += _var_record(n, width[n], var_labels.get(n, ""), missing.get(n))
+        out += _var_record(
+            n, width[n], var_labels.get(n, ""), missing.get(n),
+            missing_ranges.get(n),
+        )
         for _ in range(max(1, (width[n] + 7) // 8) - 1):
             slot += 1
             out += _continuation_record()

@@ -163,6 +163,29 @@ def test_health_check_over_sav(tmp_path, ray_session):
     assert st.fail == 2  # two cells of the unlabelled declared-missing 9.0
 
 
+def test_sav_missing_ranges(tmp_path, ray_session):
+    """SPSS 'lo THRU hi' declared-missing ranges rank cells
+    DEFINED_MISSING through the frequency flags (values 90-99 declared
+    missing; 95 occurs twice without a label → 2 C9 fails)."""
+    from savgen import write_sav
+
+    from qamd_ray.gen_config import default_config
+    from qamd_ray.healthcheck import health_check
+    from qamd_ray.readers import read_sav_file
+
+    path = str(tmp_path / "rng.sav")
+    write_sav(
+        path,
+        {"score": [10.0, 95.0, 20.0, 95.0, 30.0]},
+        missing_ranges={"score": (90.0, 99.0)},
+        compression=1,
+    )
+    t, meta = read_sav_file(path)
+    assert meta.defined_missing_ranges == {"score": [(90.0, 99.0)]}
+    report = health_check(path, default_config())
+    assert report.summary["ValueDefinedMissingNoLabel"].fail == 2
+
+
 def test_read_por_roundtrip(tmp_path):
     """read_por_file against an independent base-30 encoder of the
     documented portable layout (tests/porgen.py): values incl. sysmis and
