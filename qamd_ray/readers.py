@@ -261,6 +261,7 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
     var_labels: list[str] = []
     missing_by_var: dict[int, set[str]] = {}
     ranges_by_var: dict[int, list[tuple[float, float]]] = {}
+    long_names: dict[str, str] = {}  # type-7/13 SHORT → long variable names
     dict_index_to_var: dict[int, int] = {}  # 1-based dictionary slot → var #
     value_label_sets: list[tuple[dict[bytes, str], list[int]]] = []
     dict_slot = 0
@@ -342,8 +343,15 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
             (n_lines,) = struct.unpack_from(bo + "i", buf, off)
             off += 4 + 80 * n_lines
         elif rec == 7:  # extension
-            _sub, size, cnt = struct.unpack_from(bo + "3i", buf, off)
-            off += 12 + size * cnt
+            sub, size, cnt = struct.unpack_from(bo + "3i", buf, off)
+            off += 12
+            payload = buf[off : off + size * cnt]
+            off += size * cnt
+            if sub == 13:  # long variable names: "SHORT=Long\tSHORT2=..."
+                for pair in payload.decode("latin-1").split("\t"):
+                    if "=" in pair:
+                        short, long_ = pair.split("=", 1)
+                        long_names[short.strip()] = long_.strip()
         elif rec == 999:
             off += 4  # filler
             break
@@ -402,6 +410,11 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
                 cols[vi].append(v)
     except StopIteration:
         pass
+
+    # apply type-7/13 long variable names (case-insensitive short match)
+    if long_names:
+        ln = {k.upper(): v for k, v in long_names.items()}
+        names = [ln.get(n.upper(), n) for n in names]
 
     arrays: dict[str, pa.Array] = {}
     variables: list[VariableMeta] = []

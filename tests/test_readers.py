@@ -163,6 +163,30 @@ def test_health_check_over_sav(tmp_path, ray_session):
     assert st.fail == 2  # two cells of the unlabelled declared-missing 9.0
 
 
+def test_sav_long_variable_names(tmp_path):
+    """Type-7 subtype-13 long variable names: the 8-char dictionary name
+    is replaced by the declared long name."""
+    import struct
+
+    from savgen import write_sav
+
+    from qamd_ray.readers import read_sav_file
+
+    path = str(tmp_path / "ln.sav")
+    write_sav(path, {"SCORE_VA": [1.0, 2.0]}, compression=0)
+    raw = open(path, "rb").read()
+    # splice a subtype-13 record right before the 999 terminator
+    term = struct.pack("<2i", 999, 0)
+    payload = b"SCORE_VA=score_value_total"
+    rec = struct.pack("<4i", 7, 13, 1, len(payload)) + payload
+    assert raw.count(term) == 1
+    open(path, "wb").write(raw.replace(term, rec + term))
+    t, meta = read_sav_file(path)
+    assert meta.variables[0].name == "score_value_total"
+    assert t.column_names[0] == "score_value_total"
+    assert t["score_value_total"].to_pylist() == [1.0, 2.0]
+
+
 def test_sav_missing_ranges(tmp_path, ray_session):
     """SPSS 'lo THRU hi' declared-missing ranges rank cells
     DEFINED_MISSING through the frequency flags (values 90-99 declared
