@@ -260,7 +260,10 @@ def health_check(
                 # stays '1.50') — the reference treats every CSV cell as
                 # Text (csv/read.rs:84-91); type inference + cast would
                 # normalize numeric-looking literals
-                with open(p, "r", encoding="utf-8", newline="") as fh:
+                # utf-8-sig strips a UTF-8 BOM so the pinned name matches
+                # Arrow's post-BOM column name (else the first column falls
+                # back to type inference)
+                with open(p, "r", encoding="utf-8-sig", newline="") as fh:
                     header = next(_csv.reader(fh), None)
                 if header is None:
                     raise ValueError(f"empty CSV file: {p}")

@@ -92,8 +92,12 @@ def exact_dedup(
         w = _ray.get(ref)
         md5s = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
         ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-        winner = w.reindex(md5s).to_numpy()
-        keep = pd.isna(winner) | (winner == ids)
+        # stay in int64 end-to-end: reindex().to_numpy() would yield float64
+        # (NaN fill), and ids above 2^53 (e.g. md5-derived 63-bit ids) lose
+        # precision in float64, letting distinct loser ids survive dedup
+        idx = w.index.get_indexer(md5s)
+        winners = w.to_numpy()[np.maximum(idx, 0)]
+        keep = (idx < 0) | (winners == ids)
         return batch.filter(pa.array(keep)).drop_columns(["content_md5"])
 
     return hashed.map_batches(_keep, batch_format="pyarrow")

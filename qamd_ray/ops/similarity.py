@@ -174,12 +174,10 @@ def ivf_build(
     is just a column, and the partitioned write gives queries partition
     pruning.  Returns the centroid matrix.
     """
-    os.makedirs(index_dir, exist_ok=True)
     sample_rows = ds.limit(sample_size).to_pandas()
     C = kmeans_centroids(
         np.stack(sample_rows[emb_col].to_numpy()), n_clusters, seed=seed
     )
-    np.save(os.path.join(index_dir, "centroids.npy"), C)
     c_ref = ray.put(C)
 
     def _assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -198,20 +196,24 @@ def ivf_build(
             }
         )
 
-    # write to a temp dir and publish atomically — a crashed/concurrent
-    # build must never leave a half-usable vectors/ directory
+    # stage the ENTIRE index (centroids + meta + vectors) in a sibling temp
+    # dir and publish with one directory rename — publishing the pieces
+    # separately lets a crash/concurrent rebuild pair NEW centroids with
+    # OLD vectors, which returns silently wrong neighbours instead of
+    # failing
     import shutil
 
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"dim": int(C.shape[1]), "n_clusters": int(len(C)), "id_col": id_col}, f)
-    tmp = os.path.join(index_dir, ".vectors.tmp")
+    tmp = index_dir.rstrip("/\\") + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    np.save(os.path.join(tmp, "centroids.npy"), C)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"dim": int(C.shape[1]), "n_clusters": int(len(C)), "id_col": id_col}, f)
     ds.map_batches(_assign, batch_format="pandas").write_parquet(
-        tmp, partition_cols=["bucket"]
+        os.path.join(tmp, "vectors"), partition_cols=["bucket"]
     )
-    final = os.path.join(index_dir, "vectors")
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)  # vectors/ appears only when complete
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)  # the index appears only when complete
     return C
 
 

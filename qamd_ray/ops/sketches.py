@@ -189,8 +189,12 @@ def approx_topk(
     def _sketch(batch: pa.Table) -> pa.Table:
         vals = K._as_array(pc.cast(batch[col], pa.string()))
         vc = pa.table({"v": vals}).group_by("v").aggregate([("v", "count")])
-        keys = [x if x is not None else "" for x in vc["v"].to_pylist()]
-        counts = np.asarray(vc["v_count"], dtype=np.int64)
+        # drop nulls rather than coalescing to "" — coalescing would merge
+        # null rows with genuine empty-string values into one bucket
+        kl = vc["v"].to_pylist()
+        mask = np.array([x is not None for x in kl], dtype=bool)
+        keys = [x for x in kl if x is not None]
+        counts = np.asarray(vc["v_count"], dtype=np.int64)[mask]
         cm = CountMin(d, w)
         cm.add(keys, counts)
         top = np.argsort(-counts, kind="stable")[:candidates_per_batch]
@@ -285,16 +289,19 @@ def bloom_semi_join(
     import pyarrow.compute as pc
 
     bf = BloomFilter(p, k)
-    bf.add([str(x) for x in small_keys])
+    bf.add([str(x) for x in small_keys if x is not None])
     ref = _ray.put(bf)
 
     def _filter(batch: pa.Table) -> pa.Table:
         f = _ray.get(ref)
-        vals = [
-            x if x is not None else ""
-            for x in K._as_array(pc.cast(batch[on], pa.string())).to_pylist()
-        ]
-        return batch.filter(pa.array(f.contains(vals)))
+        raw = K._as_array(pc.cast(batch[on], pa.string())).to_pylist()
+        # null keys never match — same semantics as the exact semi_join
+        # (coalescing to "" would let null rows pass whenever the small
+        # side contains an empty-string key)
+        keep = np.array(
+            [x is not None for x in raw], dtype=bool
+        ) & np.asarray(f.contains([x if x is not None else "" for x in raw]))
+        return batch.filter(pa.array(keep))
 
     return big.map_batches(_filter, batch_format="pyarrow")
 

@@ -511,7 +511,7 @@ def q_embedding_dups(sf_dir: str):
 def documents_as_code_table(sf_dir: str) -> "ray.data.Dataset":
     """Map the documents table onto the input_hint schema: source → repo,
     doc_id → path, lang → lang, text → content."""
-    ds = _t(sf_dir, "documents")
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
 
     def _map(batch: pa.Table) -> pa.Table:
         ids = np.asarray(K._as_array(batch["doc_id"]))

@@ -713,8 +713,10 @@ def read_stat_table(
     Ray task parses each file (these formats are not splittable, so the
     file is the parallel unit) and its Arrow table STAYS in the object
     store (``from_arrow_refs`` — the driver holds only per-file metadata,
-    never the data).  Metadata comes from the FIRST sorted file; tagged
-    codes union across files; row indices are global in file order.
+    never the data).  Header metadata (names/labels) comes from the FIRST
+    sorted file; missing declarations (tagged/defined/ranges) and value
+    labels UNION across files (first file wins on label conflicts); row
+    indices are global in file order.
     Single-file inputs skip the task round-trip."""
     files = _expand(paths)
     if not files:
@@ -746,9 +748,36 @@ def read_stat_table(
         info_refs.append(info_ref)
     infos = _ray.get(info_refs)  # (n_rows, meta) per file — small
     meta = infos[0][1]
-    for _n, m in infos[1:]:
+    var_by_name = {v.name: v for v in meta.variables}
+    for fi, (_n, m) in enumerate(infos[1:], start=1):
+        # union EVERY missing-declaration / label dictionary across files —
+        # dropping declarations from later files would silently change
+        # DEFINED_MISSING ranks and C9 results, not just cosmetics
         for name, tags in m.tagged_missing.items():
             meta.tagged_missing.setdefault(name, set()).update(tags)
+        for name, vals in m.defined_missing.items():
+            meta.defined_missing.setdefault(name, set()).update(vals)
+        for name, ranges in m.defined_missing_ranges.items():
+            have = meta.defined_missing_ranges.setdefault(name, [])
+            for r in ranges:
+                if r not in have:
+                    have.append(r)
+        # label-set keys ("ls0"…) are generated per file and collide across
+        # files; walk variable→key so labels land on the right set.  First
+        # file wins per value on conflicts; a variable unlabelled in the
+        # first file adopts the later file's set under a remapped key.
+        for var in m.variables:
+            if not var.value_labels:
+                continue
+            labels = m.value_labels.get(var.value_labels, {})
+            tgt_var = var_by_name.get(var.name)
+            if tgt_var is None:
+                continue
+            if not tgt_var.value_labels:
+                tgt_var.value_labels = f"f{fi}_{var.value_labels}"
+            tgt = meta.value_labels.setdefault(tgt_var.value_labels, {})
+            for v, lbl in labels.items():
+                tgt.setdefault(v, lbl)
     offsets = np.concatenate([[0], np.cumsum([n for n, _ in infos])[:-1]])
 
     @_ray.remote

@@ -136,7 +136,10 @@ def read_table(
 
         import pyarrow.csv as pacsv
 
-        with open(files[0], "r", encoding="utf-8", newline="") as fh:
+        # utf-8-sig: strip a UTF-8 BOM if present so the pinned column name
+        # matches Arrow's (pyarrow.csv strips the BOM; plain utf-8 would keep
+        # '﻿' in the first name and silently un-pin that column)
+        with open(files[0], "r", encoding="utf-8-sig", newline="") as fh:
             header = next(_csv.reader(fh), None)
         if header is None:
             raise ValueError(f"empty CSV file: {files[0]}")

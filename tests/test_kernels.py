@@ -116,3 +116,17 @@ def test_read_table_dispatch(tmp_path):
         f.write("nope")
     with pytest.raises(ValueError, match="unsupported input extension"):
         read_table(str(tmp_path / "t.xyz"))
+
+
+def test_csv_utf8_bom_header_stays_text(tmp_path, ray_session):
+    """A UTF-8 BOM must not un-pin the first column from the all-string
+    CSV rule: the header probe reads utf-8-sig so the pinned name matches
+    Arrow's post-BOM column name ('01' stays '01', not 1)."""
+    from qamd_ray.sources import read_table
+
+    p = tmp_path / "bom.csv"
+    p.write_bytes(b"\xef\xbb\xbfa,b\n01,1.50\n")
+    df = read_table(str(p)).to_pandas()
+    assert list(df.columns) == ["a", "b"]
+    assert df["a"].tolist() == ["01"]
+    assert df["b"].tolist() == ["1.50"]

@@ -489,3 +489,41 @@ def test_hll_approx_distinct(docs):
 
     # serialization round-trip
     assert (HLL.deserialize(hall.serialize()).registers == hall.registers).all()
+
+
+def test_exact_dedup_ids_above_float53():
+    """Winner comparison must stay in int64: ids above 2^53 (md5-derived
+    63-bit ids) collide when routed through float64 — distinct loser ids
+    within rounding distance of the winner would survive dedup."""
+    base = 2**62
+    t = pa.table(
+        {
+            "doc_id": pa.array([base, base + 1, base + 7, base + 1024], pa.int64()),
+            "text": pa.array(["same text", "same text", "same text", "unique"], pa.string()),
+        }
+    )
+    out = dedup.exact_dedup(ray.data.from_arrow(t), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [base, base + 1024]
+
+
+def test_bloom_semi_join_null_keys_never_match(docs):
+    """Null big-side keys never pass, even when the small side contains
+    "" — matching the exact semi-join, where null never matches."""
+    from qamd_ray.ops import sketches
+
+    t = pa.table(
+        {
+            "k": pa.array(["x", None, "", "y"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = sketches.bloom_semi_join(
+        ray.data.from_arrow(t), ["", "x"], on="k"
+    ).to_pandas()
+    assert sorted(out["v"].tolist()) == [1, 3]  # null row dropped, "" kept
+
+    # approx_topk: null keys are dropped, not merged with ""
+    t2 = pa.table({"k": pa.array(["", "", None, None, None, "z"], pa.string())})
+    top = sketches.approx_topk(ray.data.from_arrow(t2), "k", k=3)
+    assert dict(zip(top["value"], top["approx_n"]))[""] == 2
+    assert None not in set(top["value"])

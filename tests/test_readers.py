@@ -277,3 +277,26 @@ def test_read_stat_table_dispatch_errors(tmp_path):
         read_stat_table(str(bad))
     with pytest.raises(FileNotFoundError):
         read_stat_table(str(tmp_path / "missing.dta"))
+
+
+def test_multi_file_sav_metadata_union(tmp_path, ray_session):
+    """Missing declarations living in LATER files of a directory read must
+    still reach TableMeta — dropping them would change DEFINED_MISSING
+    ranks and C9 results (first file wins only on label conflicts)."""
+    from tests.savgen import write_sav
+
+    from qamd_ray.readers import read_stat_table
+
+    write_sav(str(tmp_path / "a.sav"), {"x": [1.0, 2.0], "y": [0.0, 1.0]})
+    write_sav(
+        str(tmp_path / "b.sav"),
+        {"x": [9.0, 3.0], "y": [2.0, 3.0]},
+        missing={"y": [9.0]},
+        missing_ranges={"x": (100.0, 200.0)},
+        value_labels=("x", {3.0: "three"}),
+    )
+    _ds, meta = read_stat_table(str(tmp_path))
+    assert "9.0" in meta.defined_missing.get("y", set())
+    assert (100.0, 200.0) in meta.defined_missing_ranges.get("x", [])
+    labels = meta.value_labels.get(meta.variables[0].value_labels, {})
+    assert labels.get("3.0") == "three"
