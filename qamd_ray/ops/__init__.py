@@ -5,7 +5,9 @@ via its in-RAM frequency table (/root/reference/src/check/post.rs:229-260).
 This package supplies the operators a 100-TB training-data pipeline needs,
 each Ray-Data-first:
 
-* ``dedup``      — exact (hash groupby), MinHash+LSH, SimHash, exact
+* ``dedup``      — exact (hash groupby), MinHash+LSH (driver and fully
+                   distributed paths), near-dup cluster assignment via
+                   distributed min-label propagation, SimHash, exact
                    n-gram Jaccard (gram self-join), winnowed common
                    spans, embedding-cosine near-dup
 * ``similarity`` — brute-force cosine top-k, in-pass IVF, persistent

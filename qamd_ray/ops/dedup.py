@@ -15,11 +15,15 @@ All shuffles move *keys and signatures*, never document bodies:
 * embedding: random-hyperplane LSH buckets + exact cosine inside buckets
             (brute-force variant for the small/verification path).
 
-Partitioning assumption (documented per instructions): candidate PAIRS fit
-the driver (they are the output of an LSH designed to make them rare);
-signatures stream through one groupby each.  Connected components use
-driver-side union-find over those pairs — at 100 TB swap in the iterative
-min-label-propagation loop (same pair table, few groupby rounds).
+Partitioning: below ``driver_collect_threshold`` exploded rows the pair
+reduction runs on the driver (measured faster at sandbox size; union-find
+over the collected pairs).  Above it NOTHING driver-sized exists: the
+exploded signature table spills to Parquet (column-pruned re-reads, no
+plasma pinning), hot buckets re-attach by hash join, candidate pairs are
+enumerated and signature-verified inside bucket-partition tasks
+(:func:`minhash_lsh_pairs_dataset`), and cluster ids come from iterative
+distributed min-label propagation (:func:`label_propagate_min`,
+Pregel-style: rounds = component diameter).
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 
 from .. import kernels as K
 
@@ -235,6 +239,49 @@ def _band_hash(sig_rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def _make_explode_fn(mh: MinHasher, bands: int, r: int, text_col: str, id_col: str,
+                     with_sig_key: bool = False):
+    """Batch fn: signatures once per doc, exploded to one keys-only row per
+    (doc, band) plus one band=-1 row per doc carrying the signature bytes
+    (and, for the distributed path, a collision-free md5 key over the
+    signature so exact-signature clusters can be collapsed by a groupby)."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        n = len(texts)
+        sigs = mh.signatures(texts)  # (n, num_perm)
+        byts = [s.tobytes() for s in sigs]
+        bh = np.concatenate(
+            [_band_hash(sigs[:, bi * r : (bi + 1) * r]) for bi in range(bands)]
+        )
+        cols = {
+            "band": pa.array(
+                # int64: groupby aggregates promote keys to int64, and a
+                # hash join between the raw and aggregated tables needs
+                # matching key types
+                np.concatenate(
+                    [np.repeat(np.arange(bands, dtype=np.int64), n),
+                     np.full(n, -1, dtype=np.int64)]
+                )
+            ),
+            "band_hash": pa.array(
+                np.concatenate([bh, np.zeros(n, dtype=np.int64)])
+            ),
+            id_col: pa.array(np.concatenate([np.tile(ids, bands), ids])),
+            "sig": pa.array([None] * (bands * n) + byts, pa.binary()),
+        }
+        if with_sig_key:
+            cols["sig_key"] = pa.array(
+                [None] * (bands * n)
+                + [hashlib.md5(b).hexdigest() for b in byts],
+                pa.string(),
+            )
+        return pa.table(cols)
+
+    return _explode
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -254,95 +301,56 @@ def minhash_lsh_pairs(
     Stage 2 (groupby band+hash): pairs within a bucket, est. Jaccard =
     fraction of agreeing signature positions; dedup pairs across bands by
     (lo, hi).  Returns a small pandas frame (id_a, id_b, est_jaccard).
+
+    Inputs whose exploded key table exceeds ``driver_collect_threshold``
+    rows run :func:`minhash_lsh_pairs_dataset` — the fully distributed
+    path (parquet spill, hash joins, in-task pairing) — and only the final
+    pair table reaches the driver.  Below it, the measured-faster
+    driver-collect path runs.
     """
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
-    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
     empty = pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"),
          "id_b": pd.Series([], dtype="int64"),
          "est_jaccard": pd.Series([], dtype="float64")}
     )
 
-    def _explode(batch: pa.Table) -> pa.Table:
-        # band rows carry keys only (3 small ints per (doc, band)); the
-        # full signature is emitted ONCE per doc on a band=-1 row so it is
-        # computed exactly once — no recompute pass
-        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-        n = len(texts)
-        sigs = mh.signatures(texts)  # (n, num_perm)
-        bh = np.concatenate(
-            [_band_hash(sigs[:, bi * r : (bi + 1) * r]) for bi in range(bands)]
-        )
-        return pa.table(
-            {
-                "band": pa.array(
-                    np.concatenate(
-                        [np.repeat(np.arange(bands, dtype=np.int32), n),
-                         np.full(n, -1, dtype=np.int32)]
-                    )
-                ),
-                "band_hash": pa.array(
-                    np.concatenate([bh, np.zeros(n, dtype=np.int64)])
-                ),
-                id_col: pa.array(np.concatenate([np.tile(ids, bands), ids])),
-                "sig": pa.array(
-                    [None] * (bands * n) + [s.tobytes() for s in sigs], pa.binary()
-                ),
-            }
-        )
+    if ds.count() * (bands + 1) > driver_collect_threshold:
+        import shutil
+        import tempfile
 
-    exploded = ds.map_batches(_explode, batch_format="pyarrow").materialize()
-
-    # Most buckets are singletons; only collision buckets matter.  Small
-    # inputs (key table under ``driver_collect_threshold`` rows) skip the
-    # shuffle: collect the keys + signatures and find duplicated
-    # (band, hash) keys vectorized on the driver.  At scale the
-    # distributed path runs instead: hash-aggregate bucket counts over a
-    # sig-free projection (no per-group Python, no sig bytes in the
-    # shuffle), broadcast the hot keys, filter.
-    import ray as _ray
-
-    if exploded.count() <= driver_collect_threshold:
-        df = exploded.to_pandas()
-        sig_rows = df.loc[df["band"] == -1, [id_col, "sig"]]
-        band_df = df.loc[df["band"] >= 0, ["band", "band_hash", id_col]]
-        surv = band_df[band_df.duplicated(["band", "band_hash"], keep=False)]
-    else:
-        band_rows = exploded.select_columns(["band", "band_hash", id_col]).filter(
-            expr="band >= 0"
-        )
-        counts = band_rows.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-        hot = counts.filter(expr="n > 1").to_pandas()
-        if len(hot) == 0:
+        spill = tempfile.mkdtemp(prefix="qamd_lsh_spill_", dir="/tmp")
+        try:
+            pairs_ds = minhash_lsh_pairs_dataset(
+                ds, text_col, id_col,
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                jaccard_threshold=jaccard_threshold, seed=seed,
+                spill_dir=spill,
+            )
+            df = pairs_ds.to_pandas()
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)
+        if len(df) == 0:
             return empty
-        # pack (band, band_hash) into one int64 key: band_hash < 2^31
-        hot_keys = np.unique(
-            (hot["band"].to_numpy().astype(np.int64) << 31)
-            + hot["band_hash"].to_numpy().astype(np.int64)
+        return (
+            df.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)[["id_a", "id_b", "est_jaccard"]]
         )
-        hot_ref = _ray.put(hot_keys)
 
-        def _only_hot(batch: pa.Table) -> pa.Table:
-            keys = _ray.get(hot_ref)
-            b = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
-            h = np.asarray(K._as_array(batch["band_hash"]), dtype=np.int64)
-            mask = np.isin((b << 31) + h, keys)
-            return batch.filter(pa.array(mask))
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    exploded = ds.map_batches(
+        _make_explode_fn(mh, bands, r, text_col, id_col), batch_format="pyarrow"
+    ).materialize()
 
-        surv = band_rows.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
-        cand_arr = np.unique(surv[id_col].to_numpy().astype(np.int64))
-        cand_ref = _ray.put(cand_arr)
-
-        def _surv_sigs(batch: pa.Table) -> pa.Table:
-            cids = _ray.get(cand_ref)
-            b = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
-            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-            mask = (b == -1) & np.isin(ids, cids)
-            return batch.filter(pa.array(mask)).select([id_col, "sig"])
-
-        sig_rows = exploded.map_batches(_surv_sigs, batch_format="pyarrow").to_pandas()
+    # Most buckets are singletons; only collision buckets matter.  Collect
+    # the keys + signatures and find duplicated (band, hash) keys
+    # vectorized on the driver (measured faster than any shuffle at this
+    # size).
+    df = exploded.to_pandas()
+    sig_rows = df.loc[df["band"] == -1, [id_col, "sig"]]
+    band_df = df.loc[df["band"] >= 0, ["band", "band_hash", id_col]]
+    surv = band_df[band_df.duplicated(["band", "band_hash"], keep=False)]
     if len(surv) == 0:
         return empty
     sig_rows = sig_rows.sort_values(id_col).reset_index(drop=True)
@@ -436,6 +444,493 @@ def minhash_lsh_pairs(
         .drop_duplicates(subset=["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def _shuffle_partitions(requested: Optional[int] = None) -> int:
+    """Hash-join fan-out sized to the cluster.  Every ``Dataset.join``
+    partition is a HashShuffleAggregator actor holding CPU; asking for
+    more aggregators than the cluster has cores (e.g. 32 partitions on an
+    8-CPU node) DEADLOCKS the streaming executor — aggregators reserve
+    every CPU and the upstream map tasks never run.  Cap at the CPU count
+    (aggregators take fractional CPUs, so this leaves headroom)."""
+    import ray as _ray
+
+    ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    cap = max(2, ncpu)
+    return min(int(requested), cap) if requested else cap
+
+
+def _coerce_cols(names_types: list[tuple[str, pa.DataType]]):
+    """Batch fn pinning an exact Arrow schema (column order + int64 keys);
+    missing columns on an empty batch become typed empty arrays."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in names_types:
+            cols[name] = (
+                pc.cast(batch[name], typ)
+                if name in batch.column_names
+                else pa.array([], typ)
+            )
+        return pa.table(cols)
+
+    return _f
+
+
+def _compact(
+    ds: "ray.data.Dataset", names_types: list[tuple[str, pa.DataType]]
+) -> "ray.data.Dataset":
+    """Materialize ``ds`` and rebuild it from only its NON-EMPTY blocks,
+    as Arrow with a pinned schema.
+
+    Ray hash aggregates emit schemaless empty blocks for empty shuffle
+    partitions, and downstream maps skip zero-row blocks, so the poison
+    propagates; ``Dataset.join`` distributes each side's schema to its
+    aggregators from the FIRST incoming block, so a schemaless block
+    arriving first makes the join fail nondeterministically with "No
+    match for key field".  Blocks stay in the object store — row counts
+    come from tiny num_cpus=0 tasks, never a driver fetch.
+    """
+    import ray as _ray
+
+    refs = ds.materialize().to_arrow_refs()
+
+    @_ray.remote(num_cpus=0)
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = _ray.get([_n.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n > 0]
+    if not keep:
+        return ray.data.from_arrow(
+            pa.table({name: pa.array([], typ) for name, typ in names_types})
+        )
+    return ray.data.from_arrow_refs(keep).map_batches(
+        _coerce_cols(names_types), batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_pairs_dataset(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 1234,
+    spill_dir: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Fully distributed LSH candidate pairing → Dataset(id_a, id_b,
+    est_jaccard).  Nothing driver-sized anywhere:
+
+    1. the exploded signature table spills to Parquet ONCE (column-pruned
+       re-reads replace plasma pinning — the 100-TB path never holds
+       O(corpus × num_perm) bytes in the object store);
+    2. hot buckets come from a count-groupby and re-attach by hash join;
+    3. exact-signature clusters collapse to min-id representatives with a
+       groupby over a collision-free signature md5 + join (members pair to
+       their representative at est_jaccard 1.0 — transitive under the
+       downstream union-find / label propagation);
+    4. candidate rep pairs are enumerated and signature-verified INSIDE
+       bucket-partition tasks (vectorized per bucket-size class; each
+       (band, band_hash) bucket is co-located by construction);
+    5. the same pair found through several bands merges in a final
+       (id_a, id_b) groupby.
+
+    Assumes ``id_col`` is unique per row (as :func:`minhash_lsh_pairs`
+    enforces on the driver path).  ``spill_dir`` must outlive consumption
+    of the returned (lazy) Dataset; a fresh ``/tmp`` dir is created when
+    not given.
+    """
+    import tempfile
+
+    from .joins import hash_join
+
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    spill = spill_dir or tempfile.mkdtemp(prefix="qamd_lsh_spill_", dir="/tmp")
+    ds.map_batches(
+        _make_explode_fn(mh, bands, r, text_col, id_col, with_sig_key=True),
+        batch_format="pyarrow",
+    ).write_parquet(spill)
+
+    band_rows = ray.data.read_parquet(
+        spill, columns=["band", "band_hash", id_col]
+    ).filter(expr="band >= 0")
+    hot_keys = _compact(
+        band_rows.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1"),
+        [("band", pa.int64()), ("band_hash", pa.int64())],
+    )
+    EMPTY_PAIRS = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64())}
+    )
+    # Ray's hash join drops ALL empty blocks at the shuffle (schema never
+    # reaches the aggregators), so a join against an empty side fails —
+    # short-circuit instead.  No hot bucket also implies no duplicated
+    # signature (identical sigs collide in every band), hence no pairs.
+    if hot_keys.count() == 0:
+        return ray.data.from_arrow(EMPTY_PAIRS)
+    hot_rows = hash_join(
+        band_rows, hot_keys, on=("band", "band_hash"), num_partitions=num_partitions
+    )
+
+    sig_rows = ray.data.read_parquet(
+        spill, columns=["band", id_col, "sig", "sig_key"]
+    ).filter(expr="band == -1").drop_columns(["band"])
+    reps = _compact(
+        sig_rows.groupby("sig_key").aggregate(Min(id_col, alias_name="rep_id")),
+        [("sig_key", pa.string()), ("rep_id", pa.int64())],
+    )
+    # members inherit rep_id (and share the rep's exact signature bytes)
+    member = hash_join(sig_rows, reps, on=("sig_key",), num_partitions=num_partitions)
+
+    def _exact_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        rp = np.asarray(K._as_array(batch["rep_id"]), dtype=np.int64)
+        m = ids != rp
+        return pa.table(
+            {
+                "id_a": pa.array(rp[m]),
+                "id_b": pa.array(ids[m]),
+                "est_jaccard": pa.array(np.ones(int(m.sum()), dtype=np.float64)),
+            }
+        )
+
+    exact_pairs = member.map_batches(_exact_pairs, batch_format="pyarrow")
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "rep_id", "sig"])
+
+    hot_mem = hash_join(
+        hot_rows,
+        member.map_batches(_slim, batch_format="pyarrow"),
+        on=(id_col,),
+        num_partitions=num_partitions,
+    )
+
+    npart = num_partitions
+
+    def _with_p(batch: pa.Table) -> pa.Table:
+        b = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
+        h = np.asarray(K._as_array(batch["band_hash"]), dtype=np.int64)
+        return batch.append_column("p", pa.array(((b << 31) + h) % npart))
+
+    empty_df = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "est_jaccard": pd.Series([], dtype="float64")}
+    )
+
+    def _pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per PARTITION of buckets (not per bucket):
+        # vectorized size-class pairing + chunked signature agreement, the
+        # same kernel as the driver path
+        df = df.drop_duplicates(["band", "band_hash", "rep_id"]).sort_values(
+            ["band", "band_hash", "rep_id"]
+        )
+        n = len(df)
+        if n == 0:
+            return empty_df
+        key = (df["band"].to_numpy(np.int64) << 31) + df["band_hash"].to_numpy(np.int64)
+        reps_arr = df["rep_id"].to_numpy(np.int64)
+        SIG = (
+            np.frombuffer(b"".join(df["sig"]), dtype=np.int64)
+            .reshape(n, num_perm)
+            .astype(np.int32)
+        )
+        starts = np.nonzero(np.diff(key, prepend=key[0] - 1))[0]
+        sizes = np.append(starts[1:], n) - starts
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            bs = starts[sizes == m]
+            pos = bs[:, None] + np.arange(m)
+            iu, ju = np.triu_indices(int(m), k=1)
+            ia_parts.append(pos[:, iu].ravel())
+            ib_parts.append(pos[:, ju].ravel())
+        if not ia_parts:
+            return empty_df
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        agree = np.empty(len(ia), dtype=np.float64)
+        CH = 500_000
+        for lo in range(0, len(ia), CH):
+            hi = min(lo + CH, len(ia))
+            agree[lo:hi] = (SIG[ia[lo:hi]] == SIG[ib[lo:hi]]).mean(axis=1)
+        keep = agree >= jaccard_threshold
+        a = reps_arr[ia[keep]]
+        b = reps_arr[ib[keep]]
+        out = pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "est_jaccard": agree[keep]}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    near = _compact(
+        hot_mem.map_batches(_with_p, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(_pair_partition, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard")),
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())],
+    )
+    # exact (rep, member) pairs and near (rep, rep) pairs are disjoint by
+    # construction — a plain union, no dedup needed
+    return near.union(exact_pairs)
+
+
+def label_propagate_min(
+    pairs: "ray.data.Dataset",
+    *,
+    max_rounds: int = 50,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(node, label) min-labels of the connected components of an
+    (id_a, id_b) edge Dataset — fully distributed, no driver-sized state.
+
+    Pregel-style iterative min-label propagation: each round every node
+    takes the min of its own and its neighbours' labels — one hash join
+    (edges ⋈ labels) plus one keys-only groupby.  Convergence is detected
+    INSIDE the same aggregate (each self row carries its old label in a
+    second min'd column, neighbour rows carry +inf there, so
+    ``new_label < old`` marks a change) — O(1) rows reach the driver per
+    round.  Round count = component diameter; LSH pair graphs are
+    star-like (members point at min-id representatives) so a handful of
+    rounds suffice.  Covers only nodes that appear in an edge —
+    singletons are the caller's fill (see :func:`minhash_clusters`).
+    """
+    from .joins import hash_join
+
+    num_partitions = _shuffle_partitions(num_partitions)
+    INF = np.iinfo(np.int64).max
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(K._as_array(batch["id_a"]), dtype=np.int64)
+        b = np.asarray(K._as_array(batch["id_b"]), dtype=np.int64)
+        return pa.table(
+            {"src": pa.array(np.concatenate([a, b])),
+             "dst": pa.array(np.concatenate([b, a]))}
+        )
+
+    edges = _compact(
+        pairs.map_batches(_sym, batch_format="pyarrow"),
+        [("src", pa.int64()), ("dst", pa.int64())],
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+
+    coerce_nl = _coerce_cols([("node", pa.int64()), ("label", pa.int64())])
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["src"]})
+
+    labels = _compact(
+        edges.map_batches(_init, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label")),
+        [("node", pa.int64()), ("label", pa.int64())],
+    )
+
+    def _as_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["node"], "label": batch["label"]})
+
+    def _neigh(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {"node": batch["dst"], "label": batch["label"],
+             "old": pa.array(np.full(n, INF, dtype=np.int64))}
+        )
+
+    def _self(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["node"], "label": batch["label"], "old": batch["label"]}
+        )
+
+    def _round_stats(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(K._as_array(batch["label"]), dtype=np.int64)
+        old = np.asarray(K._as_array(batch["old"]), dtype=np.int64)
+        return pa.table({"c": pa.array([int((lab < old).sum())], pa.int64())})
+
+    for _ in range(max_rounds):
+        prop = hash_join(
+            edges,
+            labels.map_batches(_as_src, batch_format="pyarrow"),
+            on=("src",),
+            num_partitions=num_partitions,
+        )
+        cand = prop.map_batches(_neigh, batch_format="pyarrow").union(
+            labels.map_batches(_self, batch_format="pyarrow")
+        )
+        agg = _compact(
+            cand.groupby("node").aggregate(
+                Min("label", alias_name="label"), Min("old", alias_name="old")
+            ),
+            [("node", pa.int64()), ("label", pa.int64()), ("old", pa.int64())],
+        )
+        n_changed = int(
+            agg.map_batches(_round_stats, batch_format="pyarrow")
+            .to_pandas()["c"]
+            .sum()
+        )
+        labels = agg.map_batches(coerce_nl, batch_format="pyarrow")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def _attach_cluster_ids(
+    ds: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    id_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Left-join (node → label) onto every row's id; rows outside the pair
+    graph cluster to themselves."""
+    from .joins import hash_join
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col]})
+
+    def _identity(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        return pa.table({id_col: ids, "cluster_id": ids})
+
+    if labels.count() == 0:
+        return ds.map_batches(_identity, batch_format="pyarrow")
+
+    def _as_id(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["node"], "cluster_id": batch["label"]})
+
+    joined = hash_join(
+        ds.map_batches(_proj, batch_format="pyarrow"),
+        labels.map_batches(_as_id, batch_format="pyarrow"),
+        on=(id_col,),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        cl = pc.coalesce(pc.cast(batch["cluster_id"], pa.int64()), ids)
+        return pa.table({id_col: ids, "cluster_id": cl})
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def minhash_clusters(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    jaccard_threshold: float = 0.8,
+    driver_collect_threshold: int = 5_000_000,
+    num_partitions: Optional[int] = None,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Near-dup cluster assignment: (doc_id, cluster_id) for EVERY row,
+    cluster_id = min doc id of the row's connected component in the LSH
+    pair graph; singletons cluster to themselves.
+
+    Small inputs use the driver path (collected pairs + union-find —
+    measured faster at sandbox size); above ``driver_collect_threshold``
+    exploded rows the fully distributed pair Dataset feeds
+    :func:`label_propagate_min` and nothing driver-sized exists anywhere.
+    """
+    num_partitions = _shuffle_partitions(num_partitions)
+    bands = lsh_kwargs.get("bands", 16)
+    if ds.count() * (bands + 1) <= driver_collect_threshold:
+        pairs = minhash_lsh_pairs(
+            ds, text_col, id_col,
+            jaccard_threshold=jaccard_threshold,
+            driver_collect_threshold=driver_collect_threshold,
+            **lsh_kwargs,
+        )
+        roots = _union_find_clusters(pairs)
+        import ray as _ray
+
+        ref = _ray.put(roots)
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+            cl = np.fromiter(
+                (m.get(int(i), int(i)) for i in ids), np.int64, len(ids)
+            )
+            return pa.table({id_col: pa.array(ids), "cluster_id": pa.array(cl)})
+
+        return ds.map_batches(_assign, batch_format="pyarrow")
+
+    pairs_ds = minhash_lsh_pairs_dataset(
+        ds, text_col, id_col,
+        jaccard_threshold=jaccard_threshold,
+        num_partitions=num_partitions,
+        **lsh_kwargs,
+    )
+    labels = label_propagate_min(pairs_ds, num_partitions=num_partitions)
+    return _attach_cluster_ids(ds, labels, id_col, num_partitions)
+
+
+def exact_dup_clusters(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) where cluster_id = min doc id over rows with
+    identical text — the SQL-checkable twin of :func:`minhash_clusters`
+    (DuckDB: ``MIN(doc_id) OVER (PARTITION BY md5(COALESCE(text, '')))``),
+    computed through the SAME distributed machinery: hash-groupby dup
+    groups → star-edge Dataset → min-label propagation → left join back.
+    """
+    from .joins import hash_join
+
+    num_partitions = _shuffle_partitions(num_partitions)
+    hashed = with_content_hash(ds, text_col)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"content_md5": batch["content_md5"], id_col: batch[id_col]})
+
+    proj = hashed.map_batches(_proj, batch_format="pyarrow")
+    mins = _compact(
+        proj.groupby("content_md5")
+        .aggregate(Count(alias_name="n"), Min(id_col, alias_name="min_id"))
+        .filter(expr="n > 1"),
+        [("content_md5", pa.string()), ("min_id", pa.int64())],
+    )
+    if mins.count() == 0:
+        def _ident(batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch[id_col], pa.int64())
+            return pa.table({id_col: ids, "cluster_id": ids})
+
+        return ds.map_batches(_ident, batch_format="pyarrow")
+
+    joined = hash_join(proj, mins, on=("content_md5",), num_partitions=num_partitions)
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        mn = np.asarray(K._as_array(batch["min_id"]), dtype=np.int64)
+        m = ids != mn
+        return pa.table({"id_a": pa.array(mn[m]), "id_b": pa.array(ids[m])})
+
+    edges = joined.map_batches(_edges, batch_format="pyarrow")
+    labels = label_propagate_min(edges, num_partitions=num_partitions)
+    return _attach_cluster_ids(ds, labels, id_col, num_partitions)
 
 
 def ngram_jaccard_pairs(
@@ -611,13 +1106,35 @@ def minhash_dedup(
         ds, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
     )
     if verify and len(pairs):
-        cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-        texts = {
-            r[id_col]: r[text_col]
-            for r in ds.filter(
-                lambda row: row[id_col] in cand_ids
-            ).take_all()
-        }
+        # broadcast the candidate-id array once and filter with vectorized
+        # np.isin inside map_batches — never a per-row Python filter over
+        # the full dataset.  Candidate texts are bounded by the LSH pair
+        # count (rare by design); cap guards a dup-dominated corpus.
+        cand_arr = np.unique(
+            np.concatenate(
+                [pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)]
+            )
+        )
+        if len(cand_arr) > 2_000_000:
+            raise ValueError(
+                f"minhash_dedup(verify=True): {len(cand_arr)} candidate docs "
+                "would be fetched to the driver; verify exact Jaccard in a "
+                "distributed pass instead (or raise the threshold)"
+            )
+        import ray as _ray
+
+        cref = _ray.put(cand_arr)
+
+        def _cand_texts(batch: pa.Table) -> pa.Table:
+            cd = _ray.get(cref)
+            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+            t = batch.filter(pa.array(np.isin(ids, cd)))
+            return pa.table({id_col: t[id_col], text_col: t[text_col]})
+
+        tdf = ds.map_batches(_cand_texts, batch_format="pyarrow").to_pandas()
+        texts = dict(
+            zip(tdf[id_col].to_numpy(np.int64), tdf[text_col].fillna(""))
+        )
         k = lsh_kwargs.get("shingle_k", 5)
         keep_mask = [
             ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k) >= jaccard_threshold

@@ -457,6 +457,32 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup cluster assignment over documents (rows-only: clusters of
+    ESTIMATED-Jaccard pairs have no SQL twin — exact_dup_clusters is the
+    value-checked twin).  driver_collect_threshold=0 forces the fully
+    distributed path (parquet-spilled signatures, hash-join bucket
+    pairing, min-label propagation) so the driver gate exercises the
+    at-scale machinery, not the sandbox shortcut."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.minhash_clusters(
+        ds, jaccard_threshold=0.5, driver_collect_threshold=0
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_exact_dup_clusters(sf_dir: str):
+    """(event_id, cluster_id = min event_id over identical props) through
+    the SAME distributed machinery as minhash_clusters (star edges →
+    min-label propagation → left join); DuckDB twin is a window MIN over
+    md5.  Runs over events.props because the documents table carries no
+    exact duplicates — props has ~100 dup groups, so the propagation
+    genuinely executes."""
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+    out = dedup.exact_dup_clusters(ds, text_col="props", id_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     pairs = dedup.simhash_pairs(
         _t(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
@@ -639,6 +665,8 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_index_topk": q_ivf_index_topk,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_clusters": q_minhash_clusters,
+    "exact_dup_clusters": q_exact_dup_clusters,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
@@ -661,6 +689,10 @@ ORACLES = {
         "FROM events GROUP BY props HAVING count(*) > 1"
     ),
     "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "exact_dup_clusters": (
+        "SELECT event_id, MIN(event_id) OVER (PARTITION BY md5(COALESCE(props, ''))) "
+        "AS cluster_id FROM events"
+    ),
     "empty_text_by_source": (
         "SELECT source, "
         "CAST(count(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT) AS n_empty, "

@@ -527,3 +527,50 @@ def test_bloom_semi_join_null_keys_never_match(docs):
     top = sketches.approx_topk(ray.data.from_arrow(t2), "k", k=3)
     assert dict(zip(top["value"], top["approx_n"]))[""] == 2
     assert None not in set(top["value"])
+
+
+def test_label_propagate_min_chain():
+    """A 3-edge chain needs multiple propagation rounds; every node must
+    converge to the component min."""
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([5, 3, 1, 10], pa.int64()),
+                  "id_b": pa.array([7, 5, 3, 11], pa.int64())})
+    )
+    out = dedup.label_propagate_min(pairs).to_pandas().sort_values("node")
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 3: 1, 5: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_minhash_clusters_distributed_matches_driver(near_dup_table):
+    """Cluster assignment equivalence: union-find over driver-collected
+    pairs == distributed min-label propagation over the pair Dataset."""
+    ds = ray.data.from_arrow(near_dup_table)
+    drv = (
+        dedup.minhash_clusters(ds, jaccard_threshold=0.8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dedup.minhash_clusters(ds, jaccard_threshold=0.8, driver_collect_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert drv.equals(dist)
+    got = dict(zip(drv["doc_id"], drv["cluster_id"]))
+    assert got[1] == 0 and got[3] == 2  # planted near/exact dup clusters
+    assert sum(k != v for k, v in got.items()) == 2  # nothing else clustered
+
+
+def test_exact_dup_clusters(near_dup_table):
+    ds = ray.data.from_arrow(near_dup_table)
+    out = (
+        dedup.exact_dup_clusters(ds)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[3] == 2 and got[2] == 2  # identical pair
+    assert sum(k != v for k, v in got.items()) == 1
+
+    # no-duplicate input -> identity mapping through the short-circuit
+    uniq = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                     "text": pa.array(["aaa", "bbb"], pa.string())})
+    out2 = dedup.exact_dup_clusters(ray.data.from_arrow(uniq)).to_pandas()
+    assert (out2["doc_id"] == out2["cluster_id"]).all()
