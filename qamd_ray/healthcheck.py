@@ -92,6 +92,13 @@ class TableMeta:
     file_name: str = ""
     file_label: str = ""
     file_encoding: Optional[str] = None
+    # header metadata the reference surfaces into ReportMetadata
+    # (src/readstat/handler.rs:19-58): compression scheme, format version,
+    # and file timestamps where the format carries them
+    compression: str = ""
+    file_format_version: str = ""
+    creation_time: Optional[str] = None
+    modified_time: Optional[str] = None
 
     def label_for(self, var: VariableMeta, value: str) -> str:
         """Per-cell label resolution (handler.rs:116-122): missing key ⇒ ''."""
@@ -312,6 +319,10 @@ def health_check(
             },
             file_label=meta.file_label,
             file_encoding=meta.file_encoding,
+            compression=meta.compression,
+            file_format_version=meta.file_format_version,
+            creation_time=meta.creation_time,
+            modified_time=meta.modified_time,
         )
     )
 

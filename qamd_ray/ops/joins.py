@@ -16,11 +16,12 @@ lookups.
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -120,4 +121,70 @@ def hash_join(
         num_partitions=num_partitions,
         on=lkey,
         right_on=rkey,
+    )
+
+
+def _shuffle_partitions(requested: Optional[int] = None) -> int:
+    """Hash-join fan-out sized to the cluster.  Every ``Dataset.join``
+    partition is a HashShuffleAggregator actor holding CPU; asking for
+    more aggregators than the cluster has cores (e.g. 32 partitions on an
+    8-CPU node) DEADLOCKS the streaming executor — aggregators reserve
+    every CPU and the upstream map tasks never run.  Cap at the CPU count
+    (aggregators take fractional CPUs, so this leaves headroom)."""
+    import ray as _ray
+
+    ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    cap = max(2, ncpu)
+    return min(int(requested), cap) if requested else cap
+
+
+def _coerce_cols(names_types: list[tuple[str, pa.DataType]]):
+    """Batch fn pinning an exact Arrow schema (column order + int64 keys);
+    missing columns on an empty batch become typed empty arrays."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in names_types:
+            cols[name] = (
+                pc.cast(batch[name], typ)
+                if name in batch.column_names
+                else pa.array([], typ)
+            )
+        return pa.table(cols)
+
+    return _f
+
+
+def _compact(
+    ds: "ray.data.Dataset", names_types: list[tuple[str, pa.DataType]]
+) -> "ray.data.Dataset":
+    """Materialize ``ds`` and rebuild it from only its NON-EMPTY blocks,
+    as Arrow with a pinned schema.
+
+    Ray hash aggregates emit schemaless empty blocks for empty shuffle
+    partitions, and downstream maps skip zero-row blocks, so the poison
+    propagates; ``Dataset.join`` distributes each side's schema to its
+    aggregators from the FIRST incoming block, so a schemaless block
+    arriving first makes the join fail nondeterministically with "No
+    match for key field".  Blocks stay in the object store — row counts
+    come from tiny num_cpus=0 tasks, never a driver fetch.
+    """
+    import ray as _ray
+
+    refs = ds.materialize().to_arrow_refs()
+
+    @_ray.remote(num_cpus=0)
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = _ray.get([_n.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n > 0]
+    if not keep:
+        return ray.data.from_arrow(
+            pa.table({name: pa.array([], typ) for name, typ in names_types})
+        )
+    return ray.data.from_arrow_refs(keep).map_batches(
+        _coerce_cols(names_types), batch_format="pyarrow"
     )

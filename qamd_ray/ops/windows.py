@@ -5,22 +5,28 @@ event its per-user session ordinal (1-based) under an inactivity-gap
 rule.  Both share ONE implementation of the subtle part — per-block
 session detection and cross-block boundary stitching.
 
-Plan shape (no per-group Python):
+Plan shape (no per-group Python, nothing user-scale on the driver):
 
 1. one global ``sort`` by (user, ts, order) — the all-to-all a
    sessionization fundamentally needs (co-located ordered user streams);
 2. pass A (``batch_size=None`` ⇒ one batch per block): per-batch numpy
-   gap/diff → per-(block, user) session counts + one boundary row per
-   block edge;
-3. driver stitch: order blocks by their first key, REVOKE the session
-   start at a block's first row when the previous block ends with the
-   same user within the gap, adjust that block's count —
-   O(blocks × users-per-block) rows, never events.
+   gap/diff → boundary rows (block first/last key) + counts of the
+   block's FIRST and LAST users.  A user spanning several blocks is, by
+   sort contiguity, the last user of one block and the first of the
+   next — so every cross-block offset lives on a boundary user, and the
+   stitch state is **O(blocks)**, never O(users);
+3. driver stitch over those O(blocks) rows: order blocks by first key,
+   REVOKE the session start at a block's first row when the previous
+   block ends with the same user within the gap, and accumulate running
+   per-spanning-user offsets.
 
-``session_counts`` stops there (single streaming pass over the sort).
-``sessionize`` materializes the sort so a second pass sees identical
-blocks, turns the stitched counts into per-(block, user) OFFSETS, and
-pass B broadcasts them to emit ``session_seq`` per row — still streaming.
+``sessionize`` materializes the sort so pass B sees identical blocks and
+broadcasts only the O(blocks) maps (block index, revocations, spanning
+offsets); non-spanning users implicitly get offset 0.  For
+``session_counts`` pass A additionally emits per-(block, user) count
+rows that reduce through a DISTRIBUTED ``groupby(user).sum`` — only the
+final per-user result reaches the driver, with the O(blocks) revocation
+decrements applied vectorized.
 """
 
 from __future__ import annotations
@@ -32,65 +38,85 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from .. import kernels as K
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000
 
+_EMPTY_A = pa.table(
+    {
+        "kind": pa.array([], pa.int8()),
+        "user_id": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "ts_us": pa.array([], pa.int64()),
+        "oid": pa.array([], pa.int64()),
+    }
+)
 
-def _pass_a_fn(user_col: str, ts_col: str, order_col: str, gap_us: int):
+
+def _pass_a_fn(
+    user_col: str, ts_col: str, order_col: str, gap_us: int, emit_counts: bool
+):
+    """kind 1/2: block first/last boundary row; kind 3: session counts of
+    the block's first and last user (the only users whose cross-block
+    offsets can be non-zero); kind 0 (``emit_counts``): per-(block, user)
+    counts for the distributed per-user total."""
+
     def _pass_a(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table(
-                {
-                    "kind": pa.array([], pa.int8()),
-                    "user_id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "ts_us": pa.array([], pa.int64()),
-                    "oid": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_A
         u = np.asarray(K._as_array(batch[user_col]), dtype=np.int64)
         ts = np.asarray(pc.cast(K._as_array(batch[ts_col]), pa.int64()))
         oid = np.asarray(K._as_array(batch[order_col]), dtype=np.int64)
         new_s = np.ones(n, dtype=bool)
         new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         users, counts = np.unique(u[new_s], return_counts=True)
-        k = len(users)
+        counts = counts.astype(np.int64)
         bt, bo = int(ts[0]), int(oid[0])
+        # boundary-user count rows (first and last user; deduped when the
+        # block holds a single user)
+        edge_users = np.unique(np.array([u[0], u[-1]], dtype=np.int64))
+        edge_counts = counts[np.searchsorted(users, edge_users)]
+        ks = [
+            np.full(len(edge_users), 3, np.int8),
+            np.array([1, 2], np.int8),
+        ]
+        us = [edge_users, np.array([u[0], u[-1]], np.int64)]
+        ns = [edge_counts, np.zeros(2, np.int64)]
+        tss = [np.full(len(edge_users), bt, np.int64), np.array([ts[0], ts[-1]], np.int64)]
+        oids = [np.full(len(edge_users), bo, np.int64), np.array([oid[0], oid[-1]], np.int64)]
+        if emit_counts:
+            k = len(users)
+            ks.append(np.zeros(k, np.int8))
+            us.append(users)
+            ns.append(counts)
+            tss.append(np.full(k, bt, np.int64))
+            oids.append(np.full(k, bo, np.int64))
         return pa.table(
             {
-                "kind": pa.array(
-                    np.concatenate([np.zeros(k, np.int8), np.array([1, 2], np.int8)])
-                ),
-                "user_id": pa.array(np.concatenate([users, [u[0], u[-1]]])),
-                "n": pa.array(np.concatenate([counts.astype(np.int64), [0, 0]])),
-                "ts_us": pa.array(np.concatenate([np.full(k, bt, np.int64), [ts[0], ts[-1]]])),
-                "oid": pa.array(np.concatenate([np.full(k, bo, np.int64), [oid[0], oid[-1]]])),
+                "kind": pa.array(np.concatenate(ks)),
+                "user_id": pa.array(np.concatenate(us)),
+                "n": pa.array(np.concatenate(ns)),
+                "ts_us": pa.array(np.concatenate(tss)),
+                "oid": pa.array(np.concatenate(oids)),
             }
         )
 
     return _pass_a
 
 
-def _stitched_counts(
-    sorted_ds: "ray.data.Dataset",
-    user_col: str,
-    ts_col: str,
-    order_col: str,
-    gap_us: int,
-) -> tuple[pd.DataFrame, dict, dict]:
-    """Run pass A + the boundary stitch.  → (per-(block, user) counts with
-    a ``blk`` ordinal, revocation already applied;
-    first-key-pair → block ordinal map; {block ordinal → revoked user})."""
-    parts = sorted_ds.map_batches(
-        _pass_a_fn(user_col, ts_col, order_col, gap_us),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).to_pandas()
-    firsts = parts[parts["kind"] == 1].sort_values(["user_id", "ts_us", "oid"])
-    lasts = parts[parts["kind"] == 2].sort_values(["user_id", "ts_us", "oid"])
+def _stitch_boundaries(
+    bdf: pd.DataFrame, gap_us: int
+) -> tuple[dict, dict, dict]:
+    """Driver stitch over the O(blocks) boundary rows.
+
+    → (first-key-pair → block ordinal, {block ordinal → revoked user},
+    {(block ordinal, user) → cross-block session offset} for spanning
+    users only — absent keys mean offset 0)."""
+    firsts = bdf[bdf["kind"] == 1].sort_values(["user_id", "ts_us", "oid"])
+    lasts = bdf[bdf["kind"] == 2].sort_values(["user_id", "ts_us", "oid"])
     # blocks are contiguous sorted ranges, so sorting boundary rows by key
     # recovers block order; revoke the first-row session start of block i
     # when block i-1 ends with the same user within the gap
@@ -106,14 +132,22 @@ def _stitched_counts(
     for i in range(1, len(fu)):
         if fu[i] == lu[i - 1] and (ft[i] - lt[i - 1]) <= gap_us:
             revoked[i] = int(fu[i])
-    counts = parts[parts["kind"] == 0].copy()
-    counts["blk"] = [
-        pair_to_idx[(int(t), int(o))] for t, o in zip(counts["ts_us"], counts["oid"])
+    edge = bdf[bdf["kind"] == 3].copy()
+    edge["blk"] = [
+        pair_to_idx[(int(t), int(o))] for t, o in zip(edge["ts_us"], edge["oid"])
     ]
-    for i, uid in revoked.items():
-        sel = (counts["blk"] == i) & (counts["user_id"] == uid)
-        counts.loc[sel, "n"] -= 1
-    return counts.sort_values("blk"), pair_to_idx, revoked
+    edge = edge.drop_duplicates(["blk", "user_id"]).sort_values("blk")
+    offsets: dict[tuple[int, int], int] = {}
+    running: dict[int, int] = {}
+    for r in edge.itertuples():
+        blk, uid, cnt = int(r.blk), int(r.user_id), int(r.n)
+        if revoked.get(blk) == uid:
+            cnt -= 1
+        prev = running.get(uid, 0)
+        if prev:
+            offsets[(blk, uid)] = prev
+        running[uid] = prev + cnt
+    return pair_to_idx, revoked, offsets
 
 
 def session_counts(
@@ -124,13 +158,29 @@ def session_counts(
     *,
     gap_us: int = DEFAULT_GAP_US,
 ) -> pd.DataFrame:
-    """Sessions per user → (user_id, n_sessions).  One streaming pass
-    over the sorted log; only per-(block, user) partials reach the
-    driver."""
+    """Sessions per user → (user_id, n_sessions).  One streaming pass over
+    the sorted log; per-user totals reduce through a distributed groupby —
+    the driver holds only the O(blocks) boundary rows, the O(blocks)
+    revocations, and the final result."""
     sorted_ds = ds.sort([user_col, ts_col, order_col])
-    counts, _, _ = _stitched_counts(sorted_ds, user_col, ts_col, order_col, gap_us)
-    totals = counts.groupby("user_id", sort=False)["n"].sum()
-    out = totals.reset_index().rename(columns={"n": "n_sessions"})
+    parts = sorted_ds.map_batches(
+        _pass_a_fn(user_col, ts_col, order_col, gap_us, emit_counts=True),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    bdf = parts.filter(expr="kind > 0").to_pandas()  # O(blocks)
+    _, revoked, _ = _stitch_boundaries(bdf, gap_us)
+    totals = (
+        parts.filter(expr="kind == 0")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_sessions"))
+        .to_pandas()
+    )
+    if revoked:
+        dec = pd.Series(list(revoked.values())).value_counts()
+        adj = totals["user_id"].map(dec).fillna(0).astype("int64")
+        totals["n_sessions"] = totals["n_sessions"] - adj
+    out = totals.sort_values("user_id").reset_index(drop=True)
     return out[["user_id", "n_sessions"]].astype("int64")
 
 
@@ -143,19 +193,19 @@ def sessionize(
     gap_us: int = DEFAULT_GAP_US,
 ) -> "ray.data.Dataset":
     """→ the input rows + ``session_seq`` (1-based per-user session
-    ordinal in (ts, order) order)."""
+    ordinal in (ts, order) order).  Broadcast state is O(blocks): block
+    index, revocations, and offsets for block-spanning users only."""
     # materialized so pass A and pass B see IDENTICAL blocks
     sorted_ds = ds.sort([user_col, ts_col, order_col]).materialize()
-    counts, pair_to_idx, revoked = _stitched_counts(
-        sorted_ds, user_col, ts_col, order_col, gap_us
+    bdf = (
+        sorted_ds.map_batches(
+            _pass_a_fn(user_col, ts_col, order_col, gap_us, emit_counts=False),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
     )
-    # per-(block, user) offsets = user's (revocation-adjusted) sessions in
-    # earlier blocks
-    offsets: dict[tuple[int, int], int] = {}
-    running: dict[int, int] = {}
-    for r in counts.itertuples():
-        offsets[(int(r.blk), int(r.user_id))] = running.get(int(r.user_id), 0)
-        running[int(r.user_id)] = running.get(int(r.user_id), 0) + int(r.n)
+    pair_to_idx, revoked, offsets = _stitch_boundaries(bdf, gap_us)
     off_ref = ray.put((pair_to_idx, offsets, revoked))
 
     def _pass_b(batch: pa.Table) -> pa.Table:
@@ -177,6 +227,7 @@ def sessionize(
         changes = np.nonzero(np.diff(u, prepend=u[0] - 1))[0]
         user_start[changes] = cs[changes] - new_s[changes]
         local = cs - np.maximum.accumulate(user_start)
+        # only block-spanning users have entries; everyone else starts at 0
         base = np.array([offs.get((blk, int(x)), 0) for x in u], dtype=np.int64)
         return batch.append_column("session_seq", pa.array(local + base))
 

@@ -176,6 +176,35 @@ def duplicate_winners(
     return dict(zip(dups["content_sha256"], dups["winner"]))
 
 
+def duplicate_winners_dataset(
+    keys_ds: "ray.data.Dataset", num_partitions: Optional[int] = None
+) -> "ray.data.Dataset":
+    """(content_sha256, winner) for every sha seen more than once, as a
+    never-collected Dataset — the at-scale form of
+    :func:`duplicate_winners` for dup-dominated corpora where the winner
+    map does not fit the driver.  Feed it to :func:`finalize`, which flags
+    duplicates with a hash-shuffle join instead of a broadcast dict."""
+    from .ops.joins import _compact
+
+    def _with_key(batch: pa.Table) -> pa.Table:
+        repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
+        paths = np.asarray(K._as_array(batch["path"]), dtype=object)
+        key = pa.array([f"{r}\x00{p}" for r, p in zip(repos, paths)], pa.string())
+        return pa.table({"content_sha256": batch["content_sha256"], "key": key})
+
+    proj = keys_ds.select_columns(["content_sha256", "repo", "path"]).map_batches(
+        _with_key, batch_format="pyarrow"
+    )
+    agg = (
+        proj.groupby("content_sha256")
+        .aggregate(Count(alias_name="n"), Min("key", alias_name="winner"))
+        .filter(expr="n > 1")
+    )
+    return _compact(
+        agg, [("content_sha256", pa.string()), ("winner", pa.string())]
+    )
+
+
 def _winners_from_files(
     paths: Sequence[str] | str, num_chunks: int = 64
 ) -> dict[str, str]:
@@ -347,12 +376,57 @@ def duplicate_losers(enriched: "ray.data.Dataset") -> list[tuple[str, str]]:
 def finalize(
     enriched: "ray.data.Dataset",
     config: Config,
-    winners: Optional[dict[str, str]] = None,
+    winners: Union[dict[str, str], "ray.data.Dataset", None] = None,
 ) -> "ray.data.Dataset":
-    """dup flag (broadcast winner map) → scrub → keep column."""
+    """dup flag → scrub → keep column.
+
+    ``winners`` as a dict flags duplicates with a broadcast map (right for
+    a modest dup fraction: O(duplicated distinct contents) entries).  As a
+    Dataset (from :func:`duplicate_winners_dataset`) the flag is a
+    hash-shuffle LEFT join on content_sha256 — the dup-dominated-corpus
+    path, where the winner table itself is data-scale; it shuffles the
+    enriched rows once, the price of not holding the map anywhere."""
     ds = enriched
     q = config.quality_filter
-    if q.duplicate_content is not None and q.duplicate_content.setting:
+    want_dup = q.duplicate_content is not None and q.duplicate_content.setting
+    if (
+        want_dup
+        and isinstance(winners, ray.data.Dataset)
+        and winners.count() == 0
+    ):
+        # a join against an empty side never delivers its schema to the
+        # shuffle aggregators (Ray drops empty blocks) — and an empty
+        # winner table just means "no duplicates"
+        winners = {}
+    if want_dup and isinstance(winners, ray.data.Dataset):
+        from .ops.joins import _shuffle_partitions, hash_join
+
+        joined = hash_join(
+            ds,
+            winners,
+            on=("content_sha256",),
+            how="left_outer",
+            num_partitions=_shuffle_partitions(),
+        )
+
+        def _dup_join(batch: pa.Table) -> pa.Table:
+            win = np.asarray(K._as_array(batch["winner"]), dtype=object)
+            repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
+            paths = np.asarray(K._as_array(batch["path"]), dtype=object)
+            hit = np.fromiter(
+                (
+                    w is not None and f"{r}\x00{p}" != w
+                    for w, r, p in zip(win, repos, paths)
+                ),
+                bool,
+                len(batch),
+            )
+            return batch.drop_columns(["winner"]).append_column(
+                "f_duplicate", pa.array(hit)
+            )
+
+        ds = joined.map_batches(_dup_join, batch_format="pyarrow")
+    elif want_dup:
         win_ref = ray.put(winners or {})
 
         def _dup(batch: pa.Table) -> pa.Table:
@@ -424,6 +498,7 @@ def quality_pipeline(
     *,
     model_concurrency: Union[int, tuple] = 4,
     model_batch_size: int = 512,
+    dup_broadcast_threshold: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """End-to-end, fully streaming — nothing is materialized.
 
@@ -457,11 +532,25 @@ def quality_pipeline(
             and n_rows <= 5_000_000
         ):
             winners = _winners_from_files(source)
-        else:
+        elif n_rows is not None and n_rows <= 5_000_000:
             keys_ds = content_keys(
                 _as_dataset(source, columns=["repo", "path", "content"])
             )
             winners = duplicate_winners(keys_ds, n_rows=n_rows)
+        else:
+            # at-scale: build the winner table as a Dataset; broadcast it
+            # only if it turns out small, else finalize flags duplicates
+            # with a hash-shuffle join (dup-dominated corpora would blow
+            # the driver / every worker heap through a broadcast dict)
+            keys_ds = content_keys(
+                _as_dataset(source, columns=["repo", "path", "content"])
+            )
+            wds = duplicate_winners_dataset(keys_ds)
+            if wds.count() <= dup_broadcast_threshold:
+                wdf = wds.to_pandas()
+                winners = dict(zip(wdf["content_sha256"], wdf["winner"]))
+            else:
+                winners = wds
     enriched = enrich(
         ds, config, model_concurrency=model_concurrency, model_batch_size=model_batch_size
     )
@@ -681,13 +770,15 @@ def run_checkpointed(
     num_shards: int = 16,
     model_concurrency: Union[int, tuple] = 2,
     model_batch_size: int = 512,
+    dup_broadcast_threshold: int = 5_000_000,
 ) -> dict:
     """Three-phase resumable run; returns the run summary (also written to
     ``out_dir/report.json``).
 
     Layout:  ``out_dir/enriched/part=<k>/{data/,manifest.json}``
              ``out_dir/final/part=<k>/{data/,manifest.json}``
-             ``out_dir/winners.json``  ``out_dir/report.json``
+             ``out_dir/winners.json`` (or ``winners_parquet/`` above the
+             broadcast threshold)  ``out_dir/report.json``
 
     Each manifest records its input row groups, row count and wall time;
     a shard whose manifest validates is skipped on restart — lineage +
@@ -738,21 +829,42 @@ def run_checkpointed(
 
     # ---- phase 2: global duplicate verdict over the enriched projection --
     winners_path = os.path.join(out_dir, "winners.json")
+    winners_pq = os.path.join(out_dir, "winners_parquet")
     q = config.quality_filter
     want_dup = q.duplicate_content is not None and q.duplicate_content.setting
     if want_dup:
         if os.path.exists(winners_path):
             with open(winners_path) as f:
                 winners = json.load(f)
+        elif os.path.isdir(winners_pq):
+            winners = ray.data.read_parquet(winners_pq)
         else:
             proj = ray.data.read_parquet(
                 sorted(glob.glob(os.path.join(enr_dir, "part=*", "data", "*.parquet"))),
                 columns=["content_sha256", "repo", "path"],
             )
-            winners = duplicate_winners(proj)
-            with open(winners_path + ".tmp", "w") as f:
-                json.dump(winners, f)
-            os.replace(winners_path + ".tmp", winners_path)
+            if proj.count() <= 5_000_000:
+                winners = duplicate_winners(proj)
+                with open(winners_path + ".tmp", "w") as f:
+                    json.dump(winners, f)
+                os.replace(winners_path + ".tmp", winners_path)
+            else:
+                wds = duplicate_winners_dataset(proj)
+                if wds.count() <= dup_broadcast_threshold:
+                    wdf = wds.to_pandas()
+                    winners = dict(zip(wdf["content_sha256"], wdf["winner"]))
+                    with open(winners_path + ".tmp", "w") as f:
+                        json.dump(winners, f)
+                    os.replace(winners_path + ".tmp", winners_path)
+                else:
+                    # dup-dominated: checkpoint the winner TABLE as parquet
+                    # (atomic dir publish) and flag via join in phase 3
+                    import shutil as _sh
+
+                    _sh.rmtree(winners_pq + ".tmp", ignore_errors=True)
+                    wds.write_parquet(winners_pq + ".tmp")
+                    os.replace(winners_pq + ".tmp", winners_pq)
+                    winners = ray.data.read_parquet(winners_pq)
     else:
         winners = {}
 

@@ -116,6 +116,24 @@ def _column_to_arrow(
     return pa.array(out, pa.string()), tags, "Numeric", float_like
 
 
+
+def _iso_or_raw(date_s: str, time_s: str = "", fmts: tuple[str, ...] = ()) -> "Optional[str]":
+    """Render a header date(/time) pair as ISO-8601 when one of ``fmts``
+    parses it, else the raw text (the reference surfaces whatever the
+    format carries, handler.rs:28-35); empty ⇒ None."""
+    import datetime as _dt
+
+    s = f"{date_s.strip()} {time_s.strip()}".strip()
+    if not s:
+        return None
+    for fmt in fmts:
+        try:
+            return _dt.datetime.strptime(s, fmt).isoformat()
+        except ValueError:
+            continue
+    return s
+
+
 def read_stata_file(path: str) -> tuple[pa.Table, TableMeta]:
     """One ``.dta`` file → (Arrow table with ``__row__``, TableMeta).
 
@@ -133,6 +151,10 @@ def read_stata_file(path: str) -> tuple[pa.Table, TableMeta]:
         var_labels = rdr.variable_labels()
         raw_value_labels = rdr.value_labels()
         file_label = rdr.data_label or ""
+        format_version = str(getattr(rdr, "_format_version", "") or "")
+        time_stamp = _iso_or_raw(
+            str(getattr(rdr, "time_stamp", "") or ""), "", ("%d %b %Y %H:%M",)
+        )
         # per-variable label-set key + display format (private but stable
         # pandas attributes; absent ⇒ degrade to column-name keying)
         lbllist = list(getattr(rdr, "_lbllist", []) or [])
@@ -187,6 +209,10 @@ def read_stata_file(path: str) -> tuple[pa.Table, TableMeta]:
         tagged_missing=tagged,
         file_name=os.path.basename(path),
         file_label=file_label,
+        compression="None",  # dta is never compressed (handler.rs:42-48)
+        file_format_version=format_version,
+        creation_time=time_stamp,
+        modified_time=time_stamp,
     )
     return table, meta
 
@@ -196,6 +222,25 @@ def read_sas_file(path: str) -> tuple[pa.Table, TableMeta]:
     TableMeta).  SAS carries column labels but no value-label sets or
     tagged missing (read.rs:58-63 parity)."""
     df = pd.read_sas(path)
+    # header metadata via the pandas sas7bdat reader (xpt carries none of
+    # these fields through pandas)
+    stamp = compression = version = None
+    if path.lower().endswith(".sas7bdat"):
+        try:
+            from pandas.io.sas.sas7bdat import SAS7BDATReader
+
+            with SAS7BDATReader(path) as hdr:
+                dc = getattr(hdr, "date_created", None)
+                dm = getattr(hdr, "date_modified", None)
+                stamp = (dc.isoformat() if dc is not None else None,
+                         dm.isoformat() if dm is not None else None)
+                comp = getattr(hdr, "compression", b"") or b""
+                compression = comp.decode("latin-1") if isinstance(comp, bytes) else str(comp)
+                compression = compression or "None"
+                sr = getattr(hdr, "sas_release", b"") or b""
+                version = sr.decode("latin-1") if isinstance(sr, bytes) else str(sr)
+        except Exception:  # header probe is best-effort parity, not data
+            pass
     arrays: dict[str, pa.Array] = {}
     variables: list[VariableMeta] = []
     for i, name in enumerate(df.columns):
@@ -215,7 +260,14 @@ def read_sas_file(path: str) -> tuple[pa.Table, TableMeta]:
     table = pa.table(arrays).append_column(
         ROW_COL, pa.array(np.arange(len(df), dtype=np.int64))
     )
-    return table, TableMeta(variables=variables, file_name=os.path.basename(path))
+    return table, TableMeta(
+        variables=variables,
+        file_name=os.path.basename(path),
+        compression=compression or "",
+        file_format_version=version or "",
+        creation_time=stamp[0] if stamp else None,
+        modified_time=stamp[1] if stamp else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +305,14 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
         bo + "5i", buf, 64
     )
     (bias,) = struct.unpack_from(bo + "d", buf, 84)
+    # header timestamp ("dd mmm yy" + "hh:mm:ss", bytes 92-109); the
+    # format carries one stamp — the reference fills both report fields
+    # from it (handler.rs:28-35)
+    stamp = _iso_or_raw(
+        buf[92:101].decode("latin-1", "replace"),
+        buf[101:109].decode("latin-1", "replace"),
+        ("%d %b %y %H:%M:%S",),
+    )
     file_label = buf[109:173].decode("latin-1").strip()
     off = 176
 
@@ -470,6 +530,12 @@ def read_sav_file(path: str) -> tuple[pa.Table, TableMeta]:
         },
         file_name=os.path.basename(path),
         file_label=file_label,
+        compression={0: "None", 1: "Rows", 2: "Binary"}.get(
+            int(compression), str(compression)
+        ),
+        file_format_version=str(_layout),
+        creation_time=stamp,
+        modified_time=stamp,
     )
     return table, meta
 
@@ -564,6 +630,7 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
     _version = st.take(1)
     _date = st.string()
     _time = st.string()
+    stamp = _iso_or_raw(_date, _time, ("%Y%m%d %H%M%S",))
 
     names: list[str] = []
     widths: list[int] = []
@@ -693,6 +760,10 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
         },
         file_name=os.path.basename(path),
         file_label=file_label,
+        compression="None",  # portable files are plain text
+        file_format_version=_version,
+        creation_time=stamp,
+        modified_time=stamp,
     )
     return table, meta
 

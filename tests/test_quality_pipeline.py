@@ -234,3 +234,49 @@ def test_repo_integrity_flags():
     assert bool(out.loc["B", "f_repo_constant"]) and not bool(out.loc["B", "f_repo_unique"])
     assert bool(out.loc["C", "f_repo_unique"]) and not bool(out.loc["C", "f_repo_constant"])
     assert out.loc["C", "n_distinct"] == 3 and out.loc["C", "min_occ"] == 1
+
+
+def test_dup_flag_join_matches_broadcast(corpus, cfg):
+    """Dup-dominated fallback: finalize with the winner TABLE (Dataset →
+    hash-shuffle join) must flag exactly the rows the broadcast dict
+    flags.  Corpus: every content duplicated ~3× so the winner map is
+    data-scale."""
+    import pandas as pd
+
+    from qamd_ray.pipeline import (
+        content_keys,
+        duplicate_winners,
+        duplicate_winners_dataset,
+        finalize,
+        enrich,
+    )
+
+    base = strip_labels(corpus).to_pylist()[:120]
+    rows = []
+    for i, r in enumerate(base):
+        rows.append(r)
+        for c in range(2):  # two copies of every content in other repos
+            rr = dict(r)
+            rr["repo"] = f"copy{c}_{r['repo']}"
+            rows.append(rr)
+    t = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(t)
+    enriched = enrich(ds, cfg, model_concurrency=2).materialize()
+
+    win_dict = duplicate_winners(content_keys(ds))
+    win_ds = duplicate_winners_dataset(content_keys(ds))
+    assert win_ds.count() == len(win_dict)
+
+    def collect(final):
+        df = final.to_pandas()[["repo", "path", "f_duplicate", "keep"]]
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+    a = collect(finalize(enriched, cfg, win_dict))
+    b = collect(finalize(enriched, cfg, win_ds))
+    assert a.equals(b)
+    assert a["f_duplicate"].sum() >= 2 * 120  # all copies flagged
+
+    # empty winner Dataset behaves like "no duplicates"
+    empty = win_ds.filter(expr="winner == 'impossible'")
+    c = finalize(enriched, cfg, empty).to_pandas()
+    assert not c["f_duplicate"].any()

@@ -300,3 +300,32 @@ def test_multi_file_sav_metadata_union(tmp_path, ray_session):
     assert (100.0, 200.0) in meta.defined_missing_ranges.get("x", [])
     labels = meta.value_labels.get(meta.variables[0].value_labels, {})
     assert labels.get("3.0") == "three"
+
+
+def test_report_metadata_parity(dta_path, tmp_path, ray_session):
+    """compression / file_format_version / creation+modified times flow
+    from the file header into ReportMetadata, matching the reference's
+    metadata handler (handler.rs:19-58)."""
+    from savgen import write_sav
+
+    from qamd_ray.gen_config import default_config
+    from qamd_ray.readers import read_sav_file, read_stata_file
+
+    _t, meta = read_stata_file(dta_path)
+    assert meta.compression == "None"
+    assert meta.file_format_version == "117"
+    assert meta.creation_time and meta.modified_time == meta.creation_time
+
+    p = str(tmp_path / "m.sav")
+    write_sav(p, {"x": [1.0, 2.0]}, compression=1)
+    _t2, m2 = read_sav_file(p)
+    assert m2.compression == "Rows"  # bytecode compression
+    assert m2.file_format_version == "2"
+    assert m2.creation_time == "2026-01-01T00:00:00"  # savgen stamp
+
+    # the fields surface into the check report
+    report = health_check(dta_path, default_config())
+    md = report.metadata
+    assert md.compression == "None"
+    assert md.file_format_version == "117"
+    assert md.creation_time is not None and md.modified_time is not None
