@@ -3,8 +3,14 @@
 Ray Data has global ``sort + limit`` but no per-group top-k; this is the
 combiner-shaped version: every batch emits AT MOST ``k`` rows per group it
 contains (a partial top-k — the per-batch combiner of SURVEY.md §4), so
-the collected table is bounded by O(groups × k × batches), never O(rows).
-The final per-group selection runs on that bounded table.
+the partial table is bounded by O(groups × k × batches), never O(rows).
+
+The final selection is driver pandas below ``driver_collect_threshold``
+partial rows (measured faster at sandbox size); above it a second
+DISTRIBUTED pass reduces by hashed group partition — each group lands
+entirely in one partition, one vectorized Python call per partition (the
+same shape as the LSH bucket pairing), and only the O(groups × k) result
+reaches the driver.
 
 Determinism: callers must pass ``tiebreak`` columns that make the order
 total (e.g. the entity id) — otherwise equal scores at the k boundary
@@ -13,7 +19,7 @@ would depend on batch layout.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import pandas as pd
 
@@ -28,6 +34,8 @@ def grouped_topk(
     *,
     ascending: bool = False,
     tiebreak: Sequence[str] = (),
+    driver_collect_threshold: int = 5_000_000,
+    num_partitions: Optional[int] = None,
 ) -> pd.DataFrame:
     """Top ``k`` rows per group ordered by ``sort_col`` (desc by default),
     ties broken by ``tiebreak`` ascending.  → small pandas frame."""
@@ -42,7 +50,32 @@ def grouped_topk(
             .head(k)
         )
 
-    part = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    part_ds = ds.map_batches(_partial, batch_format="pandas").materialize()
+    if part_ds.count() > driver_collect_threshold:
+        from .joins import _shuffle_partitions
+
+        npart = _shuffle_partitions(num_partitions)
+
+        def _with_p(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            # deterministic per-row group hash (fixed pandas hash key)
+            batch["_p"] = (
+                pd.util.hash_pandas_object(batch[group_cols], index=False).to_numpy()
+                % npart
+            ).astype("int64")
+            return batch
+
+        def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+            return _partial(df).drop(columns="_p")
+
+        part = (
+            part_ds.map_batches(_with_p, batch_format="pandas")
+            .groupby("_p")
+            .map_groups(_reduce, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        part = part_ds.to_pandas()
     return (
         part.sort_values(order_cols, ascending=order_asc)
         .groupby(group_cols, sort=False)

@@ -574,3 +574,69 @@ def test_exact_dup_clusters(near_dup_table):
                      "text": pa.array(["aaa", "bbb"], pa.string())})
     out2 = dedup.exact_dup_clusters(ray.data.from_arrow(uniq)).to_pandas()
     assert (out2["doc_id"] == out2["cluster_id"]).all()
+
+
+def test_embedding_lsh_multi_table_recall():
+    """Multi-table hyperplane LSH recall ≥0.95 against the exact
+    brute-force pair set (single 12-plane table measured ≈0.3 at this
+    cosine band — the reason for the L independent tables)."""
+    rng = np.random.default_rng(77)
+    dim, n_base = 32, 300
+    base = rng.standard_normal((n_base, dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 40 near-dups at cosine ~0.96-0.995
+    vecs = [base]
+    for i in range(40):
+        eps = rng.standard_normal(dim).astype(np.float32)
+        eps /= np.linalg.norm(eps)
+        mag = rng.uniform(0.10, 0.25)  # cos ≈ 1/sqrt(1+mag²) ∈ [0.97, 0.995]
+        v = base[i] + mag * eps
+        vecs.append((v / np.linalg.norm(v))[None, :])
+    V = np.concatenate(vecs)
+    ids = np.arange(len(V), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(V.astype(np.float64)))})
+    ds = ray.data.from_arrow(t)
+
+    S = V @ V.T
+    iu, ju = np.triu_indices(len(V), k=1)
+    exact = {(int(a), int(b)) for a, b in zip(iu[S[iu, ju] >= 0.95], ju[S[iu, ju] >= 0.95])}
+    assert len(exact) >= 35  # the plant worked
+
+    got = dedup.embedding_dup_pairs(ds, cosine_threshold=0.95)
+    found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert found <= exact  # exact cosine verification: no false positives
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.95, recall
+
+    # deterministic across runs
+    got2 = dedup.embedding_dup_pairs(ds, cosine_threshold=0.95)
+    assert got.equals(got2)
+
+
+def test_grouped_topk_distributed_final_matches_driver(events_small=None):
+    """driver_collect_threshold=0 forces the hashed-group-partition
+    reduction; it must equal the driver pandas path exactly."""
+    from qamd_ray.ops.topk import grouped_topk
+
+    rng = np.random.default_rng(21)
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 17, 3000).astype("int64")),
+            "score": pa.array(rng.integers(0, 1000, 3000).astype("int64")),
+            "id": pa.array(np.arange(3000, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 250) for i in range(0, 3000, 250)])
+    a = grouped_topk(ds, ["g"], "score", 5, tiebreak=["id"])
+    b = grouped_topk(ds, ["g"], "score", 5, tiebreak=["id"], driver_collect_threshold=0)
+    assert a.equals(b)
+    assert len(a) == 17 * 5
+
+
+def test_simhash_spill_path_matches(near_dup_table):
+    """spill_threshold=0 forces the Parquet-spilled block-row path; pairs
+    must match the plasma-materialized path exactly."""
+    ds = ray.data.from_arrow(near_dup_table)
+    a = dedup.simhash_pairs(ds, max_hamming=3)
+    b = dedup.simhash_pairs(ds, max_hamming=3, spill_threshold=0)
+    assert a.equals(b)
