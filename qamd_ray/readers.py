@@ -618,13 +618,36 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
     variables, variable labels, discrete declared-missing values
     (tag '8'; range tags 9/A/B are consumed and recorded by their
     endpoints), value-label sets (tag 'D'), untagged trailing-'Z' data
-    termination.  Non-ASCII source character translation is not applied.
+    termination.
+
+    Character-set handling: the source encoding is detected from the
+    mandatory SPSSPORT signature — latin-1 (ASCII superset, covering
+    accented labels/values) first, then the EBCDIC code pages
+    (cp037/cp500/cp875/cp1026/cp1140) that mainframe-written portable
+    files actually use.  This covers the translation cases that occur in
+    practice through canonical, verifiable codecs; a file using a bespoke
+    translation table whose signature matches no known code page fails
+    LOUDLY here rather than silently mis-rendering (the reference routes
+    this through ReadStat's table-driven translation).
     """
-    raw = open(path, "rb").read().decode("latin-1")
-    text = raw.replace("\r", "").replace("\n", "")
-    sig_at = text.find("SPSSPORT")
-    if sig_at < 0:
-        raise ValueError(f"{path}: not a portable file (missing SPSSPORT)")
+    raw_bytes = open(path, "rb").read()
+    text = sig_at = None
+    for enc in ("latin-1", "cp037", "cp500", "cp875", "cp1026", "cp1140"):
+        try:
+            cand = raw_bytes.decode(enc)
+        except UnicodeDecodeError:  # pragma: no cover - latin-1 never fails
+            continue
+        cand = cand.replace("\r", "").replace("\n", "").replace("\x85", "")
+        at = cand.find("SPSSPORT")
+        if at >= 0:
+            text, sig_at = cand, at
+            break
+    if text is None:
+        raise ValueError(
+            f"{path}: not a portable file (no SPSSPORT signature under "
+            "latin-1 or the known EBCDIC code pages; bespoke "
+            "translation-table charsets are not supported)"
+        )
     st = _PorStream(text)
     st.i = sig_at + len("SPSSPORT")
     _version = st.take(1)

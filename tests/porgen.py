@@ -49,6 +49,7 @@ def write_por(
     missing: dict[str, list] | None = None,
     value_labels: tuple[list[str], dict[float, str]] | None = None,
     product: str = "qamd_ray porgen test writer",
+    encoding: str = "latin-1",
 ) -> None:
     var_labels = var_labels or {}
     missing = missing or {}
@@ -97,5 +98,8 @@ def write_por(
     pad = (-len(stream)) % 80 or 80
     stream += "Z" * pad
     lines = [stream[i : i + 80] for i in range(0, len(stream), 80)]
-    with open(path, "w", newline="") as f:
-        f.write("\n".join(lines) + "\n")
+    # encoding: "latin-1" (the ASCII-superset default) or an EBCDIC code
+    # page (cp037/cp500/...) — mainframe-written portable files carry the
+    # ENTIRE stream, signature included, in the source charset
+    with open(path, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode(encoding))

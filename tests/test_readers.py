@@ -329,3 +329,32 @@ def test_report_metadata_parity(dta_path, tmp_path, ray_session):
     assert md.compression == "None"
     assert md.file_format_version == "117"
     assert md.creation_time is not None and md.modified_time is not None
+
+
+def test_por_charset_translation(tmp_path):
+    """Portable files written in an EBCDIC code page (the real-world
+    charset-translation case) decode through signature-based code-page
+    detection; non-ASCII labels/values round-trip in both latin-1 and
+    cp037.  A file matching no known code page fails loudly."""
+    from porgen import write_por
+
+    from qamd_ray.readers import read_por_file
+
+    for enc in ("latin-1", "cp037"):
+        p = str(tmp_path / f"t_{enc}.por")
+        write_por(
+            p,
+            {"age": [34.0, 21.0], "city": ["Orléans", "León"]},
+            var_labels={"age": "Âge en années"},
+            encoding=enc,
+        )
+        t, meta = read_por_file(p)
+        assert t["age"].to_pylist() == [34.0, 21.0], enc
+        assert t["city"].to_pylist() == ["Orléans", "León"], enc
+        by_name = {v.name: v for v in meta.variables}
+        assert by_name["age"].label == "Âge en années", enc
+
+    bad = tmp_path / "bad.por"
+    bad.write_bytes(b"\x01\x02\x03" * 200)
+    with pytest.raises(ValueError, match="no SPSSPORT signature"):
+        read_por_file(str(bad))
