@@ -148,7 +148,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             _as_docs, batch_format="pyarrow"
         )
         timings["minhash_lsh"] = best_of(
-            lambda: dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+            lambda: dedup.minhash_lsh_pairs(
+                docs, jaccard_threshold=0.8, n_rows=BENCH_ROWS
+            )
         )
 
     for name, fn in ([] if headline_only else [

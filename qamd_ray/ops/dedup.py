@@ -294,6 +294,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 1234,
     driver_collect_threshold: int = 5_000_000,
+    n_rows: Optional[int] = None,
 ) -> pd.DataFrame:
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -317,7 +318,13 @@ def minhash_lsh_pairs(
          "est_jaccard": pd.Series([], dtype="float64")}
     )
 
-    if ds.count() * (bands + 1) > driver_collect_threshold:
+    # routing needs the input size: pass ``n_rows`` when the input is a
+    # mapped chain — ds.count() is metadata-only for plain parquet reads
+    # but EXECUTES the whole upstream for mapped lineage (measured: it
+    # doubled the bench wall time when the count ran on a mapped read)
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows * (bands + 1) > driver_collect_threshold:
         import shutil
         import tempfile
 
@@ -775,6 +782,7 @@ def minhash_clusters(
     jaccard_threshold: float = 0.8,
     driver_collect_threshold: int = 5_000_000,
     num_partitions: Optional[int] = None,
+    n_rows: Optional[int] = None,
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
     """Near-dup cluster assignment: (doc_id, cluster_id) for EVERY row,
@@ -788,11 +796,14 @@ def minhash_clusters(
     """
     num_partitions = _shuffle_partitions(num_partitions)
     bands = lsh_kwargs.get("bands", 16)
-    if ds.count() * (bands + 1) <= driver_collect_threshold:
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows * (bands + 1) <= driver_collect_threshold:
         pairs = minhash_lsh_pairs(
             ds, text_col, id_col,
             jaccard_threshold=jaccard_threshold,
             driver_collect_threshold=driver_collect_threshold,
+            n_rows=n_rows,
             **lsh_kwargs,
         )
         roots = _union_find_clusters(pairs)
@@ -1129,6 +1140,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     spill_threshold: int = 5_000_000,
+    n_rows: Optional[int] = None,
 ) -> pd.DataFrame:
     """Near-dup pairs at Hamming ≤ max_hamming via 4×16-bit block banding.
 
@@ -1169,7 +1181,7 @@ def simhash_pairs(
     # in plasma; above it they spill to Parquet once and the two consumers
     # re-read column-pruned — the 100-TB path never pins O(docs) rows
     spill = None
-    if ds.count() * 4 > spill_threshold:
+    if (ds.count() if n_rows is None else n_rows) * 4 > spill_threshold:
         import tempfile
 
         spill = tempfile.mkdtemp(prefix="qamd_simhash_spill_", dir="/tmp")
@@ -1268,6 +1280,7 @@ def embedding_dup_pairs(
     seed: int = 5,
     dim: Optional[int] = None,
     driver_collect_threshold: int = 5_000_000,
+    n_rows: Optional[int] = None,
 ) -> pd.DataFrame:
     """Near-dup pairs by cosine ≥ threshold: random-hyperplane LSH buckets
     (Charikar 2002) → exact cosine within buckets.  ``num_tables``
@@ -1313,7 +1326,7 @@ def embedding_dup_pairs(
             {"bucket": np.concatenate(parts_b), id_col: np.tile(ids, num_tables)}
         )
 
-    n_keyed = ds.count() * num_tables
+    n_keyed = (ds.count() if n_rows is None else n_rows) * num_tables
     if n_keyed <= driver_collect_threshold:
         keyed = ds.map_batches(_keys, batch_format="pandas").materialize()
         df = keyed.to_pandas()

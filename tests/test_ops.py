@@ -640,3 +640,25 @@ def test_simhash_spill_path_matches(near_dup_table):
     a = dedup.simhash_pairs(ds, max_hamming=3)
     b = dedup.simhash_pairs(ds, max_hamming=3, spill_threshold=0)
     assert a.equals(b)
+
+
+def test_session_counts_distributed_matches_driver():
+    """driver_collect_threshold=0 forces the distributed groupby(user).sum
+    reduction; totals must equal the driver pandas path."""
+    from qamd_ray.ops.windows import session_counts
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    users = rng.integers(0, 7, n)
+    ts = np.cumsum(rng.integers(1, 45, n)) * 60_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 250) for i in range(0, n, 250)])
+    a = session_counts(ds)
+    b = session_counts(ds, driver_collect_threshold=0)
+    assert a.equals(b)
