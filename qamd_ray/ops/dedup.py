@@ -1332,29 +1332,29 @@ def embedding_dup_pairs(
         df = keyed.to_pandas()
         surv = df[df.duplicated("bucket", keep=False)]
     else:
-        # spill the (bucket, id) rows to Parquet: the two consumers
-        # (bucket counts, survivor filter) re-read pruned instead of
-        # pinning O(vectors x tables) rows in plasma
+        # at-scale: the fully distributed path (parquet-spilled key rows,
+        # hash-join bucket re-attach, in-task pairing) — only the final
+        # pair table reaches the driver
         import shutil
         import tempfile
 
         spill = tempfile.mkdtemp(prefix="qamd_emb_spill_", dir="/tmp")
-        ds.map_batches(_keys, batch_format="pandas").write_parquet(spill)
-        keyed = ray.data.read_parquet(spill)
-        counts = keyed.groupby("bucket").aggregate(Count(alias_name="n"))
-        hot = counts.filter(expr="n > 1").to_pandas()
-        if len(hot) == 0:
+        try:
+            pds = embedding_dup_pairs_dataset(
+                ds, emb_col, id_col,
+                cosine_threshold=cosine_threshold,
+                num_planes=num_planes, num_tables=num_tables,
+                seed=seed, dim=dim, spill_dir=spill,
+            )
+            pairs = pds.to_pandas()
+        finally:
             shutil.rmtree(spill, ignore_errors=True)
+        if len(pairs) == 0:
             return empty
-        hot_ref = _ray.put(np.unique(hot["bucket"].to_numpy().astype(np.int64)))
-
-        def _only_hot(batch: pa.Table) -> pa.Table:
-            keys = _ray.get(hot_ref)
-            b = np.asarray(K._as_array(batch["bucket"]), dtype=np.int64)
-            return batch.filter(pa.array(np.isin(b, keys)))
-
-        surv = keyed.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
-        shutil.rmtree(spill, ignore_errors=True)
+        return (
+            pairs.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)[["id_a", "id_b", "cosine"]]
+        )
     if len(surv) == 0:
         return empty
 
@@ -1416,3 +1416,145 @@ def embedding_dup_pairs(
     if len(pairs) == 0:
         return empty
     return pairs.sort_values(["id_a", "id_b"]).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs_dataset(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    cosine_threshold: float = 0.95,
+    num_planes: int = 12,
+    num_tables: int = 8,
+    seed: int = 5,
+    dim: Optional[int] = None,
+    spill_dir: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Fully distributed multi-table hyperplane LSH pairing →
+    Dataset(id_a, id_b, cosine).  The twin of
+    :func:`minhash_lsh_pairs_dataset` for embeddings: (bucket, id) key
+    rows spill to Parquet once; hot buckets come from a count-groupby and
+    re-attach by hash join; survivor VECTORS ship only through the inner
+    join (normalized float32 bytes); per-bucket pairing + exact cosine
+    runs inside bucket-partition tasks; the same pair found through
+    several tables merges in a final (id_a, id_b) groupby.  Nothing
+    driver-sized anywhere."""
+    import tempfile
+
+    from .joins import hash_join
+
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
+    import ray as _ray
+
+    planes_ref = _ray.put(planes)
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _keys(batch: pd.DataFrame) -> pd.DataFrame:
+        P = _ray.get(planes_ref)
+        M = np.stack(batch[emb_col].to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids = batch[id_col].to_numpy()
+        parts_b = []
+        for t in range(num_tables):
+            signs = (M @ P[t]) > 0
+            b = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+            parts_b.append((np.int64(t) << num_planes) + b)
+        return pd.DataFrame(
+            {"bucket": np.concatenate(parts_b), id_col: np.tile(ids, num_tables)}
+        )
+
+    EMPTY_PAIRS = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    spill = spill_dir or tempfile.mkdtemp(prefix="qamd_emb_spill_", dir="/tmp")
+    ds.map_batches(_keys, batch_format="pandas").write_parquet(spill)
+    keyed = ray.data.read_parquet(spill)
+    hot_keys = _compact(
+        keyed.groupby("bucket").aggregate(Count(alias_name="n")).filter(expr="n > 1"),
+        [("bucket", pa.int64())],
+    )
+    if hot_keys.count() == 0:
+        return ray.data.from_arrow(EMPTY_PAIRS)
+    hot_rows = hash_join(keyed, hot_keys, on=("bucket",), num_partitions=num_partitions)
+
+    def _vecs(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch[emb_col].to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "vec": [v.astype(np.float32).tobytes() for v in M],
+            }
+        )
+
+    # inner join prunes the vector shuffle to survivor ids only
+    hot_vec = hash_join(
+        hot_rows,
+        ds.map_batches(_vecs, batch_format="pandas"),
+        on=(id_col,),
+        num_partitions=num_partitions,
+    )
+
+    npart = num_partitions
+
+    def _with_p(batch: pa.Table) -> pa.Table:
+        b = np.asarray(K._as_array(batch["bucket"]), dtype=np.int64)
+        return batch.append_column("p", pa.array(b % npart))
+
+    empty_df = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+
+    def _pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["bucket", id_col]).sort_values(["bucket", id_col])
+        n = len(df)
+        if n == 0:
+            return empty_df
+        bkt = df["bucket"].to_numpy(np.int64)
+        sid = df[id_col].to_numpy(np.int64)
+        V = np.frombuffer(b"".join(df["vec"]), dtype=np.float32).reshape(n, -1)
+        starts = np.nonzero(np.diff(bkt, prepend=bkt[0] - 1))[0]
+        sizes = np.append(starts[1:], n) - starts
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            bs = starts[sizes == m]
+            pos = bs[:, None] + np.arange(m)
+            iu, ju = np.triu_indices(int(m), k=1)
+            ia_parts.append(pos[:, iu].ravel())
+            ib_parts.append(pos[:, ju].ravel())
+        if not ia_parts:
+            return empty_df
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        cos = np.empty(len(ia), dtype=np.float64)
+        CH = 500_000
+        for lo in range(0, len(ia), CH):
+            hi = min(lo + CH, len(ia))
+            cos[lo:hi] = np.einsum("ij,ij->i", V[ia[lo:hi]], V[ib[lo:hi]])
+        keep = cos >= cosine_threshold
+        a = sid[ia[keep]]
+        b = sid[ib[keep]]
+        out = pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": cos[keep]}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return _compact(
+        hot_vec.map_batches(_with_p, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(_pair_partition, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("cosine", alias_name="cosine")),
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())],
+    )

@@ -662,3 +662,25 @@ def test_session_counts_distributed_matches_driver():
     a = session_counts(ds)
     b = session_counts(ds, driver_collect_threshold=0)
     assert a.equals(b)
+
+
+def test_embedding_pairs_dataset_matches_driver():
+    """The fully distributed embedding pairing (spill + hash joins +
+    in-task cosine) must produce exactly the driver path's pairs."""
+    rng = np.random.default_rng(55)
+    M = rng.standard_normal((60, 16)).astype(np.float32)
+    M[1] = M[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    M[10] = M[9] + rng.standard_normal(16).astype(np.float32) * 0.02
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = dedup.embedding_dup_pairs(ds, cosine_threshold=0.95)
+    b = dedup.embedding_dup_pairs(ds, cosine_threshold=0.95, driver_collect_threshold=0)
+    assert a[["id_a", "id_b"]].reset_index(drop=True).equals(
+        b[["id_a", "id_b"]].reset_index(drop=True)
+    )
+    assert {(0, 1), (9, 10)} <= set(map(tuple, a[["id_a", "id_b"]].to_numpy()))
