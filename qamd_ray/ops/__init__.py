@@ -17,6 +17,9 @@ each Ray-Data-first:
 * ``topk``       — per-group top-k with per-batch combiners
 * ``windows``    — session counts + per-event session assignment over
                    the sorted log
+* ``temporal``   — as-of join (per-partition merge_asof), banded range
+                   join (interval → equality Dataset.join), per-key
+                   rolling windows (grouped cumsum differencing)
 * ``sketches``   — mergeable HyperLogLog, Count-Min, Bloom filter,
                    quantile summary
 * ``textstats``  — language-ID heuristic, quality scoring, token counts,

@@ -1,0 +1,373 @@
+"""Temporal operators: as-of join, banded range join, per-key rolling
+windows.
+
+The reference engine is single-table and has no temporal joins (SURVEY.md
+§2.3); these are the event-stream shapes a training-data pipeline needs
+(attribution, burst detection, per-entity rolling features).  All three
+share ONE distribution strategy — co-partition by key hash, compute
+vectorized pandas/numpy inside each partition task:
+
+* ``asof_join``   — both sides tagged and unioned under one schema, hash
+  co-partitioned on the key, then one ``pandas.merge_asof`` per
+  partition.  No driver-side state; the shuffle moves each row once.
+* ``range_join``  — interval membership turned into an EQUALITY join by
+  banding time into ``width = upper-lower`` buckets: the left side emits
+  its two covering bands, the right side its one band, and
+  ``Dataset.join`` on (key, band) plus an exact post-filter yields the
+  matches.  2× row expansion on the left side only.
+* ``rolling_window`` — hash co-partition by key, sort (key, ts) inside
+  the partition, grouped cumulative-sum differencing (exact for integer
+  sums) or pandas grouped rolling for min/max/mean.
+
+Partitioning assumption (documented, same as ``Dataset.join``'s
+aggregators): one hash partition — all rows sharing ``hash(key) % P`` —
+fits in a single task's heap.  P defaults to the cluster CPU count and
+scales with the cluster; per-KEY data need not fit anywhere special,
+only per-partition, and keys are spread uniformly by a seeded hash.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import kernels as K
+from .joins import _shuffle_partitions, hash_join
+
+
+def _np_i64(col) -> np.ndarray:
+    """Column → int64 numpy (combining chunks; timestamps → epoch µs)."""
+    return np.asarray(K._as_array(pc.cast(K._as_array(col), pa.int64())))
+
+
+_SIDE = "__side__"
+_PART = "__p__"
+_BAND = "__band__"
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _part_ids(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.ndarray:
+    """Deterministic partition id per row from the key columns (pandas
+    siphash with its fixed default key — stable across processes)."""
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _schema(ds: "ray.data.Dataset", side: str) -> pa.Schema:
+    """Dataset schema as pyarrow, with a clear error for the schemaless
+    empty-dataset case (e.g. a fully-empty materialized dataset — pass
+    the pre-repartition dataset, or a parquet-backed one, instead)."""
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError(
+            f"{side} dataset has no schema (fully empty after execution?); "
+            "temporal ops need column types — pass a schema-carrying dataset"
+        )
+    return sch
+
+
+def _pd_template(schema: pa.Schema) -> pd.DataFrame:
+    """Typed empty DataFrame matching ``schema`` (ints nullable)."""
+    out = {}
+    for f in schema:
+        if pa.types.is_integer(f.type):
+            out[f.name] = pd.Series(dtype="Int64")
+        else:
+            out[f.name] = pa.chunked_array([pa.array([], f.type)]).to_pandas()
+    return pd.DataFrame(out)
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_us: Optional[int] = None,
+    tiebreak_cols: Sequence[str] = (),
+    suffix: str = "_r",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """LEFT as-of join: for every left row, the single right row with the
+    same key whose timestamp is the latest ≤ (``backward``) / earliest ≥
+    (``forward``) / nearest to the left timestamp; unmatched left rows
+    keep nulls.  Right payload columns that collide with a left name are
+    suffixed.
+
+    ``tiebreak_cols`` (right-side names) make the winner deterministic
+    when several right rows share the match timestamp: the row with the
+    LARGEST tiebreak tuple wins (SQL twin: ``ORDER BY ts DESC, tiebreak
+    DESC ... ROW_NUMBER()=1``).
+
+    Distribution: both sides are mapped onto one unified Arrow schema
+    (other side's columns null), co-partitioned by seeded key hash, and
+    merged per partition with ``pandas.merge_asof`` — a sorted merge,
+    vectorized end-to-end.  Timestamps must be non-null on both sides.
+    """
+    keys = _as_list(on)
+    rts = right_ts or left_ts
+    payload = list(right_cols) if right_cols is not None else [
+        c for c in _schema(right, "right").names if c not in keys
+    ]
+    if rts not in payload:
+        payload = [rts, *payload]
+    for c in tiebreak_cols:
+        if c not in payload:
+            payload.append(c)
+
+    lsch = _schema(left, "left")
+    l_names = list(lsch.names)
+    l_types = dict(zip(lsch.names, lsch.types))
+    rsch = _schema(right, "right")
+    r_types = dict(zip(rsch.names, rsch.types))
+
+    # right-side output names: suffixed on collision with ANY left name
+    ren = {c: (c + suffix if c in l_names else c) for c in [*keys, *payload]}
+    r_keys = [ren[k] for k in keys]
+    r_payload = [ren[c] for c in payload]
+
+    uni = pa.schema(
+        [(n, l_types[n]) for n in l_names]
+        + [(ren[c], r_types[c]) for c in [*keys, *payload]]
+        + [(_SIDE, pa.int8()), (_PART, pa.int64())]
+    )
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _lift(side: int, src_cols: list[str], out_cols: list[str], part_keys: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            p = _part_ids(
+                batch.select(part_keys).to_pandas(), part_keys, num_partitions
+            )
+            cols = {}
+            have = dict(zip(out_cols, src_cols))
+            for f in uni:
+                if f.name == _SIDE:
+                    cols[f.name] = pa.array(np.full(n, side, dtype=np.int8))
+                elif f.name == _PART:
+                    cols[f.name] = pa.array(p)
+                elif f.name in have:
+                    cols[f.name] = pc.cast(batch[have[f.name]], f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols, schema=uni)
+
+        return _f
+
+    lu = left.map_batches(
+        _lift(0, l_names, l_names, keys), batch_format="pyarrow"
+    )
+    ru = right.map_batches(
+        _lift(1, [*keys, *payload], [*r_keys, *r_payload], keys),
+        batch_format="pyarrow",
+    )
+
+    out_schema = pa.schema(
+        [(n, l_types[n]) for n in l_names]
+        + [(ren[c], r_types[c]) for c in payload]
+    )
+    rts_out = ren[rts]
+    tol = pd.Timedelta(microseconds=tolerance_us) if tolerance_us is not None else None
+    r_int_cols = [
+        ren[c] for c in payload if pa.types.is_integer(r_types[c])
+    ]
+    tb_out = [ren[c] for c in tiebreak_cols]
+
+    def _merge(tbl: pa.Table) -> pd.DataFrame:
+        side = np.asarray(K._as_array(tbl[_SIDE]))
+        ldf = tbl.filter(pa.array(side == 0)).select(l_names).to_pandas()
+        if len(ldf) == 0:
+            return _pd_template(out_schema)
+        rdf = (
+            tbl.filter(pa.array(side == 1))
+            .select([*r_keys, *r_payload])
+            .to_pandas()
+        )
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        # merge_asof takes the LAST right row among equal timestamps —
+        # sorting ascending by the tiebreak makes "last" the max tuple
+        rdf = rdf.sort_values([rts_out, *tb_out], kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=rts_out,
+            left_by=keys if len(keys) > 1 else keys[0],
+            right_by=r_keys if len(r_keys) > 1 else r_keys[0],
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            tolerance=tol,
+        )
+        merged = merged[[*l_names, *r_payload]]
+        for c in r_int_cols:  # left-join NaN floats back to nullable int
+            merged[c] = merged[c].astype("Int64")
+        return merged
+
+    return (
+        lu.union(ru)
+        .groupby(_PART)
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    right_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_r",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """All (left, right) pairs sharing the key with
+    ``lower_us < right_ts − left_ts ≤ upper_us`` (half-open interval,
+    microsecond arithmetic — exact).  Output: left columns + right
+    payload columns (suffixed on collision).
+
+    Distribution: the inequality becomes an equality join by banding
+    time into ``width = upper−lower`` µs buckets — every right row falls
+    in exactly ONE band, every left interval spans exactly TWO
+    consecutive bands, so the left side is exploded 2× and
+    ``Dataset.join`` on (key, band) finds each true pair exactly once;
+    an exact vectorized filter then trims band-collision false
+    positives.  No driver-side state, no full shuffle beyond the one
+    hash join.
+    """
+    if upper_us <= lower_us:
+        raise ValueError("range_join needs upper_us > lower_us")
+    width = upper_us - lower_us
+    keys = _as_list(on)
+    payload = list(right_cols) if right_cols is not None else [
+        c for c in _schema(right, "right").names if c not in keys
+    ]
+    if right_ts not in payload:
+        payload = [right_ts, *payload]
+
+    lsch = _schema(left, "left")
+    l_names = list(lsch.names)
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(_schema(right, "right").names, _schema(right, "right").types))
+    ren = {c: (c + suffix if c in l_names else c) for c in [*keys, *payload]}
+    r_keys = [ren[k] for k in keys]
+    r_payload = [ren[c] for c in payload]
+    rts_out = ren[right_ts]
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _explode_left(batch: pa.Table) -> pa.Table:
+        ts = _np_i64(batch[left_ts])
+        b0 = (ts + lower_us) // width
+        cols = {}
+        for n in l_names:
+            a = K._as_array(pc.cast(K._as_array(batch[n]), l_types[n]))
+            cols[n] = pa.chunked_array([a, a])
+        cols[_BAND] = pa.array(np.concatenate([b0, b0 + 1]))
+        return pa.table(cols)
+
+    def _band_right(batch: pa.Table) -> pa.Table:
+        ts = _np_i64(batch[right_ts])
+        cols = {ren[c]: pc.cast(batch[c], r_types[c]) for c in [*keys, *payload]}
+        cols[_BAND] = pa.array(ts // width)
+        return pa.table(cols)
+
+    lx = left.map_batches(_explode_left, batch_format="pyarrow")
+    rx = right.map_batches(_band_right, batch_format="pyarrow")
+    joined = hash_join(
+        lx,
+        rx,
+        on=(*keys, _BAND),
+        right_on=(*r_keys, _BAND),
+        num_partitions=num_partitions,
+    )
+
+    out_cols = [*l_names, *r_payload]
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        lt = _np_i64(batch[left_ts])
+        rt = _np_i64(batch[rts_out])
+        d = rt - lt
+        return batch.filter(pa.array((d > lower_us) & (d <= upper_us))).select(out_cols)
+
+    return joined.map_batches(_exact, batch_format="pyarrow")
+
+
+def rolling_window(
+    ds: "ray.data.Dataset",
+    *,
+    on: str | Sequence[str],
+    ts: str,
+    value_col: str,
+    window: int,
+    agg: str = "sum",
+    out_col: str = "rolling",
+    tiebreak_cols: Sequence[str] = (),
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per-key rolling aggregate over the last ``window`` rows ordered by
+    (``ts``, ``tiebreak_cols``) — the SQL twin is ``agg(value) OVER
+    (PARTITION BY key ORDER BY ts ROWS BETWEEN window−1 PRECEDING AND
+    CURRENT ROW)`` with ``min_periods=1`` at the head of each key.
+
+    ``sum`` uses grouped cumulative-sum differencing — exact for int64
+    inputs (the float64 detour stays below 2^53 for any realistic cents
+    column); ``mean``/``min``/``max`` go through pandas grouped rolling.
+    Output: input columns + ``out_col``.
+    """
+    if agg not in ("sum", "mean", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    keys = _as_list(on)
+    sch = _schema(ds, "input")
+    names = list(sch.names)
+    types = dict(zip(sch.names, sch.types))
+    int_sum = agg == "sum" and pa.types.is_integer(types[value_col])
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _with_p(batch: pa.Table) -> pa.Table:
+        p = _part_ids(batch.select(keys).to_pandas(), keys, num_partitions)
+        return batch.append_column(_PART, pa.array(p))
+
+    out_schema = pa.schema(
+        [(n, types[n]) for n in names]
+        + [(out_col, pa.int64() if int_sum else pa.float64())]
+    )
+
+    def _roll(tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.select(names).to_pandas()
+        if len(df) == 0:
+            return _pd_template(out_schema)
+        df = df.sort_values([*keys, ts, *tiebreak_cols], kind="mergesort")
+        g = df.groupby(keys, sort=False)[value_col]
+        if agg == "sum":
+            c = g.cumsum()
+            lagged = c.groupby([df[k] for k in keys], sort=False).shift(window)
+            r = c - lagged.fillna(0)
+            df[out_col] = r.astype("int64") if int_sum else r.astype("float64")
+        else:
+            r = g.rolling(window, min_periods=1).agg(agg)
+            df[out_col] = r.reset_index(level=list(range(len(keys))), drop=True).astype(
+                "float64"
+            )
+        return df
+
+    return (
+        ds.map_batches(_with_p, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_roll, batch_format="pyarrow")
+    )

@@ -633,6 +633,99 @@ def q_quality_repo_report(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# temporal operators (ops.temporal): as-of join, range join, rolling window
+# ---------------------------------------------------------------------------
+
+
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (ops.temporal.asof_join): every purchase event attributed
+    to the same user's most recent click at-or-before it (classic
+    last-touch attribution; unmatched purchases keep nulls).  Both sides
+    are row-group-pruned predicate-pushdown reads; SQL twin is the
+    ROW_NUMBER()=1 formulation of ASOF LEFT JOIN."""
+    import pyarrow.dataset as pads
+
+    from .ops import temporal
+
+    ev = f"{sf_dir}/events.parquet"
+    purchases = ray.data.read_parquet(
+        ev, columns=["event_id", "user_id", "ts"],
+        filter=(pads.field("event_type") == "purchase"),
+    )
+    clicks = ray.data.read_parquet(
+        ev, columns=["event_id", "user_id", "ts"],
+        filter=(pads.field("event_type") == "click"),
+    )
+    return temporal.asof_join(
+        purchases, clicks,
+        on="user_id", left_ts="ts",
+        right_cols=["event_id", "ts"],
+        tiebreak_cols=["event_id"],
+        suffix="_click",
+    )
+
+
+def q_error_bursts(sf_dir: str):
+    """Banded range join (ops.temporal.range_join): for each error event,
+    how many events the same user produced in the following two hours
+    (0 < Δts ≤ 7200 s) — burst detection.  The inequality becomes an
+    equality Dataset.join on (user, time-band); errors with no follower
+    produce no row (inner semantics)."""
+    import pyarrow.dataset as pads
+
+    from .ops import temporal
+
+    ev = f"{sf_dir}/events.parquet"
+    errors = ray.data.read_parquet(
+        ev, columns=["event_id", "user_id", "ts"],
+        filter=(pads.field("event_type") == "error"),
+    )
+    allev = ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts"])
+    pairs = temporal.range_join(
+        errors, allev,
+        on="user_id", left_ts="ts", right_ts="ts",
+        lower_us=0, upper_us=7200 * 1_000_000,
+        right_cols=["event_id"], suffix="_f",
+    )
+    return (
+        pairs.groupby(["event_id", "user_id"])
+        .aggregate(Count(alias_name="n_follow"))
+    )
+
+
+def q_rolling_value(sf_dir: str):
+    """Per-user rolling 3-event sum of integer cents
+    (ops.temporal.rolling_window): hash co-partition by user, grouped
+    cumulative-sum differencing inside each partition — exact integer
+    arithmetic, matching the SQL ROWS BETWEEN 2 PRECEDING window."""
+    from .ops import temporal
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(K._as_array(batch["value"]), dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": K._as_array(batch["event_id"]),
+                "user_id": K._as_array(batch["user_id"]),
+                "ts": K._as_array(batch["ts"]),
+                "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    out = temporal.rolling_window(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        on="user_id", ts="ts", value_col="cents",
+        window=3, agg="sum", out_col="roll_cents",
+        tiebreak_cols=["event_id"],
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "roll_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -672,6 +765,9 @@ QUERIES = {
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
+    "purchase_attribution": q_purchase_attribution,
+    "error_bursts": q_error_bursts,
+    "rolling_value": q_rolling_value,
     "rule_flags": q_rule_flags,
     "repo_integrity": q_repo_integrity,
     "quality_filter_rules": q_quality_filter_rules,
@@ -783,6 +879,29 @@ ORACLES = {
     "customers_without_urgent": (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "purchase_attribution": (
+        "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT event_id, user_id, ts, event_id_click, ts_click FROM ("
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "c.event_id AS event_id_click, c.ts AS ts_click, "
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts"
+        ") t WHERE rn = 1"
+    ),
+    "error_bursts": (
+        "SELECT e.event_id, e.user_id, count(*) AS n_follow "
+        "FROM events e JOIN events f ON f.user_id = e.user_id "
+        "AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 7200 SECOND "
+        "WHERE e.event_type = 'error' GROUP BY e.event_id, e.user_id"
+    ),
+    "rolling_value": (
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents "
+        "FROM events"
     ),
     "rule_flags": (
         "SELECT source || '/doc_' || doc_id || '.txt' AS path, "

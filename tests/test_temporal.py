@@ -1,0 +1,203 @@
+"""Temporal operators (ops.temporal): as-of join, banded range join,
+per-key rolling windows — randomized multi-block fixtures checked
+against brute-force pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from qamd_ray.ops import temporal
+
+
+def _frames(seed=7, n_l=400, n_r=600, n_keys=25, extra_keys=5):
+    rng = np.random.default_rng(seed)
+    lts = pd.to_datetime(rng.integers(0, 10**9, n_l), unit="s").astype("datetime64[us]")
+    rts = pd.to_datetime(rng.integers(0, 10**9, n_r), unit="s").astype("datetime64[us]")
+    ldf = pd.DataFrame(
+        {
+            "lid": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, n_keys, n_l),
+            "t": lts,
+            "lv": rng.standard_normal(n_l),
+        }
+    )
+    # right side has keys the left never has (and vice versa, via n_keys)
+    rdf = pd.DataFrame(
+        {
+            "rid": np.arange(n_r, dtype=np.int64),
+            "k": rng.integers(0, n_keys + extra_keys, n_r),
+            "t": rts,
+            "rv": rng.standard_normal(n_r),
+        }
+    )
+    return ldf, rdf
+
+
+def _ds(df, blocks):
+    return ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+
+
+def test_asof_join_matches_merge_asof():
+    ldf, rdf = _frames()
+    got = (
+        temporal.asof_join(
+            _ds(ldf, 7),
+            _ds(rdf, 5),
+            on="k",
+            left_ts="t",
+            right_cols=["rid", "rv"],
+            tiebreak_cols=["rid"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        ldf.sort_values("t"),
+        rdf.sort_values(["t", "rid"]).rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert list(got.columns) == ["lid", "k", "t", "lv", "t_r", "rid", "rv"]
+    assert got["rid"].isna().sum() > 0  # unmatched-left path exercised
+    g = got.copy()
+    g["rid"] = g["rid"].astype("float64")
+    assert g.equals(want[["lid", "k", "t", "lv", "t_r", "rid", "rv"]])
+
+
+def test_asof_join_forward_with_tolerance():
+    ldf, rdf = _frames(seed=11)
+    tol = 80_000_000 * 1_000_000  # 8e7 s in µs
+    got = (
+        temporal.asof_join(
+            _ds(ldf, 4),
+            _ds(rdf, 4),
+            on="k",
+            left_ts="t",
+            right_cols=["rid"],
+            tiebreak_cols=["rid"],
+            direction="forward",
+            tolerance_us=tol,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        ldf.sort_values("t"),
+        rdf.sort_values(["t", "rid"]).rename(columns={"t": "t_r"})[["k", "t_r", "rid"]],
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction="forward",
+        tolerance=pd.Timedelta(microseconds=tol),
+    ).sort_values("lid").reset_index(drop=True)
+    g = got.copy()
+    g["rid"] = g["rid"].astype("float64")
+    assert g[["lid", "rid"]].equals(want[["lid", "rid"]])
+
+
+def test_asof_join_ties_pick_max_tiebreak():
+    """Several right rows at the exact match timestamp: the largest
+    tiebreak id must win deterministically."""
+    t0 = pd.Timestamp("2024-01-01").as_unit("us")
+    ldf = pd.DataFrame({"lid": np.array([0], dtype=np.int64), "k": [1], "t": [t0]})
+    rdf = pd.DataFrame(
+        {
+            "rid": np.array([10, 11, 12], dtype=np.int64),
+            "k": [1, 1, 1],
+            "t": [t0, t0, t0 - pd.Timedelta(seconds=5)],
+        }
+    )
+    got = temporal.asof_join(
+        _ds(ldf, 1), _ds(rdf, 3), on="k", left_ts="t",
+        right_cols=["rid"], tiebreak_cols=["rid"],
+    ).to_pandas()
+    assert got["rid"].tolist() == [11]
+
+
+def test_asof_join_empty_right():
+    ldf, rdf = _frames(seed=3, n_l=50)
+    empty_right = ray.data.from_arrow(pa.Table.from_pandas(rdf.iloc[:0]))
+    got = temporal.asof_join(
+        _ds(ldf, 3), empty_right, on="k", left_ts="t", right_cols=["rid"]
+    ).to_pandas()
+    assert len(got) == 50
+    assert got["rid"].isna().all()
+
+
+def test_range_join_matches_bruteforce():
+    ldf, rdf = _frames(seed=9)
+    lo, hi = 1_000_000, 40_000_000_000_000  # (1 s, 4e7 s] in µs
+    got = temporal.range_join(
+        _ds(ldf, 6),
+        _ds(rdf, 4),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        lower_us=lo,
+        upper_us=hi,
+        right_cols=["rid"],
+    ).to_pandas()
+    m = ldf.merge(rdf[["k", "t", "rid"]].rename(columns={"t": "t_r"}), on="k")
+    d = m["t_r"].astype("int64") - m["t"].astype("int64")
+    want = m[(d > lo) & (d <= hi)]
+    assert len(got) == len(want) > 0
+    assert set(map(tuple, got[["lid", "rid"]].to_numpy())) == set(
+        map(tuple, want[["lid", "rid"]].to_numpy())
+    )
+    # boundary semantics: half-open (lower, upper] — deltas at exactly
+    # lower are excluded, at exactly upper included (checked vectorized)
+    gd = got["t_r"].astype("int64") - got["t"].astype("int64")
+    assert (gd > lo).all() and (gd <= hi).all()
+
+
+def test_range_join_empty_result():
+    ldf, rdf = _frames(seed=13, n_l=30, n_r=30)
+    rdf = rdf.assign(t=rdf["t"] - pd.Timedelta(days=40000))  # all before left
+    got = temporal.range_join(
+        _ds(ldf, 2), _ds(rdf, 2), on="k", left_ts="t", right_ts="t",
+        lower_us=0, upper_us=1_000_000, right_cols=["rid"],
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_rolling_window_sum_exact_and_min():
+    rng = np.random.default_rng(21)
+    n = 700
+    ev = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 40, n),
+            "t": pd.to_datetime(rng.integers(0, 10**9, n), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "cents": rng.integers(-500, 5000, n),
+        }
+    )
+    evs = ev.sort_values(["k", "t", "eid"])
+    for agg, w, dtype in (("sum", 3, "int64"), ("min", 4, "float64")):
+        got = (
+            temporal.rolling_window(
+                _ds(ev, 6), on="k", ts="t", value_col="cents",
+                window=w, agg=agg, out_col="roll", tiebreak_cols=["eid"],
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        ref = (
+            evs.groupby("k")["cents"]
+            .rolling(w, min_periods=1)
+            .agg(agg)
+            .reset_index(level=0, drop=True)
+            .astype(dtype)
+        )
+        want = evs.assign(roll=ref).sort_values("eid").reset_index(drop=True)
+        assert got["roll"].dtype == want["roll"].dtype
+        assert got["roll"].tolist() == want["roll"].tolist()
