@@ -172,54 +172,86 @@ class Report:
         md = self.metadata
         parts = [
             "<!DOCTYPE html><html><head><meta charset='utf-8'>",
-            f"<title>Data health check — {_html.escape(md.file_name)}</title>",
+            f"<title>{_html.escape(md.file_name)}</title>",
             "<style>"
-            "body{font-family:system-ui,sans-serif;margin:2em;max-width:60em}"
-            "table{border-collapse:collapse;margin:0.5em 0}"
-            "td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}"
+            "body{font-family:system-ui,sans-serif;margin:2em auto;max-width:62em;"
+            "padding:0 1em;color:#212529}"
+            "table{border-collapse:collapse;margin:0.5em 0;width:100%}"
+            "td,th{border:1px solid #dee2e6;padding:6px 12px;text-align:left}"
+            "tr.ok{background:#d4edda}tr.bad{background:#f8d7da}"
             ".badge{display:inline-block;padding:1px 8px;border-radius:9px;"
             "font-size:0.85em;color:#fff}"
             ".bp{background:#2a7f2a}.bf{background:#b02a2a}.bz{background:#888}"
             "details{margin:0.4em 0 1em 0}summary{cursor:pointer}"
-            "h3{border-bottom:2px solid #eee;padding-bottom:0.2em}"
-            ".meta th{background:#f7f7f7}"
+            "h2{border-bottom:2px solid #eee;padding-bottom:0.2em}"
+            ".meta{max-width:40em}.meta th{background:#f7f7f7;width:16em}"
+            "a.chk{color:inherit}"
             "</style></head><body>",
-            f"<h1>Data health check</h1><h2>{_html.escape(md.file_name)}</h2>",
-            "<h3>Metadata</h3><table class='meta'>",
+            f"<h1 id='file-name'>{_html.escape(md.file_name)}</h1>",
+            "<h2>Metadata</h2><table class='meta'>",
         ]
         for k, v in md.to_dict().items():
             parts.append(
                 f"<tr><th>{_html.escape(str(k))}</th><td>{_html.escape(str(v))}</td></tr>"
             )
         parts.append("</table>")
+        # per-category summary tables — the reference's layout
+        # (report/html/mod.rs:44-77: Name | Status (N) | Description, rows
+        # coloured table-success/table-danger); failing names anchor-link
+        # to their locator table below (custom.js's click-to-reveal,
+        # without the JS)
+        locator_checks: list[tuple[str, object]] = []
         for cat_key, cat_disp in CATEGORY_DISPLAY.items():
             rows = [(n, s) for n, s in self.ordered() if s.category == cat_key]
             if not rows:
                 continue
-            parts.append(f"<h3>{_html.escape(cat_disp)}</h3>")
+            parts.append(
+                f"<h2>{_html.escape(cat_disp)}</h2>"
+                "<table><tr><th scope='col'>Name</th>"
+                "<th scope='col'>Status (N)</th>"
+                "<th scope='col'>Description</th></tr>"
+            )
             for name, st in rows:
-                fail_cls = "bf" if st.fail else "bz"
-                head = (
-                    f"<b>{_html.escape(to_sentence(name))}</b> "
-                    f"<span class='badge bp'>pass {st.pass_}</span> "
-                    f"<span class='badge {fail_cls}'>fail {st.fail}</span> "
-                    f"— {_html.escape(st.desc)}"
-                )
+                disp = to_sentence(name)
+                status = f"failed ({st.fail})" if st.fail else "passed"
+                cls = "bad" if st.fail else "ok"
                 if st.locators:
-                    shown = sorted(st.locators)[:LOCATOR_CAP]
-                    parts.append(
-                        f"<details><summary>{head} "
-                        f"(show {len(shown)} locator{'s' if len(shown) != 1 else ''})"
-                        "</summary>"
-                        "<table><tr><th>variable</th><th>index</th><th>row</th></tr>"
-                    )
-                    for l in shown:
-                        parts.append(
-                            f"<tr><td>{_html.escape(l.variable_name)}</td>"
-                            f"<td>{l.variable_index}</td><td>{l.value_index}</td></tr>"
-                        )
-                    parts.append("</table></details>")
+                    anchor = name.lower().replace(" ", "_")
+                    cell = f"<a class='chk' href='#loc-{anchor}'>{_html.escape(disp)}</a>"
+                    locator_checks.append((name, st))
                 else:
-                    parts.append(f"<p>{head}</p>")
+                    cell = _html.escape(disp)
+                parts.append(
+                    f"<tr class='{cls}'><td scope='row'>{cell}</td>"
+                    f"<td>{_html.escape(status)}</td>"
+                    f"<td>{_html.escape(st.desc)}</td></tr>"
+                )
+            parts.append("</table>")
+        # per-check locator tables (reference locators_table,
+        # mod.rs:105-126: # limited to LOCATOR_CAP | Variable | Row
+        # number, '-' when the failure is variable-level)
+        if locator_checks:
+            parts.append("<h2 id='selected-check'>Locators</h2>")
+        for name, st in locator_checks:
+            anchor = name.lower().replace(" ", "_")
+            shown = sorted(st.locators)[:LOCATOR_CAP]
+            parts.append(
+                f"<details id='loc-{anchor}'><summary>"
+                f"<b>{_html.escape(to_sentence(name))}</b> "
+                f"<span class='badge bp'>pass {st.pass_}</span> "
+                f"<span class='badge bf'>fail {st.fail}</span> "
+                f"(show {len(shown)} locator{'s' if len(shown) != 1 else ''})"
+                "</summary>"
+                f"<table><tr><th scope='col'># (limited to {LOCATOR_CAP})</th>"
+                "<th scope='col'>Variable</th>"
+                "<th scope='col'>Row number</th></tr>"
+            )
+            for i, l in enumerate(shown):
+                row = "-" if l.value_index < 0 else str(l.value_index)
+                parts.append(
+                    f"<tr class='locator'><td scope='row'>{i + 1}</td>"
+                    f"<td>{_html.escape(l.variable_name)}</td><td>{row}</td></tr>"
+                )
+            parts.append("</table></details>")
         parts.append("</body></html>")
         return "".join(parts)
