@@ -23,7 +23,9 @@ each Ray-Data-first:
 * ``sketches``   — mergeable HyperLogLog, Count-Min, Bloom filter,
                    quantile summary
 * ``textstats``  — language-ID heuristic, quality scoring, token counts,
-                   document fingerprints, leakage-safe hash splits
+                   document fingerprints, leakage-safe hash splits,
+                   Gopher-style repetition signals (dup-line and n-gram
+                   char-coverage fractions)
 * ``multimodal`` — binary-column decode/feature stages (netpbm + WAV
                    decode for real; compressed codecs stubbed)
 """

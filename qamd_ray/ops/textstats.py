@@ -183,3 +183,156 @@ def rolling_fingerprints(
     pows = np.array([int(p) % mod for p in pows], dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(b, window)
     return (win * pows % mod).sum(axis=1) % mod
+
+
+def line_dup_stats(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-document duplicate-LINE accounting (the Gopher "repetitious
+    text" family, Rae et al. 2021 §A1.1): split on ``\\n``, count lines,
+    distinct lines, and the characters inside lines occurring more than
+    once (all occurrences).  Null text counts as one empty line, like
+    ``string_split(COALESCE(text,''), chr(10))`` — the exact DuckDB twin.
+
+    Stateless vectorized map_batches: per-doc stats never cross batch
+    boundaries (one row = one doc), so there is no shuffle at all."""
+
+    def _f(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([id_col, text_col]).to_pandas()
+        s = df.set_index(id_col)[text_col].fillna("").str.split("\n").explode()
+        g = s.groupby([s.index, s]).size()
+        cnt = g.to_numpy()
+        ln = g.index.get_level_values(1).str.len().to_numpy()
+        per = pd.DataFrame(
+            {
+                id_col: g.index.get_level_values(0),
+                "cnt": cnt,
+                "dup_chars": np.where(cnt > 1, cnt * ln, 0),
+            }
+        )
+        out = per.groupby(id_col, sort=False).agg(
+            n_lines=("cnt", "sum"),
+            n_distinct_lines=("cnt", "size"),
+            dup_line_chars=("dup_chars", "sum"),
+        )
+        return out.reset_index().astype(
+            {"n_lines": "int64", "n_distinct_lines": "int64", "dup_line_chars": "int64"}
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _mix64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 hash combine (splitmix-style multiply/xor)."""
+    h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+    return h ^ (h >> np.uint64(29))
+
+
+def repetition_scores(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> "ray.data.Dataset":
+    """Per-document n-gram repetition signals (Gopher / MassiveText
+    quality filters, Rae et al. 2021 §A1.1):
+
+    * ``dup_line_frac``       — 1 − distinct/total lines
+    * ``dup_line_char_frac``  — chars inside repeated lines / line chars
+    * ``top{n}gram_char_frac``— chars covered by the single most frequent
+      whitespace-token n-gram (count × gram char length / token chars)
+    * ``dup{n}gram_char_frac``— chars covered by all n-grams occurring
+      more than once; overlapping occurrences are counted per occurrence
+      (an upper bound — the standard practical simplification; both
+      n-gram fractions clamp at 1.0)
+
+    Everything is flat-array numpy per batch: tokens factorized once,
+    n-gram identities built by an iterated vectorized uint64 mix (no
+    Python loop over docs), counts via a single C-level groupby per n.
+    Documents with fewer than n tokens score 0.0 for that n."""
+    frac_cols = (
+        ["dup_line_frac", "dup_line_char_frac"]
+        + [f"top{n}gram_char_frac" for n in top_ns]
+        + [f"dup{n}gram_char_frac" for n in dup_ns]
+    )
+
+    def _f(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([id_col, text_col]).to_pandas()
+        ids = df[id_col].to_numpy()
+        ndoc = len(df)
+        out = {id_col: ids}
+        txt = df[text_col].fillna("")
+
+        # --- line-level fractions (same accounting as line_dup_stats) ---
+        s = txt.str.split("\n")
+        nl = s.str.len().to_numpy(np.int64)
+        docx = np.repeat(np.arange(ndoc), nl)
+        flat = pd.Series(
+            np.concatenate(s.to_numpy()) if ndoc else [], dtype=object
+        )
+        lg = pd.DataFrame({"d": docx, "l": flat}).groupby(["d", "l"]).size()
+        lcnt = lg.to_numpy()
+        llen = lg.index.get_level_values(1).str.len().to_numpy()
+        ld = lg.index.get_level_values(0).to_numpy()
+        n_distinct = np.bincount(ld, minlength=ndoc)
+        line_chars = np.bincount(ld, weights=lcnt * llen, minlength=ndoc)
+        dup_chars = np.bincount(
+            ld, weights=np.where(lcnt > 1, lcnt * llen, 0), minlength=ndoc
+        )
+        out["dup_line_frac"] = 1.0 - n_distinct / np.maximum(nl, 1)
+        out["dup_line_char_frac"] = dup_chars / np.maximum(line_chars, 1)
+
+        # --- token n-gram fractions ---
+        toks = txt.str.split()
+        nt = toks.str.len().to_numpy(np.int64)
+        d = np.repeat(np.arange(ndoc), nt)
+        flat_t = pd.Series(
+            np.concatenate(toks.to_numpy()) if ndoc else [], dtype=object
+        )
+        codes = pd.factorize(flat_t)[0].astype(np.uint64)
+        tlen = flat_t.str.len().to_numpy(np.int64)
+        doc_tok_chars = np.bincount(d, weights=tlen, minlength=ndoc)
+        csum = np.concatenate([[0], np.cumsum(tlen)])
+        for n in sorted({*top_ns, *dup_ns}):
+            m = len(codes) - n + 1
+            if m <= 0:
+                top = np.zeros(ndoc)
+                dup = np.zeros(ndoc)
+            else:
+                valid = d[: m] == d[n - 1 :]
+                h = codes[:m].copy()
+                for j in range(1, n):
+                    h = _mix64(h, codes[j : j + m])
+                wl = csum[n:] - csum[:-n]  # window char length
+                wd = d[:m]
+                gg = (
+                    pd.DataFrame(
+                        {"d": wd[valid], "h": h[valid], "wl": wl[valid]}
+                    )
+                    .groupby(["d", "h"], sort=False)
+                    .agg(cnt=("wl", "size"), wl=("wl", "first"))
+                    .reset_index()
+                )
+                cover = gg["cnt"].to_numpy() * gg["wl"].to_numpy()
+                gd = gg["d"].to_numpy()
+                top = np.zeros(ndoc)
+                if len(gd):
+                    mx = pd.Series(cover).groupby(gd).max()
+                    top[mx.index.to_numpy()] = mx.to_numpy()
+                dup = np.bincount(
+                    gd,
+                    weights=np.where(gg["cnt"].to_numpy() > 1, cover, 0),
+                    minlength=ndoc,
+                )
+            denom = np.maximum(doc_tok_chars, 1)
+            if n in top_ns:
+                out[f"top{n}gram_char_frac"] = np.minimum(top / denom, 1.0)
+            if n in dup_ns:
+                out[f"dup{n}gram_char_frac"] = np.minimum(dup / denom, 1.0)
+        res = pd.DataFrame(out)
+        for c in frac_cols:
+            res[c] = res[c].astype("float64")
+        return res
+
+    return ds.map_batches(_f, batch_format="pyarrow")

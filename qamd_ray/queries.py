@@ -632,6 +632,20 @@ def q_quality_repo_report(sf_dir: str):
     return repo_report(out)
 
 
+def q_dup_line_stats(sf_dir: str):
+    """Per-doc duplicate-line accounting (ops.textstats.line_dup_stats —
+    the Gopher repetition family's exact-SQL member): lines, distinct
+    lines, characters inside repeated lines."""
+    return textstats.line_dup_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style per-doc repetition signals (dup-line fraction,
+    top-2/3-gram char coverage, dup-5-gram char coverage) — rows-only:
+    the n-gram identities use a uint64 mixing hash."""
+    return textstats.repetition_scores(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # temporal operators (ops.temporal): as-of join, range join, rolling window
 # ---------------------------------------------------------------------------
@@ -765,6 +779,8 @@ QUERIES = {
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
+    "dup_line_stats": q_dup_line_stats,
+    "repetition_scores": q_repetition_scores,
     "purchase_attribution": q_purchase_attribution,
     "error_bursts": q_error_bursts,
     "rolling_value": q_rolling_value,
@@ -879,6 +895,16 @@ ORACLES = {
     "customers_without_urgent": (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "dup_line_stats": (
+        "WITH l AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS line "
+        "FROM documents), "
+        "c AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len "
+        "FROM l GROUP BY doc_id, line) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct_lines, "
+        "CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT) AS dup_line_chars "
+        "FROM c GROUP BY doc_id"
     ),
     "purchase_attribution": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "

@@ -684,3 +684,64 @@ def test_embedding_pairs_dataset_matches_driver():
         b[["id_a", "id_b"]].reset_index(drop=True)
     )
     assert {(0, 1), (9, 10)} <= set(map(tuple, a[["id_a", "id_b"]].to_numpy()))
+
+
+def test_line_dup_stats_exact():
+    """Hand-computed duplicate-line accounting incl. empty and null text
+    (null counts as one empty line, matching the COALESCE SQL twin)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a\nb\na\nc", "", None, "xy\nxy\nxy"],
+        }
+    )
+    out = (
+        textstats.line_dup_stats(
+            ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [4, 1, 1, 3]
+    assert out["n_distinct_lines"].tolist() == [3, 1, 1, 1]
+    # doc0: line 'a' twice, 1 char each -> 2; doc3: 'xy' thrice -> 6
+    assert out["dup_line_chars"].tolist() == [2, 0, 0, 6]
+
+
+def test_repetition_scores_gopher_signals():
+    """Planted repetition: heavy 2-gram doc scores 1.0 coverage, clean
+    docs score low, degenerate all-same-token doc clamps at 1.0."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "a\nb\na\nc",
+                "hello world hello world hello world",
+                None,
+                "x y z w v u t s",
+                "p p p p p p",
+            ],
+        }
+    )
+    out = (
+        textstats.repetition_scores(
+            ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["dup_line_frac"].tolist() == [0.25, 0.0, 0.0, 0.0, 0.0]
+    assert out["dup_line_char_frac"].tolist() == [0.5, 0.0, 0.0, 0.0, 0.0]
+    # doc1: 'hello world' x3 covers all 30 token chars
+    assert out.loc[1, "top2gram_char_frac"] == 1.0
+    assert out.loc[1, "top3gram_char_frac"] == 1.0
+    # doc3: 8 distinct 1-char tokens -> top 2-gram covers 2/8
+    assert out.loc[3, "top2gram_char_frac"] == 0.25
+    # null text scores 0 everywhere
+    assert out.loc[2, ["top2gram_char_frac", "dup5gram_char_frac"]].tolist() == [0.0, 0.0]
+    # degenerate repetition clamps at 1.0 (overlap overcount documented)
+    assert out.loc[4, "top2gram_char_frac"] == 1.0
+    assert out.loc[4, "dup5gram_char_frac"] == 1.0
+    assert (out[[c for c in out.columns if c != "doc_id"]] <= 1.0).all().all()
