@@ -1,0 +1,156 @@
+"""Benchmark decontamination: flag/drop corpus documents sharing token
+n-grams with an evaluation set.
+
+The standard training-data hygiene step (GPT-3 appendix C, Brown et al.
+2020; Dolma, Soldaini et al. 2024): a document is *contaminated* when at
+least ``min_hits`` of its distinct token ``n``-grams also occur in the
+benchmark corpus.  The reference engine has no notion of this (it is a
+single-table QA tool, SURVEY.md §2); this is part of the added
+training-data op set.
+
+Distribution shape (the only one that makes sense at 100 TB):
+
+* the BENCHMARK side is small by definition (eval sets are MBs) — its
+  distinct gram hashes are reduced per batch in tasks, unioned on the
+  driver, and broadcast ONCE via ``ray.put`` as a sorted uint64 array;
+* the CORPUS side streams: one stateless vectorized ``map_batches`` pass
+  per batch does split → factorize → hash → per-doc distinct →
+  ``np.searchsorted`` membership.  No shuffle anywhere.
+
+Gram identity is a 64-bit hash (deterministic across processes: pandas
+siphash of the distinct token strings, combined with the splitmix-style
+mix from ``textstats``).  Two distinct grams colliding in 64 bits is a
+~1e-8 event at the driver's scale; the DuckDB oracle twin uses literal
+gram strings, so the driver's value-hash comparison also certifies the
+no-collision assumption on every run.
+
+Tokenization is single-space split (``string_split(text, ' ')`` — the
+same DuckDB-twin convention as ``textstats.token_count``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import kernels as K
+from .textstats import _mix64
+
+
+def _gram_hash_per_doc(
+    texts: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distinct token-``n``-gram hashes per document of a batch.
+
+    Returns ``(doc_idx, gram_hash, n_docs)`` where the (doc_idx,
+    gram_hash) pairs are unique — one row per distinct gram per doc.
+    Fully vectorized: tokens factorized once per batch, token identity
+    hashed via pandas' fixed-key siphash (stable across processes),
+    gram identity by an iterated uint64 mix over the n token hashes.
+    """
+    texts = pc.fill_null(K._as_array(texts), "")
+    toks = K._as_array(pc.split_pattern(texts, " "))
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    ndoc = len(counts)
+    flat = pd.Series(np.asarray(toks.flatten(), dtype=object))
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64), ndoc
+    codes, uniques = pd.factorize(flat)
+    tok_h = pd.util.hash_pandas_object(
+        pd.Series(uniques), index=False
+    ).to_numpy()[codes]
+    d = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
+    m = len(tok_h) - n + 1
+    if m <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64), ndoc
+    valid = d[:m] == d[n - 1 :]
+    h = tok_h[:m].copy()
+    for j in range(1, n):
+        h = _mix64(h, tok_h[j : j + m])
+    dv, hv = d[:m][valid], h[valid]
+    if len(dv) == 0:
+        return dv, hv, ndoc
+    # per-doc distinct grams: sort by (doc, hash), keep run starts
+    order = np.lexsort((hv, dv))
+    dv, hv = dv[order], hv[order]
+    keep = np.empty(len(dv), dtype=bool)
+    keep[0] = True
+    keep[1:] = (dv[1:] != dv[:-1]) | (hv[1:] != hv[:-1])
+    return dv[keep], hv[keep], ndoc
+
+
+def bench_gram_hashes(
+    bench: "ray.data.Dataset", *, n: int = 8, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted distinct gram hashes of the benchmark set.
+
+    Per-batch distinct reduction runs in tasks; only the (already
+    deduplicated) uint64 hashes reach the driver.  Documented
+    assumption: the benchmark's distinct-gram set fits driver memory —
+    true by construction for eval sets (8 bytes per distinct gram)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        _, hv, _ = _gram_hash_per_doc(batch[text_col], n)
+        return pa.table({"gh": pa.array(np.unique(hv), pa.uint64())})
+
+    parts = bench.map_batches(_f, batch_format="pyarrow").to_pandas()
+    if "gh" not in parts.columns:  # all-empty bench → schemaless blocks
+        return np.zeros(0, np.uint64)
+    return np.unique(parts["gh"].to_numpy(dtype=np.uint64))
+
+
+def ngram_decontaminate(
+    corpus: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+    drop: bool = False,
+) -> "ray.data.Dataset":
+    """Flag (or drop) corpus docs overlapping the benchmark by token
+    n-grams.
+
+    ``drop=False`` (default) returns one row per corpus doc:
+    ``(id_col, n_grams, n_hit_grams, contaminated)`` — distinct grams,
+    distinct grams shared with the benchmark, and the
+    ``n_hit_grams >= min_hits`` verdict.  ``drop=True`` returns the
+    corpus with contaminated docs removed, original schema intact.
+
+    The benchmark gram set is built once and broadcast via ``ray.put``;
+    the corpus pass is a stateless vectorized map_batches (no shuffle).
+    """
+    bench_ref = ray.put(bench_gram_hashes(bench, n=n, text_col=text_col))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bh = ray.get(bench_ref)
+        dv, hv, ndoc = _gram_hash_per_doc(batch[text_col], n)
+        n_grams = np.bincount(dv, minlength=ndoc).astype(np.int64)
+        if len(bh):
+            pos = np.searchsorted(bh, hv)
+            hit = (pos < len(bh)) & (bh[np.minimum(pos, len(bh) - 1)] == hv)
+        else:
+            hit = np.zeros(len(hv), dtype=bool)
+        n_hits = np.bincount(dv[hit], minlength=ndoc).astype(np.int64)
+        contaminated = n_hits >= min_hits
+        if drop:
+            return batch.filter(pa.array(~contaminated))
+        return pa.table(
+            {
+                id_col: K._as_array(batch[id_col]),
+                "n_grams": pa.array(n_grams),
+                "n_hit_grams": pa.array(n_hits),
+                "contaminated": pa.array(contaminated),
+            }
+        )
+
+    return corpus.map_batches(_score, batch_format="pyarrow")

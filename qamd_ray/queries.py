@@ -646,6 +646,30 @@ def q_repetition_scores(sf_dir: str):
     return textstats.repetition_scores(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (ops.decontaminate.ngram_decontaminate):
+    the eval set is the deterministic doc_id % 97 == 0 subset; every
+    corpus doc reports its distinct token-8-gram count, how many of
+    those grams the eval set shares, and the contaminated verdict.
+    Bench gram hashes are broadcast once; the corpus pass is a
+    stateless vectorized map_batches with no shuffle.  The oracle twin
+    uses literal gram strings, so a value match also certifies the
+    64-bit gram-hash no-collision assumption."""
+    from .ops import decontaminate
+
+    corpus = _t(sf_dir, "documents", ["doc_id", "text"])
+    def _eval_subset(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _eval_subset, batch_format="pyarrow"
+    )
+    return decontaminate.ngram_decontaminate(
+        corpus, bench, n=8, text_col="text", id_col="doc_id", min_hits=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal operators (ops.temporal): as-of join, range join, rolling window
 # ---------------------------------------------------------------------------
@@ -781,6 +805,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
+    "decontaminate_docs": q_decontaminate_docs,
     "purchase_attribution": q_purchase_attribution,
     "error_bursts": q_error_bursts,
     "rolling_value": q_rolling_value,
@@ -905,6 +930,19 @@ ORACLES = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct_lines, "
         "CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT) AS dup_line_chars "
         "FROM c GROUP BY doc_id"
+    ),
+    "decontaminate_docs": (
+        "WITH tok AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS arr FROM documents), "
+        "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr)-6,1))) AS i FROM tok), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(arr, i, i+7), ' ') AS gram FROM pos), "
+        "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+        "agg AS (SELECT doc_id, count(DISTINCT gram) AS n_grams, "
+        "count(DISTINCT CASE WHEN gram IN (SELECT gram FROM bg) THEN gram END) AS n_hit_grams "
+        "FROM g GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(a.n_grams,0) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(a.n_hit_grams,0) AS BIGINT) AS n_hit_grams, "
+        "coalesce(a.n_hit_grams,0) >= 1 AS contaminated "
+        "FROM documents d LEFT JOIN agg a USING(doc_id)"
     ),
     "purchase_attribution": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "

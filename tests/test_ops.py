@@ -745,3 +745,70 @@ def test_repetition_scores_gopher_signals():
     assert out.loc[4, "top2gram_char_frac"] == 1.0
     assert out.loc[4, "dup5gram_char_frac"] == 1.0
     assert (out[[c for c in out.columns if c != "doc_id"]] <= 1.0).all().all()
+
+
+def test_ngram_decontaminate_planted():
+    """Planted contamination vs a brute-force python-set reference, across
+    multiple blocks; drop=True removes exactly the contaminated docs."""
+    from qamd_ray.ops import decontaminate
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i:03d}" for i in range(400)]
+    corpus_texts = [
+        " ".join(rng.choice(vocab, 30)) for _ in range(40)
+    ]
+    bench_texts = [" ".join(rng.choice(vocab, 25)) for _ in range(4)]
+    # plant: doc 5 embeds an exact bench 8-gram; doc 7 embeds two
+    b0 = bench_texts[0].split()
+    corpus_texts[5] = "x y " + " ".join(b0[3:11]) + " z"
+    corpus_texts[7] = " ".join(b0[0:8]) + " q " + " ".join(b0[10:18])
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(corpus_texts)})
+    ).repartition(4)
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(bench_texts)})
+    )
+
+    out = (
+        decontaminate.ngram_decontaminate(corpus, bench, n=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def grams(t, n=8):
+        tk = t.split(" ")
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    bset = set().union(*(grams(t) for t in bench_texts))
+    for i, t in enumerate(corpus_texts):
+        g = grams(t)
+        assert out.loc[i, "n_grams"] == len(g)
+        assert out.loc[i, "n_hit_grams"] == len(g & bset)
+        assert bool(out.loc[i, "contaminated"]) == bool(g & bset)
+    assert bool(out.loc[5, "contaminated"]) and bool(out.loc[7, "contaminated"])
+
+    kept = (
+        decontaminate.ngram_decontaminate(corpus, bench, n=8, drop=True)
+        .to_pandas()
+    )
+    dirty = set(out[out.contaminated].doc_id)
+    assert set(kept.doc_id) == set(range(40)) - dirty
+    assert list(kept.columns) == ["doc_id", "text"]
+
+
+def test_ngram_decontaminate_empty_bench():
+    from qamd_ray.ops import decontaminate
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b c d e f g h i", "short"])})
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    out = decontaminate.ngram_decontaminate(corpus, bench, n=8).to_pandas()
+    assert out.n_hit_grams.tolist() == [0, 0]
+    assert out.n_grams.sort_values().tolist() == [0, 2]
+    assert not out.contaminated.any()
