@@ -1,0 +1,128 @@
+"""Distributed ordered prefix-sum and token-budget shard packing.
+
+The last step of a training-data pipeline assigns documents to
+fixed-token-budget output shards ("sequence packing" in its simplest
+deterministic form: walk the corpus in a canonical order, cut a new
+shard every ``budget`` tokens).  That is a *global ordered prefix sum* —
+a primitive Ray Data does not ship: ``shard = floor(exclusive_cumsum
+(weight) / budget)`` over the ``order_col`` order, with the exact SQL
+twin ``SUM(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - w``.
+
+Plan shape (same two-pass block-stitch as ``ops.windows``; nothing
+row-scale ever reaches the driver):
+
+1. one global ``sort(order_col)`` — the all-to-all a total order
+   fundamentally needs — then ``materialize()`` so both passes see
+   IDENTICAL blocks;
+2. pass A (``batch_size=None`` ⇒ one batch per block): each block emits
+   ONE row ``(first order key, block weight total)``;
+3. driver reduction over those O(blocks) rows: exclusive running total
+   per block, broadcast as a first-key → offset dict via ``ray.put``;
+4. pass B: per-block vectorized cumsum + the block's offset.
+
+Weights must be non-negative; int64 weights stay in exact integer
+arithmetic end-to-end.  ``order_col`` must be globally unique (ties
+would make block attribution ambiguous under Ray's sort).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import kernels as K
+
+
+def ordered_prefix_sum(
+    ds: "ray.data.Dataset",
+    *,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum_weight",
+    exclusive: bool = False,
+) -> "ray.data.Dataset":
+    """Adds ``out_col`` = running total of ``weight_col`` over the global
+    ``order_col`` order (inclusive by default; ``exclusive=True`` gives
+    the sum strictly before the row).  Int64 weights produce an exact
+    int64 result; other numeric types go through float64."""
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("ordered_prefix_sum needs a schema-carrying dataset")
+    wt = dict(zip(sch.names, sch.types))[weight_col]
+    is_int = pa.types.is_integer(wt)
+    dt = np.int64 if is_int else np.float64
+    pa_t = pa.int64() if is_int else pa.float64()
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def _pass_a(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "tot": pa.array([], pa_t)}
+            )
+        k = np.asarray(pc.cast(K._as_array(batch[order_col]), pa.int64()))
+        w = np.asarray(K._as_array(batch[weight_col]), dtype=dt)
+        return pa.table(
+            {"k": pa.array([int(k[0])]), "tot": pa.array([w.sum()], pa_t)}
+        )
+
+    blocks = (
+        sorted_ds.map_batches(_pass_a, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("k")
+    )
+    tot = blocks["tot"].to_numpy(dtype=dt)
+    offs = np.concatenate([[dt(0)], np.cumsum(tot)[:-1]]) if len(tot) else tot
+    off_ref = ray.put(dict(zip(blocks["k"].astype(int), offs)))
+
+    def _pass_b(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa_t))
+        offmap = ray.get(off_ref)
+        k = np.asarray(pc.cast(K._as_array(batch[order_col]), pa.int64()))
+        w = np.asarray(K._as_array(batch[weight_col]), dtype=dt)
+        cs = np.cumsum(w) + dt(offmap[int(k[0])])
+        if exclusive:
+            cs = cs - w
+        return batch.append_column(out_col, pa.array(cs.astype(dt), pa_t))
+
+    return sorted_ds.map_batches(_pass_b, batch_format="pyarrow", batch_size=None)
+
+
+def pack_by_budget(
+    ds: "ray.data.Dataset",
+    *,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    out_col: str = "shard",
+) -> "ray.data.Dataset":
+    """Adds ``out_col``: the 0-based output-shard id under a greedy
+    fixed-budget walk in ``order_col`` order — a row lands in shard
+    ``floor(sum_of_earlier_weights / budget)``.  Rows heavier than the
+    budget occupy (at least) a shard of their own; shard boundaries are
+    deterministic for any block layout.  SQL twin:
+    ``CAST(FLOOR((SUM(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) - w)
+    / budget) AS BIGINT)``."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tmp = "__cum_excl__"
+    with_cum = ordered_prefix_sum(
+        ds, order_col=order_col, weight_col=weight_col, out_col=tmp, exclusive=True
+    )
+
+    def _shard(batch: pa.Table) -> pa.Table:
+        if pa.types.is_integer(batch.schema.field(tmp).type):
+            shard = np.asarray(K._as_array(batch[tmp]), np.int64) // budget
+        else:
+            cum = np.asarray(K._as_array(batch[tmp]), np.float64)
+            shard = np.floor(cum / budget).astype(np.int64)
+        return batch.drop_columns([tmp]).append_column(out_col, pa.array(shard))
+
+    return with_cum.map_batches(_shard, batch_format="pyarrow")

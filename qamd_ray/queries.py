@@ -670,6 +670,23 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+def q_pack_shards(sf_dir: str):
+    """Token-budget shard packing (ops.packing.pack_by_budget): documents
+    walked in doc_id order land in 4096-token output shards via a
+    distributed ordered prefix-sum — one global sort, O(blocks) driver
+    state, per-block vectorized cumsum.  SQL twin is the
+    ROWS-UNBOUNDED-PRECEDING window."""
+    from .ops import packing
+
+    ds = textstats.token_count(_t(sf_dir, "documents", ["doc_id", "text"]))
+    packed = packing.pack_by_budget(
+        ds, order_col="doc_id", weight_col="n_tokens", budget=4096
+    )
+    return packed.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "shard"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal operators (ops.temporal): as-of join, range join, rolling window
 # ---------------------------------------------------------------------------
@@ -806,6 +823,7 @@ QUERIES = {
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
     "decontaminate_docs": q_decontaminate_docs,
+    "pack_shards": q_pack_shards,
     "purchase_attribution": q_purchase_attribution,
     "error_bursts": q_error_bursts,
     "rolling_value": q_rolling_value,
@@ -943,6 +961,14 @@ ORACLES = {
         "CAST(coalesce(a.n_hit_grams,0) AS BIGINT) AS n_hit_grams, "
         "coalesce(a.n_hit_grams,0) >= 1 AS contaminated "
         "FROM documents d LEFT JOIN agg a USING(doc_id)"
+    ),
+    "pack_shards": (
+        "SELECT doc_id, "
+        "CAST(len(string_split(coalesce(text,''), ' ')) AS BIGINT) AS n_tokens, "
+        "CAST((SUM(CAST(len(string_split(coalesce(text,''), ' ')) AS BIGINT)) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- len(string_split(coalesce(text,''), ' '))) // 4096 AS BIGINT) AS shard "
+        "FROM documents"
     ),
     "purchase_attribution": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "

@@ -812,3 +812,36 @@ def test_ngram_decontaminate_empty_bench():
     assert out.n_hit_grams.tolist() == [0, 0]
     assert out.n_grams.sort_values().tolist() == [0, 2]
     assert not out.contaminated.any()
+
+
+def test_ordered_prefix_sum_and_pack_by_budget():
+    """Distributed prefix-sum vs a pandas reference across many blocks;
+    exact int64 arithmetic; oversized rows get their own shard."""
+    from qamd_ray.ops import packing
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)  # arrive unsorted
+    w = rng.integers(0, 900, n).astype(np.int64)
+    w[17] = 10_000  # heavier than the budget
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w[ids])})
+    ).repartition(13)
+
+    out = (
+        packing.pack_by_budget(ds, order_col="doc_id", weight_col="w", budget=2048)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cum_excl = np.concatenate([[0], np.cumsum(w)[:-1]])
+    expect = cum_excl // 2048
+    assert out["shard"].to_numpy().tolist() == expect.tolist()
+    # shards are contiguous in doc order and non-decreasing
+    assert (np.diff(out["shard"].to_numpy()) >= 0).all()
+
+    inc = (
+        packing.ordered_prefix_sum(
+            ds, order_col="doc_id", weight_col="w", out_col="c"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert inc["c"].to_numpy().tolist() == np.cumsum(w).tolist()
+    assert inc["c"].dtype == np.int64
