@@ -28,4 +28,9 @@ each Ray-Data-first:
                    char-coverage fractions)
 * ``multimodal`` — binary-column decode/feature stages (netpbm + WAV
                    decode for real; compressed codecs stubbed)
+* ``codestats``  — The Stack / StarCoder per-file quality signals and
+                   keep decision, RefinedWeb corpus-level boilerplate
+                   line removal, CCNet head/middle/tail exact quantile
+                   bucketing
+
 """

@@ -1,0 +1,301 @@
+"""Source-code file-quality signals and corpus-level boilerplate removal
+(The Stack / BigCode preprocessing family) plus exact quantile bucketing
+(the CCNet head/middle/tail split shape).
+
+Public provenance:
+
+* Kocetkov et al., "The Stack: 3 TB of permissively licensed source
+  code", 2022 §3 — per-file filters: max/mean line length, alphanumeric
+  fraction, auto-generated markers.
+* Li et al., "StarCoder", 2023 §3.1 / Allal et al., "SantaCoder", 2023
+  §4 — long-line and data-file (giant-token) filters and their
+  ablations.
+* Wenzek et al., "CCNet", 2019 §4.3 — corpus split into head/middle/
+  tail buckets by per-document score quantiles.
+* Penedo et al., "RefinedWeb", 2023 §3.3 — line-level corpus dedup
+  (lines repeated across many documents are boilerplate and removed).
+
+Reference parity: these are the file-level analogues of the reference's
+per-variable checks — odd-character ratio and over-long labels
+(/root/reference/src/check/variable.rs) become alnum fraction and
+max-line/max-token length over file content.
+
+Scale notes (100 TB):
+
+* ``file_signals`` is a stateless vectorized ``map_batches`` — no
+  shuffle, output is id + 6 integer/bool columns (content is dropped).
+* ``drop_common_lines`` shuffles per-batch pre-aggregated
+  ``(line, partial_doc_count)`` rows — one row per DISTINCT line per
+  batch, so repeated boilerplate collapses before the exchange.  The
+  qualifying common-line set (count ≥ min_docs) is collected and
+  broadcast via ``ray.put`` — O(boilerplate lines), the same
+  small-side-broadcast assumption as the dedup winner set; a corpus
+  whose common-line set exceeds driver RAM needs a join-based rewrite
+  (flagged via ``max_common_lines``).
+* ``quantile_buckets`` shuffles a ``(value, partial_count)`` histogram
+  — bounded by the number of DISTINCT values, which is what makes the
+  thresholds exact; for unbounded continuous columns use the mergeable
+  quantile sketch in ``ops.sketches`` instead.
+
+Every output column is an integer, bool, or input string — no floats —
+so the driver's value-hash comparison against the DuckDB twins is exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# Markers The Stack greps for in the file head (case-insensitive).
+AUTOGEN_REGEX = "(auto-generated|automatically generated|do not edit)"
+AUTOGEN_HEAD_CHARS = 1000
+
+
+def _seg_max(flat_lengths: np.ndarray, seg_sizes: np.ndarray) -> np.ndarray:
+    """Per-segment max of a flattened int array (0 for empty segments)."""
+    if len(flat_lengths) == 0:
+        return np.zeros(len(seg_sizes), dtype=np.int64)
+    offsets = np.zeros(len(seg_sizes), dtype=np.int64)
+    np.cumsum(seg_sizes[:-1], out=offsets[1:])
+    # reduceat misbehaves on zero-length segments (takes the next value);
+    # mask them to 0 afterwards.
+    safe = np.minimum(offsets, len(flat_lengths) - 1)
+    out = np.maximum.reduceat(flat_lengths, safe)
+    return np.where(seg_sizes > 0, out, 0).astype(np.int64)
+
+
+def signal_columns(content: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """The six Stack-style per-file signals as Arrow/numpy columns.
+
+    All counts are CHARACTER counts (``utf8_length``), matching DuckDB's
+    ``length()``; nulls count as empty files.
+    """
+    content = pc.fill_null(content, "")
+    n_chars = pc.utf8_length(content)
+    n_lines = pc.add(pc.count_substring(content, "\n"), 1)
+
+    lines = pc.split_pattern(content, "\n")
+    line_lens = pc.utf8_length(pc.list_flatten(lines)).to_numpy(zero_copy_only=False)
+    per_doc_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    max_line_len = _seg_max(line_lens.astype(np.int64), per_doc_lines.astype(np.int64))
+
+    toks = pc.split_pattern_regex(content, "[ \t\r\n]+")
+    tok_lens = pc.utf8_length(pc.list_flatten(toks)).to_numpy(zero_copy_only=False)
+    per_doc_toks = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    max_token_len = _seg_max(tok_lens.astype(np.int64), per_doc_toks.astype(np.int64))
+
+    n_alnum = pc.count_substring_regex(content, "[A-Za-z0-9]")
+    autogen = pc.match_substring_regex(
+        pc.utf8_lower(pc.utf8_slice_codeunits(content, 0, AUTOGEN_HEAD_CHARS)),
+        AUTOGEN_REGEX,
+    )
+    return {
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_lines": pc.cast(n_lines, pa.int64()),
+        "max_line_len": pa.array(max_line_len, pa.int64()),
+        "max_token_len": pa.array(max_token_len, pa.int64()),
+        "n_alnum": pc.cast(n_alnum, pa.int64()),
+        "autogen": autogen,
+    }
+
+
+def file_signals(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("path",),
+    *,
+    max_line: Optional[int] = 1000,
+    mean_line: Optional[int] = 100,
+    alnum_frac: Optional[tuple[int, int]] = (1, 4),
+    max_token: Optional[int] = 100,
+    drop_autogen: bool = True,
+) -> "ray.data.Dataset":
+    """Per-file signals + the Stack-style ``keep`` decision.
+
+    keep ⇔ max_line_len ≤ max_line
+         ∧ n_chars ≤ mean_line × n_lines        (mean line length bound)
+         ∧ den × n_alnum ≥ num × n_chars        (alnum fraction ≥ num/den)
+         ∧ max_token_len ≤ max_token            (data-blob / minified guard)
+         ∧ ¬autogen
+
+    The fraction test is integer cross-multiplication so the keep column
+    hashes identically against a SQL twin (no float division anywhere).
+    Pass ``None`` for any threshold to disable that clause.
+    """
+    id_cols = list(id_cols)
+    num, den = alnum_frac if alnum_frac is not None else (0, 1)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        sig = signal_columns(batch[content_col])
+        n = len(batch)
+        keep = np.ones(n, dtype=bool)
+        n_chars = sig["n_chars"].to_numpy(zero_copy_only=False)
+        if max_line is not None:
+            keep &= sig["max_line_len"].to_numpy(zero_copy_only=False) <= max_line
+        if mean_line is not None:
+            keep &= n_chars <= mean_line * sig["n_lines"].to_numpy(zero_copy_only=False)
+        if alnum_frac is not None:
+            keep &= den * sig["n_alnum"].to_numpy(zero_copy_only=False) >= num * n_chars
+        if max_token is not None:
+            keep &= sig["max_token_len"].to_numpy(zero_copy_only=False) <= max_token
+        if drop_autogen:
+            keep &= ~sig["autogen"].to_numpy(zero_copy_only=False)
+        cols = {c: batch[c] for c in id_cols}
+        cols.update(sig)
+        cols["keep"] = pa.array(keep)
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate line removal (RefinedWeb §3.3 line dedup)
+# ---------------------------------------------------------------------------
+
+
+def common_lines(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    min_docs: int = 10,
+    *,
+    max_common_lines: int = 5_000_000,
+) -> list[str]:
+    """Non-blank lines occurring in at least ``min_docs`` DISTINCT
+    documents.  Per-batch combiner: one (line, count) row per distinct
+    line per batch (a doc never spans batches, so per-batch per-doc
+    dedup gives exact distinct-document counts); hash groupby sums the
+    partials; only qualifying lines reach the driver."""
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        txt = batch[content_col].to_pandas().fillna("")
+        s = txt.str.split("\n")
+        sizes = s.str.len().to_numpy(np.int64)
+        docx = np.repeat(np.arange(len(txt)), sizes)
+        flat = pd.DataFrame({"d": docx, "line": np.concatenate(s.to_numpy())})
+        flat = flat[flat["line"] != ""].drop_duplicates()
+        cnt = flat.groupby("line", sort=False).size()
+        return pd.DataFrame({"line": cnt.index, "n": cnt.to_numpy(np.int64)})
+
+    def _qualifying(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["sum(n)"], min_docs))
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("line")
+        .sum("n")
+        .map_batches(_qualifying, batch_format="pyarrow")
+    )
+    rows = counts.take_all()
+    if len(rows) > max_common_lines:
+        raise ValueError(
+            f"common-line set ({len(rows)}) exceeds max_common_lines="
+            f"{max_common_lines}; raise the threshold or use a join-based rewrite"
+        )
+    return [r["line"] for r in rows]
+
+
+def drop_common_lines(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    min_docs: int = 10,
+    *,
+    removed_col: str = "n_removed",
+    common: Optional[list[str]] = None,
+) -> "ray.data.Dataset":
+    """Rewrite ``content_col`` dropping every non-blank line that occurs
+    in ≥ ``min_docs`` distinct documents; blank lines always survive.
+    Adds ``removed_col`` (lines removed per doc).  Two passes over the
+    data: the count pass above, then a rewrite with the common-line set
+    broadcast once via ``ray.put``."""
+    if common is None:
+        common = common_lines(ds, content_col, min_docs)
+    common_ref = ray.put(pd.Index(sorted(set(common))))
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        idx: pd.Index = ray.get(common_ref)
+        txt = batch[content_col].to_pandas().fillna("")
+        s = txt.str.split("\n")
+        sizes = s.str.len().to_numpy(np.int64)
+        flat = np.concatenate(s.to_numpy()) if len(s) else np.array([], dtype=object)
+        drop = pd.Index(flat).isin(idx) & (flat != "")
+        docx = np.repeat(np.arange(len(txt)), sizes)
+        kept = pd.Series(flat[~drop]).groupby(docx[~drop], sort=False).agg("\n".join)
+        kept = kept.reindex(np.arange(len(txt)), fill_value="")
+        removed = np.zeros(len(txt), dtype=np.int64)
+        np.add.at(removed, docx[drop], 1)
+        out = batch.drop_columns([content_col])
+        out = out.append_column(content_col, pa.array(kept.to_numpy(), pa.string()))
+        return out.append_column(removed_col, pa.array(removed, pa.int64()))
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile bucketing (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def quantile_thresholds(
+    ds: "ray.data.Dataset", col: str, qs: Sequence[float]
+) -> list:
+    """Exact discrete quantiles of ``col`` matching DuckDB's
+    ``quantile_disc``: the value at ``sorted[max(ceil(q*n)-1, 0)]``
+    (semantics pinned by a randomized probe, see test_codestats).
+
+    Distributed as a (value, partial_count) histogram — per-batch
+    value_counts, hash-groupby sum — so the exchange is bounded by the
+    number of distinct values, not rows."""
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch[col].to_pandas().value_counts()
+        return pd.DataFrame({col: v.index, "n": v.to_numpy(np.int64)})
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(col).sum("n")
+    rows = hist.take_all()
+    vals = np.array([r[col] for r in rows])
+    cnts = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        k = max(math.ceil(q * n) - 1, 0) + 1  # 1-based rank
+        out.append(vals[int(np.searchsorted(cum, k))])
+    return out
+
+
+def quantile_buckets(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float] = (1 / 3, 2 / 3),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    *,
+    bucket_col: str = "bucket",
+    thresholds: Optional[Sequence] = None,
+) -> "ray.data.Dataset":
+    """Assign each row a quantile bucket of ``col`` (CCNet §4.3 shape:
+    head = lowest third, middle, tail).  ``labels[i]`` covers values in
+    (t_{i-1}, t_i]; the last label is everything above the last
+    threshold."""
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need len(qs)+1 labels")
+    if thresholds is None:
+        thresholds = quantile_thresholds(ds, col, qs)
+    thr = np.asarray(thresholds)
+    labs = np.asarray(labels, dtype=object)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(thr, v, side="left")
+        return batch.append_column(bucket_col, pa.array(labs[idx], pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

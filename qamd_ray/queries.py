@@ -781,6 +781,90 @@ def q_rolling_value(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# code-corpus quality operators (ops.codestats): Stack filters, boilerplate
+# line removal, CCNet quantile buckets
+# ---------------------------------------------------------------------------
+
+
+def q_stack_filters(sf_dir: str):
+    """The Stack / StarCoder per-file quality filter
+    (ops.codestats.file_signals) over documents mapped to the code-table
+    schema: character/line/token signals plus the keep decision
+    (max line ≤ 400, mean line ≤ 450, alnum ≥ 1/4, max token ≤ 100, no
+    auto-generated marker).  Stateless vectorized map_batches, no
+    shuffle; integer-only outputs hash exactly against the SQL twin."""
+    from .ops import codestats
+
+    return codestats.file_signals(
+        documents_as_code_table(sf_dir),
+        content_col="content",
+        id_cols=["path"],
+        max_line=400,
+        mean_line=450,
+        alnum_frac=(1, 4),
+        max_token=100,
+    )
+
+
+def _boilerplate_view(sf_dir: str) -> "ray.data.Dataset":
+    """documents with deterministic repeated header lines prepended —
+    the repo/lang/size-class headers real code corpora carry (license
+    blocks, generated-by banners).  Built identically in the SQL twin."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def _map(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        sz = pc.cast(
+            pc.divide(pc.cast(pc.utf8_length(txt), pa.int64()), 100), pa.string()
+        )
+        content = pc.binary_join_element_wise(
+            "// repo: ", batch["source"],
+            "\n// lang: ", pc.fill_null(batch["lang"], ""),
+            "\n// sz ", sz, "\n", txt, "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "content": content})
+
+    return ds.map_batches(_map, batch_format="pyarrow")
+
+
+def q_boilerplate_scrub(sf_dir: str):
+    """Corpus-level boilerplate line removal (RefinedWeb §3.3,
+    ops.codestats.drop_common_lines): every non-blank line occurring in
+    ≥50 distinct documents is dropped from all of them.  Distinct-line
+    doc counts travel as per-batch (line, partial) rows through one hash
+    groupby; the qualifying set is broadcast once for the rewrite pass."""
+    from .ops import codestats
+
+    return codestats.drop_common_lines(
+        _boilerplate_view(sf_dir), content_col="content", min_docs=50
+    )
+
+
+def q_length_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus split
+    (ops.codestats.quantile_buckets) by document length: exact tercile
+    thresholds from a distributed (value, count) histogram matching
+    DuckDB quantile_disc, then a stateless bucket-assignment pass."""
+    from .ops import codestats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    return codestats.quantile_buckets(
+        ds.map_batches(_len, batch_format="pyarrow"), "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -832,6 +916,9 @@ QUERIES = {
     "quality_filter_rules": q_quality_filter_rules,
     "quality_filter": q_quality_filter,
     "quality_repo_report": q_quality_repo_report,
+    "stack_filters": q_stack_filters,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "length_buckets": q_length_buckets,
 }
 
 ORACLES = {
@@ -1045,5 +1132,49 @@ ORACLES = {
         "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
         "QUALIFY row_number() OVER (PARTITION BY q.query_id "
         "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "stack_filters": (
+        "SELECT path, n_chars, n_lines, max_line_len, max_token_len, n_alnum, autogen, "
+        "(max_line_len <= 400 AND n_chars <= 450 * n_lines "
+        " AND 4 * n_alnum >= n_chars AND max_token_len <= 100 AND NOT autogen) AS keep "
+        "FROM ("
+        "  SELECT source || '/doc_' || doc_id || '.txt' AS path,"
+        "    length(c) AS n_chars,"
+        "    length(c) - length(replace(c, chr(10), '')) + 1 AS n_lines,"
+        "    coalesce(list_max(list_transform(string_split(c, chr(10)),"
+        "                                     x -> length(x))), 0) AS max_line_len,"
+        "    coalesce(list_max(list_transform(string_split_regex(c, '[ \t\r\n]+'),"
+        "                                     x -> length(x))), 0) AS max_token_len,"
+        "    length(regexp_replace(c, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,"
+        "    regexp_matches(lower(substr(c, 1, 1000)),"
+        "      '(auto-generated|automatically generated|do not edit)') AS autogen"
+        "  FROM (SELECT doc_id, source, coalesce(text, '') AS c FROM documents))"
+    ),
+    "boilerplate_scrub": (
+        "WITH v AS ("
+        "  SELECT doc_id,"
+        "    '// repo: ' || source || chr(10) || '// lang: ' || coalesce(lang, '')"
+        "    || chr(10) || '// sz ' || CAST(length(coalesce(text, '')) // 100 AS VARCHAR)"
+        "    || chr(10) || coalesce(text, '') AS content FROM documents"
+        "), lines AS ("
+        "  SELECT DISTINCT doc_id, line FROM ("
+        "    SELECT doc_id, UNNEST(string_split(content, chr(10))) AS line FROM v)"
+        "  WHERE line <> ''"
+        "), common AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 50),"
+        "cl AS (SELECT coalesce(list(line), []) AS arr FROM common) "
+        "SELECT v.doc_id,"
+        "  coalesce(array_to_string(list_filter(string_split(v.content, chr(10)),"
+        "    x -> x = '' OR NOT list_contains(cl.arr, x)), chr(10)), '') AS content,"
+        "  CAST(len(string_split(v.content, chr(10)))"
+        "    - len(list_filter(string_split(v.content, chr(10)),"
+        "          x -> x = '' OR NOT list_contains(cl.arr, x))) AS BIGINT) AS n_removed "
+        "FROM v, cl"
+    ),
+    "length_buckets": (
+        "WITH s AS (SELECT doc_id, length(coalesce(text, '')) AS n_chars FROM documents),"
+        "t AS (SELECT quantile_disc(n_chars,"
+        "  [0.3333333333333333::DOUBLE, 0.6666666666666666::DOUBLE]) AS q FROM s) "
+        "SELECT s.doc_id, s.n_chars, CASE WHEN s.n_chars <= q[1] THEN 'head' "
+        "WHEN s.n_chars <= q[2] THEN 'middle' ELSE 'tail' END AS bucket FROM s, t"
     ),
 }

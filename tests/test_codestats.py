@@ -1,0 +1,157 @@
+"""ops.codestats: Stack-style file signals, corpus boilerplate-line
+removal, exact quantile bucketing — each checked against an independent
+DuckDB formulation (the same twin shape the driver's oracle gate uses)."""
+
+import math
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from qamd_ray.ops import codestats
+
+SIG_SQL = """
+SELECT i,
+  length(c) AS n_chars,
+  length(c) - length(replace(c, chr(10), '')) + 1 AS n_lines,
+  coalesce(list_max(list_transform(string_split(c, chr(10)), x -> length(x))), 0)
+    AS max_line_len,
+  coalesce(list_max(list_transform(string_split_regex(c, '[ \t\r\n]+'),
+                                   x -> length(x))), 0) AS max_token_len,
+  length(regexp_replace(c, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+  regexp_matches(lower(substr(c, 1, 1000)),
+    '(auto-generated|automatically generated|do not edit)') AS autogen
+FROM (SELECT i, coalesce(text, '') AS c FROM t) ORDER BY i
+"""
+
+
+def _random_texts(rng: random.Random, n: int) -> list:
+    alphabet = "ab XY12\t\r\n\n.ü€;{}#"
+    out = []
+    for i in range(n):
+        if i == 0:
+            out.append(None)
+        elif i == 1:
+            out.append("")
+        elif i == 2:
+            out.append("x" * 1500)  # one giant line/token
+        elif i == 3:
+            out.append("// AUTO-GENERATED file\ncode();")
+        else:
+            out.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))))
+    return out
+
+
+def test_file_signals_vs_duckdb():
+    rng = random.Random(11)
+    texts = _random_texts(rng, 60)
+    t = pa.table({"i": list(range(len(texts))), "text": texts})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(SIG_SQL).fetchdf()
+
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: b.rename_columns(["i", "content"]), batch_format="pyarrow"
+    )
+    got = (
+        codestats.file_signals(ds, id_cols=["i"], max_line=1000, mean_line=100,
+                               alnum_frac=(1, 4), max_token=100)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for col in ["n_chars", "n_lines", "max_line_len", "max_token_len", "n_alnum"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    np.testing.assert_array_equal(got["autogen"].to_numpy(), want["autogen"].to_numpy())
+    # keep decision: recompute scalar-style from the SQL signals
+    w = want
+    exp_keep = (
+        (w["max_line_len"] <= 1000)
+        & (w["n_chars"] <= 100 * w["n_lines"])
+        & (4 * w["n_alnum"] >= w["n_chars"])
+        & (w["max_token_len"] <= 100)
+        & ~w["autogen"]
+    )
+    np.testing.assert_array_equal(got["keep"].to_numpy(), exp_keep.to_numpy())
+    assert got["keep"].nunique() == 2  # the fixture exercises both outcomes
+
+
+def test_drop_common_lines_vs_duckdb():
+    rng = random.Random(23)
+    shared = ["# header", "import os", "END"]
+    texts = []
+    for i in range(40):
+        lines = [rng.choice(shared)] if i % 2 == 0 else []
+        lines += [f"unique {i} {j}" for j in range(rng.randint(0, 3))]
+        if i % 5 == 0:
+            lines.append("")  # blank lines always survive
+        lines.append(shared[i % 3])
+        rng.shuffle(lines)
+        texts.append("\n".join(lines))
+    texts[7] = "# header"  # doc that becomes empty
+    t = pa.table({"doc_id": list(range(len(texts))), "content": texts})
+
+    con = duckdb.connect()
+    con.register("v", t)
+    want = con.execute("""
+WITH lines AS (
+  SELECT DISTINCT doc_id, line FROM (
+    SELECT doc_id, UNNEST(string_split(content, chr(10))) AS line FROM v)
+  WHERE line <> ''
+), common AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 5),
+cl AS (SELECT coalesce(list(line), []) AS arr FROM common)
+SELECT v.doc_id,
+  coalesce(array_to_string(list_filter(string_split(v.content, chr(10)),
+    x -> x = '' OR NOT list_contains(cl.arr, x)), chr(10)), '') AS content,
+  CAST(len(string_split(v.content, chr(10)))
+    - len(list_filter(string_split(v.content, chr(10)),
+          x -> x = '' OR NOT list_contains(cl.arr, x))) AS BIGINT) AS n_removed
+FROM v, cl ORDER BY doc_id
+""").fetchdf()
+
+    ds = ray.data.from_arrow(t)
+    got = (
+        codestats.drop_common_lines(ds, content_col="content", min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "content", "n_removed"]], want)
+    assert (got["n_removed"] > 0).any() and got.loc[7, "content"] == ""
+
+
+def test_drop_common_lines_threshold_guard():
+    t = pa.table({"doc_id": [0, 1], "content": ["a\nb", "a\nc"]})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="max_common_lines"):
+        codestats.common_lines(ds, "content", min_docs=2, max_common_lines=0)
+
+
+def test_quantile_thresholds_match_duckdb_quantile_disc():
+    rng = random.Random(5)
+    con = duckdb.connect()
+    for trial in range(6):
+        n = rng.randint(1, 200)
+        vals = [rng.randint(0, 30) for _ in range(n)]
+        qs = sorted(rng.random() for _ in range(3))
+        want = con.execute(
+            f"SELECT quantile_disc(x, {qs!r}) FROM (SELECT UNNEST({vals}) AS x)"
+        ).fetchone()[0]
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(4)
+        got = codestats.quantile_thresholds(ds, "x", qs)
+        assert [int(v) for v in got] == [int(v) for v in want], (trial, n, qs)
+
+
+def test_quantile_buckets_assignment():
+    vals = list(range(1, 10))  # terciles: t1=3, t2=6
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    out = codestats.quantile_buckets(ds, "x").to_pandas().sort_values("x")
+    assert list(out["bucket"]) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # threshold boundary values land in the LOWER bucket (v <= t rule)
+    assert out.loc[out["x"] == 3, "bucket"].item() == "head"
+    assert out.loc[out["x"] == 6, "bucket"].item() == "middle"
