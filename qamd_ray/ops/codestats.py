@@ -249,6 +249,117 @@ def drop_common_lines(
 
 
 # ---------------------------------------------------------------------------
+# Comment-line stats (SantaCoder §4 comment-to-code ratio signal)
+# ---------------------------------------------------------------------------
+
+COMMENT_LINE_REGEX = r"^[ \t]*(//|#|--|/\*|\*)"
+
+
+def comment_stats(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("path",),
+) -> "ray.data.Dataset":
+    """Per-file comment-line accounting: total lines, lines starting
+    (after indentation) with a comment leader, and blank lines.  The
+    comment-to-code ratio filter of SantaCoder §4 / StarCoder uses these
+    counts; emitting the integers keeps the SQL twin hash-exact.  Flat
+    regex over flattened lines + segmented sums — no Python loop."""
+    id_cols = list(id_cols)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(batch[content_col], ""), "\n")
+        sizes = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        is_comment = pc.match_substring_regex(flat, COMMENT_LINE_REGEX).to_numpy(
+            zero_copy_only=False
+        )
+        is_blank = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        docx = np.repeat(np.arange(len(batch)), sizes)
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_lines"] = pa.array(sizes, pa.int64())
+        cols["n_comment_lines"] = pa.array(
+            np.bincount(docx[is_comment], minlength=len(batch)).astype(np.int64)
+        )
+        cols["n_blank_lines"] = pa.array(
+            np.bincount(docx[is_blank], minlength=len(batch)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# High-entropy secret scan (detect-secrets' HighEntropyString heuristic)
+# ---------------------------------------------------------------------------
+
+SECRET_TOKEN_REGEX = r"^[A-Za-z0-9+/=_\-]{16,}$"
+
+
+def secret_scan(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("path",),
+    *,
+    min_len: int = 16,
+    entropy_milli: int = 4000,
+) -> "ray.data.Dataset":
+    """Flag files containing high-entropy credential-like tokens (the
+    public detect-secrets HighEntropyStrings heuristic: long base64-ish
+    tokens whose per-character Shannon entropy exceeds ~4 bits — random
+    keys score near log2(64)=6, English identifiers ~3).
+
+    Per file: candidate token count, high-entropy token count, max
+    entropy in milli-bits (int64 — deterministic, no float column), and
+    the has_secret flag.  Candidates are extracted with one flat regex
+    pass; entropies are computed with a single segmented byte-histogram
+    (bincount over candidate×256 keys), no per-token Python loop.
+    Complements the regex scrubber (qamd_ray.scrub), which catches
+    *known-shape* credentials; this catches the unknown-shape ones."""
+    id_cols = list(id_cols)
+    threshold = int(entropy_milli)
+    tok_re = r"^[A-Za-z0-9+/=_\-]{%d,}$" % int(min_len)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(batch[content_col], ""), "[ \t\r\n]+")
+        sizes = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        cand_mask = pc.match_substring_regex(flat, tok_re).to_numpy(zero_copy_only=False)
+        docx = np.repeat(np.arange(len(batch)), sizes)
+        cand_docs = docx[cand_mask]
+        cand = flat.filter(pa.array(cand_mask))
+        n = len(batch)
+        n_cand = np.bincount(cand_docs, minlength=n).astype(np.int64)
+
+        ent_milli = np.zeros(len(cand_docs), dtype=np.int64)
+        if len(cand_docs):
+            joined = "".join(cand.to_pylist())  # candidates only — rare
+            b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+            lens = pc.utf8_length(cand).to_numpy(zero_copy_only=False).astype(np.int64)
+            seg = np.repeat(np.arange(len(lens)), lens)
+            counts = np.bincount(seg * 256 + b, minlength=len(lens) * 256).reshape(
+                len(lens), 256
+            )
+            p = counts / lens[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                h = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+            ent_milli = np.floor(h * 1000).astype(np.int64)
+
+        hi = ent_milli >= threshold
+        n_hi = np.bincount(cand_docs[hi], minlength=n).astype(np.int64)
+        max_ent = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_ent, cand_docs, ent_milli)
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_candidates"] = pa.array(n_cand)
+        cols["n_high_entropy"] = pa.array(n_hi)
+        cols["max_entropy_milli"] = pa.array(max_ent)
+        cols["has_secret"] = pa.array(n_hi > 0)
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Exact quantile bucketing (CCNet head/middle/tail)
 # ---------------------------------------------------------------------------
 

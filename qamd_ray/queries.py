@@ -840,6 +840,59 @@ def q_boilerplate_scrub(sf_dir: str):
     )
 
 
+def q_comment_stats(sf_dir: str):
+    """SantaCoder comment-to-code signal (ops.codestats.comment_stats)
+    over a deterministic comment-bearing view of documents (a ``# hdr``
+    banner; clause boundaries rewritten to ``-- `` continuation lines,
+    so comment counts vary with the doc's clause count).  Flat regex
+    over flattened lines + segmented bincounts; integer outputs."""
+    from .ops import codestats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        body = pc.replace_substring(txt, ", ", "\n-- ")
+        content = pc.binary_join_element_wise("# hdr\n", body, "")
+        return pa.table({"doc_id": batch["doc_id"], "content": content})
+
+    return codestats.comment_stats(
+        ds.map_batches(_view, batch_format="pyarrow"), id_cols=["doc_id"]
+    )
+
+
+def q_secret_scan(sf_dir: str):
+    """High-entropy secret scan (ops.codestats.secret_scan, the
+    detect-secrets heuristic) over documents with a deterministic planted
+    credential: every third doc carries its md5 hex digest as a token
+    (per-char entropy ~3.7 bits > the 3.0 hex threshold), so the flag
+    fires on exactly the planted rows.  Rows-only check (Shannon entropy
+    is not SQL-expressible); exactness is pytest-covered with planted
+    base64/hex/English fixtures."""
+    import hashlib
+
+    from .ops import codestats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        txt = K._as_array(pc.fill_null(batch["text"], "")).to_pylist()
+        content = [
+            t + " " + hashlib.md5(t.encode()).hexdigest() if i % 3 == 0 else t
+            for i, t in zip(ids, txt)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "content": pa.array(content, pa.string())}
+        )
+
+    return codestats.secret_scan(
+        ds.map_batches(_plant, batch_format="pyarrow"),
+        id_cols=["doc_id"],
+        entropy_milli=3000,
+    )
+
+
 def q_length_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus split
     (ops.codestats.quantile_buckets) by document length: exact tercile
@@ -919,6 +972,8 @@ QUERIES = {
     "stack_filters": q_stack_filters,
     "boilerplate_scrub": q_boilerplate_scrub,
     "length_buckets": q_length_buckets,
+    "comment_stats": q_comment_stats,
+    "secret_scan": q_secret_scan,
 }
 
 ORACLES = {
@@ -1169,6 +1224,18 @@ ORACLES = {
         "    - len(list_filter(string_split(v.content, chr(10)),"
         "          x -> x = '' OR NOT list_contains(cl.arr, x))) AS BIGINT) AS n_removed "
         "FROM v, cl"
+    ),
+    "comment_stats": (
+        "WITH v AS (SELECT doc_id, '# hdr' || chr(10)"
+        "  || replace(coalesce(text, ''), ', ', chr(10) || '-- ') AS c FROM documents) "
+        "SELECT doc_id,"
+        "  CAST(len(string_split(c, chr(10))) AS BIGINT) AS n_lines,"
+        "  CAST(len(list_filter(string_split(c, chr(10)),"
+        "    x -> regexp_matches(x, '^[ \t]*(//|#|--|/\\*|\\*)'))) AS BIGINT)"
+        "    AS n_comment_lines,"
+        "  CAST(len(list_filter(string_split(c, chr(10)), x -> x = '')) AS BIGINT)"
+        "    AS n_blank_lines "
+        "FROM v"
     ),
     "length_buckets": (
         "WITH s AS (SELECT doc_id, length(coalesce(text, '')) AS n_chars FROM documents),"

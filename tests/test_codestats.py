@@ -132,6 +132,68 @@ def test_drop_common_lines_threshold_guard():
         codestats.common_lines(ds, "content", min_docs=2, max_common_lines=0)
 
 
+def test_comment_stats_vs_duckdb():
+    texts = [
+        "# top\ncode()\n  // note\n\n\t-- sql\n * cont\nx--y",
+        "",
+        None,
+        "no comments at all",
+        "/* block */\nend",
+    ]
+    t = pa.table({"i": list(range(len(texts))), "content": texts})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(r"""
+SELECT i,
+  CAST(len(string_split(c, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(string_split(c, chr(10)),
+    x -> regexp_matches(x, '^[ \t]*(//|#|--|/\*|\*)'))) AS BIGINT) AS n_comment_lines,
+  CAST(len(list_filter(string_split(c, chr(10)), x -> x = '')) AS BIGINT) AS n_blank_lines
+FROM (SELECT i, coalesce(content, '') AS c FROM t) ORDER BY i
+""").fetchdf()
+    got = (
+        codestats.comment_stats(ray.data.from_arrow(t), id_cols=["i"])
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    for col in ["n_lines", "n_comment_lines", "n_blank_lines"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy(), err_msg=col)
+    assert got.loc[0, "n_comment_lines"] == 4  # '#', '//', '--', '*' but not 'x--y'
+
+
+def test_secret_scan_planted():
+    import hashlib
+
+    rng = random.Random(3)
+    b64 = "".join(rng.choice(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    ) for _ in range(40))
+    hexd = hashlib.md5(b"seed").hexdigest()
+    texts = [
+        f"key = {b64}",                      # random base64: entropy ~5+ bits
+        f"digest {hexd}",                    # md5 hex: ~3.7 bits
+        "the quick brown fox jumps over",    # no candidate tokens (too short)
+        "internationalization_support_on",   # long but low-entropy identifier
+        "aaaaaaaaaaaaaaaaaaaaaaaa",          # long, near-zero entropy
+    ]
+    t = pa.table({"i": list(range(len(texts))), "content": texts})
+    out = (
+        codestats.secret_scan(ray.data.from_arrow(t), id_cols=["i"], entropy_milli=4000)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    assert list(out["has_secret"]) == [True, False, False, False, False]
+    assert list(out["n_candidates"]) == [1, 1, 0, 1, 1]
+    # hex threshold (detect-secrets hex default 3.0) catches the digest too
+    out3 = (
+        codestats.secret_scan(ray.data.from_arrow(t), id_cols=["i"], entropy_milli=3000)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    # hex digest (3.59 bits) clears 3.0; the 3.46-bit identifier does too —
+    # the hex threshold trades precision for recall, as in detect-secrets
+    assert list(out3["has_secret"]) == [True, True, False, True, False]
+    # entropy value sanity: uniform 'a'*24 is exactly 0 bits
+    assert out.loc[4, "max_entropy_milli"] == 0
+
+
 def test_quantile_thresholds_match_duckdb_quantile_disc():
     rng = random.Random(5)
     con = duckdb.connect()
