@@ -31,6 +31,11 @@ each Ray-Data-first:
 * ``codestats``  — The Stack / StarCoder per-file quality signals and
                    keep decision, RefinedWeb corpus-level boilerplate
                    line removal, CCNet head/middle/tail exact quantile
-                   bucketing
+                   bucketing, SantaCoder comment-to-code stats,
+                   detect-secrets high-entropy credential scan
+* ``decontaminate`` — benchmark decontamination via token n-gram
+                   overlap against a broadcast eval-set gram index
+* ``packing``    — token-budget shard packing via a distributed
+                   ordered prefix-sum
 
 """

@@ -131,27 +131,57 @@ def file_signals(
     Pass ``None`` for any threshold to disable that clause.
     """
     id_cols = list(id_cols)
-    num, den = alnum_frac if alnum_frac is not None else (0, 1)
 
     def _f(batch: pa.Table) -> pa.Table:
         sig = signal_columns(batch[content_col])
-        n = len(batch)
-        keep = np.ones(n, dtype=bool)
-        n_chars = sig["n_chars"].to_numpy(zero_copy_only=False)
-        if max_line is not None:
-            keep &= sig["max_line_len"].to_numpy(zero_copy_only=False) <= max_line
-        if mean_line is not None:
-            keep &= n_chars <= mean_line * sig["n_lines"].to_numpy(zero_copy_only=False)
-        if alnum_frac is not None:
-            keep &= den * sig["n_alnum"].to_numpy(zero_copy_only=False) >= num * n_chars
-        if max_token is not None:
-            keep &= sig["max_token_len"].to_numpy(zero_copy_only=False) <= max_token
-        if drop_autogen:
-            keep &= ~sig["autogen"].to_numpy(zero_copy_only=False)
+        keep = _keep_mask(
+            sig, len(batch), max_line, mean_line, alnum_frac, max_token, drop_autogen
+        )
         cols = {c: batch[c] for c in id_cols}
         cols.update(sig)
         cols["keep"] = pa.array(keep)
         return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _keep_mask(sig, n, max_line, mean_line, alnum_frac, max_token, drop_autogen):
+    num, den = alnum_frac if alnum_frac is not None else (0, 1)
+    keep = np.ones(n, dtype=bool)
+    n_chars = sig["n_chars"].to_numpy(zero_copy_only=False)
+    if max_line is not None:
+        keep &= sig["max_line_len"].to_numpy(zero_copy_only=False) <= max_line
+    if mean_line is not None:
+        keep &= n_chars <= mean_line * sig["n_lines"].to_numpy(zero_copy_only=False)
+    if alnum_frac is not None:
+        keep &= den * sig["n_alnum"].to_numpy(zero_copy_only=False) >= num * n_chars
+    if max_token is not None:
+        keep &= sig["max_token_len"].to_numpy(zero_copy_only=False) <= max_token
+    if drop_autogen:
+        keep &= ~sig["autogen"].to_numpy(zero_copy_only=False)
+    return keep
+
+
+def stack_filter(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    *,
+    max_line: Optional[int] = 1000,
+    mean_line: Optional[int] = 100,
+    alnum_frac: Optional[tuple[int, int]] = (1, 4),
+    max_token: Optional[int] = 100,
+    drop_autogen: bool = True,
+) -> "ray.data.Dataset":
+    """``file_signals``'s keep decision as a FILTER: rows failing any
+    clause are dropped, all input columns (including the content) pass
+    through — the composition-friendly form for curation pipelines."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        sig = signal_columns(batch[content_col])
+        keep = _keep_mask(
+            sig, len(batch), max_line, mean_line, alnum_frac, max_token, drop_autogen
+        )
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

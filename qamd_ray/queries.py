@@ -893,6 +893,54 @@ def q_secret_scan(sf_dir: str):
     )
 
 
+def q_code_curation(sf_dir: str):
+    """End-to-end code-corpus curation COMPOSITION, value-checked as one
+    unit: Stack keep filter (drops ~30% of files) → corpus boilerplate
+    line removal (counts computed over the survivors) → whitespace token
+    count → token-budget shard packing by distributed ordered prefix-sum.
+    Four streaming stages; the only all-to-alls are the line-count
+    groupby and the packing sort.  Output is (doc_id, n_tokens,
+    content_md5, shard) — the md5 certifies the rewritten bytes."""
+    import hashlib
+
+    from .ops import codestats, packing
+
+    survivors = codestats.stack_filter(
+        _boilerplate_view(sf_dir),
+        content_col="content",
+        max_line=400,
+        mean_line=450,
+        alnum_frac=(1, 4),
+        max_token=100,
+    )
+    rewritten = codestats.drop_common_lines(
+        survivors, content_col="content", min_docs=50
+    )
+
+    def _tok_md5(batch: pa.Table) -> pa.Table:
+        c = K._as_array(batch["content"])
+        n_tok = pc.add(pc.count_substring(c, " "), 1)
+        hs = [hashlib.md5(v.encode()).hexdigest() for v in c.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "content_md5": pa.array(hs, pa.string()),
+            }
+        )
+
+    packed = packing.pack_by_budget(
+        rewritten.map_batches(_tok_md5, batch_format="pyarrow"),
+        order_col="doc_id",
+        weight_col="n_tokens",
+        budget=2048,
+    )
+    return packed.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "content_md5", "shard"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_length_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus split
     (ops.codestats.quantile_buckets) by document length: exact tercile
@@ -974,6 +1022,7 @@ QUERIES = {
     "length_buckets": q_length_buckets,
     "comment_stats": q_comment_stats,
     "secret_scan": q_secret_scan,
+    "code_curation": q_code_curation,
 }
 
 ORACLES = {
@@ -1236,6 +1285,48 @@ ORACLES = {
         "  CAST(len(list_filter(string_split(c, chr(10)), x -> x = '')) AS BIGINT)"
         "    AS n_blank_lines "
         "FROM v"
+    ),
+    "code_curation": (
+        "WITH v AS ("
+        "  SELECT doc_id,"
+        "    '// repo: ' || source || chr(10) || '// lang: ' || coalesce(lang, '')"
+        "    || chr(10) || '// sz ' || CAST(length(coalesce(text, '')) // 100 AS VARCHAR)"
+        "    || chr(10) || coalesce(text, '') AS content FROM documents"
+        "), sig AS ("
+        "  SELECT doc_id, content,"
+        "    coalesce(list_max(list_transform(string_split(content, chr(10)),"
+        "                                     x -> length(x))), 0) AS mll,"
+        "    length(content) AS nc,"
+        "    length(content) - length(replace(content, chr(10), '')) + 1 AS nl,"
+        "    length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS na,"
+        "    coalesce(list_max(list_transform(string_split_regex(content, '[ \t\r\n]+'),"
+        "                                     x -> length(x))), 0) AS mtl,"
+        "    regexp_matches(lower(substr(content, 1, 1000)),"
+        "      '(auto-generated|automatically generated|do not edit)') AS ag"
+        "  FROM v"
+        "), f AS ("
+        "  SELECT doc_id, content FROM sig"
+        "  WHERE mll <= 400 AND nc <= 450 * nl AND 4 * na >= nc"
+        "    AND mtl <= 100 AND NOT ag"
+        "), lines AS ("
+        "  SELECT DISTINCT doc_id, line FROM ("
+        "    SELECT doc_id, UNNEST(string_split(content, chr(10))) AS line FROM f)"
+        "  WHERE line <> ''"
+        "), common AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 50),"
+        "cl AS (SELECT coalesce(list(line), []) AS arr FROM common),"
+        "rw AS ("
+        "  SELECT f.doc_id,"
+        "    coalesce(array_to_string(list_filter(string_split(f.content, chr(10)),"
+        "      x -> x = '' OR NOT list_contains(cl.arr, x)), chr(10)), '') AS content"
+        "  FROM f, cl"
+        "), tok AS ("
+        "  SELECT doc_id, CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tokens,"
+        "    md5(content) AS content_md5 FROM rw) "
+        "SELECT doc_id, n_tokens, content_md5,"
+        "  CAST((SUM(n_tokens) OVER (ORDER BY doc_id"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048"
+        "    AS BIGINT) AS shard "
+        "FROM tok"
     ),
     "length_buckets": (
         "WITH s AS (SELECT doc_id, length(coalesce(text, '')) AS n_chars FROM documents),"
