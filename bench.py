@@ -153,6 +153,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             )
         )
 
+        # code-curation composition: Stack keep filter → corpus
+        # boilerplate-line removal → token counts → shard packing
+        from qamd_ray.ops import codestats, packing
+
+        def _as_code(b):
+            import pyarrow as _pa
+
+            return _pa.table({"doc_id": b["__row__"], "content": b["content"]})
+
+        def _run_curation():
+            cds = read_parquet_with_row_index(src, columns=["content"]).map_batches(
+                _as_code, batch_format="pyarrow"
+            )
+            surv = codestats.stack_filter(cds, content_col="content")
+            rw = codestats.drop_common_lines(surv, content_col="content", min_docs=100)
+
+            def _tok(b):
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                return _pa.table(
+                    {
+                        "doc_id": b["doc_id"],
+                        "n_tokens": _pc.cast(
+                            _pc.add(_pc.count_substring(b["content"], " "), 1),
+                            _pa.int64(),
+                        ),
+                    }
+                )
+
+            packed = packing.pack_by_budget(
+                rw.map_batches(_tok, batch_format="pyarrow"),
+                order_col="doc_id", weight_col="n_tokens", budget=2048,
+            )
+            packed.map_batches(
+                lambda b: b.select(["shard"]), batch_format="pyarrow"
+            ).max("shard")
+
+        timings["code_curation"] = best_of(_run_curation)
+
     for name, fn in ([] if headline_only else [
         ("pricing_summary", q_pricing_summary),
         ("events_hourly", q_events_hourly),

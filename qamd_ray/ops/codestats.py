@@ -197,12 +197,24 @@ def common_lines(
     min_docs: int = 10,
     *,
     max_common_lines: int = 5_000_000,
+    distributed: bool = False,
+    driver_merge_threshold: int = 5_000_000,
 ) -> list[str]:
     """Non-blank lines occurring in at least ``min_docs`` DISTINCT
     documents.  Per-batch combiner: one (line, count) row per distinct
     line per batch (a doc never spans batches, so per-batch per-doc
-    dedup gives exact distinct-document counts); hash groupby sums the
-    partials; only qualifying lines reach the driver."""
+    dedup gives exact distinct-document counts).
+
+    Final reduction is size-routed like the repo's other reductions:
+    the default materializes the partials and, under
+    ``driver_merge_threshold`` rows, merges them with one driver-side
+    Arrow group_by (measured 0.03 s vs 6.5 s for the distributed
+    groupby at 230k partial rows — Ray's sort-based aggregate is pure
+    choreography at this size); above the threshold it falls back to
+    the distributed groupby over the same materialized partials.
+    ``distributed=True`` skips materialization entirely and streams
+    through the groupby — the 100-TB path, where the partial table
+    must never be pinned."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         # Arrow-native end to end: the pandas/numpy equivalent spends
@@ -220,19 +232,34 @@ def common_lines(
     def _qualifying(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["sum(n)"], min_docs))
 
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("line")
-        .sum("n")
-        .map_batches(_qualifying, batch_format="pyarrow")
-    )
-    rows = counts.take_all()
-    if len(rows) > max_common_lines:
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    out: list[str]
+    if not distributed:
+        parts = partials.materialize()
+        if parts.count() <= driver_merge_threshold:
+            tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+            if not tabs:
+                return []
+            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+            g = allp.group_by("line").aggregate([("n", "sum")])
+            q = g.filter(pc.greater_equal(g["n_sum"], min_docs))
+            out = q["line"].to_pylist()
+        else:
+            counts = parts.groupby("line").sum("n").map_batches(
+                _qualifying, batch_format="pyarrow"
+            )
+            out = [r["line"] for r in counts.take_all()]
+    else:
+        counts = partials.groupby("line").sum("n").map_batches(
+            _qualifying, batch_format="pyarrow"
+        )
+        out = [r["line"] for r in counts.take_all()]
+    if len(out) > max_common_lines:
         raise ValueError(
-            f"common-line set ({len(rows)}) exceeds max_common_lines="
+            f"common-line set ({len(out)}) exceeds max_common_lines="
             f"{max_common_lines}; raise the threshold or use a join-based rewrite"
         )
-    return [r["line"] for r in rows]
+    return out
 
 
 def drop_common_lines(
@@ -242,13 +269,28 @@ def drop_common_lines(
     *,
     removed_col: str = "n_removed",
     common: Optional[list[str]] = None,
+    cache: bool = True,
+    spill_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Rewrite ``content_col`` dropping every non-blank line that occurs
     in ≥ ``min_docs`` distinct documents; blank lines always survive.
     Adds ``removed_col`` (lines removed per doc).  Two passes over the
     data: the count pass above, then a rewrite with the common-line set
-    broadcast once via ``ray.put``."""
+    broadcast once via ``ray.put``.
+
+    The two passes would otherwise re-execute the upstream lineage, so
+    the input is cached first: ``spill_dir`` writes it to Parquet once
+    and re-reads (the 100-TB path — nothing pinned in plasma);
+    otherwise ``cache=True`` (default) pins the blocks via
+    ``materialize()`` — right when input × 1 fits the object store.
+    ``cache=False`` accepts the recompute (when upstream is a plain
+    pruned read, recompute IS the cheap path)."""
     if common is None:
+        if spill_dir is not None:
+            ds.write_parquet(spill_dir)
+            ds = ray.data.read_parquet(spill_dir)
+        elif cache:
+            ds = ds.materialize()
         common = common_lines(ds, content_col, min_docs)
     common_ref = ray.put(pa.array(sorted(set(common)), pa.string()))
 

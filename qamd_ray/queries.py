@@ -893,6 +893,80 @@ def q_secret_scan(sf_dir: str):
     )
 
 
+def q_stack_repo_report(sf_dir: str):
+    """QAMD-style per-repo pass/fail report over the Stack file filters
+    (the reference's per-file check summary re-expressed at repo
+    granularity, handler.rs-shaped pass/fail counts): per repo, file
+    count, files failing each clause, and files kept.  Per-batch partial
+    sums → one tiny groupby over O(repos) rows — the skew-proof
+    two-stage aggregate the flagship report uses."""
+    from .ops import codestats
+
+    sig = codestats.file_signals(
+        documents_as_code_table(sf_dir),
+        content_col="content",
+        id_cols=["repo"],
+        max_line=400,
+        mean_line=450,
+        alnum_frac=(1, 4),
+        max_token=100,
+    )
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        agg = pd.DataFrame(
+            {
+                "repo": df["repo"],
+                "n_files": 1,
+                "n_long_line": (df["max_line_len"] > 400).astype("int64"),
+                "n_mean_line": (df["n_chars"] > 450 * df["n_lines"]).astype("int64"),
+                "n_low_alnum": (4 * df["n_alnum"] < df["n_chars"]).astype("int64"),
+                "n_long_token": (df["max_token_len"] > 100).astype("int64"),
+                "n_autogen": df["autogen"].astype("int64"),
+                "n_keep": df["keep"].astype("int64"),
+            }
+        )
+        return agg.groupby("repo", sort=False, as_index=False).sum()
+
+    out = (
+        sig.map_batches(_partial, batch_format="pyarrow")
+        .groupby("repo")
+        .sum(["n_files", "n_long_line", "n_mean_line", "n_low_alnum",
+              "n_long_token", "n_autogen", "n_keep"])
+    )
+    cols = ["repo", "n_files", "n_long_line", "n_mean_line", "n_low_alnum",
+            "n_long_token", "n_autogen", "n_keep"]
+    return out.map_batches(
+        lambda b: b.rename_columns(cols), batch_format="pyarrow"
+    )
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide exact top-20 whitespace tokens (the vocabulary
+    heavy-hitters every tokenizer build starts from): per-batch token
+    count partials (Arrow split + group_by) → hash groupby sum →
+    global sort + limit.  Deterministic ties by token string."""
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        )
+        t = pa.table({"token": toks})
+        cnt = t.group_by("token").aggregate([("token", "count")])
+        return cnt.rename_columns(["token", "n"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["token", "n"]), batch_format="pyarrow"
+        )
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
 def q_code_curation(sf_dir: str):
     """End-to-end code-corpus curation COMPOSITION, value-checked as one
     unit: Stack keep filter (drops ~30% of files) → corpus boilerplate
@@ -1023,6 +1097,8 @@ QUERIES = {
     "comment_stats": q_comment_stats,
     "secret_scan": q_secret_scan,
     "code_curation": q_code_curation,
+    "stack_repo_report": q_stack_repo_report,
+    "top_tokens": q_top_tokens,
 }
 
 ORACLES = {
@@ -1285,6 +1361,35 @@ ORACLES = {
         "  CAST(len(list_filter(string_split(c, chr(10)), x -> x = '')) AS BIGINT)"
         "    AS n_blank_lines "
         "FROM v"
+    ),
+    "stack_repo_report": (
+        "SELECT repo, CAST(count(*) AS BIGINT) AS n_files,"
+        "  CAST(count(*) FILTER (mll > 400) AS BIGINT) AS n_long_line,"
+        "  CAST(count(*) FILTER (nc > 450 * nl) AS BIGINT) AS n_mean_line,"
+        "  CAST(count(*) FILTER (4 * na < nc) AS BIGINT) AS n_low_alnum,"
+        "  CAST(count(*) FILTER (mtl > 100) AS BIGINT) AS n_long_token,"
+        "  CAST(count(*) FILTER (ag) AS BIGINT) AS n_autogen,"
+        "  CAST(count(*) FILTER (mll <= 400 AND nc <= 450 * nl AND 4 * na >= nc"
+        "       AND mtl <= 100 AND NOT ag) AS BIGINT) AS n_keep "
+        "FROM ("
+        "  SELECT source AS repo,"
+        "    coalesce(list_max(list_transform(string_split(c, chr(10)),"
+        "                                     x -> length(x))), 0) AS mll,"
+        "    length(c) AS nc,"
+        "    length(c) - length(replace(c, chr(10), '')) + 1 AS nl,"
+        "    length(regexp_replace(c, '[^A-Za-z0-9]', '', 'g')) AS na,"
+        "    coalesce(list_max(list_transform(string_split_regex(c, '[ \t\r\n]+'),"
+        "                                     x -> length(x))), 0) AS mtl,"
+        "    regexp_matches(lower(substr(c, 1, 1000)),"
+        "      '(auto-generated|automatically generated|do not edit)') AS ag"
+        "  FROM (SELECT source, coalesce(text, '') AS c FROM documents))"
+        "GROUP BY repo"
+    ),
+    "top_tokens": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "  SELECT UNNEST(string_split(coalesce(text, ''), ' ')) AS token"
+        "  FROM documents) "
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20"
     ),
     "code_curation": (
         "WITH v AS ("

@@ -125,6 +125,23 @@ FROM v, cl ORDER BY doc_id
     assert (got["n_removed"] > 0).any() and got.loc[7, "content"] == ""
 
 
+def test_common_lines_distributed_matches_driver():
+    rng = random.Random(41)
+    shared = [f"shared line {k}" for k in range(6)]
+    texts = ["\n".join(
+        [rng.choice(shared) for _ in range(rng.randint(0, 3))]
+        + [f"u{i}-{j}" for j in range(rng.randint(0, 2))]
+    ) for i in range(60)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(60)), "content": texts})
+    ).repartition(5)
+    a = sorted(codestats.common_lines(ds, "content", min_docs=8))
+    b = sorted(codestats.common_lines(ds, "content", min_docs=8, distributed=True))
+    c = sorted(codestats.common_lines(ds, "content", min_docs=8,
+                                      driver_merge_threshold=0))
+    assert a == b == c and len(a) > 0
+
+
 def test_drop_common_lines_threshold_guard():
     t = pa.table({"doc_id": [0, 1], "content": ["a\nb", "a\nc"]})
     ds = ray.data.from_arrow(t)
