@@ -9,7 +9,8 @@ each Ray-Data-first:
                    distributed paths), near-dup cluster assignment via
                    distributed min-label propagation, SimHash, exact
                    n-gram Jaccard (gram self-join), winnowed common
-                   spans, embedding-cosine near-dup
+                   spans, embedding-cosine near-dup, SemDeDup-style
+                   k-means + within-cluster cosine keep/drop
 * ``similarity`` — brute-force cosine top-k, in-pass IVF, persistent
                    bucket-partitioned IVF index (ivf_build / ivf_query)
 * ``joins``      — broadcast hash/semi/anti + hash-shuffle Dataset.join
@@ -22,7 +23,8 @@ each Ray-Data-first:
                    rolling windows (grouped cumsum differencing)
 * ``sketches``   — mergeable HyperLogLog, Count-Min, Bloom filter,
                    quantile summary
-* ``textstats``  — language-ID heuristic, quality scoring, token counts,
+* ``textstats``  — language-ID heuristic, quality scoring, token counts
+                   (whitespace + BPE-ish RE2 pre-tokenizer),
                    document fingerprints, leakage-safe hash splits,
                    Gopher-style repetition signals (dup-line and n-gram
                    char-coverage fractions)

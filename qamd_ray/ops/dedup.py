@@ -1558,3 +1558,90 @@ def embedding_dup_pairs_dataset(
         .aggregate(Max("cosine", alias_name="cosine")),
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())],
     )
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_clusters: int = 16,
+    cosine_threshold: float = 0.9,
+    sample_size: int = 2048,
+    seed: int = 3,
+    max_cluster_size: int = 200_000,
+    chunk: int = 2048,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then WITHIN each
+    cluster drop every vector whose cosine to a lower-id cluster member
+    is ≥ ``cosine_threshold``.  Returns Dataset(``id_col``, cluster,
+    keep) — one row per input vector.
+
+    Shape: centroids come from a driver-side sample (deterministic
+    Lloyd's, :func:`qamd_ray.ops.similarity.kmeans_centroids`) and are
+    BROADCAST once via ``ray.put``; cluster assignment is a vectorized
+    ``map_batches`` argmax; the only shuffle moves (cluster, id,
+    normalized float32 vector) — embeddings, never content, exactly the
+    published SemDeDup partitioning.  Per-cluster work is one
+    ``map_groups`` call running a chunked lower-triangular cosine pass:
+    row i is dropped iff some j < i (by id order) has cos(i, j) ≥ τ —
+    deterministic min-id representatives, O(chunk × m) peak memory
+    instead of the full m × m matrix.  ``max_cluster_size`` guards the
+    quadratic: a hotter cluster fails loudly (re-run with more clusters)
+    rather than silently thrashing.
+
+    Unlike the LSH pairing ops this intentionally has NO recall ceiling
+    inside a cluster — the approximation is the clustering itself (a
+    near-dup pair split across two clusters is missed; the paper accepts
+    this for the k-means locality argument)."""
+    from .similarity import kmeans_centroids
+
+    sample = ds.limit(sample_size).to_pandas()
+    C = kmeans_centroids(
+        np.stack(sample[emb_col].to_numpy()), n_clusters, seed=seed
+    )
+    c_ref = ray.put(C)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        M = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "cluster": (M @ Cm.T).argmax(axis=1).astype(np.int64),
+                "_v": list(M),
+            }
+        )
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m > max_cluster_size:
+            raise ValueError(
+                f"cluster {int(g['cluster'].iloc[0])} has {m} members > "
+                f"max_cluster_size={max_cluster_size}; raise n_clusters"
+            )
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order]
+        X = np.stack(g["_v"].to_numpy())[order]
+        drop = np.zeros(m, dtype=bool)
+        for lo in range(1, m, chunk):
+            hi = min(lo + chunk, m)
+            S = X[lo:hi] @ X[:hi].T  # rows lo..hi vs ALL earlier rows
+            tri = np.triu(np.ones((hi - lo, hi), dtype=bool), k=lo)
+            S[tri] = -1.0  # row r ↔ global i = lo+r: mask every j >= i
+            drop[lo:hi] = (S >= cosine_threshold).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy()[order],
+                "keep": ~drop,
+            }
+        )
+
+    return (
+        ds.map_batches(_assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(_dedup_cluster, batch_format="pandas")
+    )

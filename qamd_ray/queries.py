@@ -147,6 +147,14 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-style pre-tokenizer token counts (RE2 pattern shared verbatim
+    with the DuckDB oracle, so the counts are exact)."""
+    return textstats.bpe_token_count(
+        _t(sf_dir, "documents", ["doc_id", "text"])
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_fingerprints(sf_dir: str):
     return textstats.fingerprint(_t(sf_dir, "documents", ["doc_id", "text"])).select_columns(
         ["doc_id", "fingerprint"]
@@ -527,6 +535,20 @@ def q_embedding_dups(sf_dir: str):
     return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style k-means + within-cluster cosine dedup over the
+    embeddings table (no SQL oracle — k-means; rows-only check: one row
+    per input vector).  At the sf embeddings' 0.51 max off-diagonal
+    cosine everything is kept — the planted-dup unit test exercises the
+    drop path."""
+    out = dedup.semantic_dedup(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        cosine_threshold=0.95,
+        n_clusters=8,
+    )
+    return out.select_columns(["vec_id", "cluster", "keep"])
 
 
 # ---------------------------------------------------------------------------
@@ -1053,6 +1075,7 @@ QUERIES = {
     "unique_value_sources": q_unique_value_sources,
     "regex_flagged_parts": q_regex_flagged_parts,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
@@ -1079,6 +1102,7 @@ QUERIES = {
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
+    "semantic_dedup": q_semantic_dedup,
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
     "decontaminate_docs": q_decontaminate_docs,
@@ -1131,6 +1155,11 @@ ORACLES = {
     "token_counts": (
         "SELECT doc_id, CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) "
         "AS n_tokens FROM documents"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(coalesce(text, ''), "
+        "' ?[A-Za-z]+|\\s?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
     ),
     "fingerprints": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
     "leakage_safe_split": (

@@ -845,3 +845,60 @@ def test_ordered_prefix_sum_and_pack_by_budget():
     )
     assert inc["c"].to_numpy().tolist() == np.cumsum(w).tolist()
     assert inc["c"].dtype == np.int64
+
+
+def test_semantic_dedup_planted():
+    """SemDeDup keep/drop: planted near-identical vectors drop (min id
+    kept), everything else survives; brute-force greedy twin agrees."""
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((60, 16)).astype(np.float32)
+    M[7] = M[2] + rng.standard_normal(16).astype(np.float32) * 0.01
+    M[33] = M[2] - rng.standard_normal(16).astype(np.float32) * 0.01
+    M[50] = M[49]  # exact dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        dedup.semantic_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            cosine_threshold=0.95,
+            n_clusters=4,
+            sample_size=60,
+            chunk=7,  # force several chunked triangular passes
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 60 and out["vec_id"].tolist() == list(range(60))
+    keep = out.set_index("vec_id")["keep"]
+    assert bool(keep[2]) and not keep[7] and not keep[33]
+    assert bool(keep[49]) and not keep[50]
+    # vs the greedy drop rule applied brute-force inside each cluster
+    X = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    cl = out.set_index("vec_id")["cluster"]
+    for i in range(60):
+        earlier = [j for j in range(i) if cl[j] == cl[i]]
+        want = not any(float(X[i] @ X[j]) >= 0.95 for j in earlier)
+        assert bool(keep[i]) == want, i
+
+
+def test_bpe_token_count_matches_python_re(docs):
+    """The RE2 kernel count equals Python re.findall over the same
+    pattern (the DuckDB oracle runs the identical pattern via RE2)."""
+    import re as _re
+
+    out = textstats.bpe_token_count(docs, "text").to_pandas().sort_values("doc_id")
+    df = docs.to_pandas().sort_values("doc_id")
+    pat = _re.compile(textstats.BPE_TOKEN_PATTERN)
+    want = df["text"].map(lambda s: len(pat.findall(s or "")))
+    assert (out["n_bpe_tokens"].to_numpy() == want.to_numpy()).all()
+    direct = textstats.bpe_token_count(
+        ray.data.from_arrow(
+            pa.table({"doc_id": [0, 1, 2], "text": ["def f(x):\n x+1", "", None]})
+        )
+    ).to_pandas().sort_values("doc_id")
+    assert direct["n_bpe_tokens"].tolist() == [9, 0, 0]
