@@ -132,6 +132,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["quality_pipeline"] = best_of(_run_quality)
     assert rep_box["rep"]["metadata"]["row_count"] == BENCH_ROWS
 
+    # drop the warm-up dataset reference and let model-actor pools tear
+    # down before the next timed section — lingering actors hold CPU
+    # slots and have polluted minhash timings by up to 2x
+    del warm
+    import gc
+
+    gc.collect()
+    time.sleep(2.0)
+
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 
     def _as_docs(b):
@@ -150,7 +159,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings["minhash_lsh"] = best_of(
             lambda: dedup.minhash_lsh_pairs(
                 docs, jaccard_threshold=0.8, n_rows=BENCH_ROWS
-            )
+            ),
+            n=3,  # the noisiest stage on this multi-tenant box
         )
 
         # code-curation composition: Stack keep filter → corpus
