@@ -68,10 +68,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # fewer, larger blocks: Ray's default read_op_min_num_blocks=200
-    # splinters the read into ~3 MB blocks whose per-task driver round
-    # trips dominate at small corpus sizes
-    ctx.read_op_min_num_blocks = max(num_cpus * 2, 32)
 
     import pyarrow.parquet as pq
 
@@ -92,13 +88,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         else [src]
     )
     content_bytes = 0
+    total_row_groups = 0
     for f in files:
         meta = pq.read_metadata(f)
+        total_row_groups += meta.num_row_groups
         content_bytes += sum(
             meta.row_group(i).column(4).total_uncompressed_size
             for i in range(meta.num_row_groups)
         )
         pq.read_table(f)  # warm page cache (untimed)
+    # two waves of blocks per core — the default 200 splinters small
+    # corpora into ~3 MB blocks whose per-task driver round trips
+    # dominate (see qamd_ray/tuning.py for the fusion-vs-balance A/B)
+    from qamd_ray.tuning import tune_read_parallelism
+
+    tune_read_parallelism(files, num_cpus)
+    assert ctx.read_op_min_num_blocks == max(num_cpus * 2, 32), total_row_groups
 
     timings: dict[str, float] = {}
     cfg = quality_config()

@@ -55,3 +55,32 @@ def test_cli_bad_config(tmp_path, capsys):
     bad.write_text("quality_filter: [unbalanced\n  - : : :")
     assert main(["check", "x.parquet", "-c", str(bad)]) == 2
     assert main(["check", "x.parquet", "-c", str(tmp_path / "absent.yaml")]) == 2
+
+
+def test_tune_read_parallelism(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from qamd_ray.tuning import count_row_groups, tune_read_parallelism
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"x": list(range(100))}), d / f"f{i}.parquet", row_group_size=20
+        )
+    assert count_row_groups(str(d)) == 15  # 3 files x 5 row groups
+    assert count_row_groups(str(d / "f0.parquet")) == 5
+    assert count_row_groups(str(tmp_path / "nope.csv")) is None
+
+    ctx = DataContext.get_current()
+    before = ctx.read_op_min_num_blocks
+    try:
+        assert tune_read_parallelism(str(d), num_cpus=64) == 128
+        assert ctx.read_op_min_num_blocks == 128
+        # the floor of 32 wins at low cpu counts
+        assert tune_read_parallelism([str(d)] * 40, num_cpus=4) == 32
+        assert ctx.read_op_min_num_blocks == 32
+    finally:
+        ctx.read_op_min_num_blocks = before

@@ -49,6 +49,9 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, ".")
+    from qamd_ray.tuning import tune_read_parallelism
+
+    tune_read_parallelism(sf_dir)
     import __ray_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
