@@ -126,3 +126,48 @@ def pack_by_budget(
         return batch.drop_columns([tmp]).append_column(out_col, pa.array(shard))
 
     return with_cum.map_batches(_shard, batch_format="pyarrow")
+
+
+def sequence_spans(
+    ds: "ray.data.Dataset",
+    *,
+    order_col: str,
+    weight_col: str,
+    seq_len: int,
+) -> "ray.data.Dataset":
+    """Concat-and-chunk training-sequence assignment: walk the corpus in
+    ``order_col`` order, concatenate token streams, cut a sequence every
+    ``seq_len`` tokens, and report where each document lands — docs
+    SPLIT across sequence boundaries (the standard GPT-style pretraining
+    prep, in contrast to :func:`pack_by_budget`, which keeps documents
+    whole).  Adds ``tok_start``/``tok_end`` (global token offsets,
+    end-exclusive) and ``seq_first``/``seq_last`` (0-based ids of the
+    first/last sequence the doc touches; an empty doc has
+    ``seq_last = seq_first - 1``, i.e. it touches nothing).
+
+    One distributed ordered prefix sum + a stateless vectorized map.
+    SQL twin per row (s = exclusive running sum of w):
+    ``tok_start = s``, ``tok_end = s + w``, ``seq_first = s // L``,
+    ``seq_last = (s + w - 1) // L`` when w > 0 else ``s // L - 1``."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    tmp = "__tok_start__"
+    with_cum = ordered_prefix_sum(
+        ds, order_col=order_col, weight_col=weight_col, out_col=tmp, exclusive=True
+    )
+
+    def _spans(batch: pa.Table) -> pa.Table:
+        start = np.asarray(K._as_array(batch[tmp]), np.int64)
+        w = np.asarray(K._as_array(batch[weight_col]), np.int64)
+        end = start + w
+        seq_first = start // seq_len
+        seq_last = np.where(w > 0, (end - 1) // seq_len, seq_first - 1)
+        out = batch.drop_columns([tmp])
+        for name, arr in (
+            ("tok_start", start), ("tok_end", end),
+            ("seq_first", seq_first), ("seq_last", seq_last),
+        ):
+            out = out.append_column(name, pa.array(arr.astype(np.int64)))
+        return out
+
+    return with_cum.map_batches(_spans, batch_format="pyarrow")

@@ -709,6 +709,26 @@ def q_pack_shards(sf_dir: str):
     )
 
 
+def q_sequence_offsets(sf_dir: str):
+    """Concat-and-chunk sequence assignment (ops.packing.sequence_spans):
+    documents walked in doc_id order are concatenated and cut every 512
+    tokens, docs splitting across boundaries — per-doc global token
+    offsets and first/last sequence ids, value-checked against the
+    window-function twin."""
+    from .ops import packing
+
+    ds = textstats.token_count(_t(sf_dir, "documents", ["doc_id", "text"]))
+    spans = packing.sequence_spans(
+        ds, order_col="doc_id", weight_col="n_tokens", seq_len=512
+    )
+    return spans.map_batches(
+        lambda b: b.select(
+            ["doc_id", "tok_start", "tok_end", "seq_first", "seq_last"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal operators (ops.temporal): as-of join, range join, rolling window
 # ---------------------------------------------------------------------------
@@ -989,6 +1009,39 @@ def q_top_tokens(sf_dir: str):
     return counts.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+def q_lang_stats(sf_dir: str):
+    """Per-language corpus inventory (docs, chars, whitespace tokens) —
+    the first table any corpus card reports.  Per-batch Arrow partial
+    aggregate → tiny groupby over O(langs) rows."""
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        toks = pc.list_value_length(pc.split_pattern(txt, " "))
+        t = pa.table(
+            {
+                "lang": pc.fill_null(batch["lang"], ""),
+                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum"), ("n_tokens", "sum")]
+        )
+        return g.rename_columns(["lang", "n_docs", "n_chars", "n_tokens"])
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_docs", "n_chars", "n_tokens"])
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["lang", "n_docs", "n_chars", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_code_curation(sf_dir: str):
     """End-to-end code-corpus curation COMPOSITION, value-checked as one
     unit: Stack keep filter (drops ~30% of files) → corpus boilerplate
@@ -1107,6 +1160,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
+    "sequence_offsets": q_sequence_offsets,
     "purchase_attribution": q_purchase_attribution,
     "error_bursts": q_error_bursts,
     "rolling_value": q_rolling_value,
@@ -1123,6 +1177,7 @@ QUERIES = {
     "code_curation": q_code_curation,
     "stack_repo_report": q_stack_repo_report,
     "top_tokens": q_top_tokens,
+    "lang_stats": q_lang_stats,
 }
 
 ORACLES = {
@@ -1265,6 +1320,19 @@ ORACLES = {
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
         "- len(string_split(coalesce(text,''), ' '))) // 4096 AS BIGINT) AS shard "
         "FROM documents"
+    ),
+    "sequence_offsets": (
+        "WITH t AS (SELECT doc_id, "
+        "  CAST(len(string_split(coalesce(text,''), ' ')) AS BIGINT) AS w "
+        "  FROM documents), "
+        "s AS (SELECT doc_id, w, "
+        "  CAST(SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND CURRENT ROW) - w AS BIGINT) AS tok_start FROM t) "
+        "SELECT doc_id, tok_start, tok_start + w AS tok_end, "
+        "  tok_start // 512 AS seq_first, "
+        "  CASE WHEN w > 0 THEN (tok_start + w - 1) // 512 "
+        "       ELSE tok_start // 512 - 1 END AS seq_last "
+        "FROM s"
     ),
     "purchase_attribution": (
         "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
@@ -1413,6 +1481,14 @@ ORACLES = {
         "      '(auto-generated|automatically generated|do not edit)') AS ag"
         "  FROM (SELECT source, coalesce(text, '') AS c FROM documents))"
         "GROUP BY repo"
+    ),
+    "lang_stats": (
+        "SELECT coalesce(lang, '') AS lang,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,"
+        "  CAST(sum(length(string_split(coalesce(text, ''), ' '))) AS BIGINT)"
+        "    AS n_tokens "
+        "FROM documents GROUP BY 1"
     ),
     "top_tokens": (
         "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("

@@ -902,3 +902,37 @@ def test_bpe_token_count_matches_python_re(docs):
         )
     ).to_pandas().sort_values("doc_id")
     assert direct["n_bpe_tokens"].tolist() == [9, 0, 0]
+
+
+def test_sequence_spans_vs_numpy():
+    """Concat-and-chunk spans across many blocks vs a numpy reference:
+    split docs, zero-weight docs, boundary-exact docs."""
+    from qamd_ray.ops import packing
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(0, 40, n).astype(np.int64)
+    w[5] = 0          # empty doc
+    w[100] = 64       # exactly the sequence length
+    w[200] = 500      # spans many sequences
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w[ids])})
+    ).repartition(7)
+    out = (
+        packing.sequence_spans(ds, order_col="doc_id", weight_col="w", seq_len=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    start = np.concatenate([[0], np.cumsum(w)[:-1]])
+    end = start + w
+    assert out["tok_start"].tolist() == start.tolist()
+    assert out["tok_end"].tolist() == end.tolist()
+    assert out["seq_first"].tolist() == (start // 64).tolist()
+    want_last = np.where(w > 0, (end - 1) // 64, start // 64 - 1)
+    assert out["seq_last"].tolist() == want_last.tolist()
+    # a doc that fills a sequence exactly stays inside one sequence
+    i = 100
+    assert (
+        out.loc[i, "seq_last"] - out.loc[i, "seq_first"]
+        == (out.loc[i, "tok_end"] - 1) // 64 - out.loc[i, "tok_start"] // 64
+    )
