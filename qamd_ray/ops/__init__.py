@@ -28,8 +28,9 @@ each Ray-Data-first:
                    document fingerprints, leakage-safe hash splits,
                    Gopher-style repetition signals (dup-line and n-gram
                    char-coverage fractions)
-* ``multimodal`` — binary-column decode/feature stages (netpbm + WAV
-                   decode for real; compressed codecs stubbed)
+* ``multimodal`` — binary-column decode/feature stages (netpbm, WAV,
+                   and a from-scratch stdlib-zlib PNG codec for real;
+                   jpeg/mp4 honestly stubbed)
 * ``codestats``  — The Stack / StarCoder per-file quality signals and
                    keep decision, RefinedWeb corpus-level boilerplate
                    line removal, CCNet head/middle/tail exact quantile

@@ -277,19 +277,24 @@ def test_multimodal_plumbing():
         assert (g["frame_index"] < nf).all()
 
     # fake=False raises only for formats without a real codec, at decode
-    fake_row = pa.table(
-        {
-            "media_id": pa.array([0], pa.int64()),
-            "kind": pa.array(["image"], pa.string()),
-            "format": pa.array(["png"], pa.string()),
-            "width": pa.array([4], pa.int32()),
-            "height": pa.array([4], pa.int32()),
-            "n_frames": pa.array([1], pa.int32()),
-            "payload": pa.array([b"xx"], pa.binary()),
-        }
-    )
+    def _row(fmt, payload):
+        return pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "kind": pa.array(["image"], pa.string()),
+                "format": pa.array([fmt], pa.string()),
+                "width": pa.array([4], pa.int32()),
+                "height": pa.array([4], pa.int32()),
+                "n_frames": pa.array([1], pa.int32()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecoder(fake=False)(fake_row)
+        multimodal.ImageDecoder(fake=False)(_row("jpeg", b"xx"))
+    # png has a REAL codec now: garbage payload is a decode error, not a stub
+    with pytest.raises(ValueError):
+        multimodal.ImageDecoder(fake=False)(_row("png", b"xx"))
 
 
 def test_multimodal_real_codecs():
@@ -308,9 +313,15 @@ def test_multimodal_real_codecs():
     ds = ray.data.from_arrow(t)
     # image stats equal the truly-decoded pixels for every ppm row
     out = multimodal.decode_stats(ds, resize=(4, 4)).to_pandas().set_index("media_id")
+    n_png = 0
     for _, r in df[df["kind"] == "image"].iterrows():
-        truth = multimodal.decode_netpbm(r["payload"])
+        if r["format"] == "png":
+            truth = multimodal.decode_png(r["payload"])
+            n_png += 1
+        else:
+            truth = multimodal.decode_netpbm(r["payload"])
         assert abs(out.loc[r["media_id"], "pix_mean"] - truth.mean()) < 1e-9
+    assert n_png > 0  # the synth table exercises the real PNG path
     # audio features from the real WAV decode
     feats = multimodal.audio_features(ds).to_pandas().set_index("media_id")
     audio = df[df["kind"] == "audio"]
@@ -936,3 +947,42 @@ def test_sequence_spans_vs_numpy():
         out.loc[i, "seq_last"] - out.loc[i, "seq_first"]
         == (out.loc[i, "tok_end"] - 1) // 64 - out.loc[i, "tok_start"] // 64
     )
+
+
+def test_png_codec_roundtrip_all_filters_and_colors():
+    """From-scratch PNG codec: every scanline filter (None/Sub/Up/
+    Average/Paeth) and every supported color type round-trips exactly;
+    palette expansion and malformed payloads behave per spec."""
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (23, 17, 3)).astype(np.uint8)
+    for ft in range(5):
+        assert (multimodal.decode_png(multimodal.encode_png(rgb, filter_type=ft)) == rgb).all(), ft
+    grey = rng.integers(0, 256, (9, 31)).astype(np.uint8)
+    rgba = rng.integers(0, 256, (12, 8, 4)).astype(np.uint8)
+    for img in (grey, rgba):
+        for ft in (0, 1, 4):
+            assert (multimodal.decode_png(multimodal.encode_png(img, filter_type=ft)) == img).all()
+
+    # hand-built palette PNG (color type 3): indices -> PLTE rows
+    import struct
+    import zlib
+
+    plte = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (5, 6)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + multimodal._png_chunk(b"PLTE", plte.tobytes())
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(payload) == plte[idx]).all()
+
+    # corrupted CRC and truncated signature fail loudly
+    bad = bytearray(multimodal.encode_png(rgb))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png")
