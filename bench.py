@@ -88,10 +88,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         else [src]
     )
     content_bytes = 0
-    total_row_groups = 0
     for f in files:
         meta = pq.read_metadata(f)
-        total_row_groups += meta.num_row_groups
         content_bytes += sum(
             meta.row_group(i).column(4).total_uncompressed_size
             for i in range(meta.num_row_groups)
@@ -103,7 +101,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from qamd_ray.tuning import tune_read_parallelism
 
     tune_read_parallelism(files, num_cpus)
-    assert ctx.read_op_min_num_blocks == max(num_cpus * 2, 32), total_row_groups
 
     timings: dict[str, float] = {}
     cfg = quality_config()
@@ -170,7 +167,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         # code-curation composition: Stack keep filter → corpus
         # boilerplate-line removal → token counts → shard packing
-        from qamd_ray.ops import codestats, packing
+        from qamd_ray.ops import codestats, packing, textstats
 
         def _as_code(b):
             import pyarrow as _pa
@@ -183,24 +180,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             )
             surv = codestats.stack_filter(cds, content_col="content")
             rw = codestats.drop_common_lines(surv, content_col="content", min_docs=100)
-
-            def _tok(b):
-                import pyarrow as _pa
-                import pyarrow.compute as _pc
-
-                return _pa.table(
-                    {
-                        "doc_id": b["doc_id"],
-                        "n_tokens": _pc.cast(
-                            _pc.add(_pc.count_substring(b["content"], " "), 1),
-                            _pa.int64(),
-                        ),
-                    }
-                )
-
+            toks = textstats.token_count(rw, text_col="content").map_batches(
+                lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+            )
             packed = packing.pack_by_budget(
-                rw.map_batches(_tok, batch_format="pyarrow"),
-                order_col="doc_id", weight_col="n_tokens", budget=2048,
+                toks, order_col="doc_id", weight_col="n_tokens", budget=2048,
             )
             packed.map_batches(
                 lambda b: b.select(["shard"]), batch_format="pyarrow"

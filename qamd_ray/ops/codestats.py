@@ -233,22 +233,19 @@ def common_lines(
         return batch.filter(pc.greater_equal(batch["sum(n)"], min_docs))
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    out: list[str]
+    driver_merge = False
     if not distributed:
-        parts = partials.materialize()
-        if parts.count() <= driver_merge_threshold:
-            tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
-            if not tabs:
-                return []
-            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
-            g = allp.group_by("line").aggregate([("n", "sum")])
-            q = g.filter(pc.greater_equal(g["n_sum"], min_docs))
-            out = q["line"].to_pylist()
-        else:
-            counts = parts.groupby("line").sum("n").map_batches(
-                _qualifying, batch_format="pyarrow"
-            )
-            out = [r["line"] for r in counts.take_all()]
+        partials = partials.materialize()
+        driver_merge = partials.count() <= driver_merge_threshold
+    out: list[str]
+    if driver_merge:
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return []
+        allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+        g = allp.group_by("line").aggregate([("n", "sum")])
+        q = g.filter(pc.greater_equal(g["n_sum"], min_docs))
+        out = q["line"].to_pylist()
     else:
         counts = partials.groupby("line").sum("n").map_batches(
             _qualifying, batch_format="pyarrow"
@@ -287,6 +284,16 @@ def drop_common_lines(
     pruned read, recompute IS the cheap path)."""
     if common is None:
         if spill_dir is not None:
+            import os as _os
+
+            if _os.path.isdir(spill_dir) and _os.listdir(spill_dir):
+                # write_parquet APPENDS uuid-named files: a reused dir
+                # would be read back alongside the old generation and
+                # every document would count twice in the line pass
+                raise ValueError(
+                    f"spill_dir {spill_dir!r} is not empty; pass a fresh "
+                    "directory per call"
+                )
             ds.write_parquet(spill_dir)
             ds = ray.data.read_parquet(spill_dir)
         elif cache:

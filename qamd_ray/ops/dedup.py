@@ -1594,10 +1594,18 @@ def semantic_dedup(
     Unlike the LSH pairing ops this intentionally has NO recall ceiling
     inside a cluster — the approximation is the clustering itself (a
     near-dup pair split across two clusters is missed; the paper accepts
-    this for the k-means locality argument)."""
+    this for the k-means locality argument).
+
+    The k-means sample takes ``sample_size`` rows from a RANDOMIZED
+    block order (``randomize_block_order`` is a metadata-only shuffle —
+    no data moves): a plain ``limit()`` would read the first blocks
+    only, and on a corpus laid out by source/language the centroids
+    would all land in one region of embedding space."""
     from .similarity import kmeans_centroids
 
-    sample = ds.limit(sample_size).to_pandas()
+    sample = (
+        ds.randomize_block_order(seed=seed).limit(sample_size).to_pandas()
+    )
     C = kmeans_centroids(
         np.stack(sample[emb_col].to_numpy()), n_clusters, seed=seed
     )

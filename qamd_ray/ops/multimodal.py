@@ -186,6 +186,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= end:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > end:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -209,7 +211,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if ch is None:
         raise ValueError(f"unsupported PNG color type {color}")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -229,18 +234,24 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f == 2:
             rec = cur + prev
         elif f in (3, 4):
-            rec = np.empty(stride, dtype=np.int16)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                if f == 3:
-                    rec[x] = (cur[x] + (int(a) + int(b)) // 2) % 256
-                else:
-                    c = prev[x - ch] if x >= ch else 0
-                    p = int(a) + int(b) - int(c)
+            # sequential left-dependence per the spec; plain-int lists
+            # are ~5x faster here than numpy scalar indexing
+            cl, pl = cur.tolist(), prev.tolist()
+            rl = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = rl[x - ch] if x >= ch else 0
+                    rl[x] = (cl[x] + (a + pl[x]) // 2) % 256
+            else:
+                for x in range(stride):
+                    a = rl[x - ch] if x >= ch else 0
+                    b = pl[x]
+                    c = pl[x - ch] if x >= ch else 0
+                    p = a + b - c
                     pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
-                    rec[x] = (cur[x] + pred) % 256
+                    rl[x] = (cl[x] + pred) % 256
+            rec = np.asarray(rl, dtype=np.int16)
         else:
             raise ValueError(f"bad PNG filter {f} on row {y}")
         rec = np.asarray(rec, dtype=np.int64) % 256
@@ -354,7 +365,15 @@ class ImageDecoder:
         means, stds, thumbs = [], [], []
         for p, fmt, h, w in zip(payloads, fmts, hs, ws):
             if fmt in ("ppm", "pgm", "png"):
-                img = decode_netpbm(p or b"") if fmt != "png" else decode_png(p or b"")
+                try:
+                    img = decode_netpbm(p or b"") if fmt != "png" else decode_png(p or b"")
+                except ValueError:
+                    # valid-but-unsupported variants (16-bit / interlaced
+                    # PNG) and corrupt payloads: tolerant mode falls back
+                    # to the stand-in, strict mode propagates the error
+                    if not self.fake:
+                        raise
+                    img = _fake_pixels(p or b"", int(h), int(w))
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 elif img.shape[2] == 2:  # grey+alpha → grey channel

@@ -151,6 +151,15 @@ def sequence_spans(
     ``seq_last = (s + w - 1) // L`` when w > 0 else ``s // L - 1``."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    sch = ds.schema()
+    if sch is not None:
+        wt = dict(zip(sch.names, sch.types)).get(weight_col)
+        if wt is not None and not pa.types.is_integer(wt):
+            # token counts are integers; silently flooring float weights
+            # would drift every downstream sequence boundary
+            raise ValueError(
+                f"sequence_spans needs an integer weight column, got {wt}"
+            )
     tmp = "__tok_start__"
     with_cum = ordered_prefix_sum(
         ds, order_col=order_col, weight_col=weight_col, out_col=tmp, exclusive=True

@@ -944,14 +944,15 @@ def q_stack_repo_report(sf_dir: str):
     two-stage aggregate the flagship report uses."""
     from .ops import codestats
 
+    MAX_LINE, MEAN_LINE, ALNUM_NUM, ALNUM_DEN, MAX_TOKEN = 400, 450, 1, 4, 100
     sig = codestats.file_signals(
         documents_as_code_table(sf_dir),
         content_col="content",
         id_cols=["repo"],
-        max_line=400,
-        mean_line=450,
-        alnum_frac=(1, 4),
-        max_token=100,
+        max_line=MAX_LINE,
+        mean_line=MEAN_LINE,
+        alnum_frac=(ALNUM_NUM, ALNUM_DEN),
+        max_token=MAX_TOKEN,
     )
 
     def _partial(batch: pa.Table) -> pd.DataFrame:
@@ -960,10 +961,11 @@ def q_stack_repo_report(sf_dir: str):
             {
                 "repo": df["repo"],
                 "n_files": 1,
-                "n_long_line": (df["max_line_len"] > 400).astype("int64"),
-                "n_mean_line": (df["n_chars"] > 450 * df["n_lines"]).astype("int64"),
-                "n_low_alnum": (4 * df["n_alnum"] < df["n_chars"]).astype("int64"),
-                "n_long_token": (df["max_token_len"] > 100).astype("int64"),
+                "n_long_line": (df["max_line_len"] > MAX_LINE).astype("int64"),
+                "n_mean_line": (df["n_chars"] > MEAN_LINE * df["n_lines"]).astype("int64"),
+                "n_low_alnum": (ALNUM_DEN * df["n_alnum"]
+                                < ALNUM_NUM * df["n_chars"]).astype("int64"),
+                "n_long_token": (df["max_token_len"] > MAX_TOKEN).astype("int64"),
                 "n_autogen": df["autogen"].astype("int64"),
                 "n_keep": df["keep"].astype("int64"),
             }

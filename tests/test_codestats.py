@@ -234,3 +234,18 @@ def test_quantile_buckets_assignment():
     # threshold boundary values land in the LOWER bucket (v <= t rule)
     assert out.loc[out["x"] == 3, "bucket"].item() == "head"
     assert out.loc[out["x"] == 6, "bucket"].item() == "middle"
+
+
+def test_drop_common_lines_spill_dir_guard(tmp_path):
+    t = pa.table({"doc_id": [0, 1], "content": ["a\nb", "a\nc"]})
+    ds = ray.data.from_arrow(t)
+    spill = str(tmp_path / "spill")
+    out = codestats.drop_common_lines(
+        ds, content_col="content", min_docs=2, spill_dir=spill
+    ).to_pandas()
+    assert sorted(out["content"]) == ["b", "c"]
+    # a reused non-empty spill dir would double-count every doc: refuse
+    with pytest.raises(ValueError, match="not empty"):
+        codestats.drop_common_lines(
+            ds, content_col="content", min_docs=2, spill_dir=spill
+        )

@@ -986,3 +986,40 @@ def test_png_codec_roundtrip_all_filters_and_colors():
         multimodal.decode_png(bytes(bad))
     with pytest.raises(ValueError):
         multimodal.decode_png(b"not a png")
+
+
+def test_sequence_spans_rejects_float_weights():
+    from qamd_ray.ops import packing
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "w": pa.array([1.5, 2.5], pa.float64())})
+    )
+    with pytest.raises(ValueError, match="integer weight"):
+        packing.sequence_spans(ds, order_col="doc_id", weight_col="w", seq_len=4)
+
+
+def test_png_truncated_payload_raises_valueerror():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    p = multimodal.encode_png(img, filter_type=4)
+    # mid-IDAT, mid-IHDR, and signature-only truncations all raise
+    # ValueError (never struct.error / zlib.error)
+    for cut in (len(p) - 20, 20, 9):
+        with pytest.raises(ValueError):
+            multimodal.decode_png(p[:cut])
+    # cutting only the IEND trailer leaves a fully-decodable image
+    assert (multimodal.decode_png(p[: len(p) - 5]) == img).all()
+    # tolerant decode stage falls back to the stand-in on bad payloads
+    row = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "format": pa.array(["png"], pa.string()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+            "payload": pa.array([p[:20]], pa.binary()),
+        }
+    )
+    out = multimodal.ImageDecoder(resize=None, fake=True)(row)
+    assert out["pix_mean"][0].as_py() >= 0
