@@ -7,7 +7,10 @@ with the standard library —
   parse + ``np.frombuffer``) and — r3 — **PNG** (full from-scratch
   codec over stdlib zlib: CRC-verified chunk walk, all five scanline
   filters, grey/RGB/RGBA/palette/grey-alpha at 8 bit);
-* audio: **WAV** via the stdlib ``wave`` module (16-bit PCM).
+* audio: **WAV** via the stdlib ``wave`` module (16-bit PCM);
+* video: **animated GIF** (r3 — from-scratch GIF89a LZW with the full
+  variable-width dictionary: CLEAR, KwKwK, overflow reset; palette +
+  frame compositing), so frame sampling decodes real frames.
 
 Codecs with no stdlib decompressor (jpeg/mp3/mp4…) stay honest stubs:
 ``fake=False`` raises ``NotImplementedError`` for them, and
@@ -267,6 +270,224 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    """GIF-flavour LZW (GIF89a spec appendix): variable code width
+    ``mcs+1``..12 bits LSB-first, CLEAR emitted on dictionary overflow."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    buf = b""
+    for px in data:
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder's first-free slot trails by one: it widens at
+        # 2^w, so the encoder widens at 2^w + 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = cand[-1:]
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(payload: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    acc = nbits = pos = 0
+    prev = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= payload[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        prev = entry
+    return np.frombuffer(bytes(out[:n_expected]), np.uint8)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: np.ndarray, palette: Optional[np.ndarray] = None, *, delay_cs: int = 10
+) -> bytes:
+    """uint8 index frames (n, h, w) + palette (≤256, 3) → animated GIF89a
+    bytes (from-scratch LZW above; no external codec).  Default palette
+    is the 256-level grey ramp, so grey images index directly."""
+    import struct
+
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    n, h, w = frames.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal_size = 1 << pal_bits
+    if frames.max(initial=0) >= len(palette):
+        raise ValueError("frame index exceeds palette size")
+    full_pal = np.zeros((pal_size, 3), np.uint8)
+    full_pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += full_pal.tobytes()
+    if n > 1:  # Netscape looping extension for animations
+        out += b"\x21\xff\x0bNETSCAPE2.0" + _gif_subblocks(b"\x01\x00\x00")[:-1] + b"\x00"
+    mcs = max(2, pal_bits)
+    for f in range(n):
+        if n > 1:
+            out += b"\x21\xf9" + _gif_subblocks(
+                struct.pack("<BHB", 0, delay_cs, 0)
+            )
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_compress(frames[f].tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF87a/89a bytes → (index frames uint8 (n, h, w), palette
+    (256, 3)).  Real decode: header + colour tables, extension-block
+    skip, per-frame LZW inflate with the full variable-width dictionary
+    (CLEAR / KwKwK / overflow reset).  Frames composite onto the running
+    canvas at their (left, top) offsets — disposal methods are ignored
+    (documented simplification); interlaced frames raise."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (1 << ((packed & 0x07) + 1))
+        gct = np.frombuffer(payload[pos : pos + size], np.uint8).reshape(-1, 3)
+        pos += size
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    frames = []
+    canvas = np.zeros((h, w), np.uint8)
+    palette = gct
+    while pos < len(payload):
+        tag = payload[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 1)
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{tag:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if fpacked & 0x80:
+            size = 3 * (1 << ((fpacked & 0x07) + 1))
+            palette = np.frombuffer(payload[pos : pos + size], np.uint8).reshape(-1, 3)
+            pos += size
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += payload[pos : pos + ln]
+            pos += ln
+        idx = _lzw_decompress(bytes(data), mcs, fw * fh).reshape(fh, fw)
+        canvas = canvas.copy()
+        canvas[top : top + fh, left : left + fw] = idx
+        frames.append(canvas)
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    if palette is None:
+        raise ValueError("GIF missing colour table")
+    full = np.zeros((256, 3), np.uint8)
+    full[: len(palette)] = palette
+    return np.stack(frames), full
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples → WAV bytes (stdlib wave)."""
     import wave
@@ -296,8 +517,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
     """Deterministic media rows with REAL payloads where a stdlib codec
     exists: images alternate valid P6 rasters and valid PNGs (every
-    scanline filter represented), audio rows are valid 16-bit WAV;
-    video rows keep opaque fake bytes (no container codec here)."""
+    scanline filter represented), audio rows are valid 16-bit WAV, and
+    video rows alternate real animated GIFs (from-scratch LZW) with
+    opaque fake mp4 bytes (no container codec for mp4)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     widths = rng.integers(16, 64, n).astype(np.int32)
@@ -316,6 +538,11 @@ def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
             wavef = 8000 * np.sin(2 * np.pi * t * float(rng.uniform(0.01, 0.1)))
             wavef += rng.normal(0, 500, len(t))
             payloads.append(encode_wav(wavef.astype(np.int16)))
+        elif i % 2:  # real animated GIF (from-scratch LZW codec)
+            nf = int(n_frames[i])
+            base = rng.integers(0, 256, (int(heights[i]), int(widths[i]))).astype(np.int64)
+            fr = (base[None] + 8 * np.arange(nf)[:, None, None]) % 256
+            payloads.append(encode_gif(fr.astype(np.uint8)))
         else:
             payloads.append(rng.integers(0, 256, int(rng.integers(256, 4096))).astype(np.uint8).tobytes())
     rows = {
@@ -325,7 +552,9 @@ def synth_media_table(n: int = 64, seed: int = 21) -> pa.Table:
             [
                 ("png" if i % 2 else "ppm")
                 if k == "image"
-                else {"audio": "wav", "video": "mp4"}[k]
+                else ("gif" if i % 2 else "mp4")
+                if k == "video"
+                else "wav"
                 for i, k in enumerate(kinds)
             ],
             pa.string(),
@@ -452,7 +681,10 @@ class AudioFeatures:
 
 class FrameSampler:
     """Actor stage for video rows: sample ``k`` frame indices uniformly and
-    emit one row per sampled frame (flat_map-shaped via map_batches)."""
+    emit one row per sampled frame (flat_map-shaped via map_batches).
+    ``gif`` payloads decode FOR REAL (the from-scratch LZW codec above):
+    each emitted row carries the sampled frame's mean pixel value in
+    ``frame_mean``; containers without a codec emit -1.0 there."""
 
     def __init__(self, k: int = 4):
         self.k = k
@@ -461,19 +693,32 @@ class FrameSampler:
         ids = np.asarray(K._as_array(batch["media_id"]), dtype=np.int64)
         frames = np.asarray(K._as_array(batch["n_frames"]), dtype=np.int64)
         kinds = np.asarray(K._as_array(batch["kind"]), dtype=object)
-        out_id, out_frame = [], []
+        fmts = np.asarray(K._as_array(batch["format"]), dtype=object)
+        payloads = K._as_array(batch["payload"]).to_pylist()
+        out_id, out_frame, out_mean = [], [], []
         for i in range(len(batch)):
             if kinds[i] != "video":
                 continue
             n = max(1, int(frames[i]))
             kk = min(self.k, n)
             idx = (np.arange(kk) * n // kk).astype(np.int64)
+            if fmts[i] == "gif":
+                dec, pal = decode_gif(payloads[i] or b"")
+                # sampled index clamped to the frames actually present
+                rgb = pal[dec]  # (nf, h, w, 3) via palette lookup
+                means = [
+                    float(rgb[min(int(j), len(dec) - 1)].mean()) for j in idx
+                ]
+            else:
+                means = [-1.0] * kk
             out_id.extend([int(ids[i])] * kk)
             out_frame.extend(idx.tolist())
+            out_mean.extend(means)
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.int64()),
                 "frame_index": pa.array(out_frame, pa.int64()),
+                "frame_mean": pa.array(out_mean, pa.float64()),
             }
         )
 
