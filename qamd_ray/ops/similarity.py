@@ -285,3 +285,88 @@ def ivf_query(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH (Charikar 2002) — the
+    bucketed alternative to :func:`ivf_topk` with no training pass: a
+    vector is a CANDIDATE for a query iff they share a bucket in at
+    least one of ``num_tables`` hash tables; candidates are ranked by
+    exact cosine.
+
+    Shape: plane tensor broadcast once via ``ray.put``; each batch hashes
+    its vectors for all tables vectorized, keeps only rows colliding
+    with some query bucket (queries hashed once on the driver), and
+    emits per-batch exact-cosine top-k partials — the driver merges
+    O(batches × queries × k) candidate rows.  No shuffle at all (the
+    scan is embarrassingly parallel), unlike IVF's bucketed *index*
+    which prunes the read itself; recall rises with ``num_tables``
+    exactly as in :func:`qamd_ray.ops.dedup.embedding_dup_pairs`."""
+    first = ds.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+
+    def _buckets(M: np.ndarray) -> np.ndarray:
+        # (n, num_tables) int64 bucket per table, table id in high bits
+        out = np.empty((len(M), num_tables), np.int64)
+        for t in range(num_tables):
+            signs = (M @ planes[t]) > 0
+            b = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+            out[:, t] = (np.int64(t) << num_planes) + b
+        return out
+
+    qb = _buckets(Q)  # (nq, num_tables)
+    q_ref = ray.put(Q)
+    p_ref = ray.put(planes)
+    qb_ref = ray.put(qb)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm, P, qbm = ray.get(q_ref), ray.get(p_ref), ray.get(qb_ref)
+        M = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids = batch[id_col].to_numpy()
+        vb = np.empty((len(M), len(P)), np.int64)
+        for t in range(len(P)):
+            signs = (M @ P[t]) > 0
+            b = (signs.astype(np.int64) << np.arange(P.shape[2])).sum(axis=1)
+            vb[:, t] = (np.int64(t) << P.shape[2]) + b
+        out = []
+        for qi in range(len(Qm)):
+            cand = (vb == qbm[qi][None, :]).any(axis=1)
+            if not cand.any():
+                continue
+            s = M[cand] @ Qm[qi]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[cand][part], "cosine": s[part]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return parts
+    parts = parts.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    )
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)

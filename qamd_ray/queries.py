@@ -455,6 +455,17 @@ def q_ivf_index_topk(sf_dir: str):
     return res[["query_id", "vec_id"]].astype("int64")
 
 
+def q_lsh_topk(sf_dir: str):
+    """Hyperplane-LSH bucketed approximate top-k (no SQL oracle —
+    approximate by construction; recall-vs-exact is pytest-checked)."""
+    from .ops.similarity import lsh_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = emb.limit(3).to_pandas()
+    Q = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    return lsh_topk(emb, Q, k=10, num_planes=6, num_tables=12)
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
     pairs = dedup.minhash_lsh_pairs(
@@ -1149,6 +1160,7 @@ QUERIES = {
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
     "ivf_index_topk": q_ivf_index_topk,
+    "lsh_topk": q_lsh_topk,
     "minhash_pairs": q_minhash_pairs,
     "minhash_clusters": q_minhash_clusters,
     "exact_dup_clusters": q_exact_dup_clusters,

@@ -1063,3 +1063,29 @@ def test_gif_codec_roundtrip_and_frame_sampling():
     dec, pal = multimodal.decode_gif(r["payload"])
     j = min(int(r["frame_index"]), len(dec) - 1)
     assert abs(float(pal[dec[j]].mean()) - r["frame_mean"]) < 1e-9
+
+
+def test_lsh_topk_recall_vs_exact():
+    """LSH-bucketed top-k: recall vs exact rises with table count; every
+    returned cosine equals the exact cosine for that pair (candidates
+    are ranked exactly)."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+    Q = M[:5]
+    exact = similarity.topk_cosine(emb, Q, k=10)
+    approx = similarity.lsh_topk(emb, Q, k=10, num_planes=6, num_tables=12)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    vid_to_row = {int(v): i for i, v in enumerate(df["vec_id"])}
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = approx[approx["query_id"] == qi]
+        recalls.append(len(e & set(a["vec_id"])) / len(e))
+        for _, r in a.iterrows():
+            true_cos = float(Qn[qi] @ Mn[vid_to_row[int(r["vec_id"])]])
+            assert abs(true_cos - r["cosine"]) < 1e-5
+        # the self vector always collides with itself in every table
+        assert int(df["vec_id"][qi]) in set(a["vec_id"])
+    assert np.mean(recalls) >= 0.5  # 12 tables x 6 planes on 16-dim data
