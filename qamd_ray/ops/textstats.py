@@ -203,6 +203,67 @@ def hash_split(
     )
 
 
+def balanced_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    *,
+    weights: Optional[dict] = None,
+    salt: str = "mix",
+) -> "ray.data.Dataset":
+    """Deterministic mixture rebalancing: subsample so every group's
+    expected share matches ``weights`` (integer weights; default all 1 =
+    equal shares), scaled to the largest total the scarcest group can
+    supply.  The training-data "data mixing" step: a corpus that is 90%
+    one language comes out balanced instead of resampled at random.
+
+    Row acceptance is a pure per-batch hash-threshold filter (no
+    shuffle, no state): accept iff ``md5(salt + id) < threshold[group]``
+    where ``threshold = (w_g * s * 16^8) // n_g`` rendered as fixed-width
+    lowercase hex (``s = min_g(n_g // w_g)``; a group at capacity gets an
+    accept-all sentinel).  ALL arithmetic is integer, so the DuckDB twin
+    (window count + the same hex threshold) reproduces the selection
+    bit-for-bit.  Group counts come from one tiny count-groupby whose
+    result is broadcast via ``ray.put`` — the only non-streaming step,
+    O(groups) rows."""
+    import ray as _ray
+
+    counts = {
+        r[group_col]: r["count()"]
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    if not counts:
+        return ds
+    w = {g: int((weights or {}).get(g, 1)) for g in counts}
+    if any(v <= 0 for v in w.values()):
+        raise ValueError("weights must be positive integers")
+    s = min(counts[g] // w[g] for g in counts)
+    thresholds = {}
+    for g, n in counts.items():
+        want = w[g] * s
+        if want >= n:
+            thresholds[g] = "g"  # 'g' > every md5 hex char: accept all
+        else:
+            thresholds[g] = format((want << 32) // n, "08x") + "0" * 24
+    thr_ref = _ray.put(thresholds)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        thr = _ray.get(thr_ref)
+        groups = K._as_array(batch[group_col]).to_pylist()
+        ids = K._as_array(pc.cast(batch[id_col], pa.string())).to_pylist()
+        mask = np.array(
+            [
+                hashlib.md5((salt + (i or "")).encode("utf-8", "surrogatepass")).hexdigest()
+                < thr.get(g, "")
+                for g, i in zip(groups, ids)
+            ],
+            dtype=bool,
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def rolling_fingerprints(
     text: str, window: int = 32, base: int = 257, mod: int = (1 << 31) - 1
 ) -> np.ndarray:

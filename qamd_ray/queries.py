@@ -147,6 +147,17 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_balanced_sample(sf_dir: str):
+    """Deterministic language-mixture rebalancing
+    (ops.textstats.balanced_sample): equal expected share per lang,
+    scaled to the scarcest language.  Integer-only hash-threshold
+    arithmetic, so the DuckDB twin reproduces the selection exactly."""
+    out = textstats.balanced_sample(
+        _t(sf_dir, "documents", ["doc_id", "lang"]), "lang", "doc_id"
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE-style pre-tokenizer token counts (RE2 pattern shared verbatim
     with the DuckDB oracle, so the counts are exact)."""
@@ -1142,6 +1153,7 @@ QUERIES = {
     "regex_flagged_parts": q_regex_flagged_parts,
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
+    "balanced_sample": q_balanced_sample,
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
@@ -1224,6 +1236,16 @@ ORACLES = {
     "token_counts": (
         "SELECT doc_id, CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) "
         "AS n_tokens FROM documents"
+    ),
+    "balanced_sample": (
+        "WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1), "
+        "m AS (SELECT min(n) AS s FROM c), "
+        "t AS (SELECT g, CASE WHEN n <= s THEN 'g' "
+        "  ELSE lower(lpad(hex((s * 4294967296) // n), 8, '0')) || repeat('0', 24) "
+        "  END AS thr FROM c, m) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN t ON d.lang = t.g "
+        "WHERE md5('mix' || CAST(d.doc_id AS VARCHAR)) < t.thr"
     ),
     "bpe_token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(coalesce(text, ''), "

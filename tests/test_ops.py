@@ -1089,3 +1089,33 @@ def test_lsh_topk_recall_vs_exact():
         # the self vector always collides with itself in every table
         assert int(df["vec_id"][qi]) in set(a["vec_id"])
     assert np.mean(recalls) >= 0.5  # 12 tables x 6 planes on 16-dim data
+
+
+def test_balanced_sample_weights_and_sentinel():
+    """Mixture rebalancing: scarcest group fully kept (sentinel path),
+    weighted groups land near w_g * s in expectation, selection is
+    deterministic across runs and block layouts."""
+    from qamd_ray.ops.textstats import balanced_sample
+
+    rng = np.random.default_rng(3)
+    langs = ["en"] * 900 + ["de"] * 300 + ["fr"] * 60
+    rng.shuffle(langs)
+    t = pa.table(
+        {"doc_id": pa.array(range(len(langs)), pa.int64()),
+         "lang": pa.array(langs, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = balanced_sample(ds, "lang", "doc_id").to_pandas()
+    by = out["lang"].value_counts()
+    assert by["fr"] == 60  # scarcest group: accept-all sentinel
+    # other groups target 60 each in expectation (hash variance ~ +/- 25)
+    assert 30 <= by["en"] <= 95 and 30 <= by["de"] <= 95
+    # deterministic and layout-independent
+    out2 = balanced_sample(ds.repartition(2), "lang", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # integer weights: en gets 2 shares; s = min(900//2, 300//1, 60//1)=60
+    w = balanced_sample(ds, "lang", "doc_id", weights={"en": 2}).to_pandas()
+    byw = w["lang"].value_counts()
+    assert byw["fr"] == 60 and 80 <= byw["en"] <= 160
+    with pytest.raises(ValueError):
+        balanced_sample(ds, "lang", "doc_id", weights={"en": 0})
