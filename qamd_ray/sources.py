@@ -128,6 +128,13 @@ def read_table(
         if columns:
             ds = ds.select_columns(columns)
         return ds
+    if exts <= {".jsonl", ".ndjson", ".json"}:
+        # newline-delimited JSON — the other lingua franca of corpus
+        # interchange (read_json handles both jsonl and json arrays)
+        ds = ray.data.read_json(files)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     if exts <= {".csv"}:
         # pin every column to string so cells keep their raw text — CSV
         # columns are always Text in the reference (csv/read.rs:84-91);

@@ -130,3 +130,14 @@ def test_csv_utf8_bom_header_stays_text(tmp_path, ray_session):
     assert list(df.columns) == ["a", "b"]
     assert df["a"].tolist() == ["01"]
     assert df["b"].tolist() == ["1.50"]
+
+
+def test_read_table_jsonl(tmp_path):
+    from qamd_ray.sources import read_table
+
+    with open(tmp_path / "d.jsonl", "w") as f:
+        f.write('{"repo": "r1", "content": "a"}\n{"repo": "r2", "content": "b"}\n')
+    df = read_table(str(tmp_path / "d.jsonl")).to_pandas()
+    assert sorted(df["repo"]) == ["r1", "r2"]
+    pruned = read_table(str(tmp_path / "d.jsonl"), columns=["content"]).to_pandas()
+    assert list(pruned.columns) == ["content"]
