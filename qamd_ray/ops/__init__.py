@@ -29,9 +29,9 @@ each Ray-Data-first:
                    Gopher-style repetition signals (dup-line and n-gram
                    char-coverage fractions)
 * ``multimodal`` — binary-column decode/feature stages (netpbm, WAV,
-                   from-scratch PNG (stdlib zlib) and animated-GIF
-                   (full LZW) codecs for real; jpeg/mp4 honestly
-                   stubbed)
+                   from-scratch PNG (stdlib zlib), baseline JPEG
+                   (T.81 DCT+huffman) and animated-GIF (full LZW)
+                   codecs for real; mp3/mp4/webp honestly stubbed)
 * ``codestats``  — The Stack / StarCoder per-file quality signals and
                    keep decision, RefinedWeb corpus-level boilerplate
                    line removal, CCNet head/middle/tail exact quantile

@@ -4,15 +4,19 @@ Round-2 upgrade: formats that need no external codec are decoded FOR REAL
 with the standard library —
 
 * images: netpbm **P5 (PGM) / P6 (PPM)** binary rasters (plain header
-  parse + ``np.frombuffer``) and — r3 — **PNG** (full from-scratch
-  codec over stdlib zlib: CRC-verified chunk walk, all five scanline
-  filters, grey/RGB/RGBA/palette/grey-alpha at 8 bit);
+  parse + ``np.frombuffer``); — r3 — **PNG** (full from-scratch codec
+  over stdlib zlib: CRC-verified chunk walk, all five scanline
+  filters, grey/RGB/RGBA/palette/grey-alpha at 8 bit) and **baseline
+  JPEG** (from-scratch ITU T.81: 8×8 DCT, Annex K quant/huffman
+  tables, byte stuffing; 4:4:4 + grayscale — progressive/subsampled
+  raise);
 * audio: **WAV** via the stdlib ``wave`` module (16-bit PCM);
 * video: **animated GIF** (r3 — from-scratch GIF89a LZW with the full
   variable-width dictionary: CLEAR, KwKwK, overflow reset; palette +
   frame compositing), so frame sampling decodes real frames.
 
-Codecs with no stdlib decompressor (jpeg/mp3/mp4…) stay honest stubs:
+Codecs with no feasible from-scratch path here (mp3/mp4/webp…) stay
+honest stubs:
 ``fake=False`` raises ``NotImplementedError`` for them, and
 ``fake=True`` substitutes the deterministic payload-hash-seeded stand-in.
 Everything around decode — the Arrow schema, actor-pool stage shape,
@@ -593,9 +597,14 @@ class ImageDecoder:
         ws = np.asarray(K._as_array(batch["width"]), dtype=np.int64)
         means, stds, thumbs = [], [], []
         for p, fmt, h, w in zip(payloads, fmts, hs, ws):
-            if fmt in ("ppm", "pgm", "png"):
+            if fmt in ("ppm", "pgm", "png", "jpeg", "jpg"):
                 try:
-                    img = decode_netpbm(p or b"") if fmt != "png" else decode_png(p or b"")
+                    if fmt == "png":
+                        img = decode_png(p or b"")
+                    elif fmt in ("jpeg", "jpg"):
+                        img = decode_jpeg(p or b"")
+                    else:
+                        img = decode_netpbm(p or b"")
                 except ValueError:
                     # valid-but-unsupported variants (16-bit / interlaced
                     # PNG) and corrupt payloads: tolerant mode falls back
@@ -760,3 +769,394 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (from scratch: 8x8 DCT + Annex K huffman; ITU T.81)
+# ---------------------------------------------------------------------------
+# Supports baseline sequential 8-bit, 4:4:4 or grayscale, no restart
+# markers; progressive / subsampled / 12-bit raise loudly.  Quant tables,
+# huffman specs and the quality scaling are the JPEG standard's Annex K
+# examples (public domain tables every encoder ships).
+
+import struct as _struct
+
+
+# ---- 8x8 DCT-II orthonormal matrix ----
+_DCT8 = np.zeros((8, 8), np.float64)
+for k in range(8):
+    for n in range(8):
+        _DCT8[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16) * (np.sqrt(0.125) if k == 0 else 0.5)
+
+_JZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# Annex K quant tables (luminance, chrominance)
+_JQL = np.array([
+    16,11,10,16,24,40,51,61, 12,12,14,19,26,58,60,55,
+    14,13,16,24,40,57,69,56, 14,17,22,29,51,87,80,62,
+    18,22,37,56,68,109,103,77, 24,35,55,64,81,104,113,92,
+    49,64,78,87,103,121,120,101, 72,92,95,98,112,100,103,99], np.int64)
+_JQC = np.array([
+    17,18,24,47,99,99,99,99, 18,21,26,66,99,99,99,99,
+    24,26,56,99,99,99,99,99, 47,66,99,99,99,99,99,99,
+    99,99,99,99,99,99,99,99, 99,99,99,99,99,99,99,99,
+    99,99,99,99,99,99,99,99, 99,99,99,99,99,99,99,99], np.int64)
+
+# Annex K huffman specs: (bits[1..16], huffval)
+_JDC_L_BITS = [0,0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0]
+_JDC_L_VALS = list(range(12))
+_JDC_C_BITS = [0,0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0]
+_JDC_C_VALS = list(range(12))
+_JAC_L_BITS = [0,0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7d]
+_JAC_L_VALS = [
+0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,0x61,0x07,
+0x22,0x71,0x14,0x32,0x81,0x91,0xa1,0x08,0x23,0x42,0xb1,0xc1,0x15,0x52,0xd1,0xf0,
+0x24,0x33,0x62,0x72,0x82,0x09,0x0a,0x16,0x17,0x18,0x19,0x1a,0x25,0x26,0x27,0x28,
+0x29,0x2a,0x34,0x35,0x36,0x37,0x38,0x39,0x3a,0x43,0x44,0x45,0x46,0x47,0x48,0x49,
+0x4a,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,0x69,
+0x6a,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7a,0x83,0x84,0x85,0x86,0x87,0x88,0x89,
+0x8a,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,0xa6,0xa7,
+0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,0xc2,0xc3,0xc4,0xc5,
+0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,0xd7,0xd8,0xd9,0xda,0xe1,0xe2,
+0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf1,0xf2,0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,
+0xf9,0xfa]
+_JAC_C_BITS = [0,0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,0x77]
+_JAC_C_VALS = [
+0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,0x61,0x71,
+0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xa1,0xb1,0xc1,0x09,0x23,0x33,0x52,0xf0,
+0x15,0x62,0x72,0xd1,0x0a,0x16,0x24,0x34,0xe1,0x25,0xf1,0x17,0x18,0x19,0x1a,0x26,
+0x27,0x28,0x29,0x2a,0x35,0x36,0x37,0x38,0x39,0x3a,0x43,0x44,0x45,0x46,0x47,0x48,
+0x49,0x4a,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5a,0x63,0x64,0x65,0x66,0x67,0x68,
+0x69,0x6a,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7a,0x82,0x83,0x84,0x85,0x86,0x87,
+0x88,0x89,0x8a,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9a,0xa2,0xa3,0xa4,0xa5,
+0xa6,0xa7,0xa8,0xa9,0xaa,0xb2,0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xba,0xc2,0xc3,
+0xc4,0xc5,0xc6,0xc7,0xc8,0xc9,0xca,0xd2,0xd3,0xd4,0xd5,0xd6,0xd7,0xd8,0xd9,0xda,
+0xe2,0xe3,0xe4,0xe5,0xe6,0xe7,0xe8,0xe9,0xea,0xf2,0xf3,0xf4,0xf5,0xf6,0xf7,0xf8,
+0xf9,0xfa]
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical huffman: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _JpegBitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError("unexpected marker in entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self):
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_category(v):
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _jpeg_amp_bits(v, cat):
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _jpeg_extend(v, cat):
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_encode_blocks(blocks, q, dc_tab, ac_tab, bw, dc_pred):
+    for blk in blocks:
+        coefs = np.round((_DCT8 @ blk @ _DCT8.T) / q.reshape(8, 8)).astype(np.int64)
+        zz = coefs.reshape(-1)[_JZZ]
+        diff = int(zz[0]) - dc_pred
+        dc_pred = int(zz[0])
+        cat = _jpeg_category(diff)
+        c, ln = dc_tab[cat]
+        bw.put(c, ln)
+        if cat:
+            bw.put(_jpeg_amp_bits(diff, cat), cat)
+        run = 0
+        for i in range(1, 64):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_tab[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            c, ln = ac_tab[(run << 4) | cat]
+            bw.put(c, ln)
+            bw.put(_jpeg_amp_bits(v, cat), cat)
+            run = 0
+        if run:
+            c, ln = ac_tab[0x00]
+            bw.put(c, ln)
+    return dc_pred
+
+
+def encode_jpeg(img, quality=90):
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    # quality-scale quant tables (IJG formula)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JQL * s + 50) // 100, 1, 255)
+    qc = np.clip((_JQC * s + 50) // 100, 1, 255)
+    if gray:
+        comps = [img.astype(np.float64) - 128.0]
+        qs = [ql]
+    else:
+        r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+        qs = [ql, qc, qc]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT
+    zl = np.zeros(64, np.uint8); zl[:] = ql.reshape(-1)[_JZZ]
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + zl.tobytes()
+    if not gray:
+        zc = np.zeros(64, np.uint8); zc[:] = qc.reshape(-1)[_JZZ]
+        out += b"\xff\xdb" + _struct.pack(">HB", 67, 1) + zc.tobytes()
+    # SOF0
+    nc = 1 if gray else 3
+    sof = _struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += _struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+    out += dht(0, 0, _JDC_L_BITS, _JDC_L_VALS) + dht(1, 0, _JAC_L_BITS, _JAC_L_VALS)
+    if not gray:
+        out += dht(0, 1, _JDC_C_BITS, _JDC_C_VALS) + dht(1, 1, _JAC_C_BITS, _JAC_C_VALS)
+    # SOS
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+    # entropy: interleave MCUs (1x1 sampling => one block per comp per MCU)
+    bw = _JpegBitWriter()
+    dcl = _jpeg_huff_codes(_JDC_L_BITS, _JDC_L_VALS)
+    acl = _jpeg_huff_codes(_JAC_L_BITS, _JAC_L_VALS)
+    dcc = _jpeg_huff_codes(_JDC_C_BITS, _JDC_C_VALS)
+    acc = _jpeg_huff_codes(_JAC_C_BITS, _JAC_C_VALS)
+    padded = []
+    for comp in comps:
+        p = np.zeros((ph, pw), np.float64)
+        p[:h, :w] = comp
+        p[h:, :w] = comp[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    preds = [0] * len(comps)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, comp in enumerate(padded):
+                blk = comp[by : by + 8, bx : bx + 8]
+                dt, at = (dcl, acl) if ci == 0 else (dcc, acc)
+                preds[ci] = _jpeg_encode_blocks([blk], qs[ci].astype(np.float64), dt, at, bw, preds[ci])
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_decoder_table(bits, vals):
+    """{(length, code): symbol}"""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_read_code(br, table):
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("bad huffman code")
+
+
+def decode_jpeg(payload):
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    hts = {}
+    sof = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = _struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tab = np.zeros(64, np.int64)
+                tab[_JZZ] = np.frombuffer(body[p + 1 : p + 65], np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = [0] + list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                hts[(cls, tid)] = _jpeg_decoder_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, nc = _struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF marker 0xff{marker:02x} (baseline only)")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scomp = []
+            for ci in range(ns):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scomp.append((cid, tabs >> 4, tabs & 15))
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = sof
+            data = payload[pos + seglen :]
+            # entropy data runs until next real marker (EOI) — BitReader
+            # handles stuffing; find EOI to bound
+            br = _JpegBitReader(data)
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            planes = [np.zeros((ph, pw), np.float64) for _ in comps]
+            preds = [0] * len(comps)
+            qmap = {cid: qt[tq] for cid, tq in comps}
+            for by in range(0, ph, 8):
+                for bx in range(0, pw, 8):
+                    for ci, (cid, dct, act) in enumerate(scomp):
+                        dc_tab = hts[(0, dct)]
+                        ac_tab = hts[(1, act)]
+                        zz = np.zeros(64, np.int64)
+                        cat = _jpeg_read_code(br, dc_tab)
+                        diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            rs = _jpeg_read_code(br, ac_tab)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                i += 16
+                                continue
+                            run, cat = rs >> 4, rs & 15
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC coefficient overflow")
+                            zz[i] = _jpeg_extend(br.bits(cat), cat)
+                            i += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[_JZZ] = zz
+                        coefs = blk.reshape(8, 8) * qmap[cid]
+                        planes[ci][by : by + 8, bx : bx + 8] = _DCT8.T @ coefs @ _DCT8
+                    # (1x1 sampling: one block per component per MCU)
+            if len(comps) == 1:
+                out = np.clip(planes[0][:h, :w] + 128.0, 0, 255)
+                return out.astype(np.uint8)
+            y, cb, cr = (p[:h, :w] for p in planes)
+            y = y + 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+        # APPn/COM/etc: skip
+        pos += seglen
+    raise ValueError("no scan data in JPEG")
+
+

@@ -291,10 +291,13 @@ def test_multimodal_plumbing():
         )
 
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecoder(fake=False)(_row("jpeg", b"xx"))
-    # png has a REAL codec now: garbage payload is a decode error, not a stub
+        multimodal.ImageDecoder(fake=False)(_row("webp", b"xx"))
+    # png/jpeg have REAL codecs now: garbage payloads are decode errors,
+    # not stubs
     with pytest.raises(ValueError):
         multimodal.ImageDecoder(fake=False)(_row("png", b"xx"))
+    with pytest.raises(ValueError):
+        multimodal.ImageDecoder(fake=False)(_row("jpeg", b"xx"))
 
 
 def test_multimodal_real_codecs():
@@ -1119,3 +1122,45 @@ def test_balanced_sample_weights_and_sentinel():
     assert byw["fr"] == 60 and 80 <= byw["en"] <= 160
     with pytest.raises(ValueError):
         balanced_sample(ds, "lang", "doc_id", weights={"en": 0})
+
+
+def test_jpeg_codec_roundtrip():
+    """From-scratch baseline JPEG: smooth images round-trip within the
+    quantization error budget; grey/RGB/odd dims; unsupported variants
+    and garbage raise ValueError; ImageDecoder decodes jpeg for real."""
+    x = np.linspace(0, 4 * np.pi, 64)
+    smooth = (127 + 100 * np.outer(np.sin(x), np.cos(x))).astype(np.uint8)
+    dec = multimodal.decode_jpeg(multimodal.encode_jpeg(smooth, quality=95))
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 6
+
+    rgb = np.stack([smooth, smooth.T, 255 - smooth], axis=2)
+    dec2 = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, quality=95))
+    assert dec2.shape == rgb.shape
+    assert np.abs(dec2.astype(int) - rgb.astype(int)).mean() < 4
+
+    rng = np.random.default_rng(5)
+    odd = rng.integers(0, 256, (13, 9)).astype(np.uint8)  # non-multiple-of-8
+    dec3 = multimodal.decode_jpeg(multimodal.encode_jpeg(odd, quality=90))
+    assert dec3.shape == (13, 9)
+
+    p = multimodal.encode_jpeg(rgb)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(p[: len(p) // 2])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(b"not a jpeg")
+
+    # the decode stage path: real stats, not the stand-in
+    row = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "format": pa.array(["jpeg"], pa.string()),
+            "width": pa.array([rgb.shape[1]], pa.int32()),
+            "height": pa.array([rgb.shape[0]], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+            "payload": pa.array([multimodal.encode_jpeg(rgb, quality=95)], pa.binary()),
+        }
+    )
+    out = multimodal.ImageDecoder(resize=None, fake=False)(row)
+    assert abs(out["pix_mean"][0].as_py() - dec2.mean()) < 1e-9
