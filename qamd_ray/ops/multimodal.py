@@ -1049,6 +1049,17 @@ def _jpeg_read_code(br, table):
 
 
 def decode_jpeg(payload):
+    """Baseline JPEG bytes → uint8 (h,w) grey / (h,w,3) RGB.  Single
+    failure type on untrusted input: every malformed stream raises
+    ValueError (the wrapper converts residual Index/Key/struct errors
+    from corrupt segment tables — fuzz-tested over mutated payloads)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError, OverflowError, _struct.error) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(payload):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1072,6 +1083,8 @@ def decode_jpeg(payload):
                 pq, tq = body[p] >> 4, body[p] & 15
                 if pq != 0:
                     raise ValueError("16-bit quant tables not supported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 tab = np.zeros(64, np.int64)
                 tab[_JZZ] = np.frombuffer(body[p + 1 : p + 65], np.uint8)
                 qt[tq] = tab.reshape(8, 8)
@@ -1082,6 +1095,8 @@ def decode_jpeg(payload):
                 cls, tid = body[p] >> 4, body[p] & 15
                 bits = [0] + list(body[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[p + 17 : p + 17 + n])
                 hts[(cls, tid)] = _jpeg_decoder_table(bits, vals)
                 p += 17 + n
@@ -1089,6 +1104,8 @@ def decode_jpeg(payload):
             prec, h, w, nc = _struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -1102,6 +1119,8 @@ def decode_jpeg(payload):
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
             scomp = []
             for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
@@ -1116,6 +1135,12 @@ def decode_jpeg(payload):
             ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
             planes = [np.zeros((ph, pw), np.float64) for _ in comps]
             preds = [0] * len(comps)
+            for cid, tq in comps:
+                if tq not in qt:
+                    raise ValueError(f"SOF references missing quant table {tq}")
+            for _, dct, act in scomp:
+                if (0, dct) not in hts or (1, act) not in hts:
+                    raise ValueError("SOS references missing huffman table")
             qmap = {cid: qt[tq] for cid, tq in comps}
             for by in range(0, ph, 8):
                 for bx in range(0, pw, 8):
@@ -1124,6 +1149,8 @@ def decode_jpeg(payload):
                         ac_tab = hts[(1, act)]
                         zz = np.zeros(64, np.int64)
                         cat = _jpeg_read_code(br, dc_tab)
+                        if cat > 15:
+                            raise ValueError(f"bad DC category {cat}")
                         diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
                         preds[ci] += diff
                         zz[0] = preds[ci]

@@ -1164,3 +1164,34 @@ def test_jpeg_codec_roundtrip():
     )
     out = multimodal.ImageDecoder(resize=None, fake=False)(row)
     assert abs(out["pix_mean"][0].as_py() - dec2.mean()) < 1e-9
+
+
+def test_codec_fuzz_single_failure_type():
+    """Untrusted-bytes contract: every mutated payload either decodes or
+    raises ValueError — never IndexError/KeyError/OverflowError/zlib or
+    struct errors (these decoders run over corpus binary columns)."""
+    rng = np.random.default_rng(17)
+    x = np.linspace(0, 12, 24)
+    img = (127 + 100 * np.outer(np.sin(x), np.cos(x))).astype(np.uint8)
+    rgb = np.stack([img, img.T, 255 - img], axis=2)
+    cases = [
+        (multimodal.decode_png, multimodal.encode_png(rgb, filter_type=4)),
+        (multimodal.decode_gif, multimodal.encode_gif(np.stack([img, img.T]))),
+        (multimodal.decode_jpeg, multimodal.encode_jpeg(rgb, quality=80)),
+        (multimodal.decode_netpbm, multimodal.encode_netpbm(rgb)),
+    ]
+    for dec, seed in cases:
+        for _ in range(60):
+            b = bytearray(seed)
+            for _ in range(int(rng.integers(1, 8))):
+                op = int(rng.integers(0, 3))
+                if op == 0 and len(b) > 1:
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+                elif op == 1 and len(b) > 10:
+                    del b[int(rng.integers(0, len(b)))]
+                else:
+                    b.insert(int(rng.integers(0, len(b))), int(rng.integers(0, 256)))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
