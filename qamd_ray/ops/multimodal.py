@@ -693,10 +693,13 @@ class FrameSampler:
     emit one row per sampled frame (flat_map-shaped via map_batches).
     ``gif`` payloads decode FOR REAL (the from-scratch LZW codec above):
     each emitted row carries the sampled frame's mean pixel value in
-    ``frame_mean``; containers without a codec emit -1.0 there."""
+    ``frame_mean``; containers without a codec emit -1.0 there, and so
+    do corrupt gif payloads unless ``strict=True`` (one bad row must
+    not kill a corpus-scale batch)."""
 
-    def __init__(self, k: int = 4):
+    def __init__(self, k: int = 4, strict: bool = False):
         self.k = k
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(K._as_array(batch["media_id"]), dtype=np.int64)
@@ -712,12 +715,17 @@ class FrameSampler:
             kk = min(self.k, n)
             idx = (np.arange(kk) * n // kk).astype(np.int64)
             if fmts[i] == "gif":
-                dec, pal = decode_gif(payloads[i] or b"")
-                # sampled index clamped to the frames actually present
-                rgb = pal[dec]  # (nf, h, w, 3) via palette lookup
-                means = [
-                    float(rgb[min(int(j), len(dec) - 1)].mean()) for j in idx
-                ]
+                try:
+                    dec, pal = decode_gif(payloads[i] or b"")
+                    # sampled index clamped to the frames actually present
+                    rgb = pal[dec]  # (nf, h, w, 3) via palette lookup
+                    means = [
+                        float(rgb[min(int(j), len(dec) - 1)].mean()) for j in idx
+                    ]
+                except ValueError:
+                    if self.strict:
+                        raise
+                    means = [-1.0] * kk
             else:
                 means = [-1.0] * kk
             out_id.extend([int(ids[i])] * kk)

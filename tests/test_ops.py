@@ -1195,3 +1195,21 @@ def test_codec_fuzz_single_failure_type():
                 dec(bytes(b))
             except ValueError:
                 pass
+
+
+def test_frame_sampler_tolerates_corrupt_gif():
+    row = pa.table(
+        {
+            "media_id": pa.array([9], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "format": pa.array(["gif"], pa.string()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([6], pa.int32()),
+            "payload": pa.array([b"GIF89a\x00\x01"], pa.binary()),
+        }
+    )
+    out = multimodal.FrameSampler(k=3)(row)
+    assert out["frame_mean"].to_pylist() == [-1.0] * 3  # tolerant default
+    with pytest.raises(ValueError):
+        multimodal.FrameSampler(k=3, strict=True)(row)
