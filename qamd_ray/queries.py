@@ -559,6 +559,22 @@ def q_embedding_dups(sf_dir: str):
     )
 
 
+def q_media_decode_stats(sf_dir: str):
+    """Multimodal decode stage over the deterministic synthetic media
+    table (no media table exists in the sf testdata; the synth rows are
+    REAL payloads — PPM/PNG images, WAV audio, GIF animations — so this
+    exercises the from-scratch codecs under the driver).  Rows-only by
+    design: pixel stats have no SQL twin."""
+    from .ops import multimodal
+
+    ds = ray.data.from_arrow(multimodal.synth_media_table(64, seed=21))
+    out = multimodal.decode_stats(ds, resize=None)
+    return out.map_batches(
+        lambda b: b.select(["media_id", "pix_mean", "pix_std"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style k-means + within-cluster cosine dedup over the
     embeddings table (no SQL oracle — k-means; rows-only check: one row
@@ -1182,6 +1198,7 @@ QUERIES = {
     "common_spans": q_common_spans,
     "embedding_dups": q_embedding_dups,
     "semantic_dedup": q_semantic_dedup,
+    "media_decode_stats": q_media_decode_stats,
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
     "decontaminate_docs": q_decontaminate_docs,
