@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .. import kernels as K
 from .joins import _coerce_cols, _compact, _shuffle_partitions
@@ -119,6 +119,155 @@ def duplicate_groups(
         .aggregate(Count(alias_name="n"), Min(id_col, alias_name="min_id"))
     )
     return agg.filter(expr="n > 1")
+
+
+# ---------------------------------------------------------------------------
+# keep-first span dedup (paragraph / line granularity)
+# ---------------------------------------------------------------------------
+
+# Span index bound: winner keys encode global order as id * 2^21 + index,
+# so a document may hold at most 2^21 spans and ids must fit 42 bits.
+_SPAN_IDX_LIMIT = 1 << 21
+
+
+def dedup_spans(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    *,
+    removed_col: str = "n_removed",
+    min_len: int = 1,
+    winners: Optional[tuple] = None,
+    cache: bool = True,
+    spill_dir: Optional[str] = None,
+    driver_merge_threshold: int = 5_000_000,
+    max_winner_rows: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """Corpus-wide KEEP-FIRST sub-document dedup (RefinedWeb §3.2 /
+    MassiveText-style exact paragraph dedup; C4 §2.2 removes repeated
+    three-sentence spans the same way): split ``content_col`` on ``sep``,
+    and for every span string occurring more than once in the corpus keep
+    only its globally-first occurrence — ordered by ``(id, span index)``
+    — rewriting the content with the survivors.  Differs from
+    :func:`qamd_ray.ops.codestats.drop_common_lines`, which drops EVERY
+    occurrence of over-common lines including the first.
+
+    Spans shorter than ``min_len`` characters (blank spans, for the
+    default) always survive.  Within-document repeats dedup the same way
+    (the first index wins).  Adds ``removed_col`` (spans removed per doc).
+
+    Scale shape: pass 1 ships one ``(span, min_key, count)`` row per
+    DISTINCT span per batch through one hash groupby (repeated
+    boilerplate collapses before the exchange); only spans with a global
+    count ≥ 2 are broadcast for the rewrite — O(duplicated spans), the
+    same small-side assumption as the exact-dedup winner map, guarded by
+    ``max_winner_rows`` (a corpus beyond it needs the join-based rewrite,
+    like the flagship's winner-table fallback).  The final reduction is
+    size-routed like :func:`qamd_ray.ops.codestats.common_lines`: a
+    driver-side Arrow ``group_by`` under ``driver_merge_threshold``
+    partial rows, the distributed groupby above it.  Two passes over the
+    input: ``spill_dir`` parquet-caches it (the 100-TB path), else
+    ``cache=True`` pins blocks via ``materialize()``.
+    """
+    import ray as _ray
+
+    if winners is None:
+        if spill_dir is not None:
+            import os as _os
+
+            if _os.path.isdir(spill_dir) and _os.listdir(spill_dir):
+                raise ValueError(
+                    f"spill_dir {spill_dir!r} is not empty; pass a fresh "
+                    "directory per call"
+                )
+            ds.write_parquet(spill_dir)
+            ds = ray.data.read_parquet(spill_dir)
+        elif cache:
+            ds = ds.materialize()
+
+    def _explode(batch: pa.Table):
+        """flat span array + int64 (id*LIMIT + index) keys + doc index."""
+        spans = pc.split_pattern(pc.fill_null(batch[content_col], ""), sep)
+        sizes = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(K._as_array(pc.cast(batch[id_col], pa.int64())))
+        if sizes.size and sizes.max() > _SPAN_IDX_LIMIT:
+            raise ValueError(
+                f"document with {sizes.max()} spans exceeds the "
+                f"{_SPAN_IDX_LIMIT}-span winner-key encoding"
+            )
+        if ids.size and (ids.min() < 0 or ids.max() >= (1 << 42)):
+            raise ValueError(f"{id_col} must be in [0, 2^42) for winner-key encoding")
+        docx = np.repeat(np.arange(len(batch), dtype=np.int64), sizes)
+        starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+        idx = np.arange(docx.size, dtype=np.int64) - starts
+        key = ids[docx] * _SPAN_IDX_LIMIT + idx
+        flat = pc.list_flatten(spans).combine_chunks()
+        return flat, key, docx, sizes
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, key, _, _ = _explode(batch)
+        tb = pa.table({"span": flat, "k": pa.array(key)})
+        tb = tb.filter(pc.greater_equal(pc.utf8_length(tb["span"]), min_len))
+        agg = tb.group_by("span").aggregate([("k", "min"), ("k", "count")])
+        return agg.select(["span", "k_min", "k_count"]).rename_columns(
+            ["span", "k", "n"]
+        )
+
+    if winners is None:
+        partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+        if partials.count() <= driver_merge_threshold:
+            tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+            if tabs:
+                allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+                g = allp.group_by("span").aggregate([("k", "min"), ("n", "sum")])
+                q = g.filter(pc.greater_equal(g["n_sum"], 2))
+                winners = (q["span"].combine_chunks(), q["k_min"].to_numpy())
+            else:
+                winners = (pa.array([], pa.string()), np.empty(0, np.int64))
+        else:
+            agg = (
+                partials.groupby("span")
+                .aggregate(Min("k", alias_name="k"), Sum("n", alias_name="n"))
+                .filter(expr="n >= 2")
+                .materialize()
+            )
+            if agg.count() > max_winner_rows:
+                raise ValueError(
+                    f"duplicated-span set ({agg.count()}) exceeds "
+                    f"max_winner_rows={max_winner_rows}; use a join-based rewrite"
+                )
+            tabs = [t for t in _ray.get(agg.to_arrow_refs()) if t.num_rows]
+            if tabs:
+                allw = pa.concat_tables([t.combine_chunks() for t in tabs])
+                winners = (allw["span"].combine_chunks(), allw["k"].to_numpy())
+            else:
+                winners = (pa.array([], pa.string()), np.empty(0, np.int64))
+    wref = _ray.put(winners)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        w_spans, w_keys = _ray.get(wref)
+        flat, key, docx, sizes = _explode(batch)
+        drop = np.zeros(len(flat), dtype=bool)
+        if len(w_keys) and len(flat):
+            # winners all satisfy min_len, and string equality implies
+            # equal length — eligibility needs no separate mask here
+            pos = pc.fill_null(pc.index_in(flat, value_set=w_spans), -1)
+            posi = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+            found = posi >= 0
+            drop[found] = w_keys[posi[found]] != key[found]
+        removed = np.bincount(docx[drop], minlength=len(batch)).astype(np.int64)
+        offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(sizes - removed, out=offsets[1:])
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(~drop))
+        )
+        content = pc.binary_join(kept_lists, sep)
+        out = batch.drop_columns([content_col])
+        out = out.append_column(content_col, content)
+        return out.append_column(removed_col, pa.array(removed, pa.int64()))
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -920,6 +920,21 @@ def q_boilerplate_scrub(sf_dir: str):
     )
 
 
+def q_span_dedup(sf_dir: str):
+    """Corpus-wide KEEP-FIRST span dedup (RefinedWeb §3.2 / MassiveText
+    exact paragraph dedup; ops.dedup.dedup_spans) over the boilerplate
+    view at line granularity: every line occurring more than once keeps
+    only its globally-first occurrence by (doc_id, line index).  The
+    complement of boilerplate_scrub (which drops ALL occurrences above a
+    threshold); winner keys encode global order as id*2^21+idx so the
+    DuckDB ROW_NUMBER twin is hash-exact."""
+    from .ops.dedup import dedup_spans
+
+    return dedup_spans(
+        _boilerplate_view(sf_dir), content_col="content", id_col="doc_id", sep="\n"
+    )
+
+
 def q_comment_stats(sf_dir: str):
     """SantaCoder comment-to-code signal (ops.codestats.comment_stats)
     over a deterministic comment-bearing view of documents (a ``# hdr``
@@ -1214,6 +1229,7 @@ QUERIES = {
     "quality_repo_report": q_quality_repo_report,
     "stack_filters": q_stack_filters,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "span_dedup": q_span_dedup,
     "length_buckets": q_length_buckets,
     "comment_stats": q_comment_stats,
     "secret_scan": q_secret_scan,
@@ -1499,6 +1515,25 @@ ORACLES = {
         "    - len(list_filter(string_split(v.content, chr(10)),"
         "          x -> x = '' OR NOT list_contains(cl.arr, x))) AS BIGINT) AS n_removed "
         "FROM v, cl"
+    ),
+    "span_dedup": (
+        "WITH v AS ("
+        "  SELECT doc_id,"
+        "    '// repo: ' || source || chr(10) || '// lang: ' || coalesce(lang, '')"
+        "    || chr(10) || '// sz ' || CAST(length(coalesce(text, '')) // 100 AS VARCHAR)"
+        "    || chr(10) || coalesce(text, '') AS content FROM documents"
+        "), p AS ("
+        "  SELECT doc_id, unnest(string_split(content, chr(10))) AS span,"
+        "         generate_subscripts(string_split(content, chr(10)), 1) AS idx FROM v"
+        "), k AS ("
+        "  SELECT doc_id, span, idx,"
+        "    (span = '' OR ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) = 1)"
+        "    AS keep FROM p) "
+        "SELECT doc_id,"
+        "  coalesce(string_agg(CASE WHEN keep THEN span END, chr(10) ORDER BY idx), '')"
+        "    AS content,"
+        "  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed "
+        "FROM k GROUP BY doc_id"
     ),
     "comment_stats": (
         "WITH v AS (SELECT doc_id, '# hdr' || chr(10)"

@@ -1213,3 +1213,59 @@ def test_frame_sampler_tolerates_corrupt_gif():
     assert out["frame_mean"].to_pylist() == [-1.0] * 3  # tolerant default
     with pytest.raises(ValueError):
         multimodal.FrameSampler(k=3, strict=True)(row)
+
+
+def _span_dedup_expected(docs: pd.DataFrame, sep: str) -> pd.DataFrame:
+    """Scalar keep-first reference: global (doc_id, idx) order."""
+    seen: set[str] = set()
+    rows = []
+    for _, r in docs.sort_values("doc_id").iterrows():
+        kept, removed = [], 0
+        for span in (r["content"] or "").split(sep):
+            if span == "":
+                kept.append(span)
+            elif span in seen:
+                removed += 1
+            else:
+                seen.add(span)
+                kept.append(span)
+        rows.append((r["doc_id"], sep.join(kept), removed))
+    return pd.DataFrame(rows, columns=["doc_id", "content", "n_removed"])
+
+
+@pytest.mark.parametrize("mode", ["driver", "distributed", "spill"])
+def test_dedup_spans_keep_first(mode, tmp_path):
+    rng = np.random.default_rng(7)
+    paras = [f"para {i}" for i in range(40)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(60, dtype=np.int64),
+            "content": [
+                "\n\n".join(rng.choice(paras, size=rng.integers(1, 6)))
+                for _ in range(60)
+            ],
+        }
+    )
+    docs.loc[3, "content"] = "solo\n\nsolo\n\n\n\nsolo"  # within-doc repeats + blanks
+    docs.loc[5, "content"] = ""
+    ds = ray.data.from_pandas(docs).repartition(5)
+    kwargs = {}
+    if mode == "distributed":
+        kwargs["driver_merge_threshold"] = 0  # force the groupby path
+    if mode == "spill":
+        kwargs["spill_dir"] = str(tmp_path / "spans")
+    out = (
+        dedup.dedup_spans(ds, content_col="content", sep="\n\n", **kwargs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _span_dedup_expected(docs, "\n\n")
+    pd.testing.assert_frame_equal(out[["doc_id", "content", "n_removed"]], exp,
+                                  check_dtype=False)
+
+
+def test_dedup_spans_guards():
+    docs = pd.DataFrame({"doc_id": [-1], "content": ["a"]})
+    with pytest.raises(Exception):
+        dedup.dedup_spans(ray.data.from_pandas(docs), sep="\n").to_pandas()
