@@ -48,6 +48,66 @@ def token_count(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+#: Whitespace class shared with the DuckDB twin: RE2's ``\s`` is exactly
+#: ``[\t\n\f\r ]`` while Python's ``str``-mode ``\s`` also matches Unicode
+#: whitespace — spelling the class out keeps all three engines identical.
+_WS_CLASS = "[ \t\n\f\r]+"
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    *,
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+) -> "ray.data.Dataset":
+    """Adds ``out_col``: Unicode-NFC canonicalized text, optionally
+    lowercased and whitespace-collapsed — the canonical form CCNet
+    (Wenzek et al. 2019 §3) and most dedup pipelines apply before
+    hashing/fingerprinting, as its own reusable stage.
+
+    Pipeline: ``lower → collapse [ \\t\\n\\f\\r]+ to one space → trim
+    edge spaces → NFC``.  Lower/collapse/trim are Arrow kernels
+    (``utf8_lower`` / ``replace_substring_regex`` / ``utf8_trim``); NFC
+    runs LAST because Arrow's ``utf8_lower`` (utf8proc full case
+    mapping) emits DECOMPOSED output ('É' → 'e' + U+0301) while
+    DuckDB's ``lower`` keeps precomposed 'é' — composing at the end
+    converges both (whitespace is NFC-inert, so collapse/trim order
+    doesn't matter).  pyarrow 16.1's ``utf8_normalize`` never COMPOSES
+    (measured: NFC of 'é' returns 'e'+U+0301 — decompose-only), so the
+    NFC step is CPython ``unicodedata.normalize`` behind a vectorized
+    non-ASCII RE2 prefilter: pure-ASCII rows (the overwhelming majority
+    of web text after lowering) never touch Python, matching the
+    scrubber's prefilter idiom.  The exact DuckDB twin is
+    ``nfc_normalize(trim(regexp_replace(lower(x), '[ \\t\\n\\f\\r]+',
+    ' ', 'g'), ' '))``: both NFCs implement UAX #15, so the match is
+    byte-exact including non-ASCII (pytest covers combining marks,
+    precomposed characters and NBSP, which deliberately survives — it
+    is not in the collapse class)."""
+    import unicodedata
+
+    def _f(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch[text_col], "")
+        if lowercase:
+            s = pc.utf8_lower(s)
+        if collapse_whitespace:
+            s = pc.utf8_trim(pc.replace_substring_regex(s, _WS_CLASS, " "), " ")
+        s = K._as_array(s)
+        nonascii = pc.match_substring_regex(s, "[^\x00-\x7f]").to_numpy(
+            zero_copy_only=False
+        )
+        hits = np.flatnonzero(nonascii)
+        if hits.size:
+            vals = s.to_pylist()
+            for i in hits:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            s = pa.array(vals, pa.string())
+        return batch.append_column(out_col, s)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 #: GPT-2-style pre-tokenizer pattern, simplified to be lookahead-free so
 #: the SAME RE2 pattern runs in pyarrow's count_substring_regex and in
 #: DuckDB's regexp_extract_all (both RE2): a token is an optionally

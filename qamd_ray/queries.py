@@ -194,6 +194,24 @@ def q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars_m", "n_tokens"])
 
 
+def q_normalized_docs(sf_dir: str):
+    """CCNet-style text canonicalization (ops.textstats.normalize_text):
+    NFC → lower → whitespace collapse → trim, all Arrow kernels.  The
+    DuckDB twin runs the same utf8proc NFC + RE2 collapse, so the hash
+    check compares the normalized STRINGS byte-for-byte (non-ASCII
+    agreement is pytest-covered; this corpus exercises the collapse)."""
+    out = textstats.normalize_text(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars_norm", pc.cast(pc.utf8_length(batch["norm_text"]), pa.int64())
+        )
+
+    return out.map_batches(_len, batch_format="pyarrow").select_columns(
+        ["doc_id", "norm_text", "n_chars_norm"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # classic aggregates / windows (shuffle + streaming-shaped coverage)
 # ---------------------------------------------------------------------------
@@ -1188,6 +1206,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
+    "normalized_docs": q_normalized_docs,
     "leakage_safe_split": q_leakage_safe_split,
     "pricing_summary": q_pricing_summary,
     "orders_per_customer": q_orders_per_customer,
@@ -1294,6 +1313,12 @@ ORACLES = {
         "SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars_m, "
         "CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens "
         "FROM documents"
+    ),
+    "normalized_docs": (
+        "SELECT doc_id, nfc_normalize(trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[ \t\n\f\r]+', ' ', 'g'), ' ')) AS norm_text, "
+        "CAST(length(nfc_normalize(trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[ \t\n\f\r]+', ' ', 'g'), ' '))) AS BIGINT) AS n_chars_norm FROM documents"
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "

@@ -1269,3 +1269,44 @@ def test_dedup_spans_guards():
     docs = pd.DataFrame({"doc_id": [-1], "content": ["a"]})
     with pytest.raises(Exception):
         dedup.dedup_spans(ray.data.from_pandas(docs), sep="\n").to_pandas()
+
+
+def test_normalize_text_matches_duckdb_on_unicode():
+    """Byte-exact agreement with the DuckDB twin on non-ASCII input:
+    precomposed vs combining forms (NFC), full case mapping, CRLF/tab
+    collapse, NBSP survival (not in the collapse class)."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "Caf\u00e9  du   Monde",      # precomposed e-acute + space runs
+                "Cafe\u0301 du Monde",        # combining acute -> NFC precomposes
+                "A\tB\r\nC\fD",               # every collapse-class member
+                " edge  \n trimmed ",
+                "\u00c9L\u00c8VE",            # uppercase accents lower to e-grave/acute
+                "nbsp\u00a0stays",            # NBSP survives (not in the class)
+                "",
+                None,
+            ],
+        }
+    )
+    out = (
+        textstats.normalize_text(ray.data.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")["norm_text"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("d", docs)
+    exp = [
+        r[0]
+        for r in con.execute(
+            "SELECT nfc_normalize(trim(regexp_replace(lower(coalesce(text,'')), "
+            "'[ \t\n\f\r]+', ' ', 'g'), ' ')) FROM d ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert out == exp
+    assert out[0] == out[1] == "caf\u00e9 du monde"  # NFC unified the two forms
+    assert out[5] == "nbsp\u00a0stays"
