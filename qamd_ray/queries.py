@@ -422,6 +422,64 @@ def q_customers_without_urgent(sf_dir: str):
     return out.select_columns(["c_custkey"])
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped three-table pipeline: top-10 unshipped orders by
+    revenue for one market segment.  The full at-scale join plan in one
+    query: segment keys built DISTRIBUTEDLY and broadcast as a semi-join
+    into date-filtered orders (customer never lands whole on the
+    driver); lineitem revenue pre-aggregated per order INSIDE
+    map_batches (the shuffle moves one row per distinct order per
+    batch); the two order-keyed big sides meet in a hash-shuffle
+    ``Dataset.join``; final top-10 via sort with an order-key tiebreak
+    so both engines pick the same set.  Revenue stays integer
+    (cents × whole-percent) — exact under any association order."""
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    def _building(batch: pa.Table) -> pa.Table:
+        m = pc.equal(pc.fill_null(batch["c_mktsegment"], ""), "BUILDING")
+        return batch.filter(m).select(["c_custkey"])
+
+    seg_keys = (
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(_building, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()["c_custkey"]
+    )
+
+    def _open_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], cutoff))
+
+    orders = joins.semi_join(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(_open_orders, batch_format="pyarrow"),
+        seg_keys,
+        on="o_custkey",
+    )
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        price_cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        agg = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_orderkey", "rev"])
+
+    revenue = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(_rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+    )
+    joined = joins.hash_join(revenue, orders, on="l_orderkey", right_on="o_orderkey")
+    return joined.select_columns(
+        ["l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority"]
+    ).sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # similarity / dedup over embeddings and documents (model/LSH — rows-only)
 # ---------------------------------------------------------------------------
@@ -1219,6 +1277,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "orders_by_nation": q_orders_by_nation,
     "customers_without_urgent": q_customers_without_urgent,
+    "shipping_priority": q_shipping_priority,
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
     "ivf_index_topk": q_ivf_index_topk,
@@ -1383,6 +1442,18 @@ ORACLES = {
     "customers_without_urgent": (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "shipping_priority": (
+        "SELECT l_orderkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents, "
+        "o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
     ),
     "dup_line_stats": (
         "WITH l AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS line "
