@@ -128,6 +128,134 @@ def pack_by_budget(
     return with_cum.map_batches(_shard, batch_format="pyarrow")
 
 
+def grouped_row_number(
+    ds: "ray.data.Dataset",
+    *,
+    part_col: str,
+    order_col: str,
+    out_col: str = "row_number",
+) -> "ray.data.Dataset":
+    """Distributed ``ROW_NUMBER() OVER (PARTITION BY part ORDER BY key) - 1``
+    — the grouped ordered-rank primitive Ray Data lacks.  Same two-pass
+    block-stitch as :func:`ordered_prefix_sum`, generalized to carry one
+    count per (block, partition):
+
+    1. one global ``sort(order_col)`` (``order_col`` globally unique —
+       block attribution needs distinct block-first keys), materialized
+       so both passes see identical blocks;
+    2. pass A: each block emits one ``(block first key, part, n)`` row
+       per partition PRESENT in the block — O(blocks × parts-per-block),
+       not O(rows);
+    3. driver reduction: running per-partition totals across blocks in
+       key order → a ``(block key, part) → base`` dict via ``ray.put``.
+       Fine while blocks × distinct-partitions-per-block fits the driver
+       (the shard-export use has tens of partitions; a 10^6-partition
+       rank needs a groupby-based stitch instead);
+    4. pass B: vectorized per-block grouped running counts (stable
+       argsort + segmented arange) plus the broadcast base.
+
+    ``part_col`` must be integer-typed; ``order_col`` may be any sortable
+    type (compared in its native order on both passes)."""
+    sorted_ds = ds.sort(order_col).materialize()
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[order_col]
+
+    def _pass_a(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "bk": pa.array([], key_type),
+                    "part": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        parts = np.asarray(K._as_array(pc.cast(batch[part_col], pa.int64())))
+        uniq, counts = np.unique(parts, return_counts=True)
+        first = batch[order_col][0]
+        return pa.table(
+            {
+                "bk": pa.array([first.as_py()] * len(uniq), key_type),
+                "part": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    blocks = (
+        sorted_ds.map_batches(_pass_a, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["bk", "part"], kind="stable")
+    )
+    base: dict = {}
+    running: dict = {}
+    for bk, part, n in blocks.itertuples(index=False):
+        p = int(part)
+        base[(bk, p)] = running.get(p, 0)
+        running[p] = running.get(p, 0) + int(n)
+    base_ref = ray.put(base)
+
+    def _pass_b(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        offmap = ray.get(base_ref)
+        bk = batch[order_col][0].as_py()
+        parts = np.asarray(K._as_array(pc.cast(batch[part_col], pa.int64())))
+        order = np.argsort(parts, kind="stable")
+        s = parts[order]
+        seg_starts = np.r_[0, np.flatnonzero(np.diff(s)) + 1]
+        seg_sizes = np.diff(np.r_[seg_starts, len(s)])
+        occ_sorted = np.arange(len(s), dtype=np.int64) - np.repeat(seg_starts, seg_sizes)
+        occ = np.empty(len(s), dtype=np.int64)
+        occ[order] = occ_sorted
+        uniq = s[seg_starts]
+        bases = np.array([offmap.get((bk, int(p)), 0) for p in uniq], dtype=np.int64)
+        occ += bases[np.searchsorted(uniq, parts)]
+        return batch.append_column(out_col, pa.array(occ, pa.int64()))
+
+    return sorted_ds.map_batches(_pass_b, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_shards(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    *,
+    n_shards: int = 8,
+    salt: str = "shuf",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    key_col: str = "__shuffle_key__",
+    keep_key: bool = False,
+) -> "ray.data.Dataset":
+    """Deterministic global corpus shuffle + training-shard assignment:
+    the step that turns a curated corpus into N shuffled output shards.
+    Every row gets ``shard = int(md5(salt‖id)[:8], 16) % n_shards`` and
+    ``pos`` = its 0-based rank within the shard under the md5 order — a
+    reproducible pseudo-random permutation (same salt ⇒ same layout on
+    any cluster size), with the exact SQL twin ``ROW_NUMBER() OVER
+    (PARTITION BY shard ORDER BY md5_key) - 1``.
+
+    One global sort (fundamental to a total shuffle order) via
+    :func:`grouped_row_number`; the only driver state is the
+    O(blocks × n_shards) stitch dict.  Writing ``part=<shard>``
+    directories ordered by ``pos`` then streams shuffled shards without
+    any further shuffle."""
+    import hashlib
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = K._as_array(pc.cast(batch[id_col], pa.string())).to_pylist()
+        hx = [hashlib.md5((salt + i).encode("utf-8")).hexdigest() for i in ids]
+        shard = np.array([int(h[:8], 16) for h in hx], dtype=np.int64) % n_shards
+        out = batch.append_column(key_col, pa.array(hx, pa.string()))
+        return out.append_column(shard_col, pa.array(shard, pa.int64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    ranked = grouped_row_number(
+        keyed, part_col=shard_col, order_col=key_col, out_col=pos_col
+    )
+    return ranked if keep_key else ranked.drop_columns([key_col])
+
+
 def sequence_spans(
     ds: "ray.data.Dataset",
     *,

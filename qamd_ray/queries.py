@@ -848,6 +848,19 @@ def q_sequence_offsets(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + shard assignment for training
+    export (ops.packing.shuffle_shards): md5-keyed pseudo-random
+    permutation, shard = key mod 8, pos = rank within shard.  One global
+    sort plus an O(blocks × shards) stitch; the DuckDB ROW_NUMBER twin
+    is hash-exact."""
+    from .ops.packing import shuffle_shards
+
+    return shuffle_shards(
+        _t(sf_dir, "documents", ["doc_id"]), n_shards=8
+    ).select_columns(["doc_id", "shard", "pos"])
+
+
 def q_purchase_attribution(sf_dir: str):
     """As-of join (ops.temporal.asof_join): every purchase event attributed
     to the same user's most recent click at-or-before it (classic
@@ -1297,6 +1310,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
     "sequence_offsets": q_sequence_offsets,
+    "shuffle_shards": q_shuffle_shards,
     "purchase_attribution": q_purchase_attribution,
     "error_bursts": q_error_bursts,
     "rolling_value": q_rolling_value,
@@ -1485,6 +1499,14 @@ ORACLES = {
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
         "- len(string_split(coalesce(text,''), ' '))) // 4096 AS BIGINT) AS shard "
         "FROM documents"
+    ),
+    "shuffle_shards": (
+        "WITH h AS (SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS hx "
+        "FROM documents), "
+        "s AS (SELECT doc_id, hx, ('0x' || substr(hx, 1, 8))::BIGINT % 8 AS shard FROM h) "
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx) - 1 AS BIGINT) AS pos "
+        "FROM s"
     ),
     "sequence_offsets": (
         "WITH t AS (SELECT doc_id, "

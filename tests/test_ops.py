@@ -1310,3 +1310,51 @@ def test_normalize_text_matches_duckdb_on_unicode():
     assert out == exp
     assert out[0] == out[1] == "caf\u00e9 du monde"  # NFC unified the two forms
     assert out[5] == "nbsp\u00a0stays"
+
+
+def test_grouped_row_number_vs_pandas():
+    from qamd_ray.ops.packing import grouped_row_number
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n).astype(np.int64),
+            "k": rng.permutation(n).astype(np.int64),  # globally unique order key
+        }
+    )
+    out = (
+        grouped_row_number(
+            ray.data.from_pandas(df).repartition(9), part_col="g", order_col="k"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("k").reset_index(drop=True)
+    exp["row_number"] = exp.groupby("g")["k"].rank(method="first").astype(np.int64) - 1
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_shuffle_shards_deterministic_permutation():
+    from qamd_ray.ops.packing import shuffle_shards
+
+    df = pd.DataFrame({"doc_id": np.arange(977, dtype=np.int64)})
+    out = (
+        shuffle_shards(ray.data.from_pandas(df).repartition(7), n_shards=5)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    # every row assigned, shards partition the ids, pos is 0..n_s-1 dense
+    assert len(out) == 977 and set(out["doc_id"]) == set(range(977))
+    for s, grp in out.groupby("shard"):
+        assert list(grp["pos"]) == list(range(len(grp)))
+    # deterministic: a second run (different block layout) is identical
+    out2 = (
+        shuffle_shards(ray.data.from_pandas(df).repartition(2), n_shards=5)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
