@@ -490,3 +490,130 @@ def repetition_scores(
         return res
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: The eight English indicator words of Gopher's "stop word" rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+) -> "ray.data.Dataset":
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446,
+    A1.1) as one vectorized Arrow pass; reference analogue: the per-check
+    pass/fail registry of ``/root/reference/src/checks/mod.rs`` applied at
+    document granularity.
+
+    Per document: word/line counters plus one boolean per rule —
+
+    * ``f_word_count``      — word count in ``[min_words, max_words]``
+    * ``f_mean_word_len``   — mean word length in ``[3, 10]``
+    * ``f_symbol_ratio``    — (``#`` + ``...``/``…``) ≤ 10% of words
+    * ``f_bullet_lines``    — ≤ 90% of lines start with a bullet (``-*•``)
+    * ``f_ellipsis_lines``  — ≤ 30% of lines end with ``...``/``…``
+    * ``f_alpha_words``     — ≥ 80% of words contain a letter
+    * ``f_stopwords``       — ≥ 2 of Gopher's eight indicator words
+    * ``keep``              — conjunction of all of the above
+
+    All thresholds are integer percentages compared by cross-
+    multiplication (``100*n_sym <= pct*n_words``), so the output is
+    int64/bool only and a DuckDB twin can match it bit-for-bit.  Words are
+    maximal runs of ``[^ \\t\\n\\f\\r]`` (RE2 and DuckDB agree; Unicode
+    spaces intentionally NOT split, same both sides); substring counts are
+    non-overlapping in all three engines.
+    """
+    id_cols = list(id_cols)
+    ws = "[ \t\n\f\r]"
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        i64 = lambda arr: arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_words = i64(pc.count_substring_regex(text, "[^ \t\n\f\r]+"))
+        n_chars = i64(pc.utf8_length(text))
+        n_ws = i64(pc.count_substring_regex(text, ws))
+        word_chars = n_chars - n_ws
+        n_hash = i64(pc.count_substring(text, "#"))
+        n_ell = i64(pc.count_substring(text, "...")) + i64(pc.count_substring(text, "…"))
+        n_alpha = i64(
+            pc.count_substring_regex(text, "[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*")
+        )
+
+        lines = K._as_array(pc.split_pattern(text, "\n"))
+        offs = np.asarray(lines.offsets)
+        line_sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = lines.flatten()
+        docx = np.repeat(np.arange(n), line_sizes)
+        bullet = (
+            pc.starts_with(flat, "-")
+            .to_numpy(zero_copy_only=False)
+            | pc.starts_with(flat, "*").to_numpy(zero_copy_only=False)
+            | pc.starts_with(flat, "•").to_numpy(zero_copy_only=False)
+        )
+        ell_end = pc.ends_with(flat, "...").to_numpy(zero_copy_only=False) | pc.ends_with(
+            flat, "…"
+        ).to_numpy(zero_copy_only=False)
+        n_bullet = np.bincount(docx[bullet], minlength=n).astype(np.int64)
+        n_ell_lines = np.bincount(docx[ell_end], minlength=n).astype(np.int64)
+
+        lower = pc.utf8_lower(text)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop += i64(
+                pc.cast(pc.match_substring_regex(lower, rf"\b{w}\b"), pa.int64())
+            )
+
+        f_word_count = (n_words >= min_words) & (n_words <= max_words)
+        f_mean_word = (word_chars >= min_mean_word_len * n_words) & (
+            word_chars <= max_mean_word_len * n_words
+        )
+        f_symbol = 100 * (n_hash + n_ell) <= max_symbol_word_pct * n_words
+        f_bullet = 100 * n_bullet <= max_bullet_line_pct * line_sizes
+        f_ell_lines = 100 * n_ell_lines <= max_ellipsis_line_pct * line_sizes
+        f_alpha = 100 * n_alpha >= min_alpha_word_pct * n_words
+        f_stop = n_stop >= min_stopwords
+        keep = (
+            f_word_count
+            & f_mean_word
+            & f_symbol
+            & f_bullet
+            & f_ell_lines
+            & f_alpha
+            & f_stop
+        )
+
+        cols = {c: batch[c] for c in id_cols}
+        cols["n_words"] = pa.array(n_words)
+        cols["n_lines"] = pa.array(line_sizes)
+        cols["n_stopwords"] = pa.array(n_stop)
+        for name, v in (
+            ("f_word_count", f_word_count),
+            ("f_mean_word_len", f_mean_word),
+            ("f_symbol_ratio", f_symbol),
+            ("f_bullet_lines", f_bullet),
+            ("f_ellipsis_lines", f_ell_lines),
+            ("f_alpha_words", f_alpha),
+            ("f_stopwords", f_stop),
+            ("keep", keep),
+        ):
+            cols[name] = pa.array(v)
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

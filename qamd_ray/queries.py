@@ -782,6 +782,19 @@ def q_repetition_scores(sf_dir: str):
     return textstats.repetition_scores(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446,
+    A1.1) over documents: per-doc counters + one boolean per rule + the
+    conjunction `keep`.  Integer cross-multiplied thresholds make the
+    DuckDB twin bit-exact.  ``min_stopwords=1`` (the op's default is the
+    paper's 2) because the synthetic corpus contains at most one of the
+    eight indicator words per doc — with the paper default ``keep`` would
+    be degenerately all-false here."""
+    return textstats.gopher_rules(
+        _t(sf_dir, "documents", ["doc_id", "text"]), min_stopwords=1
+    )
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (ops.decontaminate.ngram_decontaminate):
     the eval set is the deterministic doc_id % 97 == 0 subset; every
@@ -1307,6 +1320,7 @@ QUERIES = {
     "media_decode_stats": q_media_decode_stats,
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
+    "gopher_rules": q_gopher_rules,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
     "sequence_offsets": q_sequence_offsets,
@@ -1331,7 +1345,52 @@ QUERIES = {
     "lang_stats": q_lang_stats,
 }
 
+# DuckDB twin of ops.textstats.gopher_rules: every counter is the same
+# RE2 pattern / non-overlapping substring count as the Arrow kernels, and
+# every threshold is an integer cross-multiplication, so the match is
+# bit-exact.  ('\\b' below reaches RE2 as the word-boundary \b; the
+# whitespace class members are embedded literally, as in normalized_docs.)
+_GOPHER_STOP_SQL = " + ".join(
+    "CAST(regexp_matches(lt, '\\b%s\\b') AS BIGINT)" % w
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+_GOPHER_ORACLE = (
+    "WITH c AS ("
+    "  SELECT doc_id,"
+    "    CAST(len(regexp_extract_all(t, '[^ \t\n\f\r]+')) AS BIGINT) AS n_words,"
+    "    CAST(length(t) AS BIGINT)"
+    "      - CAST(len(regexp_extract_all(t, '[ \t\n\f\r]')) AS BIGINT) AS word_chars,"
+    "    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)"
+    "      + CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)"
+    "      + CAST(length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_sym,"
+    "    CAST(len(regexp_extract_all(t,"
+    "      '[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*')) AS BIGINT) AS n_alpha,"
+    "    CAST(len(ls) AS BIGINT) AS n_lines,"
+    "    CAST(len(list_filter(ls, x -> starts_with(x, '-')"
+    "      OR starts_with(x, '*') OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,"
+    "    CAST(len(list_filter(ls, x -> ends_with(x, '...')"
+    "      OR ends_with(x, '…'))) AS BIGINT) AS n_ell_lines,"
+    "    (" + _GOPHER_STOP_SQL + ") AS n_stopwords"
+    "  FROM (SELECT doc_id, coalesce(text, '') AS t,"
+    "          lower(coalesce(text, '')) AS lt,"
+    "          string_split(coalesce(text, ''), chr(10)) AS ls FROM documents)"
+    ") SELECT doc_id, n_words, n_lines, n_stopwords,"
+    "  f_word_count, f_mean_word_len, f_symbol_ratio, f_bullet_lines,"
+    "  f_ellipsis_lines, f_alpha_words, f_stopwords,"
+    "  (f_word_count AND f_mean_word_len AND f_symbol_ratio AND f_bullet_lines"
+    "   AND f_ellipsis_lines AND f_alpha_words AND f_stopwords) AS keep "
+    "FROM (SELECT doc_id, n_words, n_lines, n_stopwords,"
+    "  (n_words >= 50 AND n_words <= 100000) AS f_word_count,"
+    "  (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS f_mean_word_len,"
+    "  (100 * n_sym <= 10 * n_words) AS f_symbol_ratio,"
+    "  (100 * n_bullet <= 90 * n_lines) AS f_bullet_lines,"
+    "  (100 * n_ell_lines <= 30 * n_lines) AS f_ellipsis_lines,"
+    "  (100 * n_alpha >= 80 * n_words) AS f_alpha_words,"
+    "  (n_stopwords >= 1) AS f_stopwords FROM c)"
+)
+
 ORACLES = {
+    "gopher_rules": _GOPHER_ORACLE,
     "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "freq_returnflag": (
         "SELECT l_returnflag AS value, count(*) AS n FROM lineitem GROUP BY l_returnflag"

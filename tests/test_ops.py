@@ -761,6 +761,81 @@ def test_repetition_scores_gopher_signals():
     assert (out[[c for c in out.columns if c != "doc_id"]] <= 1.0).all().all()
 
 
+def test_gopher_rules_per_rule_and_duckdb_twin():
+    """Each Gopher rule (arXiv:2112.11446 A1.1) trips on a crafted doc
+    that passes every OTHER rule, and the whole frame matches the DuckDB
+    twin bit-for-bit (incl. null text and the '…' vs '...' variants)."""
+    import duckdb
+
+    good = ("the cat and dog have been with that house " * 8).strip()  # 72 words
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(9, dtype=np.int64),
+            "text": [
+                good,                                    # 0: passes everything
+                "the and of short",                      # 1: < min_words only
+                good + " " + "a " * 600,                 # 2: mean word len < 3
+                good + " " + "# " * 10,                  # 3: >10% symbol words
+                "\n".join(["- " + good] * 10),           # 4: 100% bullet lines
+                "\n".join([good + "..."] * 10),          # 5: 100% ellipsis lines
+                good + " " + "123 456 " * 12,            # 6: <80% alpha words
+                good.replace("the", "xxx")
+                .replace("and", "yyy")
+                .replace("have", "zzzz")
+                .replace("with", "wwww")
+                .replace("that", "vvvv"),                # 7: zero stopwords
+                None,                                    # 8: null -> empty doc
+            ],
+        }
+    )
+    out = (
+        textstats.gopher_rules(
+            ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(3)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "keep"])
+    flags = [
+        "f_word_count",
+        "f_mean_word_len",
+        "f_symbol_ratio",
+        "f_bullet_lines",
+        "f_ellipsis_lines",
+        "f_alpha_words",
+        "f_stopwords",
+    ]
+    for i, flag in enumerate(flags, start=1):
+        assert not bool(out.loc[i, flag]), (i, flag)
+        others = [f for f in flags if f != flag]
+        assert out.loc[i, others].all(), (i, flag, out.loc[i, others])
+        assert not bool(out.loc[i, "keep"])
+    assert out.loc[8, "n_words"] == 0 and not bool(out.loc[8, "keep"])
+    # '…' is counted like '...' in both symbol and ellipsis-line rules
+    uni = textstats.gopher_rules(
+        ray.data.from_items(
+            [{"doc_id": 0, "text": "\n".join([good + "…"] * 10)}]
+        )
+    ).to_pandas()
+    assert not bool(uni.loc[0, "f_ellipsis_lines"])
+
+    from qamd_ray.queries import _GOPHER_ORACLE
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = (
+        con.execute(_GOPHER_ORACLE.replace("n_stopwords >= 1", "n_stopwords >= 2"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = exp[list(out.columns)]
+    pd.testing.assert_frame_equal(
+        out, exp.astype(out.dtypes.to_dict()), check_exact=True
+    )
+
+
 def test_ngram_decontaminate_planted():
     """Planted contamination vs a brute-force python-set reference, across
     multiple blocks; drop=True removes exactly the contaminated docs."""
