@@ -617,3 +617,115 @@ def gopher_rules(
         return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def c4_rules(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_drop_substring: str = "javascript",
+    page_drop_substrings: tuple = ("lorem ipsum",),
+    page_drop_literals: tuple = ("{",),
+) -> "ray.data.Dataset":
+    """C4 web-page cleaning (Raffel et al. 2020, arXiv:1910.10683, §2.2)
+    as one vectorized Arrow pass; reference analogue: the line/document
+    pass-fail split of ``/root/reference/src/checks/mod.rs`` applied at
+    line-then-document granularity.
+
+    Line rules (a line survives iff ALL hold):
+
+    * ends in terminal punctuation — one of ``. ! ? "``
+    * has at least ``min_words_per_line`` words
+    * does not contain ``line_drop_substring`` (case-insensitive)
+
+    Document rules over the ORIGINAL text plus the kept lines:
+
+    * ``f_sentences`` — kept text contains ≥ ``min_sentences`` terminal
+      punctuation marks (``.!?``; a deliberate mark-count proxy for C4's
+      sentence segmenter, which is tokenizer-dependent)
+    * ``f_no_badsub`` — none of ``page_drop_substrings`` in the
+      lowercased original ("lorem ipsum" in C4)
+    * ``f_no_literal`` — none of ``page_drop_literals`` in the original
+      (curly brace in C4)
+    * ``keep`` — conjunction
+    * ``clean_text`` — the kept lines re-joined with ``\\n``
+
+    Every predicate is a substring / prefix / suffix / word-count test
+    shared verbatim with the DuckDB twin, so the output is bit-exact
+    against SQL.  Lines are ``\\n``-separated; words are maximal runs of
+    ``[^ \\t\\n\\f\\r]``; substring counts are non-overlapping in both
+    engines.
+    """
+    id_cols = list(id_cols)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        i64 = lambda arr: arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = lambda arr: arr.to_numpy(zero_copy_only=False)
+
+        lines = K._as_array(pc.split_pattern(text, "\n"))
+        offs = np.asarray(lines.offsets)
+        line_sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = lines.flatten()
+
+        term = (
+            b(pc.ends_with(flat, "."))
+            | b(pc.ends_with(flat, "!"))
+            | b(pc.ends_with(flat, "?"))
+            | b(pc.ends_with(flat, '"'))
+        )
+        wc = i64(pc.count_substring_regex(flat, "[^ \t\n\f\r]+"))
+        no_drop = ~b(
+            pc.match_substring(pc.utf8_lower(flat), line_drop_substring)
+        )
+        keep_line = term & (wc >= min_words_per_line) & no_drop
+
+        docx = np.repeat(np.arange(n), line_sizes)
+        n_kept = np.bincount(docx[keep_line], minlength=n).astype(np.int64)
+        kept_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=kept_offsets[1:])
+        flat_kept = flat.filter(pa.array(keep_line))
+        clean_list = pa.LargeListArray.from_arrays(
+            pa.array(kept_offsets, type=pa.int64()), flat_kept
+        )
+        clean = K._as_array(pc.binary_join(clean_list, "\n"))
+
+        n_sent = (
+            i64(pc.count_substring(clean, "."))
+            + i64(pc.count_substring(clean, "!"))
+            + i64(pc.count_substring(clean, "?"))
+        )
+        lower = pc.utf8_lower(text)
+        bad = np.zeros(n, dtype=bool)
+        for s in page_drop_substrings:
+            bad |= b(pc.match_substring(lower, s))
+        lit = np.zeros(n, dtype=bool)
+        for s in page_drop_literals:
+            lit |= b(pc.match_substring(text, s))
+
+        f_sent = n_sent >= min_sentences
+        f_nobad = ~bad
+        f_nolit = ~lit
+        keep = f_sent & f_nobad & f_nolit
+
+        cols = {c: batch[c] for c in id_cols}
+        cols["clean_text"] = clean
+        cols["n_lines"] = pa.array(line_sizes)
+        cols["n_kept_lines"] = pa.array(n_kept)
+        cols["n_sentences"] = pa.array(n_sent)
+        cols["f_sentences"] = pa.array(f_sent)
+        cols["f_no_badsub"] = pa.array(f_nobad)
+        cols["f_no_literal"] = pa.array(f_nolit)
+        cols["keep"] = pa.array(keep)
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1009,6 +1009,38 @@ def _boilerplate_view(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(_map, batch_format="pyarrow")
 
 
+def _webpage_view(sf_dir: str) -> "ray.data.Dataset":
+    """documents rendered as deterministic multi-line "web pages": the
+    word-bag text gains sentence punctuation, line breaks and the C4
+    trigger phrases (javascript / lorem ipsum / brace) via fixed
+    substring rewrites — built identically in the SQL twin."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _map(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        for pat, rep in (
+            (" slow fast ", " lorem ipsum "),
+            (" big vector ", " x { y "),
+            (" spark ", " javascript "),
+            (" table ", ".\n"),
+            (" query ", "! "),
+        ):
+            t = pc.replace_substring(t, pat, rep)
+        t = pc.binary_join_element_wise(t, ".", "")  # append '.'; last arg is the separator
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return ds.map_batches(_map, batch_format="pyarrow")
+
+
+def q_c4_rules(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, ops.textstats.c4_rules)
+    over the deterministic webpage view: terminal-punctuation /
+    min-words / javascript line filters, then sentence-count, lorem-ipsum
+    and curly-brace page rules; bit-exact DuckDB twin incl. the re-joined
+    clean_text."""
+    return textstats.c4_rules(_webpage_view(sf_dir))
+
+
 def q_boilerplate_scrub(sf_dir: str):
     """Corpus-level boilerplate line removal (RefinedWeb §3.3,
     ops.codestats.drop_common_lines): every non-blank line occurring in
@@ -1321,6 +1353,7 @@ QUERIES = {
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
     "sequence_offsets": q_sequence_offsets,
@@ -1389,8 +1422,44 @@ _GOPHER_ORACLE = (
     "  (n_stopwords >= 1) AS f_stopwords FROM c)"
 )
 
+# DuckDB twin of ops.textstats.c4_rules over the webpage view: the view
+# rewrites are the same nested non-overlapping replaces, the line filter
+# is the same suffix/word-count/substring predicate, and n_sentences is
+# the same terminal-mark count, so clean_text and every flag match
+# bit-for-bit.
+_C4_ORACLE = (
+    "WITH b AS (SELECT doc_id,"
+    "  replace(replace(replace(replace(replace(coalesce(text, ''),"
+    "    ' slow fast ', ' lorem ipsum '),"
+    "    ' big vector ', ' x { y '),"
+    "    ' spark ', ' javascript '),"
+    "    ' table ', '.' || chr(10)),"
+    "    ' query ', '! ') || '.' AS t FROM documents),"
+    " k AS (SELECT doc_id, t,"
+    "  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,"
+    "  list_filter(string_split(t, chr(10)), x ->"
+    "    (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')"
+    "     OR ends_with(x, '\"'))"
+    "    AND len(regexp_extract_all(x, '[^ \t\n\f\r]+')) >= 3"
+    "    AND NOT contains(lower(x), 'javascript')) AS kept FROM b),"
+    " c AS (SELECT doc_id, t, n_lines,"
+    "  CAST(len(kept) AS BIGINT) AS n_kept_lines,"
+    "  coalesce(array_to_string(kept, chr(10)), '') AS clean_text FROM k),"
+    " f AS (SELECT doc_id, clean_text, n_lines, n_kept_lines,"
+    "  CAST(length(clean_text) - length(replace(clean_text, '.', ''))"
+    "   + length(clean_text) - length(replace(clean_text, '!', ''))"
+    "   + length(clean_text) - length(replace(clean_text, '?', ''))"
+    "   AS BIGINT) AS n_sentences,"
+    "  NOT contains(lower(t), 'lorem ipsum') AS f_no_badsub,"
+    "  NOT contains(t, '{') AS f_no_literal FROM c)"
+    " SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,"
+    "  (n_sentences >= 5) AS f_sentences, f_no_badsub, f_no_literal,"
+    "  (n_sentences >= 5 AND f_no_badsub AND f_no_literal) AS keep FROM f"
+)
+
 ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
+    "c4_rules": _C4_ORACLE,
     "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "freq_returnflag": (
         "SELECT l_returnflag AS value, count(*) AS n FROM lineitem GROUP BY l_returnflag"

@@ -836,6 +836,75 @@ def test_gopher_rules_per_rule_and_duckdb_twin():
     )
 
 
+def test_c4_rules_line_and_page_filters():
+    """C4 §2.2 semantics on crafted pages: line filter (terminal punct /
+    min words / javascript), page filter (sentence count, lorem ipsum,
+    brace), clean_text re-join, null text, and empty-kept docs."""
+    page = "\n".join(
+        [
+            "This sentence is properly terminated.",   # kept
+            "So is this exclamation here!",            # kept
+            'A quoted line ends with a quote."',       # kept
+            "Is this a question? Yes it is.",          # kept (2 marks)
+            "no terminal punctuation here",            # dropped: no punct
+            "Too short.",                              # dropped: < 3 words
+            "Enable JavaScript to continue viewing.",  # dropped: javascript
+        ]
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                page,                                  # 0: keep (5 marks)
+                page + "\nBuy now lorem ipsum dolor.", # 1: page bad-substring
+                page + "\nfunction f() { return 1; }", # 2: page brace
+                "One good sentence only here.",        # 3: < 5 sentences
+                None,                                  # 4: null -> empty
+            ],
+        }
+    )
+    out = (
+        textstats.c4_rules(
+            ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["keep"].tolist() == [True, False, False, False, False]
+    assert out.loc[0, "n_lines"] == 7 and out.loc[0, "n_kept_lines"] == 4
+    assert out.loc[0, "n_sentences"] == 5
+    assert out.loc[0, "clean_text"].splitlines()[0].endswith("terminated.")
+    assert not bool(out.loc[1, "f_no_badsub"])
+    assert not bool(out.loc[2, "f_no_literal"])
+    assert not bool(out.loc[3, "f_sentences"]) and bool(out.loc[3, "f_no_badsub"])
+    assert out.loc[4, "n_kept_lines"] == 0 and out.loc[4, "clean_text"] == ""
+
+    # the full frame matches the oracle's line/page predicates bit-for-bit
+    # (strip the webpage-view rewrites: feed `documents` whose text IS the page)
+    import duckdb
+
+    from qamd_ray.queries import _C4_ORACLE
+
+    sql = _C4_ORACLE.replace(
+        "replace(replace(replace(replace(replace(coalesce(text, ''),"
+        "    ' slow fast ', ' lorem ipsum '),"
+        "    ' big vector ', ' x { y '),"
+        "    ' spark ', ' javascript '),"
+        "    ' table ', '.' || chr(10)),"
+        "    ' query ', '! ') || '.'",
+        "coalesce(text, '')",
+    )
+    assert "coalesce(text, '') AS t" in sql  # replacement actually applied
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    exp = exp[list(out.columns)]
+    pd.testing.assert_frame_equal(
+        out, exp.astype(out.dtypes.to_dict()), check_exact=True
+    )
+
+
 def test_ngram_decontaminate_planted():
     """Planted contamination vs a brute-force python-set reference, across
     multiple blocks; drop=True removes exactly the contaminated docs."""
