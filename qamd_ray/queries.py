@@ -1041,6 +1041,28 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_web_curation(sf_dir: str):
+    """End-to-end web curation with an EXACT oracle: webpage view →
+    C4 cleaning (keep) → exact dedup on the cleaned text (min-doc_id
+    winner, hash-partitioned) → BPE-style token count.  Every stage is
+    deterministic, so the DuckDB twin is the literal CTE chain of the
+    per-stage twins — a whole-pipeline value-hash check, not just
+    per-operator."""
+    from .ops import dedup
+
+    pages = textstats.c4_rules(_webpage_view(sf_dir))
+
+    def _kept(b: pa.Table) -> pa.Table:
+        return b.filter(b["keep"]).select(["doc_id", "clean_text"])
+
+    kept = pages.map_batches(_kept, batch_format="pyarrow")
+    ded = dedup.exact_dedup(kept, text_col="clean_text", id_col="doc_id")
+    counted = textstats.bpe_token_count(ded, text_col="clean_text")
+    return counted.map_batches(
+        lambda b: b.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
 def q_boilerplate_scrub(sf_dir: str):
     """Corpus-level boilerplate line removal (RefinedWeb §3.3,
     ops.codestats.drop_common_lines): every non-blank line occurring in
@@ -1354,6 +1376,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
+    "web_curation": q_web_curation,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
     "sequence_offsets": q_sequence_offsets,
@@ -1457,9 +1480,23 @@ _C4_ORACLE = (
     "  (n_sentences >= 5 AND f_no_badsub AND f_no_literal) AS keep FROM f"
 )
 
+# DuckDB twin of the whole web-curation pipeline: the C4 twin as a CTE,
+# the keep filter, window-MIN exact dedup, then the same BPE pre-token
+# pattern as the bpe_token_counts oracle.
+_WEBCUR_ORACLE = (
+    "WITH pages AS (" + _C4_ORACLE + "),"
+    " kept AS (SELECT doc_id, clean_text FROM pages WHERE keep),"
+    " won AS (SELECT doc_id, clean_text,"
+    "   MIN(doc_id) OVER (PARTITION BY clean_text) AS w FROM kept)"
+    " SELECT doc_id, CAST(length(regexp_extract_all(coalesce(clean_text, ''),"
+    " ' ?[A-Za-z]+|\\s?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s')) AS BIGINT)"
+    " AS n_bpe_tokens FROM won WHERE doc_id = w"
+)
+
 ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
+    "web_curation": _WEBCUR_ORACLE,
     "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "freq_returnflag": (
         "SELECT l_returnflag AS value, count(*) AS n FROM lineitem GROUP BY l_returnflag"

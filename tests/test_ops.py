@@ -905,6 +905,52 @@ def test_c4_rules_line_and_page_filters():
     )
 
 
+def test_web_curation_pipeline_dedups_and_counts():
+    """The composed curation pipeline (C4 keep → exact dedup → BPE
+    count) on planted input: duplicate cleaned pages collapse to the
+    min-id winner, dropped pages never reach the output, counts match
+    a hand check."""
+    from qamd_ray.ops import dedup
+    from qamd_ray.ops.textstats import bpe_token_count, c4_rules
+
+    page = "\n".join(
+        [
+            "This page has five good sentences. Indeed it does! Really?",
+            "Here are two more terminated sentences. And the fifth one.",
+        ]
+    )
+    noise = "no terminal punctuation so this line is dropped"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([3, 1, 7, 9], dtype=np.int64),
+            "text": [
+                page,                    # 3: same clean_text as 1 -> loser
+                page + "\n" + noise,     # 1: same clean_text -> winner (min id)
+                page + " extra words.",  # 7: distinct clean_text, kept
+                "Too few sentences here.",  # 9: fails the page rule
+            ],
+        }
+    )
+    pages = c4_rules(ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(2))
+    kept = pages.map_batches(
+        lambda b: b.filter(b["keep"]).select(["doc_id", "clean_text"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        bpe_token_count(
+            dedup.exact_dedup(kept, text_col="clean_text", id_col="doc_id"),
+            text_col="clean_text",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 7]  # 3 lost to 1; 9 filtered out
+    # doc 7's clean text is one sentence longer -> strictly more tokens
+    n1, n7 = out.set_index("doc_id")["n_bpe_tokens"][[1, 7]]
+    assert n7 > n1 > 0
+
+
 def test_ngram_decontaminate_planted():
     """Planted contamination vs a brute-force python-set reference, across
     multiple blocks; drop=True removes exactly the contaminated docs."""
