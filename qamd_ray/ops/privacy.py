@@ -1,0 +1,175 @@
+"""Disclosure-risk operators: k-anonymity and l-diversity.
+
+Extends the reference's DisclosureRisk check family
+(``/root/reference/src/config.rs:215-224`` — unique-value, regex and
+stopword checks over single columns, applied in
+``src/check/post.rs:357-420``) from per-column risk to multi-column
+quasi-identifier risk:
+
+* **k-anonymity** (Sweeney 2002): a row is safe iff its combination of
+  quasi-identifier values is shared by at least ``k`` rows.
+* **l-diversity** (Machanavajjhala et al. 2007): a quasi-identifier
+  group is safe iff its sensitive column takes at least ``l`` distinct
+  values.
+
+Both are one keys-only distributed aggregate (never the payload
+columns) followed by a count attach.  The attach is size-routed like
+the repo's other reductions: under ``broadcast_threshold`` distinct
+groups the count table is collected once and broadcast via
+``ray.put`` (vectorized pandas merge per batch); above it — the 100-TB
+path, where distinct quasi combinations approach the row count — the
+counts stay a Dataset and attach through a hash-shuffle
+``Dataset.join`` on the quasi columns.  Routing takes an explicit
+``n_rows`` hint because ``ds.count()`` executes mapped lineage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from .. import kernels as K
+from . import joins
+
+
+def _attach_counts(
+    ds: "ray.data.Dataset",
+    counts: "ray.data.Dataset",
+    quasi_cols: list[str],
+    count_col: str,
+    flag_col: str,
+    threshold_n: int,
+    *,
+    n_rows: Optional[int],
+    broadcast_threshold: int,
+) -> "ray.data.Dataset":
+    """Join the per-group count table back onto every row and derive the
+    ``count >= threshold`` flag; broadcast under the threshold, shuffle
+    join above it."""
+    small = n_rows is None or n_rows <= broadcast_threshold
+    if small:
+        cnt = counts.to_pandas()
+        import ray as _ray
+
+        ref = _ray.put(cnt)
+
+        def _merge(batch: pa.Table) -> pa.Table:
+            tbl = _ray.get(ref)
+            left = batch.select(quasi_cols).to_pandas()
+            # right keys are unique (one row per group), so the left
+            # merge preserves batch row order
+            m = left.merge(tbl, on=quasi_cols, how="left")
+            # a group can miss a count row (l-diversity: all-null
+            # sensitive values) -> count 0, flag False
+            n = m[count_col].fillna(0).to_numpy(np.int64)
+            batch = batch.append_column(count_col, pa.array(n))
+            return batch.append_column(flag_col, pa.array(n >= threshold_n))
+
+        return ds.map_batches(_merge, batch_format="pyarrow")
+
+    # the join side comes out of a hash aggregate, whose empty shuffle
+    # partitions emit SCHEMALESS blocks that poison Dataset.join —
+    # compact to non-empty schema-pinned blocks first
+    sch = ds.schema()
+    typemap = dict(zip(sch.names, sch.types))
+    names_types = [(c, typemap[c]) for c in quasi_cols] + [(count_col, pa.int64())]
+    joined = joins.hash_join(
+        ds,
+        joins._compact(counts, names_types),
+        on=quasi_cols,
+        how="left_outer",
+        num_partitions=joins._shuffle_partitions(),
+    )
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = np.asarray(
+            K._as_array(pc.fill_null(batch[count_col], 0)), dtype=np.int64
+        )
+        batch = batch.drop_columns([count_col]).append_column(
+            count_col, pa.array(n)
+        )
+        return batch.append_column(flag_col, pa.array(n >= threshold_n))
+
+    return joined.map_batches(_flag, batch_format="pyarrow")
+
+
+def k_anonymity(
+    ds: "ray.data.Dataset",
+    quasi_cols: str | Sequence[str],
+    *,
+    k: int = 10,
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+    count_col: str = "n_group",
+    flag_col: str = "f_k_anon",
+) -> "ray.data.Dataset":
+    """Every input row plus its quasi-identifier group size
+    (``count_col``) and ``flag_col = group size >= k``."""
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return batch.select(quasi)
+
+    counts = (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby(quasi)
+        .aggregate(Count(alias_name=count_col))
+    )
+    return _attach_counts(
+        ds, counts, quasi, count_col, flag_col, k,
+        n_rows=n_rows, broadcast_threshold=broadcast_threshold,
+    )
+
+
+def l_diversity(
+    ds: "ray.data.Dataset",
+    quasi_cols: str | Sequence[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+    count_col: str = "n_distinct",
+    flag_col: str = "f_l_diverse",
+) -> "ray.data.Dataset":
+    """Every input row plus the number of DISTINCT sensitive values in
+    its quasi-identifier group (``count_col``) and ``flag_col = distinct
+    count >= l``.
+
+    Two keys-only aggregates: distinct (quasi, sensitive) pairs first
+    (nulls count as one value, like ``COUNT(DISTINCT)`` over a joined
+    group would not — so nulls are DROPPED to match SQL semantics),
+    then pairs per group.
+    """
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        t = batch.select(quasi + [sensitive_col])
+        # match COUNT(DISTINCT sensitive): null sensitive values do not count
+        return t.filter(pa.compute.is_valid(t[sensitive_col]))
+
+    pairs = (
+        ds.map_batches(_proj, batch_format="pyarrow")
+        .groupby(quasi + [sensitive_col])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _drop_sensitive(batch: pa.Table) -> pa.Table:
+        return batch.select(quasi)
+
+    counts = (
+        pairs.map_batches(_drop_sensitive, batch_format="pyarrow")
+        .groupby(quasi)
+        .aggregate(Count(alias_name=count_col))
+    )
+    return _attach_counts(
+        ds, counts, quasi, count_col, flag_col, l,
+        n_rows=n_rows, broadcast_threshold=broadcast_threshold,
+    )

@@ -1041,6 +1041,36 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity over events (ops.privacy.k_anonymity, Sweeney 2002):
+    quasi-identifier = (user_id, event_type), k=10; per event its group
+    size and the safe flag.  Keys-only aggregate + broadcast attach at
+    this scale (hash-shuffle join above the threshold)."""
+    from .ops import privacy
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return privacy.k_anonymity(ev, ["user_id", "event_type"], k=10).map_batches(
+        lambda b: b.select(["event_id", "n_group", "f_k_anon"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity over events (ops.privacy.l_diversity, Machanavajjhala
+    et al. 2007): quasi = (user_id, event_type), sensitive = props, l=3;
+    per event the distinct-sensitive count of its group and the safe
+    flag."""
+    from .ops import privacy
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
+    return privacy.l_diversity(
+        ev, ["user_id", "event_type"], "props", l=3
+    ).map_batches(
+        lambda b: b.select(["event_id", "n_distinct", "f_l_diverse"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_web_curation(sf_dir: str):
     """End-to-end web curation with an EXACT oracle: webpage view →
     C4 cleaning (keep) → exact dedup on the cleaned text (min-doc_id
@@ -1377,6 +1407,8 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "web_curation": q_web_curation,
+    "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
     "decontaminate_docs": q_decontaminate_docs,
     "pack_shards": q_pack_shards,
     "sequence_offsets": q_sequence_offsets,
@@ -1497,6 +1529,21 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "k_anonymity": (
+        "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY user_id, event_type)"
+        " AS BIGINT) AS n_group,"
+        " (COUNT(*) OVER (PARTITION BY user_id, event_type) >= 10) AS f_k_anon"
+        " FROM events"
+    ),
+    "l_diversity": (
+        "SELECT e.event_id,"
+        " CAST(coalesce(g.n_distinct, 0) AS BIGINT) AS n_distinct,"
+        " (coalesce(g.n_distinct, 0) >= 3) AS f_l_diverse"
+        " FROM events e LEFT JOIN ("
+        "  SELECT user_id, event_type, count(DISTINCT props) AS n_distinct"
+        "  FROM events GROUP BY user_id, event_type) g"
+        " ON e.user_id = g.user_id AND e.event_type = g.event_type"
+    ),
     "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "freq_returnflag": (
         "SELECT l_returnflag AS value, count(*) AS n FROM lineitem GROUP BY l_returnflag"

@@ -951,6 +951,63 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_k_anonymity_and_l_diversity_both_paths():
+    """Privacy flags vs a pandas reference on planted groups (incl. an
+    all-null sensitive group), and the broadcast path == the
+    hash-shuffle-join path (n_rows above threshold forces the join)."""
+    from qamd_ray.ops import privacy
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "qa": rng.integers(0, 12, n).astype(np.int64),
+            "qb": rng.choice(["x", "y", "z"], n),
+            "sens": rng.choice(["s1", "s2", "s3", "s4"], n),
+        }
+    )
+    # plant a singleton group and an all-null-sensitive group
+    df.loc[0, ["qa", "qb"]] = [99, "only"]
+    null_grp = df["qa"].eq(3) & df["qb"].eq("x")
+    df.loc[null_grp, "sens"] = None
+
+    sizes = df.groupby(["qa", "qb"])["rid"].transform("size")
+    ndis = (
+        df.groupby(["qa", "qb"])["sens"]
+        .transform("nunique")  # pandas nunique drops NaN, like COUNT(DISTINCT)
+        .astype(np.int64)
+    )
+
+    for n_rows in (None, 10):  # None -> broadcast; 10 -> forces hash join
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        ka = (
+            privacy.k_anonymity(
+                ds, ["qa", "qb"], k=100, n_rows=n_rows, broadcast_threshold=100
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert ka["n_group"].tolist() == sizes.tolist()
+        assert ka["f_k_anon"].tolist() == (sizes >= 100).tolist()
+        assert not bool(ka.loc[0, "f_k_anon"])  # the singleton
+
+        ld = (
+            privacy.l_diversity(
+                ds, ["qa", "qb"], "sens", l=3, n_rows=n_rows,
+                broadcast_threshold=100,
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert ld["n_distinct"].tolist() == ndis.tolist()
+        assert ld["f_l_diverse"].tolist() == (ndis >= 3).tolist()
+        # the all-null group has zero distinct sensitive values
+        assert (ld.loc[null_grp.to_numpy(), "n_distinct"] == 0).all()
+
+
 def test_ngram_decontaminate_planted():
     """Planted contamination vs a brute-force python-set reference, across
     multiple blocks; drop=True removes exactly the contaminated docs."""
