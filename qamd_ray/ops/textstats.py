@@ -729,3 +729,160 @@ def c4_rules(
         return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (Sparck Jones 1972)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_term(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    scale: int = 1_000_000,
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Each document's most distinctive term by the integer tf-idf-style
+    score ``tf * (scale // df)`` (Sparck Jones 1972 idf made
+    integer-exact so the DuckDB twin hash-matches; the ranking is
+    monotone in tf and anti-monotone in df like ln-idf).  Ties break to
+    the lexicographically LARGEST term — the tiebreak a composite
+    string MAX can realize distributedly.
+
+    Tokens are the non-empty fields of a single-space split (the
+    ``token_counts`` convention).  Docs with no tokens produce no row.
+
+    Plan: one per-batch Arrow pass builds exact (doc, term, tf) rows (a
+    doc never spans batches); the document-frequency table is a
+    keys-only distributed aggregate over per-batch distinct terms.  The
+    df attach is size-routed: under ``broadcast_threshold`` input rows
+    the vocabulary-sized df table broadcasts once via ``ray.put`` and
+    the winner is a per-batch vectorized groupby-max (no shuffle at
+    all); above it the tf rows hash-shuffle-join the df table on term
+    and the per-doc winner is a distributed MAX over the zero-padded
+    ``score|term`` composite key.  Routing takes an explicit ``n_rows``
+    hint (``ds.count()`` executes mapped lineage).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def _tf_rows(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        toks = K._as_array(pc.split_pattern(text, " "))
+        offs = np.asarray(toks.offsets)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        tb = pa.table(
+            {"doc_id": np.repeat(ids, sizes), "term": toks.flatten()}
+        )
+        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        tf = tb.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return tf.rename_columns(["doc_id", "term", "tf"])
+
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        # batch is already (doc, term, tf)-distinct -> per-batch df counts
+        out = batch.group_by("term").aggregate([("doc_id", "count")])
+        return out.rename_columns(["term", "df"])
+
+    tf_rows = ds.map_batches(_tf_rows, batch_format="pyarrow")
+    df_tbl = (
+        tf_rows.map_batches(_df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def _key(score: np.ndarray, terms: pa.Array) -> pa.Array:
+        pad = len(str(scale)) + 12
+        return pc.binary_join_element_wise(
+            pc.utf8_lpad(pa.array(score.astype("U")), pad, "0"), terms, "|"
+        )
+
+    small = n_rows is None or n_rows <= broadcast_threshold
+    if small:
+        dfp = df_tbl.to_pandas()
+        dfs = pd.Series(
+            dfp["df"].to_numpy(np.int64), index=dfp["term"].to_numpy(object)
+        )
+        import ray as _ray
+
+        ref = _ray.put(dfs)
+
+        def _winner(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "top_term": pa.array([], pa.string()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            d = _ray.get(ref)
+            terms = np.asarray(K._as_array(batch["term"]), dtype=object)
+            tf = np.asarray(K._as_array(batch["tf"]), dtype=np.int64)
+            dfv = d.to_numpy()[d.index.get_indexer(terms)]
+            score = tf * (scale // dfv)
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": np.asarray(
+                        K._as_array(batch["doc_id"]), dtype=np.int64
+                    ),
+                    "key": np.asarray(
+                        _key(score, K._as_array(batch["term"]))
+                    ).astype(object),
+                    "score": score,
+                }
+            )
+            top = pdf.loc[pdf.groupby("doc_id")["key"].idxmax()]
+            return pa.table(
+                {
+                    "doc_id": top["doc_id"].to_numpy(np.int64),
+                    "top_term": pa.array(
+                        [k.split("|", 1)[1] for k in top["key"]], pa.string()
+                    ),
+                    "score": top["score"].to_numpy(np.int64),
+                }
+            )
+
+        return tf_rows.map_batches(_winner, batch_format="pyarrow")
+
+    from . import joins
+
+    joined = joins.hash_join(
+        tf_rows,
+        joins._compact(df_tbl, [("term", pa.string()), ("df", pa.int64())]),
+        on="term",
+        num_partitions=joins._shuffle_partitions(),
+    )
+
+    def _score_key(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(K._as_array(batch["tf"]), dtype=np.int64)
+        dfv = np.asarray(K._as_array(batch["df"]), dtype=np.int64)
+        score = tf * (scale // dfv)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "key": _key(score, K._as_array(batch["term"])),
+            }
+        )
+
+    best = (
+        joined.map_batches(_score_key, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("key", alias_name="key"))
+    )
+
+    def _split(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(K._as_array(batch["key"]), dtype=object)
+        scores = np.array([int(k.split("|", 1)[0]) for k in keys], np.int64)
+        terms = [k.split("|", 1)[1] for k in keys]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "top_term": pa.array(terms, pa.string()),
+                "score": scores,
+            }
+        )
+
+    return best.map_batches(_split, batch_format="pyarrow")

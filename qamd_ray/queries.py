@@ -1041,6 +1041,14 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document most distinctive term (ops.textstats.tfidf_top_term):
+    integer tf-idf score tf*(10^6//df), ties to the largest term; df
+    table is a keys-only distributed aggregate, broadcast at this
+    scale."""
+    return textstats.tfidf_top_term(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity over events (ops.privacy.k_anonymity, Sweeney 2002):
     quasi-identifier = (user_id, event_type), k=10; per event its group
@@ -1407,6 +1415,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "web_curation": q_web_curation,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "decontaminate_docs": q_decontaminate_docs,
@@ -1529,6 +1538,19 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "tfidf_top_terms": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))"
+        "   AS term FROM documents),"
+        " t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok"
+        "   WHERE term <> '' GROUP BY 1, 2),"
+        " d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok"
+        "   WHERE term <> '' GROUP BY 1),"
+        " s AS (SELECT doc_id, t.term, tf * (1000000 // d.df) AS score"
+        "   FROM t JOIN d ON t.term = d.term)"
+        " SELECT doc_id, term AS top_term, CAST(score AS BIGINT) AS score FROM s"
+        " QUALIFY row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY score DESC, term DESC) = 1"
+    ),
     "k_anonymity": (
         "SELECT event_id, CAST(COUNT(*) OVER (PARTITION BY user_id, event_type)"
         " AS BIGINT) AS n_group,"

@@ -951,6 +951,57 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_tfidf_top_term_paths_and_ties():
+    """Broadcast path == distributed join+MAX path == a brute-force
+    python reference, incl. score ties (largest term wins), empty and
+    null docs (no output row)."""
+    import collections
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "apple banana apple cherry",
+                "banana banana cherry",
+                "unique_term apple",
+                "tie_a tie_b",  # both tf=1 df=1 -> tie, tie_b wins
+                "",
+                None,
+            ],
+        }
+    )
+    texts = [t or "" for t in docs["text"]]
+    df_counts = collections.Counter()
+    for t in texts:
+        df_counts.update(set(w for w in t.split(" ") if w))
+    expect = {}
+    for i, t in enumerate(texts):
+        tf = collections.Counter(w for w in t.split(" ") if w)
+        if not tf:
+            continue
+        best = max(
+            tf, key=lambda w: (tf[w] * (1_000_000 // df_counts[w]), w)
+        )
+        expect[i] = (best, tf[best] * (1_000_000 // df_counts[best]))
+    assert expect[3][0] == "tie_b"
+
+    for n_rows in (None, 1):  # None -> broadcast; 1 -> forces the join path
+        out = (
+            textstats.tfidf_top_term(
+                ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(3),
+                n_rows=n_rows,
+                broadcast_threshold=3,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {
+            int(r.doc_id): (r.top_term, int(r.score))
+            for r in out.itertuples()
+        }
+        assert got == expect, (n_rows, got)
+
+
 def test_k_anonymity_and_l_diversity_both_paths():
     """Privacy flags vs a pandas reference on planted groups (incl. an
     all-null sensitive group), and the broadcast path == the
