@@ -79,6 +79,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_pricing_summary,
         q_sessions,
         q_topk_cosine,
+        q_web_curation,
     )
 
     src = corpus_path()
@@ -197,6 +198,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_hourly", q_events_hourly),
         ("sessions", q_sessions),
         ("topk_cosine", q_topk_cosine),
+        ("web_curation", q_web_curation),
     ]):
         def _one(fn=fn):
             res = fn(sf_dir)
