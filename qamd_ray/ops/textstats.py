@@ -538,6 +538,40 @@ def gopher_rules(
     spaces intentionally NOT split, same both sides); substring counts are
     non-overlapping in all three engines.
     """
+    return ds.map_batches(
+        gopher_batch_fn(
+            text_col,
+            id_cols,
+            min_words=min_words,
+            max_words=max_words,
+            min_mean_word_len=min_mean_word_len,
+            max_mean_word_len=max_mean_word_len,
+            max_symbol_word_pct=max_symbol_word_pct,
+            max_bullet_line_pct=max_bullet_line_pct,
+            max_ellipsis_line_pct=max_ellipsis_line_pct,
+            min_alpha_word_pct=min_alpha_word_pct,
+            min_stopwords=min_stopwords,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def gopher_batch_fn(
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+):
+    """The per-batch Arrow kernel behind :func:`gopher_rules`, exposed so
+    property tests can drive it on bare tables without a Ray session."""
     id_cols = list(id_cols)
     ws = "[ \t\n\f\r]"
 
@@ -616,7 +650,7 @@ def gopher_rules(
             cols[name] = pa.array(v)
         return pa.table(cols)
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return _f
 
 
 # ---------------------------------------------------------------------------
@@ -664,6 +698,32 @@ def c4_rules(
     ``[^ \\t\\n\\f\\r]``; substring counts are non-overlapping in both
     engines.
     """
+    return ds.map_batches(
+        c4_batch_fn(
+            text_col,
+            id_cols,
+            min_words_per_line=min_words_per_line,
+            min_sentences=min_sentences,
+            line_drop_substring=line_drop_substring,
+            page_drop_substrings=page_drop_substrings,
+            page_drop_literals=page_drop_literals,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def c4_batch_fn(
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_drop_substring: str = "javascript",
+    page_drop_substrings: tuple = ("lorem ipsum",),
+    page_drop_literals: tuple = ("{",),
+):
+    """The per-batch Arrow kernel behind :func:`c4_rules`, exposed so
+    property tests can drive it on bare tables without a Ray session."""
     id_cols = list(id_cols)
 
     def _f(batch: pa.Table) -> pa.Table:
@@ -728,7 +788,7 @@ def c4_rules(
         cols["keep"] = pa.array(keep)
         return pa.table(cols)
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return _f
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,119 @@ def test_dictionary_kernels_match_scalar(texts):
         want_st = norm == "" or not K.only_contains(norm, words)
         assert sp == want_sp, repr(t)
         assert stw == want_st, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 rule kernels vs scalar twins (arbitrary unicode input)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from qamd_ray.ops.textstats import (
+    GOPHER_STOPWORDS,
+    c4_batch_fn,
+    gopher_batch_fn,
+)
+
+_WORD = _re.compile(r"[^ \t\n\f\r]+")
+_ALPHA_WORD = _re.compile(r"[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*")
+# re.ASCII: RE2's \b is the ASCII word boundary; Python's default is unicode
+_STOP_RES = [
+    _re.compile(rf"\b{w}\b", _re.ASCII) for w in GOPHER_STOPWORDS
+]
+
+
+def _gopher_scalar(text: str) -> dict:
+    t = text or ""
+    words = _WORD.findall(t)
+    n_words = len(words)
+    word_chars = sum(len(w) for w in words)
+    n_sym = t.count("#") + t.count("...") + t.count("…")
+    n_alpha = len(_ALPHA_WORD.findall(t))
+    lines = t.split("\n")
+    n_bullet = sum(l.startswith(("-", "*", "•")) for l in lines)
+    n_ell = sum(l.endswith(("...", "…")) for l in lines)
+    low = t.lower()
+    n_stop = sum(bool(rx.search(low)) for rx in _STOP_RES)
+    f = {
+        "f_word_count": 50 <= n_words <= 100_000,
+        "f_mean_word_len": 3 * n_words <= word_chars <= 10 * n_words,
+        "f_symbol_ratio": 100 * n_sym <= 10 * n_words,
+        "f_bullet_lines": 100 * n_bullet <= 90 * len(lines),
+        "f_ellipsis_lines": 100 * n_ell <= 30 * len(lines),
+        "f_alpha_words": 100 * n_alpha >= 80 * n_words,
+        "f_stopwords": n_stop >= 2,
+    }
+    f["n_words"] = n_words
+    f["n_lines"] = len(lines)
+    f["n_stopwords"] = n_stop
+    f["keep"] = all(v for k, v in f.items() if k.startswith("f_"))
+    return f
+
+
+def _c4_scalar(text: str) -> dict:
+    t = text or ""
+    lines = t.split("\n")
+    kept = [
+        l
+        for l in lines
+        if l.endswith((".", "!", "?", '"'))
+        and len(_WORD.findall(l)) >= 3
+        and "javascript" not in l.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = clean.count(".") + clean.count("!") + clean.count("?")
+    return {
+        "clean_text": clean,
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "f_sentences": n_sent >= 5,
+        "f_no_badsub": "lorem ipsum" not in t.lower(),
+        "f_no_literal": "{" not in t,
+        "keep": n_sent >= 5
+        and "lorem ipsum" not in t.lower()
+        and "{" not in t,
+    }
+
+
+# words/lines/punct-heavy fragments so the rules actually trip both ways
+RULE_TEXT = st.lists(
+    st.sampled_from(
+        list("abTHE the of and #.!?\"-*•…\n\t ")
+        + ["...", " the ", "lorem ipsum", "{", "javascript."]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@given(st.lists(RULE_TEXT, min_size=1, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_gopher_batch_fn_matches_scalar(texts):
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = gopher_batch_fn()(batch).to_pylist()
+    for row, t in zip(out, texts):
+        exp = _gopher_scalar(t)
+        for k, v in exp.items():
+            assert row[k] == v, (k, t)
+
+
+@given(st.lists(RULE_TEXT, min_size=1, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_c4_batch_fn_matches_scalar(texts):
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = c4_batch_fn()(batch).to_pylist()
+    for row, t in zip(out, texts):
+        exp = _c4_scalar(t)
+        for k, v in exp.items():
+            assert row[k] == v, (k, t)
