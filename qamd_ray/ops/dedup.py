@@ -86,6 +86,11 @@ def exact_dedup(
         .filter(expr="n > 1")
         .to_pandas()
     )
+    if len(dups) == 0 or "winner_id" not in dups.columns:
+        # no duplicated content anywhere (the empty hash-aggregate result
+        # is SCHEMALESS, so even the column lookup would fail) — nothing
+        # to drop, and the early return keeps the original columns
+        return ds
     win = pd.Series(
         dups["winner_id"].to_numpy(np.int64), index=dups["content_md5"].to_numpy(object)
     )
@@ -1802,3 +1807,174 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(_dedup_cluster, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against a persisted hash index
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(hs: list, num_buckets: int) -> np.ndarray:
+    """Stable bucket id from the first 4 hex digits of the md5."""
+    return np.array([int(h[:4], 16) % num_buckets for h in hs], np.int64)
+
+
+def build_hash_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_buckets: int = 64,
+) -> str:
+    """Persist the corpus content-hash set as a bucket-partitioned parquet
+    index: one ``(content_md5, winner id)`` row per distinct content,
+    laid out ``index_dir/bucket=<k>/``.  A later delta dedup reads ONLY
+    the buckets its own hashes touch (partition pruning), so the corpus
+    is never re-scanned.  Whole-directory atomic publish (temp dir +
+    ``os.replace``), the ivf_build pattern — a crash mid-build never
+    leaves a half-index.
+    """
+    import os
+    import shutil
+
+    hashed = with_content_hash(ds, text_col)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["content_md5", id_col])
+
+    win = (
+        hashed.map_batches(_proj, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+    def _bucketed(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "content_md5": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        hs = K._as_array(batch["content_md5"]).to_pylist()
+        return pa.table(
+            {
+                "content_md5": batch["content_md5"],
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "bucket": pa.array(_md5_bucket(hs, num_buckets)),
+            }
+        )
+
+    tmp = index_dir.rstrip("/\\") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    win.map_batches(_bucketed, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"]
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def incremental_exact_dedup(
+    new_ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_buckets: int = 64,
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Dedup a DELTA against a persisted corpus hash index WITHOUT
+    re-reading the corpus: intra-delta exact dedup first, then an
+    anti-membership pass over only the index buckets the delta's own
+    hashes touch.
+
+    The driver-side state is bounded by the DELTA, never the corpus:
+    the broadcast path intersects the pruned index keys with the
+    delta's hash set (``seen`` ≤ delta distinct contents); above
+    ``broadcast_threshold`` delta rows the membership test is a
+    left-outer hash-shuffle join against the pruned index read, keeping
+    rows with no index match.  ``num_buckets`` must match the value the
+    index was built with.
+    """
+    import glob
+    import os
+
+    ded = exact_dedup(new_ds, text_col, id_col)
+    hashed = with_content_hash(ded, text_col)
+
+    small = n_rows is None or n_rows <= broadcast_threshold
+    if small:
+        def _keys(batch: pa.Table) -> pa.Table:
+            return batch.select(["content_md5"])
+
+        kdf = hashed.map_batches(_keys, batch_format="pyarrow").to_pandas()
+        delta_md5 = pd.unique(kdf["content_md5"].to_numpy(object))
+        buckets = np.unique(_md5_bucket(list(delta_md5), num_buckets))
+    else:
+        buckets = np.arange(num_buckets)  # a big delta touches them all
+
+    files: list[str] = []
+    for b in buckets:
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        )
+    if not files:  # empty index: nothing previously seen
+        return ded
+
+    index_keys = ray.data.read_parquet(files, columns=["content_md5"])
+
+    if small:
+        import ray as _ray
+
+        want = _ray.put(set(delta_md5))
+
+        def _hit(batch: pa.Table) -> pa.Table:
+            w = _ray.get(want)
+            hs = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
+            mask = np.fromiter((h in w for h in hs), bool, len(hs))
+            return batch.filter(pa.array(mask))
+
+        seen = set(
+            index_keys.map_batches(_hit, batch_format="pyarrow")
+            .to_pandas()["content_md5"]
+            .to_numpy(object)
+        )
+        sref = _ray.put(seen)
+
+        def _drop_seen(batch: pa.Table) -> pa.Table:
+            s = _ray.get(sref)
+            hs = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
+            mask = np.fromiter((h not in s for h in hs), bool, len(hs))
+            return batch.filter(pa.array(mask)).drop_columns(["content_md5"])
+
+        return hashed.map_batches(_drop_seen, batch_format="pyarrow")
+
+    # distributed path: left-outer join on the hash, keep no-match rows
+    from . import joins
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_md5": batch["content_md5"],
+                "_in_index": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    marked = index_keys.map_batches(_mark, batch_format="pyarrow")
+    joined = joins.hash_join(
+        hashed,
+        marked,
+        on="content_md5",
+        how="left_outer",
+        num_partitions=joins._shuffle_partitions(),
+    )
+
+    def _keep_unseen(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["_in_index"])
+        return batch.filter(mask).drop_columns(["content_md5", "_in_index"])
+
+    return joined.map_batches(_keep_unseen, batch_format="pyarrow")

@@ -1041,6 +1041,39 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup (ops.dedup.incremental_exact_dedup): the
+    documents table is the already-ingested corpus, persisted as a
+    bucket-partitioned hash index; the delta re-derives every doc with a
+    shifted id, keeping each 5th text verbatim (a true re-crawl dup) and
+    suffixing the rest.  Survivors = delta rows whose content the corpus
+    has never seen, without re-reading the corpus — the daily-ingest
+    shape of a growing 100-TB corpus."""
+    import os
+
+    from .ops import dedup as dd
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    idx = f"/tmp/qamd_hash_index/{os.path.basename(os.path.normpath(sf_dir))}"
+    dd.build_hash_index(docs, idx, num_buckets=16)
+
+    def _delta(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        t = K._as_array(pc.fill_null(b["text"], ""))
+        t_new = pc.binary_join_element_wise(t, " new", "")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 1_000_000),
+                "text": pc.if_else(pa.array(ids % 5 == 0), t, t_new),
+            }
+        )
+
+    delta = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _delta, batch_format="pyarrow"
+    )
+    return dd.incremental_exact_dedup(delta, idx, num_buckets=16)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document most distinctive term (ops.textstats.tfidf_top_term):
     integer tf-idf score tf*(10^6//df), ties to the largest term; df
@@ -1416,6 +1449,7 @@ QUERIES = {
     "c4_rules": q_c4_rules,
     "web_curation": q_web_curation,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "incremental_dedup": q_incremental_dedup,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "decontaminate_docs": q_decontaminate_docs,
@@ -1538,6 +1572,16 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "incremental_dedup": (
+        "WITH delta AS (SELECT doc_id + 1000000 AS doc_id, coalesce(text, '')"
+        "   || CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' new' END AS text"
+        "   FROM documents),"
+        " corpus AS (SELECT coalesce(text, '') AS text FROM documents),"
+        " w AS (SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS win"
+        "   FROM delta)"
+        " SELECT doc_id, text FROM w WHERE doc_id = win"
+        "  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = w.text)"
+    ),
     "tfidf_top_terms": (
         "WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))"
         "   AS term FROM documents),"

@@ -951,6 +951,87 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_exact_dedup_dup_free_input():
+    """Regression: a corpus with NO duplicates used to crash exact_dedup
+    (the empty hash-aggregate result is schemaless, so the winner-column
+    lookup raised KeyError)."""
+    from qamd_ray.ops.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [f"unique {i}" for i in range(8)],
+        }
+    )
+    out = exact_dedup(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(8))
+    assert sorted(out.columns) == ["doc_id", "text"]
+
+
+def test_incremental_exact_dedup_vs_full_rerun(tmp_path):
+    """Dedup a delta against a persisted corpus hash index == rerunning
+    exact_dedup over corpus ∪ delta and keeping only delta winners, on
+    both routing paths; empty index short-circuits to intra-delta
+    dedup."""
+    from qamd_ray.ops.dedup import (
+        build_hash_index,
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    texts = [f"doc body {i} {rng.integers(1e9)}" for i in range(40)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": texts,
+        }
+    )
+    delta = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 130, dtype=np.int64),
+            "text": (
+                texts[:10]                      # 10 overlap the corpus
+                + [f"fresh {i}" for i in range(15)]  # 15 new
+                + [f"fresh {i}" for i in range(5)]   # 5 intra-delta dups
+            ),
+        }
+    )
+    idx = str(tmp_path / "hash_index")
+    build_hash_index(
+        ray.data.from_pandas(corpus).repartition(3), idx, num_buckets=8
+    )
+
+    both = pd.concat([corpus, delta], ignore_index=True)
+    full = exact_dedup(
+        ray.data.from_pandas(both).repartition(4)
+    ).to_pandas()
+    expect = sorted(full[full["doc_id"] >= 100]["doc_id"])
+    assert len(expect) == 15  # overlaps and intra-dups are gone
+
+    for n_rows in (None, 1):  # broadcast path; then the join path
+        got = (
+            incremental_exact_dedup(
+                ray.data.from_pandas(delta).repartition(3),
+                idx,
+                num_buckets=8,
+                n_rows=n_rows,
+                broadcast_threshold=5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert sorted(got["doc_id"]) == expect, n_rows
+        assert list(got.columns) == ["doc_id", "text"]
+
+    # empty index -> pure intra-delta dedup
+    got = incremental_exact_dedup(
+        ray.data.from_pandas(delta).repartition(2),
+        str(tmp_path / "missing_index"),
+    ).to_pandas()
+    assert len(got) == 25  # 10 overlap rows survive, intra-dups collapse
+
+
 def test_tfidf_top_term_paths_and_ties():
     """Broadcast path == distributed join+MAX path == a brute-force
     python reference, incl. score ties (largest term wins), empty and
