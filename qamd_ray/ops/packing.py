@@ -308,3 +308,94 @@ def sequence_spans(
         return out
 
     return with_cum.map_batches(_spans, batch_format="pyarrow")
+
+
+def chunk_by_tokens(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    tokens_per_chunk: int = 64,
+    overlap: int = 16,
+) -> "ray.data.Dataset":
+    """Split each document into overlapping fixed-token windows — the
+    retrieval-chunking step of a RAG corpus build.
+
+    Tokens are the non-empty fields of a single-space split (the
+    ``token_counts`` convention).  Chunk ``i`` covers tokens
+    ``[i*stride, min(i*stride + tokens_per_chunk, n))`` with ``stride =
+    tokens_per_chunk - overlap``; chunks are emitted while ``i*stride <
+    n``, so the final chunk may be short and a document with no tokens
+    emits no row.  Output: ``(id_col, chunk_idx, chunk_text,
+    n_chunk_tokens)``.
+
+    One stateless vectorized pass — no shuffle: per batch the flat token
+    array is gathered once through a numpy-built index vector (repeat /
+    arange arithmetic only) and re-joined per chunk, so overlapping
+    windows never materialize per-row Python lists.  The DuckDB twin is
+    ``generate_series`` × list slicing over the same split.
+    """
+    if not 0 <= overlap < tokens_per_chunk:
+        raise ValueError("need 0 <= overlap < tokens_per_chunk")
+    stride = tokens_per_chunk - overlap
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        toks = K._as_array(pc.split_pattern(text, " "))
+        flat_all = toks.flatten()
+        keep = pc.not_equal(flat_all, "")
+        # re-count per-doc sizes after dropping empty fields
+        offs = np.asarray(toks.offsets)
+        docx_all = np.repeat(
+            np.arange(len(batch)), (offs[1:] - offs[:-1]).astype(np.int64)
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat_all.filter(keep)
+        n_toks = np.bincount(docx_all[keep_np], minlength=len(batch)).astype(
+            np.int64
+        )
+        doc_start = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n_toks, out=doc_start[1:])
+
+        n_chunks = (n_toks + stride - 1) // stride  # 0 chunks for 0 tokens
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_chunk_tokens": pa.array([], pa.int64()),
+                }
+            )
+
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        out_doc = np.repeat(np.arange(len(batch)), n_chunks)
+        # chunk_idx = position within its doc's chunk run
+        run_starts = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=run_starts[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            run_starts[:-1], n_chunks
+        )
+        c_start = chunk_idx * stride
+        c_len = np.minimum(c_start + tokens_per_chunk, n_toks[out_doc]) - c_start
+
+        # one flat gather: indices = doc_start + c_start .. + c_len per chunk
+        chunk_offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(c_len, out=chunk_offs[1:])
+        base = np.repeat(doc_start[out_doc] + c_start - chunk_offs[:-1], c_len)
+        gather = base + np.arange(int(chunk_offs[-1]), dtype=np.int64)
+        taken = pc.take(flat, pa.array(gather))
+        chunks = pa.LargeListArray.from_arrays(
+            pa.array(chunk_offs, type=pa.int64()), taken
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[out_doc]),
+                "chunk_idx": pa.array(chunk_idx),
+                "chunk_text": K._as_array(pc.binary_join(chunks, " ")),
+                "n_chunk_tokens": pa.array(c_len),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1041,6 +1041,19 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG retrieval chunking (ops.packing.chunk_by_tokens): overlapping
+    16-token windows, stride 12; one stateless vectorized pass (flat
+    token gather), no shuffle."""
+    from .ops import packing
+
+    return packing.chunk_by_tokens(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        tokens_per_chunk=16,
+        overlap=4,
+    )
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental exact dedup (ops.dedup.incremental_exact_dedup): the
     documents table is the already-ingested corpus, persisted as a
@@ -1449,6 +1462,7 @@ QUERIES = {
     "c4_rules": q_c4_rules,
     "web_curation": q_web_curation,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_docs": q_chunk_docs,
     "incremental_dedup": q_incremental_dedup,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
@@ -1572,6 +1586,18 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "chunk_docs": (
+        "WITH t AS (SELECT doc_id,"
+        "   list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+        "   AS toks FROM documents),"
+        " n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),"
+        " g AS (SELECT doc_id, toks, n,"
+        "   unnest(generate_series(0, CAST((n + 11) // 12 AS BIGINT) - 1)) AS i"
+        "   FROM n)"
+        " SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,"
+        "  array_to_string(toks[(i*12 + 1):(i*12 + 16)], ' ') AS chunk_text,"
+        "  CAST(least(i*12 + 16, n) - i*12 AS BIGINT) AS n_chunk_tokens FROM g"
+    ),
     "incremental_dedup": (
         "WITH delta AS (SELECT doc_id + 1000000 AS doc_id, coalesce(text, '')"
         "   || CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' new' END AS text"

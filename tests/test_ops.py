@@ -951,6 +951,61 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_chunk_by_tokens_windows_and_edges():
+    """Overlapping token windows vs a scalar reference: stride math,
+    short final chunk, multi-space splits, empty and null docs emit no
+    rows."""
+    from qamd_ray.ops.packing import chunk_by_tokens
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "a b c d e f g",
+                "x  y",  # double space -> empty field dropped
+                "",
+                None,
+                "one two three four five six seven eight nine",
+            ],
+        }
+    )
+    out = (
+        chunk_by_tokens(
+            ray.data.from_pandas(docs).repartition(2),
+            tokens_per_chunk=4,
+            overlap=1,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    def ref(t, N=4, ov=1):
+        toks = [w for w in (t or "").split(" ") if w]
+        s, i, rows = N - ov, 0, []
+        while i * s < len(toks):
+            c = toks[i * s : i * s + N]
+            rows.append((i, " ".join(c), len(c)))
+            i += 1
+        return rows
+
+    expect = [
+        (int(d), *row)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        for row in ref(t)
+    ]
+    got = [
+        (int(r.doc_id), int(r.chunk_idx), r.chunk_text, int(r.n_chunk_tokens))
+        for r in out.itertuples()
+    ]
+    assert got == expect
+    assert not (out["doc_id"].isin([2, 3])).any()  # empty/null emit nothing
+    with pytest.raises(ValueError):
+        chunk_by_tokens(
+            ray.data.from_pandas(docs), tokens_per_chunk=4, overlap=4
+        )
+
+
 def test_exact_dedup_dup_free_input():
     """Regression: a corpus with NO duplicates used to crash exact_dedup
     (the empty hash-aggregate result is schemaless, so the winner-column
