@@ -54,6 +54,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .. import kernels as K
+
 # Markers The Stack greps for in the file head (case-insensitive).
 AUTOGEN_REGEX = "(auto-generated|automatically generated|do not edit)"
 AUTOGEN_HEAD_CHARS = 1000
@@ -499,3 +501,43 @@ def quantile_buckets(
         return batch.append_column(bucket_col, pa.array(labs[idx], pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SPDX license scan (The Stack / BigCode-style license curation)
+# ---------------------------------------------------------------------------
+
+#: SPDX short-identifier charset (SPDX spec Annex B: idstring = letters,
+#: digits, ".", "-", "+").
+SPDX_PATTERN = r"SPDX-License-Identifier: (?P<license>[A-Za-z0-9.\-+]+)"
+
+
+def license_scan(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_cols=("doc_id",),
+) -> "ray.data.Dataset":
+    """Per-file SPDX license detection — the license-curation step of a
+    Stack-style code pipeline (files without a permissive tag get
+    filtered before training).  Emits each file's FIRST declared SPDX
+    short identifier (``''`` when none, matching DuckDB's
+    ``regexp_extract`` no-match result) and the total tag count.
+
+    One vectorized RE2 ``extract_regex`` + substring-count pass; no
+    shuffle, no Python rows.
+    """
+    id_cols = list(id_cols)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        t = K._as_array(pc.fill_null(batch[content_col], ""))
+        ex = pc.extract_regex(t, SPDX_PATTERN)
+        lic = pc.fill_null(pc.struct_field(ex, "license"), "")
+        n = pc.cast(
+            pc.count_substring(t, "SPDX-License-Identifier:"), pa.int64()
+        )
+        cols = {c: batch[c] for c in id_cols}
+        cols["license"] = lic
+        cols["n_spdx_tags"] = n
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")

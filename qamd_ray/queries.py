@@ -1041,6 +1041,30 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_license_scan(sf_dir: str):
+    """SPDX license detection (ops.codestats.license_scan) over a
+    deterministic licensed-code view (fixed substring rewrites plant
+    SPDX tags, built identically in SQL): per file the first declared
+    short identifier and the tag count."""
+    from .ops import codestats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lic_view(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        for pat, rep in (
+            (" hash ", " SPDX-License-Identifier: MIT "),
+            (" merge ", " SPDX-License-Identifier: Apache-2.0 "),
+            (" stream ", " SPDX-License-Identifier: GPL-3.0-only "),
+        ):
+            t = pc.replace_substring(t, pat, rep)
+        return pa.table({"doc_id": b["doc_id"], "content": t})
+
+    return codestats.license_scan(
+        ds.map_batches(_lic_view, batch_format="pyarrow")
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG retrieval chunking (ops.packing.chunk_by_tokens): overlapping
     16-token windows, stride 12; one stateless vectorized pass (flat
@@ -1463,6 +1487,7 @@ QUERIES = {
     "web_curation": q_web_curation,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_docs": q_chunk_docs,
+    "license_scan": q_license_scan,
     "incremental_dedup": q_incremental_dedup,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
@@ -1586,6 +1611,18 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "license_scan": (
+        "SELECT doc_id,"
+        " coalesce(regexp_extract(t,"
+        "   'SPDX-License-Identifier: ([A-Za-z0-9.\\-+]+)', 1), '') AS license,"
+        " CAST((length(t) - length(replace(t, 'SPDX-License-Identifier:', '')))"
+        "   // length('SPDX-License-Identifier:') AS BIGINT) AS n_spdx_tags"
+        " FROM (SELECT doc_id, replace(replace(replace(coalesce(text, ''),"
+        "   ' hash ', ' SPDX-License-Identifier: MIT '),"
+        "   ' merge ', ' SPDX-License-Identifier: Apache-2.0 '),"
+        "   ' stream ', ' SPDX-License-Identifier: GPL-3.0-only ') AS t"
+        "   FROM documents)"
+    ),
     "chunk_docs": (
         "WITH t AS (SELECT doc_id,"
         "   list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"

@@ -951,6 +951,40 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_license_scan_first_tag_and_counts():
+    """SPDX scan: first declared identifier wins, '' for untagged, tag
+    count exact, '+'/'-'/'.' identifier charset, null content."""
+    from qamd_ray.ops.codestats import license_scan
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "content": [
+                "// SPDX-License-Identifier: Apache-2.0\ncode here",
+                "x SPDX-License-Identifier: GPL-3.0-or-later y "
+                "SPDX-License-Identifier: MIT",
+                "no tag at all",
+                "",
+                None,
+            ],
+        }
+    )
+    out = (
+        license_scan(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["license"].tolist() == [
+        "Apache-2.0",
+        "GPL-3.0-or-later",  # FIRST tag wins
+        "",
+        "",
+        "",
+    ]
+    assert out["n_spdx_tags"].tolist() == [1, 2, 0, 0, 0]
+
+
 def test_chunk_by_tokens_windows_and_edges():
     """Overlapping token windows vs a scalar reference: stride math,
     short final chunk, multi-space splits, empty and null docs emit no
