@@ -250,3 +250,53 @@ def sessionize(
         return batch.append_column("session_seq", pa.array(local + base))
 
     return sorted_ds.map_batches(_pass_b, batch_format="pyarrow", batch_size=None)
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    values: "Sequence[str]",
+    *,
+    prefix: str = "n_",
+) -> "ray.data.Dataset":
+    """Crosstab: one output row per ``row_key``, one int64 count column
+    per declared ``values`` member of ``col_key`` (``prefix + value``;
+    other values are ignored).  The column set is DECLARED, not
+    discovered, so every block carries the identical schema — the
+    property a distributed pivot needs (a discovered set would make
+    block schemas diverge mid-shuffle).
+
+    Per batch: one vectorized ``== value`` count per declared value,
+    pre-aggregated by ``row_key`` (Arrow group_by), so the shuffle moves
+    O(distinct keys × len(values)) ints per batch, never rows.  SQL
+    twin: ``count(*) FILTER (WHERE col = value)``.
+    """
+    from ray.data.aggregate import Sum
+
+    values = list(values)
+    out_cols = [prefix + v for v in values]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ck = batch[col_key]
+        cols = {row_key: batch[row_key]}
+        for v, name in zip(values, out_cols):
+            cols[name] = pc.cast(pc.equal(ck, v), pa.int64())
+        t = pa.table(cols)
+        return t.group_by(row_key).aggregate(
+            [(name, "sum") for name in out_cols]
+        ).rename_columns([row_key] + out_cols)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(row_key)
+        .aggregate(*[Sum(name, alias_name=name) for name in out_cols])
+    )
+
+    def _fix(batch: pa.Table) -> pa.Table:
+        cols = {row_key: batch[row_key]}
+        for name in out_cols:
+            cols[name] = pc.cast(pc.fill_null(batch[name], 0), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(_fix, batch_format="pyarrow")

@@ -1041,6 +1041,20 @@ def q_c4_rules(sf_dir: str):
     return textstats.c4_rules(_webpage_view(sf_dir))
 
 
+def q_event_pivot(sf_dir: str):
+    """Per-user event-type crosstab (ops.windows.pivot_counts): one row
+    per user, one declared count column per event type; per-batch
+    pre-aggregation so the shuffle moves O(users × 5) ints."""
+    from .ops.windows import pivot_counts
+
+    return pivot_counts(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_license_scan(sf_dir: str):
     """SPDX license detection (ops.codestats.license_scan) over a
     deterministic licensed-code view (fixed substring rewrites plant
@@ -1488,6 +1502,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_docs": q_chunk_docs,
     "license_scan": q_license_scan,
+    "event_pivot": q_event_pivot,
     "incremental_dedup": q_incremental_dedup,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
@@ -1611,6 +1626,15 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "event_pivot": (
+        "SELECT user_id,"
+        " CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,"
+        " CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,"
+        " CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,"
+        " CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,"
+        " CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view"
+        " FROM events GROUP BY user_id"
+    ),
     "license_scan": (
         "SELECT doc_id,"
         " coalesce(regexp_extract(t,"

@@ -951,6 +951,38 @@ def test_web_curation_pipeline_dedups_and_counts():
     assert n7 > n1 > 0
 
 
+def test_pivot_counts_vs_pandas_crosstab():
+    """Declared-column crosstab vs pandas, incl. undeclared values
+    ignored, keys missing a value get 0, null col values counted
+    nowhere."""
+    from qamd_ray.ops.windows import pivot_counts
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500).astype(np.int64),
+            "v": rng.choice(["a", "b", "c", "zz"], 500),
+        }
+    )
+    df.loc[:4, "v"] = None
+    out = (
+        pivot_counts(
+            ray.data.from_pandas(df).repartition(4), "k", "v", ["a", "b", "c"]
+        )
+        .to_pandas()
+        .sort_values("k")
+        .set_index("k")
+    )
+    ref = (
+        pd.crosstab(df["k"], df["v"])
+        .reindex(columns=["a", "b", "c"], fill_value=0)
+        .reindex(out.index, fill_value=0)
+    )
+    for v in ["a", "b", "c"]:
+        assert out[f"n_{v}"].tolist() == ref[v].tolist(), v
+    assert "n_zz" not in out.columns
+
+
 def test_license_scan_first_tag_and_counts():
     """SPDX scan: first declared identifier wins, '' for untagged, tag
     count exact, '+'/'-'/'.' identifier charset, null content."""
