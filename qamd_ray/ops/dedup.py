@@ -1872,6 +1872,12 @@ def build_hash_index(
     win.map_batches(_bucketed, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["bucket"]
     )
+    # the sentinel distinguishes "fresh empty index" from "index path
+    # wrong / vanished" at read time, and pins the bucket layout
+    import json
+
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets, "id_col": id_col}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)
     return index_dir
@@ -1886,6 +1892,7 @@ def incremental_exact_dedup(
     num_buckets: int = 64,
     n_rows: Optional[int] = None,
     broadcast_threshold: int = 2_000_000,
+    allow_missing_index: bool = False,
 ) -> "ray.data.Dataset":
     """Dedup a DELTA against a persisted corpus hash index WITHOUT
     re-reading the corpus: intra-delta exact dedup first, then an
@@ -1897,17 +1904,48 @@ def incremental_exact_dedup(
     delta's hash set (``seen`` ≤ delta distinct contents); above
     ``broadcast_threshold`` delta rows the membership test is a
     left-outer hash-shuffle join against the pruned index read, keeping
-    rows with no index match.  ``num_buckets`` must match the value the
-    index was built with.
+    rows with no index match.
+
+    A MISSING ``index_dir`` raises unless ``allow_missing_index=True``:
+    silently treating a lost or mistyped index path as "nothing seen"
+    would quietly disable corpus dedup on every subsequent ingest.  A
+    present index carries a ``_meta.json`` sentinel whose ``num_buckets``
+    must match, else the bucket pruning would silently miss keys.
     """
     import glob
+    import json
     import os
+
+    if not os.path.isdir(index_dir):
+        if not allow_missing_index:
+            raise FileNotFoundError(
+                f"hash index {index_dir!r} does not exist; build it with "
+                "build_hash_index or pass allow_missing_index=True for a "
+                "first-ingest (intra-delta-only) dedup"
+            )
+        index_files_exist = False
+    else:
+        meta_path = os.path.join(index_dir, "_meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("num_buckets") != num_buckets:
+                raise ValueError(
+                    f"hash index {index_dir!r} was built with num_buckets="
+                    f"{meta.get('num_buckets')}, called with {num_buckets} — "
+                    "bucket pruning would silently miss keys"
+                )
+        index_files_exist = True
 
     ded = exact_dedup(new_ds, text_col, id_col)
     hashed = with_content_hash(ded, text_col)
 
     small = n_rows is None or n_rows <= broadcast_threshold
     if small:
+        # pin the (dedup + hash) result so key collection and the final
+        # filter don't execute the delta lineage twice
+        hashed = hashed.materialize()
+
         def _keys(batch: pa.Table) -> pa.Table:
             return batch.select(["content_md5"])
 
@@ -1918,40 +1956,39 @@ def incremental_exact_dedup(
         buckets = np.arange(num_buckets)  # a big delta touches them all
 
     files: list[str] = []
-    for b in buckets:
-        files.extend(
-            sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
-        )
-    if not files:  # empty index: nothing previously seen
+    if index_files_exist:
+        for b in buckets:
+            files.extend(
+                sorted(
+                    glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+                )
+            )
+    if not files:  # verified-fresh empty index: nothing previously seen
+        if small:
+
+            def _drop_hash(batch: pa.Table) -> pa.Table:
+                return batch.drop_columns(["content_md5"])
+
+            return hashed.map_batches(_drop_hash, batch_format="pyarrow")
         return ded
 
     index_keys = ray.data.read_parquet(files, columns=["content_md5"])
 
     if small:
-        import ray as _ray
-
-        want = _ray.put(set(delta_md5))
-
-        def _hit(batch: pa.Table) -> pa.Table:
-            w = _ray.get(want)
-            hs = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
-            mask = np.fromiter((h in w for h in hs), bool, len(hs))
-            return batch.filter(pa.array(mask))
+        from .joins import anti_join, semi_join
 
         seen = set(
-            index_keys.map_batches(_hit, batch_format="pyarrow")
+            semi_join(index_keys, delta_md5, "content_md5")
             .to_pandas()["content_md5"]
             .to_numpy(object)
         )
-        sref = _ray.put(seen)
 
-        def _drop_seen(batch: pa.Table) -> pa.Table:
-            s = _ray.get(sref)
-            hs = np.asarray(K._as_array(batch["content_md5"]), dtype=object)
-            mask = np.fromiter((h not in s for h in hs), bool, len(hs))
-            return batch.filter(pa.array(mask)).drop_columns(["content_md5"])
+        def _drop_md5(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["content_md5"])
 
-        return hashed.map_batches(_drop_seen, batch_format="pyarrow")
+        return anti_join(hashed, seen, "content_md5").map_batches(
+            _drop_md5, batch_format="pyarrow"
+        )
 
     # distributed path: left-outer join on the hash, keep no-match rows
     from . import joins

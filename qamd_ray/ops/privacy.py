@@ -12,15 +12,24 @@ quasi-identifier risk:
   group is safe iff its sensitive column takes at least ``l`` distinct
   values.
 
-Both are one keys-only distributed aggregate (never the payload
+NULL quasi-identifier values group together (SQL ``GROUP BY`` / window
+``PARTITION BY`` semantics) on BOTH routing paths: every key column is
+carried through aggregation and attach as a derived (filled value,
+is-null flag) pair, so the hash-shuffle join — where SQL equality would
+silently drop null keys — sees only non-null keys and still groups the
+nulls.  Missing quasi-identifier values are common in exactly the data
+these checks target, so the two paths diverging on them would be a
+correctness bug, not a corner case.
+
+Both ops are one keys-only distributed aggregate (never the payload
 columns) followed by a count attach.  The attach is size-routed like
-the repo's other reductions: under ``broadcast_threshold`` distinct
-groups the count table is collected once and broadcast via
-``ray.put`` (vectorized pandas merge per batch); above it — the 100-TB
-path, where distinct quasi combinations approach the row count — the
-counts stay a Dataset and attach through a hash-shuffle
-``Dataset.join`` on the quasi columns.  Routing takes an explicit
-``n_rows`` hint because ``ds.count()`` executes mapped lineage.
+the repo's other reductions: under ``broadcast_threshold`` input rows
+the count table is collected once and broadcast via ``ray.put``
+(vectorized pandas merge per batch); above it — the 100-TB path, where
+distinct quasi combinations approach the row count — the counts stay a
+Dataset and attach through a hash-shuffle ``Dataset.join``.  Routing
+takes an explicit ``n_rows`` hint because ``ds.count()`` executes
+mapped lineage.
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
@@ -37,10 +47,43 @@ from .. import kernels as K
 from . import joins
 
 
+def _fill_scalar(typ: pa.DataType):
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return ""
+    if pa.types.is_floating(typ):
+        return 0.0
+    if pa.types.is_boolean(typ):
+        return False
+    return 0  # integers, temporal types cast from 0
+
+
+def _derived_names(quasi: list[str]) -> list[str]:
+    out = []
+    for i in range(len(quasi)):
+        out += [f"__q{i}", f"__q{i}n"]
+    return out
+
+
+def _add_null_safe(batch: pa.Table, quasi: list[str]) -> pa.Table:
+    """Append, per quasi column, a filled copy and an is-null flag — an
+    injective encoding of value-or-null in never-null columns, so joins
+    and groupbys treat nulls as one ordinary group."""
+    for i, c in enumerate(quasi):
+        col = batch[c]
+        typ = col.type
+        filled = pc.fill_null(col, pa.scalar(_fill_scalar(typ), typ))
+        batch = batch.append_column(f"__q{i}", filled)
+        batch = batch.append_column(
+            f"__q{i}n", pc.cast(pc.is_null(col), pa.int8())
+        )
+    return batch
+
+
 def _attach_counts(
-    ds: "ray.data.Dataset",
+    ds2: "ray.data.Dataset",
     counts: "ray.data.Dataset",
-    quasi_cols: list[str],
+    quasi: list[str],
+    key_types: list[pa.DataType],
     count_col: str,
     flag_col: str,
     threshold_n: int,
@@ -48,9 +91,10 @@ def _attach_counts(
     n_rows: Optional[int],
     broadcast_threshold: int,
 ) -> "ray.data.Dataset":
-    """Join the per-group count table back onto every row and derive the
-    ``count >= threshold`` flag; broadcast under the threshold, shuffle
-    join above it."""
+    """Join the per-group count table back onto every row (by the
+    derived null-safe keys), derive ``count >= threshold``, and drop the
+    derived columns; broadcast under the threshold, shuffle join above."""
+    dkeys = _derived_names(quasi)
     small = n_rows is None or n_rows <= broadcast_threshold
     if small:
         cnt = counts.to_pandas()
@@ -60,44 +104,56 @@ def _attach_counts(
 
         def _merge(batch: pa.Table) -> pa.Table:
             tbl = _ray.get(ref)
-            left = batch.select(quasi_cols).to_pandas()
-            # right keys are unique (one row per group), so the left
-            # merge preserves batch row order
-            m = left.merge(tbl, on=quasi_cols, how="left")
+            left = batch.select(dkeys).to_pandas()
+            # derived keys are never null and unique per group, so the
+            # left merge preserves batch row order exactly
+            m = left.merge(tbl, on=dkeys, how="left")
             # a group can miss a count row (l-diversity: all-null
             # sensitive values) -> count 0, flag False
             n = m[count_col].fillna(0).to_numpy(np.int64)
+            batch = batch.drop_columns(dkeys)
             batch = batch.append_column(count_col, pa.array(n))
             return batch.append_column(flag_col, pa.array(n >= threshold_n))
 
-        return ds.map_batches(_merge, batch_format="pyarrow")
+        return ds2.map_batches(_merge, batch_format="pyarrow")
 
     # the join side comes out of a hash aggregate, whose empty shuffle
     # partitions emit SCHEMALESS blocks that poison Dataset.join —
     # compact to non-empty schema-pinned blocks first
-    sch = ds.schema()
-    typemap = dict(zip(sch.names, sch.types))
-    names_types = [(c, typemap[c]) for c in quasi_cols] + [(count_col, pa.int64())]
+    names_types = []
+    for i, typ in enumerate(key_types):
+        names_types += [(f"__q{i}", typ), (f"__q{i}n", pa.int8())]
+    names_types.append((count_col, pa.int64()))
     joined = joins.hash_join(
-        ds,
+        ds2,
         joins._compact(counts, names_types),
-        on=quasi_cols,
+        on=dkeys,
         how="left_outer",
         num_partitions=joins._shuffle_partitions(),
     )
 
     def _flag(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         n = np.asarray(
             K._as_array(pc.fill_null(batch[count_col], 0)), dtype=np.int64
         )
-        batch = batch.drop_columns([count_col]).append_column(
+        batch = batch.drop_columns([count_col] + dkeys).append_column(
             count_col, pa.array(n)
         )
         return batch.append_column(flag_col, pa.array(n >= threshold_n))
 
     return joined.map_batches(_flag, batch_format="pyarrow")
+
+
+def _prep(ds: "ray.data.Dataset", quasi: list[str]):
+    """ds with derived null-safe key columns appended, plus the original
+    key types (from the input schema — metadata-only for parquet reads)."""
+    sch = ds.schema()
+    typemap = dict(zip(sch.names, sch.types))
+    key_types = [typemap[c] for c in quasi]
+    ds2 = ds.map_batches(
+        lambda b: _add_null_safe(b, quasi), batch_format="pyarrow"
+    )
+    return ds2, key_types
 
 
 def k_anonymity(
@@ -111,19 +167,19 @@ def k_anonymity(
     flag_col: str = "f_k_anon",
 ) -> "ray.data.Dataset":
     """Every input row plus its quasi-identifier group size
-    (``count_col``) and ``flag_col = group size >= k``."""
+    (``count_col``) and ``flag_col = group size >= k``.  Null quasi
+    values form one group, like SQL ``PARTITION BY``."""
     quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
-
-    def _proj(batch: pa.Table) -> pa.Table:
-        return batch.select(quasi)
+    ds2, key_types = _prep(ds, quasi)
+    dkeys = _derived_names(quasi)
 
     counts = (
-        ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby(quasi)
+        ds2.map_batches(lambda b: b.select(dkeys), batch_format="pyarrow")
+        .groupby(dkeys)
         .aggregate(Count(alias_name=count_col))
     )
     return _attach_counts(
-        ds, counts, quasi, count_col, flag_col, k,
+        ds2, counts, quasi, key_types, count_col, flag_col, k,
         n_rows=n_rows, broadcast_threshold=broadcast_threshold,
     )
 
@@ -141,35 +197,33 @@ def l_diversity(
 ) -> "ray.data.Dataset":
     """Every input row plus the number of DISTINCT sensitive values in
     its quasi-identifier group (``count_col``) and ``flag_col = distinct
-    count >= l``.
+    count >= l``.  Null quasi values form one group; null SENSITIVE
+    values do not count (``COUNT(DISTINCT)`` semantics).
 
-    Two keys-only aggregates: distinct (quasi, sensitive) pairs first
-    (nulls count as one value, like ``COUNT(DISTINCT)`` over a joined
-    group would not — so nulls are DROPPED to match SQL semantics),
+    Two keys-only aggregates: distinct (quasi, sensitive) pairs first,
     then pairs per group.
     """
     quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    ds2, key_types = _prep(ds, quasi)
+    dkeys = _derived_names(quasi)
 
     def _proj(batch: pa.Table) -> pa.Table:
-        t = batch.select(quasi + [sensitive_col])
+        t = batch.select(dkeys + [sensitive_col])
         # match COUNT(DISTINCT sensitive): null sensitive values do not count
-        return t.filter(pa.compute.is_valid(t[sensitive_col]))
+        return t.filter(pc.is_valid(t[sensitive_col]))
 
     pairs = (
-        ds.map_batches(_proj, batch_format="pyarrow")
-        .groupby(quasi + [sensitive_col])
+        ds2.map_batches(_proj, batch_format="pyarrow")
+        .groupby(dkeys + [sensitive_col])
         .aggregate(Count(alias_name="_n"))
     )
 
-    def _drop_sensitive(batch: pa.Table) -> pa.Table:
-        return batch.select(quasi)
-
     counts = (
-        pairs.map_batches(_drop_sensitive, batch_format="pyarrow")
-        .groupby(quasi)
+        pairs.map_batches(lambda b: b.select(dkeys), batch_format="pyarrow")
+        .groupby(dkeys)
         .aggregate(Count(alias_name=count_col))
     )
     return _attach_counts(
-        ds, counts, quasi, count_col, flag_col, l,
+        ds2, counts, quasi, key_types, count_col, flag_col, l,
         n_rows=n_rows, broadcast_threshold=broadcast_threshold,
     )

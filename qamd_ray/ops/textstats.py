@@ -815,20 +815,23 @@ def tfidf_top_term(
     Tokens are the non-empty fields of a single-space split (the
     ``token_counts`` convention).  Docs with no tokens produce no row.
 
-    Plan: one per-batch Arrow pass builds exact (doc, term, tf) rows (a
-    doc never spans batches); the document-frequency table is a
-    keys-only distributed aggregate over per-batch distinct terms.  The
-    df attach is size-routed: under ``broadcast_threshold`` input rows
-    the vocabulary-sized df table broadcasts once via ``ray.put`` and
-    the winner is a per-batch vectorized groupby-max (no shuffle at
-    all); above it the tf rows hash-shuffle-join the df table on term
-    and the per-doc winner is a distributed MAX over the zero-padded
-    ``score|term`` composite key.  Routing takes an explicit ``n_rows``
-    hint (``ds.count()`` executes mapped lineage).
+    Plan: one per-batch Arrow pass builds exact (doc, term, tf) rows (an
+    input doc is one ROW, so its tokens never split across batches); the
+    document-frequency table is a keys-only distributed aggregate over
+    per-batch distinct terms.  The df attach is size-routed: under
+    ``broadcast_threshold`` input rows the vocabulary-sized df table
+    broadcasts once via ``ray.put`` and the winner is computed inside
+    the per-DOCUMENT pass (tf rows are never re-batched, so a doc can
+    never straddle a block split); above it the tf rows
+    hash-shuffle-join the df table on term and the per-doc winner is a
+    distributed MAX over the zero-padded ``score|term`` composite key.
+    Routing takes an explicit ``n_rows`` hint (``ds.count()`` executes
+    mapped lineage).
     """
     from ray.data.aggregate import Max, Sum
 
-    def _tf_rows(batch: pa.Table) -> pa.Table:
+    def _tf_table(batch: pa.Table) -> pa.Table:
+        """Exact (doc_id, term, tf) rows for one batch of documents."""
         text = K._as_array(pc.fill_null(batch[text_col], ""))
         toks = K._as_array(pc.split_pattern(text, " "))
         offs = np.asarray(toks.offsets)
@@ -838,15 +841,25 @@ def tfidf_top_term(
             {"doc_id": np.repeat(ids, sizes), "term": toks.flatten()}
         )
         tb = tb.filter(pc.not_equal(tb["term"], ""))
+        # select by the GENERATED aggregate name — the key/aggregate
+        # column order of pa group_by output is version-dependent
         tf = tb.group_by(["doc_id", "term"]).aggregate([("term", "count")])
-        return tf.rename_columns(["doc_id", "term", "tf"])
+        return pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "term": tf["term"],
+                "tf": tf["term_count"],
+            }
+        )
 
     def _df_partials(batch: pa.Table) -> pa.Table:
-        # batch is already (doc, term, tf)-distinct -> per-batch df counts
+        # batch rows are globally-distinct (doc, term) pairs, so counting
+        # them per term gives exact per-batch df partials even if a
+        # doc's tf rows were split across blocks
         out = batch.group_by("term").aggregate([("doc_id", "count")])
-        return out.rename_columns(["term", "df"])
+        return pa.table({"term": out["term"], "df": out["doc_id_count"]})
 
-    tf_rows = ds.map_batches(_tf_rows, batch_format="pyarrow")
+    tf_rows = ds.map_batches(_tf_table, batch_format="pyarrow")
     df_tbl = (
         tf_rows.map_batches(_df_partials, batch_format="pyarrow")
         .groupby("term")
@@ -870,7 +883,10 @@ def tfidf_top_term(
         ref = _ray.put(dfs)
 
         def _winner(batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
+            # operate on DOCUMENT batches (one row per doc) so a doc can
+            # never straddle a block split of an intermediate tf table
+            rows = _tf_table(batch)
+            if len(rows) == 0:
                 return pa.table(
                     {
                         "doc_id": pa.array([], pa.int64()),
@@ -879,17 +895,17 @@ def tfidf_top_term(
                     }
                 )
             d = _ray.get(ref)
-            terms = np.asarray(K._as_array(batch["term"]), dtype=object)
-            tf = np.asarray(K._as_array(batch["tf"]), dtype=np.int64)
+            terms = np.asarray(K._as_array(rows["term"]), dtype=object)
+            tf = np.asarray(K._as_array(rows["tf"]), dtype=np.int64)
             dfv = d.to_numpy()[d.index.get_indexer(terms)]
             score = tf * (scale // dfv)
             pdf = pd.DataFrame(
                 {
                     "doc_id": np.asarray(
-                        K._as_array(batch["doc_id"]), dtype=np.int64
+                        K._as_array(rows["doc_id"]), dtype=np.int64
                     ),
                     "key": np.asarray(
-                        _key(score, K._as_array(batch["term"]))
+                        _key(score, K._as_array(rows["term"]))
                     ).astype(object),
                     "score": score,
                 }
@@ -905,7 +921,7 @@ def tfidf_top_term(
                 }
             )
 
-        return tf_rows.map_batches(_winner, batch_format="pyarrow")
+        return ds.map_batches(_winner, batch_format="pyarrow")
 
     from . import joins
 

@@ -283,9 +283,13 @@ def pivot_counts(
         for v, name in zip(values, out_cols):
             cols[name] = pc.cast(pc.equal(ck, v), pa.int64())
         t = pa.table(cols)
-        return t.group_by(row_key).aggregate(
-            [(name, "sum") for name in out_cols]
-        ).rename_columns([row_key] + out_cols)
+        g = t.group_by(row_key).aggregate([(name, "sum") for name in out_cols])
+        # select by the GENERATED aggregate names — the key/aggregate
+        # column order of pa group_by output is version-dependent
+        out = {row_key: g[row_key]}
+        for name in out_cols:
+            out[name] = g[f"{name}_sum"]
+        return pa.table(out)
 
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow")

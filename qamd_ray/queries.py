@@ -1101,11 +1101,15 @@ def q_incremental_dedup(sf_dir: str):
     has never seen, without re-reading the corpus — the daily-ingest
     shape of a growing 100-TB corpus."""
     import os
+    import tempfile
 
     from .ops import dedup as dd
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    idx = f"/tmp/qamd_hash_index/{os.path.basename(os.path.normpath(sf_dir))}"
+    # per-invocation dir: a shared path would race build's rmtree+rename
+    # against a concurrent run's reader glob (the returned Dataset is
+    # lazy, so the dir must outlive this call — leaked by design)
+    idx = os.path.join(tempfile.mkdtemp(prefix="qamd_hash_index_"), "idx")
     dd.build_hash_index(docs, idx, num_buckets=16)
 
     def _delta(b: pa.Table) -> pa.Table:
@@ -1695,7 +1699,8 @@ ORACLES = {
         " FROM events e LEFT JOIN ("
         "  SELECT user_id, event_type, count(DISTINCT props) AS n_distinct"
         "  FROM events GROUP BY user_id, event_type) g"
-        " ON e.user_id = g.user_id AND e.event_type = g.event_type"
+        " ON e.user_id IS NOT DISTINCT FROM g.user_id"
+        " AND e.event_type IS NOT DISTINCT FROM g.event_type"
     ),
     "freq_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "freq_returnflag": (

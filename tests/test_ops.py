@@ -1130,7 +1130,8 @@ def test_incremental_exact_dedup_vs_full_rerun(tmp_path):
     expect = sorted(full[full["doc_id"] >= 100]["doc_id"])
     assert len(expect) == 15  # overlaps and intra-dups are gone
 
-    for n_rows in (None, 1):  # broadcast path; then the join path
+    # n_rows=30 > broadcast_threshold=5 forces the hash-shuffle join
+    for n_rows in (None, 30):
         got = (
             incremental_exact_dedup(
                 ray.data.from_pandas(delta).repartition(3),
@@ -1143,12 +1144,23 @@ def test_incremental_exact_dedup_vs_full_rerun(tmp_path):
             .sort_values("doc_id")
         )
         assert sorted(got["doc_id"]) == expect, n_rows
-        assert list(got.columns) == ["doc_id", "text"]
+        assert sorted(got.columns) == ["doc_id", "text"]
 
-    # empty index -> pure intra-delta dedup
+    # a MISSING index raises (silent no-dedup would corrupt the corpus)
+    with pytest.raises(FileNotFoundError):
+        incremental_exact_dedup(
+            ray.data.from_pandas(delta), str(tmp_path / "missing_index")
+        )
+    # mismatched bucket layout raises too
+    with pytest.raises(ValueError):
+        incremental_exact_dedup(
+            ray.data.from_pandas(delta), idx, num_buckets=4
+        )
+    # explicit first-ingest opt-in -> pure intra-delta dedup
     got = incremental_exact_dedup(
         ray.data.from_pandas(delta).repartition(2),
         str(tmp_path / "missing_index"),
+        allow_missing_index=True,
     ).to_pandas()
     assert len(got) == 25  # 10 overlap rows survive, intra-dups collapse
 
@@ -1187,7 +1199,8 @@ def test_tfidf_top_term_paths_and_ties():
         expect[i] = (best, tf[best] * (1_000_000 // df_counts[best]))
     assert expect[3][0] == "tie_b"
 
-    for n_rows in (None, 1):  # None -> broadcast; 1 -> forces the join path
+    # n_rows=6 > broadcast_threshold=3 forces the join path
+    for n_rows in (None, 6):
         out = (
             textstats.tfidf_top_term(
                 ray.data.from_arrow(pa.Table.from_pandas(docs)).repartition(3),
@@ -1206,8 +1219,10 @@ def test_tfidf_top_term_paths_and_ties():
 
 def test_k_anonymity_and_l_diversity_both_paths():
     """Privacy flags vs a pandas reference on planted groups (incl. an
-    all-null sensitive group), and the broadcast path == the
-    hash-shuffle-join path (n_rows above threshold forces the join)."""
+    all-null sensitive group AND null quasi-identifier values, which
+    must group together on BOTH paths), and the broadcast path == the
+    hash-shuffle-join path (n_rows > broadcast_threshold forces the
+    join)."""
     from qamd_ray.ops import privacy
 
     rng = np.random.default_rng(5)
@@ -1220,19 +1235,24 @@ def test_k_anonymity_and_l_diversity_both_paths():
             "sens": rng.choice(["s1", "s2", "s3", "s4"], n),
         }
     )
-    # plant a singleton group and an all-null-sensitive group
+    # plant a singleton group, an all-null-sensitive group, and NULL
+    # quasi values (SQL GROUP BY groups them together — so must we)
     df.loc[0, ["qa", "qb"]] = [99, "only"]
     null_grp = df["qa"].eq(3) & df["qb"].eq("x")
     df.loc[null_grp, "sens"] = None
+    df["qb"] = df["qb"].astype(object)
+    null_quasi = df["qa"].eq(7)
+    df.loc[null_quasi, "qb"] = None
 
-    sizes = df.groupby(["qa", "qb"])["rid"].transform("size")
+    sizes = df.groupby(["qa", "qb"], dropna=False)["rid"].transform("size")
     ndis = (
-        df.groupby(["qa", "qb"])["sens"]
+        df.groupby(["qa", "qb"], dropna=False)["sens"]
         .transform("nunique")  # pandas nunique drops NaN, like COUNT(DISTINCT)
         .astype(np.int64)
     )
 
-    for n_rows in (None, 10):  # None -> broadcast; 10 -> forces hash join
+    # n_rows=3000 > broadcast_threshold=100 forces the hash-shuffle join
+    for n_rows in (None, 3000):
         ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
         ka = (
             privacy.k_anonymity(
@@ -1242,9 +1262,11 @@ def test_k_anonymity_and_l_diversity_both_paths():
             .sort_values("rid")
             .reset_index(drop=True)
         )
-        assert ka["n_group"].tolist() == sizes.tolist()
+        assert ka["n_group"].tolist() == sizes.tolist(), n_rows
         assert ka["f_k_anon"].tolist() == (sizes >= 100).tolist()
         assert not bool(ka.loc[0, "f_k_anon"])  # the singleton
+        # null-qb rows grouped together, not dropped or singled out
+        assert (ka.loc[null_quasi.to_numpy(), "n_group"] > 1).all()
 
         ld = (
             privacy.l_diversity(
@@ -1255,7 +1277,7 @@ def test_k_anonymity_and_l_diversity_both_paths():
             .sort_values("rid")
             .reset_index(drop=True)
         )
-        assert ld["n_distinct"].tolist() == ndis.tolist()
+        assert ld["n_distinct"].tolist() == ndis.tolist(), n_rows
         assert ld["f_l_diverse"].tolist() == (ndis >= 3).tolist()
         # the all-null group has zero distinct sensitive values
         assert (ld.loc[null_grp.to_numpy(), "n_distinct"] == 0).all()
