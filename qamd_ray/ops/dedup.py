@@ -2015,3 +2015,236 @@ def incremental_exact_dedup(
         return batch.filter(mask).drop_columns(["content_md5", "_in_index"])
 
     return joined.map_batches(_keep_unseen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash near-dup dedup against a persisted band index
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 1234,
+    num_buckets: int = 64,
+) -> str:
+    """Persist the corpus MinHash state for later delta probes:
+
+    * ``bands/bucket=<k>/`` — one ``(bkey, doc_id)`` row per (doc, band),
+      where ``bkey = band * P + band_hash`` is the composite LSH bucket
+      key; partitioned by ``bkey % num_buckets``;
+    * ``sigs/bucket=<k>/``  — one ``(doc_id, sig)`` row per doc (the raw
+      int64 signature bytes); partitioned by ``doc_id % num_buckets``;
+    * ``_meta.json``        — the MinHash parameters, pinned so a probe
+      with different parameters fails loudly instead of silently
+      missing every near-dup.
+
+    Two streaming passes over the corpus (band rows, then signature
+    rows) — recomputing signatures once beats pinning an
+    O(corpus × num_perm) exploded table in the object store.  Atomic
+    whole-directory publish (ivf_build pattern).
+    """
+    import json
+    import os
+    import shutil
+
+    r = num_perm // bands
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    explode = _make_explode_fn(mh, bands, r, text_col, id_col)
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        t = t.filter(pc.not_equal(t["band"], -1))
+        band = np.asarray(K._as_array(t["band"]), dtype=np.int64)
+        bh = np.asarray(K._as_array(t["band_hash"]), dtype=np.int64)
+        bkey = band * _P + bh
+        return pa.table(
+            {
+                "bkey": pa.array(bkey),
+                id_col: t[id_col],
+                "bucket": pa.array(bkey % num_buckets),
+            }
+        )
+
+    def _sig_rows(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        t = t.filter(pc.equal(t["band"], -1))
+        ids = np.asarray(K._as_array(t[id_col]), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "sig": t["sig"],
+                "bucket": pa.array(ids % num_buckets),
+            }
+        )
+
+    tmp = index_dir.rstrip("/\\") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(_band_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "bands"), partition_cols=["bucket"]
+    )
+    ds.map_batches(_sig_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "sigs"), partition_cols=["bucket"]
+    )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_perm": num_perm,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "seed": seed,
+                "num_buckets": num_buckets,
+                "id_col": id_col,
+            },
+            f,
+        )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def incremental_minhash_dedup(
+    new_ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    jaccard_threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Drop every DELTA doc that is a MinHash near-duplicate of a corpus
+    doc, probing the persisted band index instead of re-reading the
+    corpus — the near-dup twin of :func:`incremental_exact_dedup` (the
+    daily-ingest shape).
+
+    All parameters come from the index's ``_meta.json`` (a probe with
+    mismatched parameters cannot work, so they are not arguments).
+
+    Plan, with driver state bounded by the DELTA and its collisions:
+
+    1. one pass computes delta signatures + band keys (collected —
+       O(delta × bands) int64 keys, O(delta × num_perm) sig bytes);
+    2. the band index is read ONLY for the buckets the delta's keys
+       touch (partition pruning) and semi-joined down to matching keys;
+    3. candidate (delta, corpus) pairs = key matches; corpus signatures
+       are fetched ONLY for candidate ids (pruned ``sigs/`` read);
+    4. vectorized signature-agreement verify (the
+       ``minhash_lsh_pairs`` criterion: agreeing fraction ≥
+       ``jaccard_threshold``); delta docs with any verified corpus
+       match are dropped via one broadcast mask pass.
+
+    Intra-delta near-dups are NOT collapsed here — run
+    :func:`minhash_dedup` (or the exact pass) on the delta first.  For
+    deltas too large for driver-side keys, shard the delta and probe
+    per shard: each probe is independent, which is the point of an
+    incremental design.
+    """
+    import glob
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"minhash index {index_dir!r} is missing or incomplete "
+            "(_meta.json not found); build it with build_minhash_index"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    num_buckets = meta["num_buckets"]
+    r = num_perm // bands
+    mh = MinHasher(
+        num_perm=num_perm, shingle_k=meta["shingle_k"], seed=meta["seed"]
+    )
+    explode = _make_explode_fn(mh, bands, r, text_col, id_col)
+
+    # 1. delta signatures + band keys (one pass, collected)
+    rows = new_ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    sig_rows = rows[rows["band"] == -1]
+    delta_ids = sig_rows[id_col].to_numpy(np.int64)
+    SIG = np.stack(
+        [np.frombuffer(b, dtype=np.int64) for b in sig_rows["sig"]]
+    ) if len(sig_rows) else np.zeros((0, num_perm), np.int64)
+    id_to_row = pd.Series(np.arange(len(delta_ids)), index=delta_ids)
+
+    band_rows = rows[rows["band"] != -1]
+    bkey = (
+        band_rows["band"].to_numpy(np.int64) * _P
+        + band_rows["band_hash"].to_numpy(np.int64)
+    )
+    delta_keys = pd.DataFrame(
+        {"bkey": bkey, "_did": band_rows[id_col].to_numpy(np.int64)}
+    )
+
+    from .joins import semi_join
+
+    # 2. pruned band-index read, filtered to the delta's keys
+    buckets = np.unique(delta_keys["bkey"].to_numpy() % num_buckets)
+    files = []
+    for b in buckets:
+        files.extend(
+            sorted(
+                glob.glob(
+                    os.path.join(index_dir, "bands", f"bucket={b}", "*.parquet")
+                )
+            )
+        )
+    if not files:
+        return new_ds
+    idx_keys = ray.data.read_parquet(files, columns=["bkey", meta["id_col"]])
+    hits = semi_join(
+        idx_keys, delta_keys["bkey"].to_numpy(), "bkey"
+    ).to_pandas()
+    if len(hits) == 0:
+        return new_ds
+
+    # 3. candidate pairs + pruned signature fetch for candidate ids
+    cand = delta_keys.merge(
+        hits.rename(columns={meta["id_col"]: "_cid"}), on="bkey"
+    )[["_did", "_cid"]].drop_duplicates()
+    cid = np.unique(cand["_cid"].to_numpy(np.int64))
+    sbuckets = np.unique(cid % num_buckets)
+    sfiles = []
+    for b in sbuckets:
+        sfiles.extend(
+            sorted(
+                glob.glob(
+                    os.path.join(index_dir, "sigs", f"bucket={b}", "*.parquet")
+                )
+            )
+        )
+    sig_ds = ray.data.read_parquet(sfiles, columns=[meta["id_col"], "sig"])
+    corpus_sigs = semi_join(sig_ds, cid, meta["id_col"]).to_pandas()
+    CSIG = np.stack(
+        [np.frombuffer(b, dtype=np.int64) for b in corpus_sigs["sig"]]
+    )
+    cid_to_row = pd.Series(
+        np.arange(len(corpus_sigs)),
+        index=corpus_sigs[meta["id_col"]].to_numpy(np.int64),
+    )
+
+    # 4. vectorized agreement verify; dup = any corpus match >= threshold
+    di = id_to_row[cand["_did"].to_numpy(np.int64)].to_numpy()
+    ci = cid_to_row[cand["_cid"].to_numpy(np.int64)].to_numpy()
+    agree = np.empty(len(di), dtype=np.float64)
+    for lo in range(0, len(di), 262_144):
+        hi = min(lo + 262_144, len(di))
+        agree[lo:hi] = (SIG[di[lo:hi]] == CSIG[ci[lo:hi]]).mean(axis=1)
+    dup_ids = np.unique(cand["_did"].to_numpy(np.int64)[agree >= jaccard_threshold])
+
+    import ray as _ray
+
+    dref = _ray.put(dup_ids)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        d = _ray.get(dref)
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        return batch.filter(pa.array(~np.isin(ids, d)))
+
+    return new_ds.map_batches(_drop, batch_format="pyarrow")

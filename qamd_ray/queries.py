@@ -1129,6 +1129,48 @@ def q_incremental_dedup(sf_dir: str):
     return dd.incremental_exact_dedup(delta, idx, num_buckets=16)
 
 
+def q_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup dedup (ops.dedup.incremental_minhash_dedup):
+    the documents table is persisted as a MinHash band index; the delta
+    re-derives every doc with a shifted id — every 3rd text gets a tiny
+    ' zz' suffix (a near-duplicate re-crawl, est. Jaccard ≈ 0.98) and
+    the rest are rewritten to their md5 hex (fresh content).  Survivors
+    = the fresh rewrites.  MinHash is seeded, so the planted outcome is
+    deterministic and the oracle is exact (miss probability per near-dup
+    ≈ 3e-7 at 8 bands × 8 rows)."""
+    import os
+    import tempfile
+
+    from .ops import dedup as dd
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    idx = os.path.join(tempfile.mkdtemp(prefix="qamd_mh_index_"), "idx")
+    dd.build_minhash_index(docs, idx, num_buckets=16)
+
+    def _delta(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        t = K._as_array(pc.fill_null(b["text"], ""))
+        near = pc.binary_join_element_wise(t, " zz", "")
+        fresh = pa.array(
+            [
+                __import__("hashlib").md5(s.encode()).hexdigest()
+                for s in t.to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 1_000_000),
+                "text": pc.if_else(pa.array(ids % 3 == 0), near, fresh),
+            }
+        )
+
+    delta = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _delta, batch_format="pyarrow"
+    )
+    return dd.incremental_minhash_dedup(delta, idx)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document most distinctive term (ops.textstats.tfidf_top_term):
     integer tf-idf score tf*(10^6//df), ties to the largest term; df
@@ -1508,6 +1550,7 @@ QUERIES = {
     "license_scan": q_license_scan,
     "event_pivot": q_event_pivot,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_minhash": q_incremental_minhash,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "decontaminate_docs": q_decontaminate_docs,
@@ -1662,6 +1705,10 @@ ORACLES = {
         " SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,"
         "  array_to_string(toks[(i*12 + 1):(i*12 + 16)], ' ') AS chunk_text,"
         "  CAST(least(i*12 + 16, n) - i*12 AS BIGINT) AS n_chunk_tokens FROM g"
+    ),
+    "incremental_minhash": (
+        "SELECT doc_id + 1000000 AS doc_id, md5(coalesce(text, '')) AS text"
+        " FROM documents WHERE doc_id % 3 <> 0"
     ),
     "incremental_dedup": (
         "WITH delta AS (SELECT doc_id + 1000000 AS doc_id, coalesce(text, '')"

@@ -1165,6 +1165,57 @@ def test_incremental_exact_dedup_vs_full_rerun(tmp_path):
     assert len(got) == 25  # 10 overlap rows survive, intra-dups collapse
 
 
+def test_incremental_minhash_dedup_near_dups(tmp_path):
+    """Delta probe against a persisted MinHash band index: exact copies
+    and lightly-mutated near-copies of corpus docs are dropped, fresh
+    docs and heavy rewrites survive; missing index raises."""
+    from qamd_ray.ops.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts = [
+        " ".join(rng.choice(words, 60)) + f" tail{i}" for i in range(30)
+    ]
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64), "text": texts}
+    )
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(
+        ray.data.from_pandas(corpus).repartition(3), idx, num_buckets=8
+    )
+
+    delta = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 112, dtype=np.int64),
+            "text": (
+                texts[:4]                                  # exact copies
+                + [t + " zz" for t in texts[4:8]]          # near copies
+                + [
+                    " ".join(rng.choice(["omega", "psi", "chi"], 60))
+                    + f" fresh{i}"
+                    for i in range(4)
+                ]                                          # fresh
+            ),
+        }
+    )
+    out = (
+        incremental_minhash_dedup(
+            ray.data.from_pandas(delta).repartition(2), idx
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert sorted(out["doc_id"]) == [108, 109, 110, 111]  # fresh only
+
+    with pytest.raises(FileNotFoundError):
+        incremental_minhash_dedup(
+            ray.data.from_pandas(delta), str(tmp_path / "nope")
+        )
+
+
 def test_tfidf_top_term_paths_and_ties():
     """Broadcast path == distributed join+MAX path == a brute-force
     python reference, incl. score ties (largest term wins), empty and
