@@ -2116,11 +2116,18 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     *,
     jaccard_threshold: float = 0.8,
+    max_candidates: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Drop every DELTA doc that is a MinHash near-duplicate of a corpus
     doc, probing the persisted band index instead of re-reading the
     corpus — the near-dup twin of :func:`incremental_exact_dedup` (the
     daily-ingest shape).
+
+    ``max_candidates`` bounds the collected key matches: a HOT band key
+    (empty docs, boilerplate shared by millions of corpus files) makes
+    the collision set corpus-scale, so exceeding the cap raises loudly
+    — pre-clean boilerplate (``drop_common_lines``) or raise the cap —
+    instead of silently OOM-ing the driver.
 
     All parameters come from the index's ``_meta.json`` (a probe with
     mismatched parameters cannot work, so they are not arguments).
@@ -2203,6 +2210,13 @@ def incremental_minhash_dedup(
     ).to_pandas()
     if len(hits) == 0:
         return new_ds
+    if len(hits) > max_candidates:
+        raise ValueError(
+            f"band-key matches ({len(hits)}) exceed max_candidates="
+            f"{max_candidates}: a hot band key (empty/boilerplate docs) "
+            "makes collisions corpus-scale — pre-clean the corpus/delta "
+            "(e.g. drop_common_lines) or raise the cap"
+        )
 
     # 3. candidate pairs + pruned signature fetch for candidate ids
     cand = delta_keys.merge(

@@ -1214,6 +1214,11 @@ def test_incremental_minhash_dedup_near_dups(tmp_path):
         incremental_minhash_dedup(
             ray.data.from_pandas(delta), str(tmp_path / "nope")
         )
+    # hot-key collision cap raises loudly instead of OOM-ing the driver
+    with pytest.raises(ValueError, match="max_candidates"):
+        incremental_minhash_dedup(
+            ray.data.from_pandas(delta), idx, max_candidates=1
+        )
 
 
 def test_tfidf_top_term_paths_and_ties():
