@@ -277,6 +277,40 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_hourly_active_users(sf_dir: str):
+    """Exact distinct-count per tumbling window: active users per hour.
+    Two keys-only aggregates — distinct (hour, user) pairs per batch
+    collapse first, then pairs per hour — so the shuffle moves distinct
+    keys, never events."""
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "user_id": batch["user_id"],
+            }
+        )
+        # per-batch distinct pre-aggregation: the global pair groupby
+        # then sees at most one row per (hour, user) per batch
+        return t.group_by(["window_start", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["window_start", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        return batch.select(["window_start"])
+
+    return (
+        pairs.map_batches(_drop, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by event count — ds.sort + limit coverage; ties broken
     by user_id so both engines order identically."""
@@ -1549,6 +1583,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "license_scan": q_license_scan,
     "event_pivot": q_event_pivot,
+    "hourly_active_users": q_hourly_active_users,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
     "k_anonymity": q_k_anonymity,
@@ -1673,6 +1708,11 @@ ORACLES = {
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
+    "hourly_active_users": (
+        "SELECT date_trunc('hour', ts) AS window_start,"
+        " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+        " FROM events GROUP BY 1"
+    ),
     "event_pivot": (
         "SELECT user_id,"
         " CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,"
