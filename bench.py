@@ -80,6 +80,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_sessions,
         q_topk_cosine,
         q_web_curation,
+        q_incremental_minhash,
     )
 
     src = corpus_path()
@@ -199,6 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("sessions", q_sessions),
         ("topk_cosine", q_topk_cosine),
         ("web_curation", q_web_curation),
+        ("incremental_minhash", q_incremental_minhash),
     ]):
         def _one(fn=fn):
             res = fn(sf_dir)
