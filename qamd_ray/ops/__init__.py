@@ -41,5 +41,8 @@ each Ray-Data-first:
                    overlap against a broadcast eval-set gram index
 * ``packing``    — token-budget shard packing via a distributed
                    ordered prefix-sum
+* ``selection``  — DSIR hashed n-gram importance scoring (two
+                   streaming passes: bounded bucket-count sketch →
+                   broadcast weight vector)
 
 """

@@ -1,0 +1,176 @@
+"""Data-selection operators: DSIR hashed n-gram importance scoring.
+
+DSIR (Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023, arXiv:2302.03169) scores every raw document
+by how much its hashed bag-of-words resembles a *target* distribution
+(e.g. Wikipedia, or here the ``lang='en'`` slice) relative to the raw
+corpus, then keeps the top-weighted documents.  Features are hashed
+unigram counts (feature hashing per Weinberger et al. 2009, ICML).
+
+This implementation replaces the paper's log-probability ratio with an
+integer cross-multiplied weight per bucket::
+
+    w[b] = ((tgt_count[b] + 1) * scale) // (raw_count[b] + 1)
+
+which is add-1-smoothed, monotone in the per-feature probability ratio
+the paper uses, and — because every operation is int64 — bit-exact
+between the distributed Ray plan and the DuckDB oracle twin (the same
+trick as :func:`qamd_ray.ops.textstats.tfidf_top_term`).  A document's
+score is ``sum(tf[b] * w[b])``.
+
+Plan shape (two streaming passes, no shuffle):
+
+1. **Count pass** — ``map_batches`` tokenizes each batch, hashes tokens
+   to ``num_buckets`` buckets (md5 prefix, memoized per worker), and
+   emits the nonzero rows of two ``np.bincount`` vectors (raw corpus vs
+   target slice).  Each partial is bounded by ``num_buckets`` rows, so
+   the driver merge is the mergeable-sketch shape of
+   :mod:`qamd_ray.ops.sketches` — O(batches × num_buckets) regardless
+   of corpus size.  (At extreme batch counts the same rows feed a
+   bounded ``groupby('bucket').sum()`` instead; the vector stays
+   ≤ ``num_buckets`` keys either way.)
+2. **Score pass** — the int64 weight vector (≤ 512 KiB at the default
+   65 536 buckets) is broadcast once via ``ray.put``; each batch
+   re-tokenizes and accumulates ``w[bucket]`` per document with one
+   ``np.add.at``.  Content never round-trips the object store between
+   the passes — each pass streams from the source.
+
+Tokens are ASCII ``[A-Za-z0-9]+`` runs extracted from the RAW text and
+then lowercased, so Python and DuckDB/ICU lowercasing agree byte-for-
+byte (full-string Unicode lowercasing can differ across engines, e.g.
+dotted capital I).  Buckets are the first 16 bits of ``md5(token)`` —
+reproducible in ANSI SQL as ``CAST('0x' || substr(md5(t),1,4) AS
+UBIGINT)`` — taken modulo ``num_buckets``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .. import kernels as K
+
+_WORD_RX = re.compile(r"[A-Za-z0-9]+")
+
+#: token → first-16-bits-of-md5(lower(token)); per-worker memo so the
+#: md5 cost is paid once per distinct token per process, not per
+#: occurrence.  Bounded: cleared when it exceeds the cap.
+_BUCKET16_MEMO: dict[str, int] = {}
+_MEMO_CAP = 4_000_000
+
+
+def _bucket16(tok: str) -> int:
+    b = _BUCKET16_MEMO.get(tok)
+    if b is None:
+        if len(_BUCKET16_MEMO) >= _MEMO_CAP:
+            _BUCKET16_MEMO.clear()
+        b = int(hashlib.md5(tok.lower().encode("utf-8")).hexdigest()[:4], 16)
+        _BUCKET16_MEMO[tok] = b
+    return b
+
+
+def _flat_buckets(
+    batch: pa.Table, text_col: str, num_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids, per-doc token counts) for one batch."""
+    texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+    tok_lists = [_WORD_RX.findall(t) for t in texts]
+    sizes = np.fromiter((len(l) for l in tok_lists), np.int64, len(tok_lists))
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    fb = np.fromiter((_bucket16(t) for t in flat), np.int64, len(flat))
+    if num_buckets != 65536:
+        fb %= num_buckets
+    return fb, sizes
+
+
+def dsir_weights(
+    ds: "ray.data.Dataset",
+    target_fn: Callable[[pa.Table], np.ndarray],
+    *,
+    text_col: str = "text",
+    num_buckets: int = 65536,
+    scale: int = 1_000_000,
+) -> np.ndarray:
+    """The int64 per-bucket importance-weight vector (length
+    ``num_buckets``): ``((tgt+1)*scale) // (raw+1)`` over hashed token
+    counts of the full corpus (raw) vs the rows ``target_fn`` selects.
+
+    ``target_fn`` receives each pyarrow batch and returns a boolean
+    numpy mask of its rows (the target slice must be identifiable
+    per-row — a label column, a rule flag, a hash split).
+    """
+    if not 0 < num_buckets <= 65536:
+        raise ValueError("num_buckets must be in (0, 65536]")
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        fb, sizes = _flat_buckets(batch, text_col, num_buckets)
+        mask = np.asarray(target_fn(batch), dtype=bool)
+        raw = np.bincount(fb, minlength=num_buckets)
+        tgt = np.bincount(fb[np.repeat(mask, sizes)], minlength=num_buckets)
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "bucket": nz.astype(np.int64),
+                "raw_c": raw[nz].astype(np.int64),
+                "tgt_c": tgt[nz].astype(np.int64),
+            }
+        )
+
+    parts = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    raw = np.zeros(num_buckets, np.int64)
+    tgt = np.zeros(num_buckets, np.int64)
+    np.add.at(raw, parts["bucket"].to_numpy(np.int64), parts["raw_c"].to_numpy(np.int64))
+    np.add.at(tgt, parts["bucket"].to_numpy(np.int64), parts["tgt_c"].to_numpy(np.int64))
+    return (tgt + 1) * scale // (raw + 1)
+
+
+def dsir_scores(
+    ds: "ray.data.Dataset",
+    target_fn: Optional[Callable[[pa.Table], np.ndarray]] = None,
+    *,
+    weights: Optional[np.ndarray] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 65536,
+    scale: int = 1_000_000,
+    out_col: str = "dsir_score",
+) -> "ray.data.Dataset":
+    """``(id_col, out_col)`` — the integer DSIR importance score of every
+    document (null/token-less text scores 0).  Resampling is a top-k /
+    threshold over ``out_col`` (compose with ``ds.sort(...).limit(k)``
+    or a hash-threshold like :func:`qamd_ray.ops.textstats.hash_split`
+    for the paper's Gumbel variant).
+
+    Pass either ``target_fn`` (the weight table is fitted in a first
+    streaming pass over ``ds``) or a precomputed ``weights`` vector from
+    :func:`dsir_weights` (reuse across corpora)."""
+    if weights is None:
+        if target_fn is None:
+            raise ValueError("need target_fn or weights")
+        weights = dsir_weights(
+            ds,
+            target_fn,
+            text_col=text_col,
+            num_buckets=num_buckets,
+            scale=scale,
+        )
+    if len(weights) != num_buckets:
+        raise ValueError("weights length != num_buckets")
+    w_ref = ray.put(np.ascontiguousarray(weights, dtype=np.int64))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)  # zero-copy shm read of the int64 vector
+        fb, sizes = _flat_buckets(batch, text_col, num_buckets)
+        scores = np.zeros(batch.num_rows, np.int64)
+        np.add.at(scores, np.repeat(np.arange(batch.num_rows), sizes), w[fb])
+        return pa.table({id_col: batch[id_col], out_col: scores})
+
+    return ds.map_batches(_score, batch_format="pyarrow")

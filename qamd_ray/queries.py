@@ -1527,6 +1527,24 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (ops.selection.dsir_scores, Xie et al.
+    2023 arXiv:2302.03169): hashed-unigram bag-of-words, target =
+    the ``lang='en'`` slice, integer add-1-smoothed bucket weights
+    fitted in one streaming count pass and broadcast for the score
+    pass.  Bit-exact vs the DuckDB twin (md5-prefix bucket hash,
+    int64 cross-multiplied weights)."""
+    from .ops import selection
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _is_en(batch: pa.Table) -> np.ndarray:
+        eq = pc.equal(pc.fill_null(batch["lang"], ""), "en")
+        return np.asarray(K._as_array(eq))
+
+    return selection.dsir_scores(ds, _is_en)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1610,6 +1628,7 @@ QUERIES = {
     "stack_repo_report": q_stack_repo_report,
     "top_tokens": q_top_tokens,
     "lang_stats": q_lang_stats,
+    "dsir_scores": q_dsir_scores,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2207,5 +2226,23 @@ ORACLES = {
         "  [0.3333333333333333::DOUBLE, 0.6666666666666666::DOUBLE]) AS q FROM s) "
         "SELECT s.doc_id, s.n_chars, CASE WHEN s.n_chars <= q[1] THEN 'head' "
         "WHEN s.n_chars <= q[2] THEN 'middle' ELSE 'tail' END AS bucket FROM s, t"
+    ),
+    # DSIR twin: same ASCII-run tokens lowercased per token, same
+    # 16-bit md5-prefix bucket, same integer add-1 weights — bit exact.
+    "dsir_scores": (
+        "WITH tok AS (SELECT doc_id, lang,"
+        "    lower(unnest(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')))"
+        "    AS t FROM documents),"
+        " f AS (SELECT doc_id, lang,"
+        "    CAST(CAST('0x' || substr(md5(t), 1, 4) AS UBIGINT) AS BIGINT) AS bucket,"
+        "    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2, 3),"
+        " b AS (SELECT bucket, SUM(c) AS raw_c,"
+        "    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tgt_c"
+        "    FROM f GROUP BY 1),"
+        " w AS (SELECT bucket, ((tgt_c + 1) * 1000000) // (raw_c + 1) AS wt FROM b),"
+        " s AS (SELECT f.doc_id, SUM(f.c * w.wt) AS sc"
+        "    FROM f JOIN w USING (bucket) GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS dsir_score "
+        "FROM documents d LEFT JOIN s USING (doc_id)"
     ),
 }

@@ -1936,3 +1936,82 @@ def test_shuffle_shards_deterministic_permutation():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dsir_scores_vs_scalar_twin():
+    """dsir_scores matches a plain-Python re-computation and ranks docs
+    drawn from the target vocabulary above off-target docs."""
+    import re
+
+    from qamd_ray.ops import selection
+
+    rng = np.random.default_rng(11)
+    en_words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    de_words = ["der", "schnelle", "braune", "fuchs", "springt", "faul", "hund"]
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            words, lang = de_words, "de"
+        else:
+            words, lang = en_words, "en"
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(rng.choice(words, 25)),
+            }
+        )
+    rows.append({"doc_id": 60, "lang": "en", "text": None})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    def _is_en(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return np.asarray(pc.equal(pc.fill_null(batch["lang"], ""), "en"))
+
+    got = (
+        selection.dsir_scores(ds, _is_en)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # scalar twin: same md5-prefix bucket, same integer weights
+    rx = re.compile(r"[A-Za-z0-9]+")
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.lower().encode()).hexdigest()[:4], 16)
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for r in rows:
+        for t in rx.findall(r["text"] or ""):
+            b = bucket(t)
+            raw[b] = raw.get(b, 0) + 1
+            if r["lang"] == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    want = []
+    for r in rows:
+        s = 0
+        for t in rx.findall(r["text"] or ""):
+            b = bucket(t)
+            s += (tgt.get(b, 0) + 1) * 1_000_000 // (raw[b] + 1)
+        want.append(s)
+    assert got["dsir_score"].tolist() == want
+    assert got["dsir_score"].dtype == np.int64
+
+    # target-vocabulary docs outscore off-target docs (per token, since
+    # doc lengths are equal by construction)
+    en_scores = got[got.doc_id % 3 != 0][got.doc_id < 60]["dsir_score"]
+    de_scores = got[got.doc_id % 3 == 0]["dsir_score"]
+    assert en_scores.min() > de_scores.max()
+
+    # precomputed-weights path agrees with the fitted path
+    w = selection.dsir_weights(ds, _is_en)
+    got2 = (
+        selection.dsir_scores(ds, weights=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["dsir_score"].tolist() == want
