@@ -32,7 +32,20 @@ def _expand(paths: str | Sequence[str]) -> list[str]:
     for p in paths:
         if os.path.isdir(p):
             hits: list[str] = []
-            for ext in ("parquet", "csv", "dta", "sav", "por", "sas7bdat", "xpt"):
+            for ext in (
+                "parquet",
+                "csv",
+                "csv.gz",
+                "jsonl",
+                "jsonl.gz",
+                "feather",
+                "arrow",
+                "dta",
+                "sav",
+                "por",
+                "sas7bdat",
+                "xpt",
+            ):
                 hits = sorted(
                     glob.glob(os.path.join(p, "**", f"*.{ext}"), recursive=True)
                 )
@@ -116,7 +129,28 @@ def read_table(
     files = _expand(paths)
     if not files:
         raise FileNotFoundError(f"no input files under {paths!r}")
-    exts = {os.path.splitext(f)[1].lower() for f in files}
+
+    def _ext(f: str) -> str:
+        # honour the double suffix of compressed text formats (.csv.gz,
+        # .jsonl.gz) — pyarrow's open_input_stream(compression='detect')
+        # decompresses them transparently inside the read tasks
+        base, gz = (f[:-3], ".gz") if f.lower().endswith(".gz") else (f, "")
+        return os.path.splitext(base)[1].lower() + gz
+
+    exts = {_ext(f) for f in files}
+    if exts <= {".feather", ".arrow", ".ipc"}:
+        # Arrow IPC / Feather v1+v2 — one read task per file (Ray Data has
+        # no built-in IPC datasource; the file is the natural block unit)
+        import pyarrow.feather as _feather
+
+        def _read_ipc(batch: pa.Table) -> pa.Table:
+            t = _feather.read_table(batch["path"][0].as_py(), columns=columns)
+            return t
+
+        ds = ray.data.from_items(
+            [{"path": f} for f in files], override_num_blocks=len(files)
+        ).map_batches(_read_ipc, batch_size=1, batch_format="pyarrow")
+        return ds
     if exts <= {".parquet", ".pq"}:
         return ray.data.read_parquet(files, columns=columns)
     if exts <= {".dta", ".sav", ".por", ".sas7bdat", ".xpt"}:
@@ -128,14 +162,14 @@ def read_table(
         if columns:
             ds = ds.select_columns(columns)
         return ds
-    if exts <= {".jsonl", ".ndjson", ".json"}:
+    if exts <= {".jsonl", ".ndjson", ".json", ".jsonl.gz", ".ndjson.gz", ".json.gz"}:
         # newline-delimited JSON — the other lingua franca of corpus
         # interchange (read_json handles both jsonl and json arrays)
         ds = ray.data.read_json(files)
         if columns:
             ds = ds.select_columns(columns)
         return ds
-    if exts <= {".csv"}:
+    if exts <= {".csv", ".csv.gz"}:
         # pin every column to string so cells keep their raw text — CSV
         # columns are always Text in the reference (csv/read.rs:84-91);
         # inference would normalize '01'→1, '1.50'→1.5
@@ -146,7 +180,13 @@ def read_table(
         # utf-8-sig: strip a UTF-8 BOM if present so the pinned column name
         # matches Arrow's (pyarrow.csv strips the BOM; plain utf-8 would keep
         # '﻿' in the first name and silently un-pin that column)
-        with open(files[0], "r", encoding="utf-8-sig", newline="") as fh:
+        if files[0].lower().endswith(".gz"):
+            import gzip as _gzip
+
+            opener = _gzip.open(files[0], "rt", encoding="utf-8-sig", newline="")
+        else:
+            opener = open(files[0], "r", encoding="utf-8-sig", newline="")
+        with opener as fh:
             header = next(_csv.reader(fh), None)
         if header is None:
             raise ValueError(f"empty CSV file: {files[0]}")
@@ -175,7 +215,9 @@ def read_table(
             ds = ds.map_batches(_null_empty, batch_format="pyarrow")
         return ds
     raise ValueError(
-        f"unsupported input extension(s) {sorted(exts)}; expected .parquet or .csv"
+        f"unsupported input extension(s) {sorted(exts)}; expected parquet/csv[.gz]/"
+        "jsonl[.gz]/feather/arrow or a statistical format (.dta/.sav/.por/"
+        ".sas7bdat/.xpt)"
     )
 
 

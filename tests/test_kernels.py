@@ -141,3 +141,34 @@ def test_read_table_jsonl(tmp_path):
     assert sorted(df["repo"]) == ["r1", "r2"]
     pruned = read_table(str(tmp_path / "d.jsonl"), columns=["content"]).to_pandas()
     assert list(pruned.columns) == ["content"]
+
+
+def test_read_table_compressed_and_ipc(tmp_path, ray_session):
+    """.csv.gz keeps the all-string + empty⇒missing CSV rules through
+    transparent gzip; .jsonl.gz and Arrow IPC (.feather) dispatch too."""
+    import gzip
+
+    import pyarrow as pa
+    import pyarrow.feather as pf
+
+    from qamd_ray.sources import read_table
+
+    with gzip.open(tmp_path / "t.csv.gz", "wt") as f:
+        f.write("a,b\n01,1\n,2\ny,3\n")
+    dc = read_table(str(tmp_path / "t.csv.gz")).to_pandas()
+    dc = dc.sort_values("b").reset_index(drop=True)
+    assert dc["a"][0] == "01" and dc["a"].isna()[1]  # pinned text + missing
+    assert dc["b"].tolist() == ["1", "2", "3"]
+
+    with gzip.open(tmp_path / "t.jsonl.gz", "wt") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    dj = read_table(str(tmp_path / "t.jsonl.gz")).to_pandas()
+    assert sorted(dj["a"].tolist()) == [1, 2]
+
+    pf.write_feather(
+        pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 1.5]}),
+        tmp_path / "t.feather",
+    )
+    df = read_table(str(tmp_path / "t.feather"), columns=["a", "c"]).to_pandas()
+    assert sorted(df.columns) == ["a", "c"]
+    assert sorted(df["a"].tolist()) == [1, 2]
