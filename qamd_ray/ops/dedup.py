@@ -2262,3 +2262,213 @@ def incremental_minhash_dedup(
         return batch.filter(pa.array(~np.isin(ids, d)))
 
     return new_ds.map_batches(_drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2021, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+
+def _window_keys(text: str, window: int) -> np.ndarray:
+    """16-hex-char md5 prefixes of every length-``window`` CHARACTER
+    substring (stride 1), as an ``S16`` array.  Character-based slicing
+    matches SQL ``substr``; md5 runs over the UTF-8 bytes of the slice
+    (what DuckDB's ``md5`` hashes).  Pure-ASCII docs take a byte-slice
+    fast path (byte offsets == char offsets)."""
+    n = len(text)
+    if n < window:
+        return np.empty(0, dtype="S16")
+    out = np.empty(n - window + 1, dtype="S16")
+    b = text.encode("utf-8")
+    if len(b) == n:
+        mv = memoryview(b)
+        for i in range(n - window + 1):
+            out[i] = hashlib.md5(mv[i : i + window]).hexdigest()[:16].encode()
+    else:
+        for i in range(n - window + 1):
+            out[i] = (
+                hashlib.md5(text[i : i + window].encode("utf-8"))
+                .hexdigest()[:16]
+                .encode()
+            )
+    return out
+
+
+def _dup_window_keys(
+    ds: "ray.data.Dataset",
+    window: int,
+    min_count: int,
+    text_col: str,
+    dup_key_cap: int,
+) -> np.ndarray:
+    """Sorted ``S16`` array of window keys occurring ≥ ``min_count`` times
+    corpus-wide.  One streaming pass: per-batch ``np.unique`` combiner
+    (intra-batch repeats collapse before the shuffle) → ``groupby(key)``
+    sum → dup filter.  The shuffle moves O(total_chars) 16-byte keys —
+    the honest cost of exact-substring dedup without a distributed
+    suffix array; the *collected* state is only the true-duplicate key
+    set, capped loudly at ``dup_key_cap``."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+        parts = [_window_keys(t, window) for t in texts]
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype="S16")
+        if flat.size == 0:
+            return pa.table(
+                {"wkey": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uk, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "wkey": pa.array(np.char.decode(uk, "ascii")),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("wkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _only_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n"], min_count)).select(["wkey"])
+
+    dup = agg.map_batches(_only_dup, batch_format="pyarrow").to_pandas()
+    if dup.empty or "wkey" not in dup.columns:
+        return np.empty(0, dtype="S16")
+    keys = dup["wkey"].to_numpy().astype("S16")
+    if keys.size > dup_key_cap:
+        raise ValueError(
+            f"{keys.size} duplicated window keys exceed dup_key_cap="
+            f"{dup_key_cap}; raise the cap (each key broadcasts 16 bytes) "
+            "or pre-shard the corpus and run per shard"
+        )
+    keys.sort()
+    return keys
+
+
+def _merged_spans(pos: np.ndarray, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted window-start positions into (starts, lengths) of the
+    union of ``[p, p+window)`` intervals (gap ⇔ diff > window, so
+    touching intervals merge)."""
+    if pos.size == 0:
+        return pos, pos
+    brk = np.flatnonzero(np.diff(pos) > window)
+    starts = pos[np.r_[0, brk + 1]]
+    ends = pos[np.r_[brk, pos.size - 1]] + window
+    return starts, ends - starts
+
+
+def dup_substring_spans(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = 64,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_key_cap: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """``(id_col, span_start, span_len)`` — per document, the merged
+    0-based character spans covered by any length-``window`` substring
+    occurring ≥ ``min_count`` times corpus-wide (self-repeats included).
+
+    This is the fixed-window rolling variant of ExactSubstr dedup (Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 §4.1 — they match arbitrary-length
+    duplicates ≥ 50 tokens via a suffix array): every duplicated
+    substring of length ≥ ``window`` contains a duplicated window, so
+    the reported spans cover all such duplicates, at window-start
+    granularity and without a distributed suffix array.
+
+    Two streaming passes: a keys-only count shuffle fits the duplicated-
+    key set (:func:`_dup_window_keys`); a broadcast ``np.isin`` pass
+    recomputes each doc's keys locally, so span-merging needs NO second
+    shuffle — a doc's hits are already doc-local.  Bit-exact DuckDB twin
+    in ``queries.ORACLES['dup_spans']``."""
+    keys = _dup_window_keys(ds, window, min_count, text_col, dup_key_cap)
+    kref = ray.put(keys)
+
+    def _spans(batch: pa.Table) -> pa.Table:
+        dk = ray.get(kref)
+        texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        out_id: list[np.ndarray] = []
+        out_start: list[np.ndarray] = []
+        out_len: list[np.ndarray] = []
+        for did, t in zip(ids, texts):
+            wk = _window_keys(t, window)
+            if wk.size == 0 or dk.size == 0:
+                continue
+            pos = np.flatnonzero(np.isin(wk, dk))
+            if pos.size == 0:
+                continue
+            starts, lens = _merged_spans(pos, window)
+            out_id.append(np.full(starts.size, did, dtype=np.int64))
+            out_start.append(starts.astype(np.int64))
+            out_len.append(lens.astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_len": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: np.concatenate(out_id),
+                "span_start": np.concatenate(out_start),
+                "span_len": np.concatenate(out_len),
+            }
+        )
+
+    return ds.map_batches(_spans, batch_format="pyarrow")
+
+
+def drop_dup_substrings(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = 64,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    dup_key_cap: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Adds ``out_col``: the text with every duplicated-window span of
+    :func:`dup_substring_spans` cut out (Lee et al. 2021 remove the
+    duplicated bytes rather than the whole document; §4.1).  Null text
+    stays null."""
+    keys = _dup_window_keys(ds, window, min_count, text_col, dup_key_cap)
+    kref = ray.put(keys)
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        dk = ray.get(kref)
+        col = K._as_array(batch[text_col])
+        texts = col.to_pylist()
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            wk = _window_keys(t, window)
+            pos = (
+                np.flatnonzero(np.isin(wk, dk))
+                if wk.size and dk.size
+                else np.empty(0, np.int64)
+            )
+            if pos.size == 0:
+                out.append(t)
+                continue
+            starts, lens = _merged_spans(pos, window)
+            kept = []
+            prev = 0
+            for s, ln in zip(starts.tolist(), lens.tolist()):
+                kept.append(t[prev:s])
+                prev = s + ln
+            kept.append(t[prev:])
+            out.append("".join(kept))
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(_cut, batch_format="pyarrow")

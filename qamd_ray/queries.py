@@ -1527,6 +1527,16 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (ops.dedup.dup_substring_spans,
+    Lee et al. 2021 arXiv:2107.06499 fixed-window variant): merged
+    character spans covered by any 64-char window occurring ≥2 times
+    corpus-wide.  Keys-only count shuffle + broadcast isin pass; the
+    span merge is doc-local so no second shuffle."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.dup_substring_spans(ds, window=64, min_count=2)
+
+
 def q_dsir_scores(sf_dir: str):
     """DSIR importance scores (ops.selection.dsir_scores, Xie et al.
     2023 arXiv:2302.03169): hashed-unigram bag-of-words, target =
@@ -1629,6 +1639,7 @@ QUERIES = {
     "top_tokens": q_top_tokens,
     "lang_stats": q_lang_stats,
     "dsir_scores": q_dsir_scores,
+    "dup_spans": q_dup_spans,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2244,5 +2255,26 @@ ORACLES = {
         "    FROM f JOIN w USING (bucket) GROUP BY 1) "
         "SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS dsir_score "
         "FROM documents d LEFT JOIN s USING (doc_id)"
+    ),
+    # exact duplicated-substring spans twin: same char-based substr, the
+    # same 16-hex md5-prefix window key, the same gap>window merge rule
+    # (SQL is 1-based — span_start subtracts 1)
+    "dup_spans": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),"
+        " p AS (SELECT doc_id, text,"
+        "    unnest(generate_series(1, length(text) - 64 + 1)) AS i FROM d),"
+        " k AS (SELECT doc_id, i, substr(md5(substr(text, i, 64)), 1, 16) AS key"
+        "    FROM p),"
+        " dup AS (SELECT key FROM k GROUP BY key HAVING count(*) >= 2),"
+        " hit AS (SELECT doc_id, i FROM k WHERE key IN (SELECT key FROM dup)),"
+        " n AS (SELECT doc_id, i,"
+        "    CASE WHEN i - coalesce(lag(i) OVER"
+        "      (PARTITION BY doc_id ORDER BY i), -1000000) > 64"
+        "    THEN 1 ELSE 0 END AS newgrp FROM hit),"
+        " g AS (SELECT doc_id, i, SUM(newgrp) OVER"
+        "    (PARTITION BY doc_id ORDER BY i) AS grp FROM n) "
+        "SELECT doc_id, CAST(MIN(i) - 1 AS BIGINT) AS span_start,"
+        "  CAST(MAX(i) + 64 - MIN(i) AS BIGINT) AS span_len "
+        "FROM g GROUP BY doc_id, grp"
     ),
 }

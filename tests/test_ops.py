@@ -2015,3 +2015,61 @@ def test_dsir_scores_vs_scalar_twin():
         .reset_index(drop=True)
     )
     assert got2["dsir_score"].tolist() == want
+
+
+def test_dup_substring_spans_and_removal():
+    """Planted shared paragraph is detected in both docs and cut by
+    drop_dup_substrings; unique docs pass through untouched."""
+    shared = "this exact paragraph is repeated verbatim across two documents " * 2
+    rng = np.random.default_rng(3)
+    vocab = [f"uniq{i:03d}" for i in range(400)]
+    uniq = [" ".join(rng.choice(vocab, 30)) for _ in range(6)]
+    # flank the shared paragraph with characters that DIFFER between the
+    # two docs, so the maximal duplicated region is exactly `shared`
+    texts = [
+        uniq[0] + "<" + shared + ">" + uniq[1],
+        uniq[2] + "[" + shared + "]" + uniq[3],
+        uniq[4],
+        uniq[5],
+        "short",
+        None,
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(6), "text": texts})
+    ).repartition(3)
+
+    spans = (
+        dedup.dup_substring_spans(ds, window=64, min_count=2)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert set(spans["doc_id"]) == {0, 1}
+    for did in (0, 1):
+        row = spans[spans.doc_id == did]
+        assert len(row) == 1  # one merged span
+        s, ln = int(row.span_start.iloc[0]), int(row.span_len.iloc[0])
+        lo = texts[did].index(shared)
+        assert s == lo
+        assert s + ln == lo + len(shared)
+
+    clean = (
+        dedup.drop_dup_substrings(ds, window=64, min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # unique docs byte-identical; null stays null
+    assert clean["clean_text"][2] == texts[2]
+    assert clean["clean_text"][4] == "short"
+    assert clean["clean_text"][5] is None or pd.isna(clean["clean_text"][5])
+    # cut docs no longer contain the shared paragraph, but keep their
+    # unique prefix
+    assert shared not in clean["clean_text"][0]
+    assert clean["clean_text"][0].startswith(uniq[0][:20])
+    # removal equals cutting the reported spans out (consistency of the
+    # two entry points over the same key set)
+    t = texts[0]
+    row = spans[spans.doc_id == 0]
+    s, ln = int(row.span_start.iloc[0]), int(row.span_len.iloc[0])
+    assert clean["clean_text"][0] == t[:s] + t[s + ln:]
