@@ -541,3 +541,50 @@ def license_scan(
         return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def grouped_quantile_thresholds(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+) -> pd.DataFrame:
+    """``(group_col, q, value)`` — exact per-GROUP discrete quantiles
+    with the same ``quantile_disc`` semantics as
+    :func:`quantile_thresholds` (CCNet computes its head/middle/tail
+    perplexity thresholds per LANGUAGE — Wenzek et al. 2020 §4.3; this
+    is that shape for any bounded-cardinality group key).
+
+    Distributed as a (group, value, partial_count) histogram — per-batch
+    pandas value_counts, hash-groupby sum — so the exchange and the
+    driver-side reduction are bounded by groups × distinct values, not
+    rows.  For unbounded real-valued columns use the mergeable
+    :class:`qamd_ray.ops.sketches.QuantileSketch` instead."""
+
+    def _partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_col, value_col]).to_pandas()
+        g = (
+            df.groupby([group_col, value_col], dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .sum("n")
+        .to_pandas()
+    )
+    out_g, out_q, out_v = [], [], []
+    for key, part in hist.groupby(group_col, dropna=False):
+        part = part.sort_values(value_col, kind="stable")
+        cum = part["sum(n)"].to_numpy(np.int64).cumsum()
+        vals = part[value_col].to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            k = max(math.ceil(q * n) - 1, 0) + 1  # 1-based rank
+            out_g.append(key)
+            out_q.append(float(q))
+            out_v.append(vals[int(np.searchsorted(cum, k))])
+    return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})

@@ -1527,6 +1527,34 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_lang_quantiles(sf_dir: str):
+    """Per-language exact length quartiles
+    (ops.codestats.grouped_quantile_thresholds — the per-group variant
+    of the CCNet threshold computation): bounded (lang, length, count)
+    histogram exchange, quantile_disc semantics."""
+    from .ops import codestats
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.fill_null(batch["lang"], ""),
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    out = codestats.grouped_quantile_thresholds(
+        ds.map_batches(_len, batch_format="pyarrow"),
+        "lang",
+        "n_chars",
+        [0.25, 0.5, 0.75],
+    )
+    return out.astype({"value": "int64"})
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans (ops.dedup.dup_substring_spans,
     Lee et al. 2021 arXiv:2107.06499 fixed-window variant): merged
@@ -1640,6 +1668,7 @@ QUERIES = {
     "lang_stats": q_lang_stats,
     "dsir_scores": q_dsir_scores,
     "dup_spans": q_dup_spans,
+    "lang_quantiles": q_lang_quantiles,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2276,5 +2305,15 @@ ORACLES = {
         "SELECT doc_id, CAST(MIN(i) - 1 AS BIGINT) AS span_start,"
         "  CAST(MAX(i) + 64 - MIN(i) AS BIGINT) AS span_len "
         "FROM g GROUP BY doc_id, grp"
+    ),
+    # per-group quantile_disc twin (multiple unnests zip in lockstep)
+    "lang_quantiles": (
+        "WITH s AS (SELECT coalesce(lang, '') AS lang,"
+        "    length(coalesce(text, '')) AS n_chars FROM documents),"
+        " t AS (SELECT lang, quantile_disc(n_chars,"
+        "    [0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS qv"
+        "    FROM s GROUP BY 1) "
+        "SELECT lang, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q,"
+        "  CAST(unnest(qv) AS BIGINT) AS value FROM t"
     ),
 }

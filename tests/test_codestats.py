@@ -249,3 +249,27 @@ def test_drop_common_lines_spill_dir_guard(tmp_path):
         codestats.drop_common_lines(
             ds, content_col="content", min_docs=2, spill_dir=spill
         )
+
+
+def test_grouped_quantile_thresholds_match_duckdb():
+    rng = random.Random(9)
+    con = duckdb.connect()
+    for trial in range(4):
+        n = rng.randint(5, 300)
+        groups = [rng.choice("abc") for _ in range(n)]
+        vals = [rng.randint(0, 25) for _ in range(n)]
+        qs = sorted(rng.random() for _ in range(2))
+        want = {
+            (g, round(q, 12)): v
+            for g, q, v in con.execute(
+                f"SELECT g, unnest({qs!r}::DOUBLE[]) AS q, unnest(qv) AS v FROM ("
+                f"  SELECT g, quantile_disc(x, {qs!r}) AS qv FROM ("
+                f"    SELECT unnest({groups!r}) AS g, unnest({vals!r}) AS x)"
+                f"  GROUP BY g)"
+            ).fetchall()
+        }
+        ds = ray.data.from_arrow(pa.table({"g": groups, "x": vals})).repartition(4)
+        got = codestats.grouped_quantile_thresholds(ds, "g", "x", qs)
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert int(r["value"]) == int(want[(r["g"], round(r["q"], 12))]), trial
