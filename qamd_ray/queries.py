@@ -1527,6 +1527,57 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """The CCNet curation composition (Wenzek et al. 2020, LREC):
+    normalization → char-LM bits-per-char (deterministic in-worker
+    model, quantized to integer centibits) → per-LANGUAGE head/middle/
+    tail split at exact terciles (ops.codestats.
+    grouped_quantile_thresholds; CCNet §4.3 computes thresholds per
+    language, head = lowest perplexity).  Rows-only (model stage)."""
+    from .models import PerplexityModel
+    from .ops import codestats
+
+    ds = textstats.normalize_text(
+        _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    )
+
+    def _ppl(batch: pa.Table) -> pa.Table:
+        m = PerplexityModel.default()
+        bits = m.bits_per_char(
+            K._as_array(pc.fill_null(batch["norm_text"], "")).to_pylist()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": pc.fill_null(batch["lang"], ""),
+                "ppl_centibits": (bits * 100).astype(np.int64),
+            }
+        )
+
+    # materialize the tiny scored table so the threshold pass and the
+    # assignment pass don't each re-run normalization + model scoring
+    scored = ds.map_batches(_ppl, batch_format="pyarrow").materialize()
+    thr = codestats.grouped_quantile_thresholds(
+        scored, "lang", "ppl_centibits", [1 / 3, 2 / 3]
+    )
+    tmap = {
+        g: grp.sort_values("q")["value"].to_numpy(np.int64)
+        for g, grp in thr.groupby("lang")
+    }
+    labs = np.array(["head", "middle", "tail"], dtype=object)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(K._as_array(batch["lang"]), dtype=object)
+        v = np.asarray(K._as_array(batch["ppl_centibits"]), dtype=np.int64)
+        bucket = np.empty(len(v), dtype=object)
+        for l in pd.unique(langs):
+            m = langs == l
+            bucket[m] = labs[np.searchsorted(tmap[l], v[m], side="left")]
+        return batch.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(_assign, batch_format="pyarrow")
+
+
 def q_lang_quantiles(sf_dir: str):
     """Per-language exact length quartiles
     (ops.codestats.grouped_quantile_thresholds — the per-group variant
@@ -1669,6 +1720,7 @@ QUERIES = {
     "dsir_scores": q_dsir_scores,
     "dup_spans": q_dup_spans,
     "lang_quantiles": q_lang_quantiles,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same

@@ -2073,3 +2073,24 @@ def test_dup_substring_spans_and_removal():
     row = spans[spans.doc_id == 0]
     s, ln = int(row.span_start.iloc[0]), int(row.span_len.iloc[0])
     assert clean["clean_text"][0] == t[:s] + t[s + ln:]
+
+
+def test_ccnet_buckets_ordering():
+    """Per-language buckets partition by perplexity: every head doc has
+    strictly lower centibits than every middle doc, and middle < tail
+    (ties at a threshold land in the lower bucket)."""
+    from qamd_ray.queries import q_ccnet_buckets
+
+    df = q_ccnet_buckets(SF).to_pandas()
+    assert len(df) == 500 and set(df["bucket"]) == {"head", "middle", "tail"}
+    for lang, grp in df.groupby("lang"):
+        h = grp.loc[grp.bucket == "head", "ppl_centibits"]
+        m = grp.loc[grp.bucket == "middle", "ppl_centibits"]
+        t = grp.loc[grp.bucket == "tail", "ppl_centibits"]
+        assert len(h) > 0 and len(t) > 0
+        if len(m):
+            assert h.max() < m.min() and m.max() < t.min()
+        else:
+            assert h.max() < t.min()
+        # head is at least a third of the language (quantile_disc rank)
+        assert len(h) >= len(grp) // 3
