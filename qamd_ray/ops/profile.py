@@ -1,0 +1,115 @@
+"""Column profiler: per-column stats over an arbitrary-width table.
+
+The "describe" pass every ingest pipeline runs first: row count, null
+count, exact distinct count, min and max per column.  The reference
+computes the same per-variable facts on one file in RAM (its frequency
+table carries value counts and missingness per variable,
+/root/reference/src/readstat/handler.rs:133-151); this is the corpus-
+scale shape:
+
+* row/null counts and native min/max are PER-BATCH PARTIALS — the
+  driver merge is O(batches × columns); min/max additionally ride
+  Ray's built-in ``Dataset.aggregate(Min/Max)`` so comparison happens
+  on the native type (never on a string form).
+* the exact distinct count is the only shuffle: one keys-only exchange
+  of per-batch-distinct ``(column, value-string)`` rows, counted per
+  column.  Casting to string unifies every column into one exchange
+  without losing exactness (the cast is injective for ints/strings).
+  For approximate-is-fine at extreme cardinality use
+  :class:`qamd_ray.ops.sketches.HLL` instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .. import kernels as K
+
+
+def profile_columns(
+    ds: "ray.data.Dataset", columns: Sequence[str]
+) -> pd.DataFrame:
+    """``(col, n_rows, n_null, n_distinct, min_s, max_s)`` — one row per
+    profiled column; min/max compare natively and render as strings
+    (DuckDB twin: ``CAST(MIN(c) AS VARCHAR)``)."""
+    cols = list(columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+
+    # pass 1: null/row-count partials (bounded driver merge)
+    def _nulls(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n": pa.array([batch.num_rows] * len(cols), pa.int64()),
+                "n_null": pa.array(
+                    [batch[c].null_count for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(_nulls, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("col", sort=False).sum()
+
+    # pass 2: native-typed min/max in ONE aggregate execution
+    aggs = []
+    for c in cols:
+        aggs.append(Min(c, alias_name=f"min_{c}"))
+        aggs.append(Max(c, alias_name=f"max_{c}"))
+    mm = ds.aggregate(*aggs)
+
+    # pass 3: exact distinct via one (col, value-string) keys-only shuffle
+    def _distinct(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c in cols:
+            vals = pc.cast(
+                pc.drop_null(K._as_array(batch[c])), pa.string()
+            ).to_pylist()
+            uniq = set(vals)
+            out_c.extend([c] * len(uniq))
+            out_v.extend(uniq)
+        return pa.table(
+            {"col": pa.array(out_c, pa.string()), "v": pa.array(out_v, pa.string())}
+        )
+
+    dist = (
+        ds.map_batches(_distinct, batch_format="pyarrow")
+        .groupby(["col", "v"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _per_col(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("col").aggregate([("v", "count")])
+        return pa.table({"col": t["col"], "nd": t["v_count"]})
+
+    nd = (
+        dist.map_batches(_per_col, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+        .set_index("col")["nd"]
+    )
+
+    def _s(v) -> "str | None":
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return str(v)
+
+    return pd.DataFrame(
+        {
+            "col": cols,
+            "n_rows": [int(counts.loc[c, "n"]) for c in cols],
+            "n_null": [int(counts.loc[c, "n_null"]) for c in cols],
+            "n_distinct": [int(nd.get(c, 0)) for c in cols],
+            "min_s": [_s(mm[f"min_{c}"]) for c in cols],
+            "max_s": [_s(mm[f"max_{c}"]) for c in cols],
+        }
+    )

@@ -962,3 +962,91 @@ def tfidf_top_term(
         )
 
     return best.map_batches(_split, batch_format="pyarrow")
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    *,
+    num_merges: int = 50,
+    vocab_cap: int = 10_000_000,
+) -> pd.DataFrame:
+    """Learn BPE merge rules over the corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL —
+    the classic word-frequency formulation): returns ``(rank, left,
+    right, n)``, the merge applied at each step and the pair count that
+    won it.
+
+    The distributed pass is ONLY the word-frequency table (per-batch
+    Arrow split+count combiner → keys-only ``groupby('word').sum``),
+    exactly like production BPE trainers: merge iterations then run on
+    the driver over the BOUNDED vocabulary (O(vocab × merges), never
+    re-reading the corpus).  The collected vocabulary is capped loudly
+    at ``vocab_cap`` rows.
+
+    Words are lowercased ASCII ``[A-Za-z0-9]+`` runs (the
+    :mod:`qamd_ray.ops.selection` token convention); each word ends
+    with the ``</w>`` boundary symbol.  Deterministic: the winning pair
+    is max count, ties to the lexicographically SMALLEST pair.
+    """
+    import re as _re
+
+    rx = _re.compile(r"[A-Za-z0-9]+")
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+        cnt: dict[str, int] = {}
+        for t in texts:
+            for w in rx.findall(t):
+                w = w.lower()
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(cnt.keys()), pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    vocab = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"{len(vocab)} distinct words exceed vocab_cap={vocab_cap}; "
+            "raise the cap or pre-filter the corpus"
+        )
+
+    # driver merge loop over the bounded (symbols, count) table
+    words: list[tuple[list[str], int]] = [
+        (list(w) + ["</w>"], int(n))
+        for w, n in zip(vocab["word"].tolist(), vocab["n"].tolist())
+        if isinstance(w, str) and w
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n_best = best
+        if n_best < 2:
+            break
+        merges.append((rank, l, r, n_best))
+        merged = l + r
+        for syms, _n in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "n"])

@@ -1527,6 +1527,33 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_profile_orders(sf_dir: str):
+    """Column profiler over orders (ops.profile.profile_columns): row/
+    null counts, exact distinct count, native min/max per column —
+    the reference's per-variable facts (handler.rs:133-151) at corpus
+    scale."""
+    from .ops import profile
+
+    ds = _t(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return profile.profile_columns(
+        ds, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE vocabulary induction (ops.textstats.bpe_train, Sennrich et
+    al. 2016): first 30 merge rules learned from the documents corpus.
+    Distributed word-frequency pass; driver merge loop over the bounded
+    vocab.  Rows-only (the merge loop is iterative, not SQL)."""
+    return textstats.bpe_train(
+        _t(sf_dir, "documents", ["text"]), num_merges=30
+    ).astype({"rank": "int64", "n": "int64"})
+
+
 def q_ccnet_buckets(sf_dir: str):
     """The CCNet curation composition (Wenzek et al. 2020, LREC):
     normalization → char-LM bits-per-char (deterministic in-worker
@@ -1721,6 +1748,8 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "lang_quantiles": q_lang_quantiles,
     "ccnet_buckets": q_ccnet_buckets,
+    "bpe_merges": q_bpe_merges,
+    "profile_orders": q_profile_orders,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2367,5 +2396,13 @@ ORACLES = {
         "    FROM s GROUP BY 1) "
         "SELECT lang, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q,"
         "  CAST(unnest(qv) AS BIGINT) AS value FROM t"
+    ),
+    "profile_orders": " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(MIN({c}) AS VARCHAR) AS min_s,"
+        f" CAST(MAX({c}) AS VARCHAR) AS max_s FROM orders"
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     ),
 }

@@ -2094,3 +2094,71 @@ def test_ccnet_buckets_ordering():
             assert h.max() < t.min()
         # head is at least a third of the language (quantile_disc rank)
         assert len(h) >= len(grp) // 3
+
+
+def test_bpe_train_vs_scalar_reference():
+    """bpe_train matches an independent in-test BPE implementation run
+    directly over the raw strings, including the deterministic
+    (count desc, pair asc) tie-break."""
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        None,
+        "LOW lowest",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    got = textstats.bpe_train(ds, num_merges=12)
+
+    # independent reference over the raw corpus
+    import re
+
+    cnt = {}
+    for t in texts:
+        for w in re.findall(r"[A-Za-z0-9]+", t or ""):
+            w = w.lower()
+            cnt[w] = cnt.get(w, 0) + 1
+    words = {w: list(w) + ["</w>"] for w in cnt}
+    want = []
+    for rank in range(12):
+        pairs = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt[w]
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        want.append((rank, l, r, n))
+        for syms in words.values():
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i : i + 2] = [l + r]
+                else:
+                    i += 1
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # the most frequent word's full merge appears: 'newest' (n=6 incl case fold? no: 6)
+    assert ("e", "s") in {(l, r) for _, l, r, _ in want} or (
+        "es" in {l + r for _, l, r, _ in want}
+    )
+
+
+def test_profile_columns_with_nulls():
+    from qamd_ray.ops import profile
+
+    t = pa.table(
+        {
+            "a": [3, 1, None, 1, 9],
+            "b": ["x", None, None, "x", "k"],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = profile.profile_columns(ds, ["a", "b"]).set_index("col")
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "min_s"] == "1" and out.loc["a", "max_s"] == "9"
+    assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["b", "min_s"] == "k" and out.loc["b", "max_s"] == "x"
