@@ -81,6 +81,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_topk_cosine,
         q_web_curation,
         q_incremental_minhash,
+        q_dup_spans,
+        q_dsir_scores,
     )
 
     src = corpus_path()
@@ -201,6 +203,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("topk_cosine", q_topk_cosine),
         ("web_curation", q_web_curation),
         ("incremental_minhash", q_incremental_minhash),
+        ("dup_spans", q_dup_spans),
+        ("dsir_scores", q_dsir_scores),
     ]):
         def _one(fn=fn):
             res = fn(sf_dir)

@@ -84,9 +84,31 @@ class LangIdModel:
                 h = _trigram_hashes(_bytes_of(text), dim)
                 if len(h):
                     np.add.at(counts[i], h, 1.0)
+        self._finalize(counts)
+
+    def _finalize(self, counts: np.ndarray) -> None:
         totals = counts.sum(axis=1, keepdims=True)
-        self.logp = np.log(counts + alpha) - np.log(totals + alpha * dim)
-        self.logp = self.logp.astype(np.float32)
+        logp = np.log(counts + self.alpha) - np.log(totals + self.alpha * self.dim)
+        self.logp = logp.astype(np.float32)
+
+    @classmethod
+    def from_counts(
+        cls,
+        classes: Sequence[str],
+        counts: np.ndarray,
+        *,
+        dim: int = 1 << 15,
+        alpha: float = 0.5,
+    ) -> "LangIdModel":
+        """Build from a pre-accumulated (classes × dim) trigram count
+        matrix — the entry point for :func:`fit_langid_distributed`
+        (counts are integer sums, so any accumulation order yields
+        byte-identical weights)."""
+        m = cls.__new__(cls)
+        m.dim, m.alpha = dim, alpha
+        m.classes = list(classes)
+        m._finalize(np.asarray(counts, dtype=np.float64))
+        return m
 
     @classmethod
     def default(cls) -> "LangIdModel":
@@ -158,6 +180,29 @@ class PerplexityModel:
             np.add.at(u1, x, 1.0)
         self.t3, self.c2, self.b2, self.c1, self.u1 = t3, c2, b2, c1, u1
         self.total = u1.sum()
+
+    @classmethod
+    def from_counts(
+        cls,
+        t3: np.ndarray,
+        c2: np.ndarray,
+        b2: np.ndarray,
+        c1: np.ndarray,
+        u1: np.ndarray,
+        *,
+        alpha: float = 0.1,
+    ) -> "PerplexityModel":
+        """Build from pre-accumulated hashed count tables — the entry
+        point for :func:`fit_perplexity_distributed`."""
+        m = cls.__new__(cls)
+        m.dim3, m.dim2, m.alpha = len(t3), len(c2), alpha
+        m.t3 = np.asarray(t3, dtype=np.float64)
+        m.c2 = np.asarray(c2, dtype=np.float64)
+        m.b2 = np.asarray(b2, dtype=np.float64)
+        m.c1 = np.asarray(c1, dtype=np.float64)
+        m.u1 = np.asarray(u1, dtype=np.float64)
+        m.total = m.u1.sum()
+        return m
 
     @classmethod
     def default(cls) -> "PerplexityModel":
@@ -337,3 +382,133 @@ class ModelScorers:
         if ppl is not None:
             batch = ppl(batch)
         return batch
+
+
+# ---------------------------------------------------------------------------
+# distributed fitting (counts are mergeable integer sums, so the
+# distributed fit is EXACT — byte-identical weights to the in-process
+# constructor on the same texts, any batch/block order)
+# ---------------------------------------------------------------------------
+
+
+def _nonzero_key_counts(flat: np.ndarray) -> pa.Table:
+    """(k, n) rows of one batch's key multiset (np.unique combiner)."""
+    if flat.size == 0:
+        return pa.table(
+            {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    uk, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"k": uk.astype(np.int64), "n": cnt.astype(np.int64)})
+
+
+def _sum_keys(parts: "object") -> "object":
+    """groupby('k').sum('n') → pandas, tolerating the no-rows case."""
+    from ray.data.aggregate import Sum
+
+    df = parts.groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return df if "k" in df.columns else df.assign(k=[], n=[])
+
+
+def fit_langid_distributed(
+    ds: "object",
+    text_col: str = "text",
+    label_col: str = "lang",
+    *,
+    dim: int = 1 << 15,
+    alpha: float = 0.5,
+    classes: Optional[Sequence[str]] = None,
+) -> LangIdModel:
+    """Train :class:`LangIdModel` FROM the corpus itself: one streaming
+    pass emits per-batch nonzero (class·dim + trigram-hash, count) rows
+    (``np.unique`` combiner), a keys-only groupby sums them, and the
+    driver materializes the bounded (classes × dim) count matrix.
+    Rows with a label outside ``classes`` (or null) are skipped.
+
+    Exactness: the counts are integer sums, so this equals
+    ``LangIdModel(corpus_dict)`` on the same texts bit-for-bit
+    (tested in test_rules_models_scrub)."""
+    if classes is None:
+        # per-batch distinct labels + driver union (null-safe — a sorted
+        # groupby cannot compare None against str)
+        def _labels(batch: pa.Table) -> pa.Table:
+            u = sorted(set(pc.drop_null(K._as_array(batch[label_col])).to_pylist()))
+            return pa.table({"label_": pa.array(u, pa.string())})
+
+        lab = ds.map_batches(_labels, batch_format="pyarrow").to_pandas()
+        classes = (
+            sorted(set(lab["label_"])) if "label_" in lab.columns else []
+        )
+    classes = list(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    n_cls = len(classes)
+    if n_cls == 0:
+        raise ValueError("no classes to fit")
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        labels = K._as_array(pc.fill_null(batch[label_col], "")).to_pylist()
+        keys = []
+        for t, l in zip(texts, labels):
+            i = cls_idx.get(l)
+            if i is None:
+                continue
+            h = _trigram_hashes(_bytes_of(t), dim)
+            if len(h):
+                keys.append(i * dim + h)
+        flat = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        return _nonzero_key_counts(flat)
+
+    agg = _sum_keys(ds.map_batches(_partials, batch_format="pyarrow"))
+    counts = np.zeros(n_cls * dim, dtype=np.float64)
+    counts[agg["k"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    return LangIdModel.from_counts(
+        classes, counts.reshape(n_cls, dim), dim=dim, alpha=alpha
+    )
+
+
+def fit_perplexity_distributed(
+    ds: "object",
+    text_col: str = "text",
+    *,
+    dim3: int = 1 << 22,
+    dim2: int = 1 << 18,
+    alpha: float = 0.1,
+) -> PerplexityModel:
+    """Train :class:`PerplexityModel` from the corpus: the five hashed
+    count tables ride ONE key space (offset-partitioned), one streaming
+    ``np.unique`` combiner pass + keys-only groupby sum; the collected
+    nonzero rows are bounded by the table sizes (≤ dim3 + 2·dim2 + 512)
+    regardless of corpus size.  Bit-identical to the in-process
+    constructor on the same texts."""
+    o_c2 = dim3
+    o_b2 = dim3 + dim2
+    o_c1 = dim3 + 2 * dim2
+    o_u1 = o_c1 + 256
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        keys = []
+        for t in texts:
+            b = _bytes_of(t)
+            if len(b) < 3:
+                continue
+            x = b.astype(np.int64)
+            keys.append((x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim3)
+            keys.append((x[:-2] * 8191 + x[1:-1]) % dim2 + o_c2)
+            keys.append((x[:-1] * 8191 + x[1:]) % dim2 + o_b2)
+            keys.append(x[:-1] + o_c1)
+            keys.append(x + o_u1)
+        flat = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        return _nonzero_key_counts(flat)
+
+    agg = _sum_keys(ds.map_batches(_partials, batch_format="pyarrow"))
+    dense = np.zeros(o_u1 + 256, dtype=np.float64)
+    dense[agg["k"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    return PerplexityModel.from_counts(
+        dense[:dim3],
+        dense[o_c2:o_b2],
+        dense[o_b2:o_c1],
+        dense[o_c1:o_u1],
+        dense[o_u1:],
+        alpha=alpha,
+    )

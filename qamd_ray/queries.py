@@ -1527,6 +1527,40 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_ppl_trained(sf_dir: str):
+    """Corpus-fitted perplexity scoring (models.
+    fit_perplexity_distributed): the KenLM-style char-trigram LM is
+    trained ON the documents table in one distributed count pass
+    (bit-identical to an in-process fit — the count tables are
+    mergeable integer sums), then every document is scored against it:
+    (doc_id, ppl_centibits).  The corpus-trained twin of the
+    CCNet-shaped scoring in ``ccnet_buckets``.  Rows-only (model
+    stage).  The langid twin (models.fit_langid_distributed) has the
+    same exactness test but no query — the synthetic corpus shares one
+    vocabulary across lang tags, so a langid self-eval only shows
+    majority-class collapse."""
+    import ray as _ray
+
+    from .models import fit_perplexity_distributed
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    model = fit_perplexity_distributed(ds)
+    mref = _ray.put(model)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        m = _ray.get(mref)
+        texts = K._as_array(pc.fill_null(batch["text"], "")).to_pylist()
+        bits = m.bits_per_char(texts)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ppl_centibits": (bits * 100).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def q_profile_orders(sf_dir: str):
     """Column profiler over orders (ops.profile.profile_columns): row/
     null counts, exact distinct count, native min/max per column —
@@ -1750,6 +1784,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_merges": q_bpe_merges,
     "profile_orders": q_profile_orders,
+    "ppl_trained": q_ppl_trained,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same

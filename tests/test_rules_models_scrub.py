@@ -148,3 +148,42 @@ def test_absent_config_keys_skip_rules():
     assert LangIdScorer.from_config(cfg) is None
     assert PerplexityScorer.from_config(cfg) is None
     assert Scrubber.from_config(cfg) is None
+
+
+def test_distributed_fits_match_inprocess_exactly():
+    """fit_langid_distributed / fit_perplexity_distributed produce
+    byte-identical weights to the in-process constructors on the same
+    texts (integer count sums commute)."""
+    import pandas as pd
+    import ray.data
+
+    from qamd_ray.models import (
+        LangIdModel,
+        PerplexityModel,
+        fit_langid_distributed,
+        fit_perplexity_distributed,
+    )
+    from qamd_ray.synth import LANGS, clean_samples
+
+    corpus = {l: clean_samples(l, 12, seed=3) for l in LANGS[:3]}
+    rows = [
+        {"text": t, "lang": l} for l, ts in corpus.items() for t in ts
+    ] + [{"text": None, "lang": LANGS[0]}, {"text": "xx", "lang": None}]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(5)
+
+    want_l = LangIdModel(corpus)
+    got_l = fit_langid_distributed(ds)
+    assert got_l.classes == want_l.classes
+    assert np.array_equal(got_l.logp, want_l.logp)
+
+    texts = [t for ts in corpus.values() for t in ts] + ["xx"]
+    want_p = PerplexityModel(texts, dim3=1 << 16, dim2=1 << 12)
+    got_p = fit_perplexity_distributed(ds, dim3=1 << 16, dim2=1 << 12)
+    for a in ("t3", "c2", "b2", "c1", "u1"):
+        assert np.array_equal(getattr(got_p, a), getattr(want_p, a)), a
+    assert got_p.total == want_p.total
+    # and they score identically
+    probe = ["the quick brown fox", "der schnelle braune fuchs"]
+    assert np.array_equal(
+        got_p.bits_per_char(probe), want_p.bits_per_char(probe)
+    )
