@@ -2270,28 +2270,49 @@ def incremental_minhash_dedup(
 
 
 def _window_keys(text: str, window: int) -> np.ndarray:
-    """16-hex-char md5 prefixes of every length-``window`` CHARACTER
-    substring (stride 1), as an ``S16`` array.  Character-based slicing
-    matches SQL ``substr``; md5 runs over the UTF-8 bytes of the slice
-    (what DuckDB's ``md5`` hashes).  Pure-ASCII docs take a byte-slice
-    fast path (byte offsets == char offsets)."""
+    """First 8 md5 digest bytes of every length-``window`` CHARACTER
+    substring (stride 1), as an ``S8`` array — the binary form of the
+    oracle's ``substr(md5(w), 1, 16)`` hex prefix (hexlify(digest[:8])
+    == hexdigest()[:16]).  Character-based slicing matches SQL
+    ``substr``; md5 runs over the UTF-8 bytes of the slice (what
+    DuckDB's ``md5`` hashes).  Pure-ASCII docs take a byte-slice fast
+    path (byte offsets == char offsets)."""
     n = len(text)
     if n < window:
-        return np.empty(0, dtype="S16")
-    out = np.empty(n - window + 1, dtype="S16")
+        return np.empty(0, dtype="S8")
+    out = np.empty(n - window + 1, dtype="S8")
     b = text.encode("utf-8")
+    md5 = hashlib.md5
     if len(b) == n:
         mv = memoryview(b)
         for i in range(n - window + 1):
-            out[i] = hashlib.md5(mv[i : i + window]).hexdigest()[:16].encode()
+            out[i] = md5(mv[i : i + window]).digest()[:8]
     else:
         for i in range(n - window + 1):
-            out[i] = (
-                hashlib.md5(text[i : i + window].encode("utf-8"))
-                .hexdigest()[:16]
-                .encode()
-            )
+            out[i] = md5(text[i : i + window].encode("utf-8")).digest()[:8]
     return out
+
+
+def _batch_window_keys(
+    batch: pa.Table, text_col: str, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat S8 keys of all docs, per-doc window counts) for one batch."""
+    texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+    parts = [_window_keys(t, window) for t in texts]
+    sizes = np.fromiter((p.size for p in parts), np.int64, len(parts))
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype="S8")
+    return flat, sizes
+
+
+def _member_mask(flat: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Membership of ``flat`` in the SORTED ``sorted_keys`` (same
+    dtype) via one searchsorted — O(n log m) with no per-call re-sort
+    (np.isin sorts its second argument on every call)."""
+    if flat.size == 0 or sorted_keys.size == 0:
+        return np.zeros(flat.size, dtype=bool)
+    idx = np.searchsorted(sorted_keys, flat)
+    idx[idx == sorted_keys.size] = 0
+    return sorted_keys[idx] == flat
 
 
 def _dup_window_keys(
@@ -2300,51 +2321,72 @@ def _dup_window_keys(
     min_count: int,
     text_col: str,
     dup_key_cap: int,
+    n_windows: Optional[int] = None,
+    driver_collect_threshold: int = 10_000_000,
 ) -> np.ndarray:
-    """Sorted ``S16`` array of window keys occurring ≥ ``min_count`` times
-    corpus-wide.  One streaming pass: per-batch ``np.unique`` combiner
-    (intra-batch repeats collapse before the shuffle) → ``groupby(key)``
-    sum → dup filter.  The shuffle moves O(total_chars) 16-byte keys —
-    the honest cost of exact-substring dedup without a distributed
-    suffix array; the *collected* state is only the true-duplicate key
-    set, capped loudly at ``dup_key_cap``."""
+    """Sorted int64 array (md5-digest-byte views) of window keys
+    occurring ≥ ``min_count`` times corpus-wide.  One streaming pass
+    emits per-batch ``np.unique`` partials (intra-batch repeats collapse
+    before any exchange).
+
+    Size-routed reduction, like the other size-routed ops (explicit
+    ``n_windows`` hint — ``ds.count()`` would execute the lineage): at
+    or under ``driver_collect_threshold`` windows the 16-byte/key
+    partials collect to the driver and reduce with one argsort+reduceat
+    (measured 12.1 s → ~2 s at 1.2 M keys on this box — Ray's sort-based
+    groupby costs ~8 s flat at that key count); above it the reduction
+    is a keys-only distributed ``groupby('wkey').sum`` — the honest
+    exchange of exact-substring dedup without a distributed suffix
+    array.  The *returned* state is only the true-duplicate key set,
+    capped loudly at ``dup_key_cap``."""
 
     def _partials(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
-        parts = [_window_keys(t, window) for t in texts]
-        flat = np.concatenate(parts) if parts else np.empty(0, dtype="S16")
+        flat, _sizes = _batch_window_keys(batch, text_col, window)
         if flat.size == 0:
             return pa.table(
-                {"wkey": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                {"wkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
             )
         uk, cnt = np.unique(flat, return_counts=True)
+        # ship the 8 digest bytes as int64 (zero-copy view) — machine
+        # words, not strings; equality of the view is equality of the
+        # digest prefix, which is all the dup decision needs (the SQL
+        # oracle agrees on the same 64 md5 bits)
         return pa.table(
-            {
-                "wkey": pa.array(np.char.decode(uk, "ascii")),
-                "n": cnt.astype(np.int64),
-            }
+            {"wkey": uk.view(np.int64), "n": cnt.astype(np.int64)}
         )
 
-    agg = (
-        ds.map_batches(_partials, batch_format="pyarrow")
-        .groupby("wkey")
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    parts = ds.map_batches(_partials, batch_format="pyarrow")
+    small = n_windows is None or n_windows <= driver_collect_threshold
+    if small:
+        df = parts.to_pandas()
+        if df.empty or "wkey" not in df.columns:
+            return np.empty(0, dtype=np.int64)
+        k = df["wkey"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sums = np.add.reduceat(n, bounds)
+        keys = k[bounds][sums >= min_count]  # ascending already
+    else:
+        agg = parts.groupby("wkey").aggregate(Sum("n", alias_name="n"))
 
-    def _only_dup(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["n"], min_count)).select(["wkey"])
+        def _only_dup(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch["n"], min_count)
+            ).select(["wkey"])
 
-    dup = agg.map_batches(_only_dup, batch_format="pyarrow").to_pandas()
-    if dup.empty or "wkey" not in dup.columns:
-        return np.empty(0, dtype="S16")
-    keys = dup["wkey"].to_numpy().astype("S16")
+        dup = agg.map_batches(_only_dup, batch_format="pyarrow").to_pandas()
+        if dup.empty or "wkey" not in dup.columns:
+            return np.empty(0, dtype=np.int64)
+        keys = dup["wkey"].to_numpy(np.int64).copy()
+        keys.sort()
     if keys.size > dup_key_cap:
         raise ValueError(
             f"{keys.size} duplicated window keys exceed dup_key_cap="
-            f"{dup_key_cap}; raise the cap (each key broadcasts 16 bytes) "
+            f"{dup_key_cap}; raise the cap (each key broadcasts 8 bytes) "
             "or pre-shard the corpus and run per shard"
         )
-    keys.sort()
     return keys
 
 
@@ -2368,6 +2410,8 @@ def dup_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     dup_key_cap: int = 5_000_000,
+    n_windows: Optional[int] = None,
+    driver_collect_threshold: int = 10_000_000,
 ) -> "ray.data.Dataset":
     """``(id_col, span_start, span_len)`` — per document, the merged
     0-based character spans covered by any length-``window`` substring
@@ -2381,26 +2425,30 @@ def dup_substring_spans(
     the reported spans cover all such duplicates, at window-start
     granularity and without a distributed suffix array.
 
-    Two streaming passes: a keys-only count shuffle fits the duplicated-
-    key set (:func:`_dup_window_keys`); a broadcast ``np.isin`` pass
+    Two streaming passes: a size-routed keys-only count reduction fits
+    the duplicated-key set (:func:`_dup_window_keys` — pass ``n_windows``
+    ≈ total chars to route; driver argsort under the threshold,
+    distributed groupby above); a broadcast sorted-searchsorted pass
     recomputes each doc's keys locally, so span-merging needs NO second
     shuffle — a doc's hits are already doc-local.  Bit-exact DuckDB twin
     in ``queries.ORACLES['dup_spans']``."""
-    keys = _dup_window_keys(ds, window, min_count, text_col, dup_key_cap)
+    keys = _dup_window_keys(
+        ds, window, min_count, text_col, dup_key_cap,
+        n_windows=n_windows, driver_collect_threshold=driver_collect_threshold,
+    )
     kref = ray.put(keys)
 
     def _spans(batch: pa.Table) -> pa.Table:
         dk = ray.get(kref)
-        texts = pc.fill_null(K._as_array(batch[text_col]), "").to_pylist()
+        flat, sizes = _batch_window_keys(batch, text_col, window)
+        hits = _member_mask(flat.view(np.int64), dk)
         ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        offs = np.r_[0, np.cumsum(sizes)]
         out_id: list[np.ndarray] = []
         out_start: list[np.ndarray] = []
         out_len: list[np.ndarray] = []
-        for did, t in zip(ids, texts):
-            wk = _window_keys(t, window)
-            if wk.size == 0 or dk.size == 0:
-                continue
-            pos = np.flatnonzero(np.isin(wk, dk))
+        for j, did in enumerate(ids):
+            pos = np.flatnonzero(hits[offs[j] : offs[j + 1]])
             if pos.size == 0:
                 continue
             starts, lens = _merged_spans(pos, window)
@@ -2435,29 +2483,31 @@ def drop_dup_substrings(
     id_col: str = "doc_id",
     out_col: str = "clean_text",
     dup_key_cap: int = 5_000_000,
+    n_windows: Optional[int] = None,
+    driver_collect_threshold: int = 10_000_000,
 ) -> "ray.data.Dataset":
     """Adds ``out_col``: the text with every duplicated-window span of
     :func:`dup_substring_spans` cut out (Lee et al. 2021 remove the
     duplicated bytes rather than the whole document; §4.1).  Null text
     stays null."""
-    keys = _dup_window_keys(ds, window, min_count, text_col, dup_key_cap)
+    keys = _dup_window_keys(
+        ds, window, min_count, text_col, dup_key_cap,
+        n_windows=n_windows, driver_collect_threshold=driver_collect_threshold,
+    )
     kref = ray.put(keys)
 
     def _cut(batch: pa.Table) -> pa.Table:
         dk = ray.get(kref)
-        col = K._as_array(batch[text_col])
-        texts = col.to_pylist()
+        flat, sizes = _batch_window_keys(batch, text_col, window)
+        hits = _member_mask(flat.view(np.int64), dk)
+        offs = np.r_[0, np.cumsum(sizes)]
+        texts = K._as_array(batch[text_col]).to_pylist()
         out = []
-        for t in texts:
+        for j, t in enumerate(texts):
             if t is None:
                 out.append(None)
                 continue
-            wk = _window_keys(t, window)
-            pos = (
-                np.flatnonzero(np.isin(wk, dk))
-                if wk.size and dk.size
-                else np.empty(0, np.int64)
-            )
+            pos = np.flatnonzero(hits[offs[j] : offs[j + 1]])
             if pos.size == 0:
                 out.append(t)
                 continue

@@ -1672,8 +1672,10 @@ def q_dup_spans(sf_dir: str):
     Lee et al. 2021 arXiv:2107.06499 fixed-window variant): merged
     character spans covered by any 64-char window occurring ≥2 times
     corpus-wide.  Keys-only count shuffle + broadcast isin pass; the
-    span merge is doc-local so no second shuffle."""
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    span merge is doc-local so no second shuffle.  The testdata table is
+    a single parquet row group (= one read task), so split blocks first
+    — the md5 window pass is the compute and must fan out."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).repartition(64)
     return dedup.dup_substring_spans(ds, window=64, min_count=2)
 
 

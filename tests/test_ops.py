@@ -2074,6 +2074,18 @@ def test_dup_substring_spans_and_removal():
     s, ln = int(row.span_start.iloc[0]), int(row.span_len.iloc[0])
     assert clean["clean_text"][0] == t[:s] + t[s + ln:]
 
+    # the distributed-groupby reduction (forced via n_windows above a
+    # zero threshold) agrees with the driver argsort path exactly
+    spans_dist = (
+        dedup.dup_substring_spans(
+            ds, window=64, min_count=2, n_windows=10, driver_collect_threshold=0
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spans, spans_dist)
+
 
 def test_ccnet_buckets_ordering():
     """Per-language buckets partition by perplexity: every head doc has
