@@ -113,3 +113,49 @@ def profile_columns(
             "max_s": [_s(mm[f"max_{c}"]) for c in cols],
         }
     )
+
+
+def grouped_moments(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """``(group_col, n, sum_v, sum_sq)`` — the distributed moment sums
+    behind per-group mean/variance (Chan et al. 1983 pairwise updates
+    reduce to plain sums of x and x² here because the merge is
+    associative): per-batch Arrow group_by partials, then a keys-only
+    groupby sum.  Sums stay int64 for an integer ``value_col`` (exact,
+    SQL-twin-safe; mean = sum_v/n, var = (sum_sq − sum_v²/n)/(n−1) are
+    one driver-side division away) — callers with values whose squares
+    can overflow int64 should pre-scale or bucket first."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.int64())
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "v": v,
+                "v2": pc.multiply_checked(v, v),
+            }
+        )
+        g = t.group_by([group_col]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")]
+        )
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "sum_v": g["v_sum"],
+                "sum_sq": g["v2_sum"],
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_v", alias_name="sum_v"),
+            Sum("sum_sq", alias_name="sum_sq"),
+        )
+    )

@@ -1050,3 +1050,71 @@ def bpe_train(
                 else:
                     i += 1
     return pd.DataFrame(merges, columns=["rank", "left", "right", "n"])
+
+
+def bpe_encode_count(
+    ds: "ray.data.Dataset",
+    merges,
+    *,
+    text_col: str = "text",
+    out_col: str = "n_vocab_tokens",
+) -> "ray.data.Dataset":
+    """Adds ``out_col``: the number of subword tokens per document under
+    a vocabulary LEARNED by :func:`bpe_train` (greedy lowest-rank merge
+    application, Sennrich et al. 2016 §2 — encoding with the merge list
+    in rank order reproduces the trainer's final segmentation).  The
+    merge table is tiny and ships in the task closure; per-task memo
+    caches the segmentation length per distinct word, so the loop runs
+    once per VOCAB word, not per occurrence."""
+    import re as _re
+
+    if hasattr(merges, "itertuples"):
+        ranks = {
+            (r.left, r.right): int(r.rank) for r in merges.itertuples(index=False)
+        }
+    else:
+        ranks = {(l, r): int(k) for k, l, r, *_ in merges}
+    rx = _re.compile(r"[A-Za-z0-9]+")
+
+    def _encode_len(word: str, memo: dict) -> int:
+        n = memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word) + ["</w>"]
+        while True:
+            best_rank, best_pair = None, None
+            for a, b in zip(syms, syms[1:]):
+                rk = ranks.get((a, b))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_pair = rk, (a, b)
+            if best_pair is None:
+                break
+            l, r = best_pair
+            merged = l + r
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = len(syms)
+        return len(syms)
+
+    memo: dict[str, int] = {}
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ns = np.fromiter(
+            (
+                sum(_encode_len(w.lower(), memo) for w in rx.findall(t))
+                for t in texts
+            ),
+            np.int64,
+            len(texts),
+        )
+        return batch.append_column(out_col, pa.array(ns, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

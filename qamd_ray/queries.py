@@ -1527,6 +1527,41 @@ def q_length_buckets(sf_dir: str):
     )
 
 
+def q_bpe_vocab_counts(sf_dir: str):
+    """Subword token counts under a corpus-LEARNED BPE vocabulary
+    (ops.textstats.bpe_train 30 merges → bpe_encode_count): the full
+    induce-then-tokenize loop; per-task word-level memo keeps the merge
+    loop O(vocab), not O(occurrences).  Rows-only (iterative)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    merges = textstats.bpe_train(ds, num_merges=30)
+    return textstats.bpe_encode_count(ds, merges).map_batches(
+        lambda b: b.select(["doc_id", "n_vocab_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_moments(sf_dir: str):
+    """Per-language length moments (ops.profile.grouped_moments): exact
+    int64 n / Σx / Σx² per lang — mean and variance one division away,
+    keys-only exchange."""
+    from .ops import profile
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.fill_null(batch["lang"], ""),
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64()
+                ),
+            }
+        )
+
+    return profile.grouped_moments(
+        ds.map_batches(_len, batch_format="pyarrow"), "lang", "n_chars"
+    )
+
+
 def q_ppl_trained(sf_dir: str):
     """Corpus-fitted perplexity scoring (models.
     fit_perplexity_distributed): the KenLM-style char-trigram LM is
@@ -1787,6 +1822,8 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "profile_orders": q_profile_orders,
     "ppl_trained": q_ppl_trained,
+    "lang_moments": q_lang_moments,
+    "bpe_vocab_counts": q_bpe_vocab_counts,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2433,6 +2470,13 @@ ORACLES = {
         "    FROM s GROUP BY 1) "
         "SELECT lang, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q,"
         "  CAST(unnest(qv) AS BIGINT) AS value FROM t"
+    ),
+    "lang_moments": (
+        "SELECT coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_v,"
+        "  CAST(sum(length(coalesce(text, '')) * length(coalesce(text, '')))"
+        "    AS BIGINT) AS sum_sq "
+        "FROM documents GROUP BY 1"
     ),
     "profile_orders": " UNION ALL ".join(
         f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"

@@ -231,3 +231,36 @@ def dataset_schema(paths: str | Sequence[str]) -> pa.Schema:
 
 def total_rows(paths: str | Sequence[str]) -> int:
     return sum(t["num_rows"] for t in row_group_tasks(paths))
+
+
+def write_partitioned(
+    ds: "ray.data.Dataset",
+    path: str,
+    partition_cols: Sequence[str],
+) -> dict[str, int]:
+    """Hive-partitioned parquet sink with atomic publish: the dataset
+    writes to a staging directory (one subdirectory per partition value,
+    the resumable-output layout — a failed run never leaves a
+    half-written final directory), a ``_manifest.json`` of per-partition
+    row counts (from parquet footers, not trust) is staged alongside,
+    then ONE ``os.replace`` publishes everything — the same
+    whole-directory publish the IVF index uses.  Returns the manifest
+    ``{partition_rel_path: n_rows}``."""
+    import json
+    import shutil
+
+    stage = f"{path}.staging-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.write_parquet(stage, partition_cols=list(partition_cols))
+    manifest: dict[str, int] = {}
+    for root, _dirs, files in os.walk(stage):
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(root, stage)
+                n = pq.read_metadata(os.path.join(root, f)).num_rows
+                manifest[rel] = manifest.get(rel, 0) + n
+    with open(os.path.join(stage, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(stage, path)
+    return manifest

@@ -2174,3 +2174,70 @@ def test_profile_columns_with_nulls():
     assert out.loc["a", "min_s"] == "1" and out.loc["a", "max_s"] == "9"
     assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
     assert out.loc["b", "min_s"] == "k" and out.loc["b", "max_s"] == "x"
+
+
+def test_bpe_encode_reproduces_trainer_segmentation():
+    """Applying the learned merges in rank order reproduces the
+    trainer's final per-word segmentation lengths (and whole training
+    words collapse to few tokens while unseen words stay char-level)."""
+    import re
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest widest widest widest",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+    merges = textstats.bpe_train(ds, num_merges=200)  # to convergence
+
+    # trainer-twin final segmentation
+    cnt = {}
+    for t in texts:
+        for w in re.findall(r"[A-Za-z0-9]+", t):
+            cnt[w.lower()] = cnt.get(w.lower(), 0) + 1
+    words = {w: list(w) + ["</w>"] for w in cnt}
+    ranks = {(r.left, r.right): r.rank for r in merges.itertuples(index=False)}
+    for _, l, r, _n in merges.itertuples(index=False):
+        for syms in words.values():
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i : i + 2] = [l + r]
+                else:
+                    i += 1
+
+    probe = pd.DataFrame({"text": [" ".join(words.keys())]})
+    out = textstats.bpe_encode_count(
+        ray.data.from_pandas(probe), merges
+    ).to_pandas()
+    assert int(out["n_vocab_tokens"][0]) == sum(len(s) for s in words.values())
+
+    # unseen vocabulary stays near character-level
+    out2 = textstats.bpe_encode_count(
+        ray.data.from_pandas(pd.DataFrame({"text": ["zqjxkv"]})), merges
+    ).to_pandas()
+    assert int(out2["n_vocab_tokens"][0]) == len("zqjxkv") + 1  # + </w>
+
+
+def test_write_partitioned_atomic_manifest(tmp_path):
+    from qamd_ray.sources import write_partitioned
+
+    t = pa.table(
+        {"lang": ["a", "a", "b", "c", "c", "c"], "v": [1, 2, 3, 4, 5, 6]}
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    dst = str(tmp_path / "out")
+    man = write_partitioned(ds, dst, ["lang"])
+    assert sum(man.values()) == 6
+    assert man["lang=b"] == 1 and man["lang=c"] == 3
+    import json
+
+    assert json.load(open(f"{dst}/_manifest.json")) == man
+    # partition pruning: reading one directory yields only that key
+    back = ray.data.read_parquet(f"{dst}/lang=c").to_pandas()
+    assert sorted(back["v"]) == [4, 5, 6]
+    # overwrite publishes atomically (old contents fully replaced)
+    man2 = write_partitioned(ds.filter(lambda r: r["lang"] != "c"), dst, ["lang"])
+    assert "lang=c" not in man2
+    import os
+
+    assert not os.path.exists(f"{dst}/lang=c")
