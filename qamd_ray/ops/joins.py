@@ -142,7 +142,10 @@ def _shuffle_partitions(requested: Optional[int] = None) -> int:
 
 def _coerce_cols(names_types: list[tuple[str, pa.DataType]]):
     """Batch fn pinning an exact Arrow schema (column order + int64 keys);
-    missing columns on an empty batch become typed empty arrays."""
+    missing columns become typed nulls of the batch length (an empty
+    batch gets typed empty arrays; a left_outer join partition with no
+    right-side rows can emit non-empty blocks MISSING the right-side
+    columns — their correct value is null)."""
 
     def _f(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -150,7 +153,7 @@ def _coerce_cols(names_types: list[tuple[str, pa.DataType]]):
             cols[name] = (
                 pc.cast(batch[name], typ)
                 if name in batch.column_names
-                else pa.array([], typ)
+                else pa.nulls(batch.num_rows, typ)
             )
         return pa.table(cols)
 

@@ -304,3 +304,178 @@ def pivot_counts(
         return pa.table(cols)
 
     return agg.map_batches(_fix, batch_format="pyarrow")
+
+
+def funnel(
+    events: "ray.data.Dataset",
+    stages: "list[str]",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: for each user, the earliest time they
+    completed each stage IN ORDER (stage k counts only strictly after
+    the user's stage-(k−1) time).  Output: ``(user_col, t_<stage>…)``
+    for every user who entered stage 1; later stages null until reached.
+
+    Plan: one round per stage — filter to the stage's events, constrain
+    by the previous stage's per-user time, keys-only ``min`` per user.
+    The per-user attach is size-routed on an explicit ``n_rows`` hint
+    like the other routed ops: under ``broadcast_threshold`` events the
+    bounded per-stage (user, t) tables broadcast via ``ray.put`` and the
+    final assembly is a driver merge (rows = funnel entrants); above it
+    the constraint and the assembly are distributed left/inner
+    hash-shuffle joins (``ops.joins.hash_join``)."""
+    import ray as _ray
+
+    from . import joins as J
+
+    small = n_rows is None or n_rows <= broadcast_threshold
+    t_cols = [f"t_{s}" for s in stages]
+
+    def _stage_rows(stage: str, prev_ref) -> "ray.data.Dataset":
+        """(user, t int64-us) per-batch min of qualifying stage events."""
+
+        def _f(batch: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.equal(batch[type_col], stage), False)
+            t = batch.filter(m)
+            u = np.asarray(K._as_array(t[user_col]), dtype=np.int64)
+            ts = np.asarray(
+                K._as_array(pc.cast(t[ts_col], pa.int64())), dtype=np.int64
+            )
+            if prev_ref is not None:
+                w = _ray.get(prev_ref)  # pd.Series: user -> prev stage time
+                idx = w.index.get_indexer(u)
+                ok = (idx >= 0) & (ts > w.to_numpy()[np.maximum(idx, 0)])
+                u, ts = u[ok], ts[ok]
+            if len(u) == 0:
+                return pa.table(
+                    {"u": pa.array([], pa.int64()), "t": pa.array([], pa.int64())}
+                )
+            g = (
+                pa.table({"u": u, "t": ts})
+                .group_by("u")
+                .aggregate([("t", "min")])
+            )
+            return pa.table({"u": g["u"], "t": g["t_min"]})
+
+        return events.map_batches(_f, batch_format="pyarrow")
+
+    if small:
+        prev_ref = None
+        series: list[pd.Series] = []
+        for stage in stages:
+            parts = _stage_rows(stage, prev_ref).to_pandas()
+            if parts.empty:
+                s = pd.Series(np.empty(0, np.int64), index=pd.Index([], dtype=np.int64))
+            else:
+                s = parts.groupby("u")["t"].min()
+            series.append(s)
+            prev_ref = _ray.put(s)
+        out = pd.DataFrame({user_col: series[0].index.to_numpy(np.int64)})
+        for name, s in zip(t_cols, series):
+            vals = s.reindex(out[user_col]).to_numpy()
+            out[name] = pd.to_datetime(vals, unit="us")
+        return ray.data.from_pandas(out) if len(out) else ray.data.from_arrow(
+            pa.table(
+                {user_col: pa.array([], pa.int64())}
+                | {c: pa.array([], pa.timestamp("us")) for c in t_cols}
+            )
+        )
+
+    # distributed path: constraint + assembly are hash-shuffle joins.
+    # Every join side that comes out of an aggregate is _compact'd
+    # (schemaless empty shuffle blocks poison Dataset.join), fan-out is
+    # capped at the cluster CPU count (more aggregator actors than cores
+    # deadlocks the streaming executor), and compaction MATERIALIZES each
+    # bounded per-stage table so the joins execute sequentially rather
+    # than contending for actors inside one lineage.
+    from ray.data.aggregate import Min as _Min
+
+    nparts = J._shuffle_partitions()
+    ut_types = [("u", pa.int64()), ("t", pa.int64())]
+    prev_t: Optional["ray.data.Dataset"] = None
+    stage_tables: list[Optional["ray.data.Dataset"]] = []
+    dead = False  # a stage with no qualifying users empties the rest
+    for stage in stages:
+        if dead:
+            stage_tables.append(None)
+            continue
+
+        def _proj(batch: pa.Table, stage=stage) -> pa.Table:
+            m = pc.fill_null(pc.equal(batch[type_col], stage), False)
+            t = batch.filter(m)
+            return pa.table(
+                {
+                    "u": pc.cast(t[user_col], pa.int64()),
+                    "t": pc.cast(t[ts_col], pa.int64()),
+                }
+            )
+
+        ev = events.map_batches(_proj, batch_format="pyarrow")
+        if prev_t is not None:
+            ev = J.hash_join(
+                ev, prev_t, on="u", how="inner", num_partitions=nparts
+            )
+
+            def _after(batch: pa.Table) -> pa.Table:
+                keep = pc.greater(batch["t"], batch["prev_t"])
+                return batch.filter(pc.fill_null(keep, False)).select(["u", "t"])
+
+            ev = ev.map_batches(_after, batch_format="pyarrow")
+        T = J._compact(
+            ev.groupby("u").aggregate(_Min("t", alias_name="t")), ut_types
+        )
+        if T.count() == 0:
+            dead = True
+            stage_tables.append(None)
+            continue
+        stage_tables.append(T)
+        prev_t = T.map_batches(
+            lambda b: pa.table({"u": b["u"], "prev_t": b["t"]}),
+            batch_format="pyarrow",
+        )
+
+    if stage_tables[0] is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {user_col: pa.array([], pa.int64())}
+                | {c: pa.array([], pa.timestamp("us")) for c in t_cols}
+            )
+        )
+
+    # join-free assembly: each stage table widens to the full column set
+    # (its own time, nulls elsewhere), one union + one groupby(u) Max
+    # collapses them — each user has at most ONE non-null per column, and
+    # stage-k users are a subset of stage-1 users, so no post-filter.
+    from ray.data.aggregate import Max as _Max
+
+    tagged = []
+    for T, c in zip(stage_tables, t_cols):
+        if T is None:
+            continue
+
+        def _widen(batch: pa.Table, c=c) -> pa.Table:
+            cols: dict = {"u": batch["u"]}
+            for cc in t_cols:
+                cols[cc] = (
+                    batch["t"] if cc == c else pa.nulls(batch.num_rows, pa.int64())
+                )
+            return pa.table(cols)
+
+        tagged.append(T.map_batches(_widen, batch_format="pyarrow"))
+    u = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+    acc = u.groupby("u").aggregate(
+        *(_Max(c, alias_name=c) for c in t_cols)
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        cols = {user_col: batch["u"]}
+        for c in t_cols:
+            cols[c] = pc.cast(batch[c], pa.timestamp("us"))
+        return pa.table(cols)
+
+    return acc.map_batches(_final, batch_format="pyarrow")

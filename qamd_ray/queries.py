@@ -1539,6 +1539,16 @@ def q_bpe_vocab_counts(sf_dir: str):
     )
 
 
+def q_funnel_users(sf_dir: str):
+    """Ordered funnel view→click→purchase (ops.windows.funnel): per
+    user, earliest stage times with each stage strictly after the
+    previous one; size-routed per-stage min + attach."""
+    from .ops import windows as W
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return W.funnel(ev, ["view", "click", "purchase"])
+
+
 def q_lang_moments(sf_dir: str):
     """Per-language length moments (ops.profile.grouped_moments): exact
     int64 n / Σx / Σx² per lang — mean and variance one division away,
@@ -1824,6 +1834,7 @@ QUERIES = {
     "ppl_trained": q_ppl_trained,
     "lang_moments": q_lang_moments,
     "bpe_vocab_counts": q_bpe_vocab_counts,
+    "funnel_users": q_funnel_users,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2470,6 +2481,18 @@ ORACLES = {
         "    FROM s GROUP BY 1) "
         "SELECT lang, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q,"
         "  CAST(unnest(qv) AS BIGINT) AS value FROM t"
+    ),
+    "funnel_users": (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events"
+        "    WHERE event_type = 'view' GROUP BY 1),"
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e"
+        "    JOIN s1 USING (user_id)"
+        "    WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),"
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e"
+        "    JOIN s2 USING (user_id)"
+        "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
+        "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
+        " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
     ),
     "lang_moments": (
         "SELECT coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n,"

@@ -2241,3 +2241,36 @@ def test_write_partitioned_atomic_manifest(tmp_path):
     import os
 
     assert not os.path.exists(f"{dst}/lang=c")
+
+
+def test_funnel_both_paths_agree():
+    """The broadcast-attach funnel path and the hash-shuffle-join path
+    (forced via n_rows above a zero threshold) produce identical
+    per-user stage times, and stage times are strictly increasing."""
+    from qamd_ray.ops import windows as W
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    stages = ["view", "click", "purchase"]
+    a = (
+        W.funnel(ev, stages)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        W.funnel(ev, stages, n_rows=10**9, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("t_view", "t_click", "t_purchase"):
+        a[c] = a[c].astype("datetime64[ns]")
+        b[c] = b[c].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    m = a.dropna(subset=["t_click"])
+    assert (m["t_click"] > m["t_view"]).all()
+    m = a.dropna(subset=["t_purchase"])
+    assert (m["t_purchase"] > m["t_click"]).all()
