@@ -371,3 +371,109 @@ def rolling_window(
         .groupby(_PART)
         .map_groups(_roll, batch_format="pyarrow")
     )
+
+
+def retention(
+    events: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    n_rows: "Optional[int]" = None,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Cohort retention: ``(cohort, period_offset, n_users)`` — users
+    grouped by the period of their FIRST event, counted in every later
+    period they return (the classic activation/retention triangle).
+
+    Plan: distinct ``(user, period)`` pairs per batch (keys-only — the
+    only exchange is the pair table, never events), cohort = per-user
+    MIN period, attach size-routed on an explicit ``n_rows`` hint
+    (broadcast Series under ``broadcast_threshold`` events, inner
+    hash-shuffle join above), then one counting groupby.  Pairs are
+    already distinct per user×period, so the count IS the distinct-user
+    count.  ``period``: any ``floor_temporal`` unit whose DuckDB
+    ``date_trunc`` twin agrees (week starts Monday in both)."""
+    import ray as _ray
+
+    from . import joins as J
+
+    us_per = {"day": 86_400, "week": 7 * 86_400}[period] * 1_000_000
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        # normalize to microseconds FIRST — pandas-born columns arrive as
+        # timestamp[ns], and an int64 view of ns divided by a us period
+        # (or cast back as us) is silently 1000x off
+        ts_us = pc.cast(batch[ts_col], pa.timestamp("us"))
+        w = pc.cast(pc.floor_temporal(ts_us, unit=period), pa.int64())
+        t = pa.table(
+            {
+                "u": pc.cast(batch[user_col], pa.int64()),
+                "w": w,
+            }
+        )
+        g = t.group_by(["u", "w"]).aggregate([])
+        return g
+
+    pairs = events.map_batches(_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Min
+
+    # distinct pairs corpus-wide (per-batch distinct is not enough)
+    pairs = pairs.groupby(["u", "w"]).aggregate(Count(alias_name="_n"))
+    pairs = pairs.map_batches(
+        lambda b: b.select(["u", "w"]), batch_format="pyarrow"
+    )
+    cohort = pairs.groupby("u").aggregate(Min("w", alias_name="c"))
+
+    small = n_rows is None or n_rows <= broadcast_threshold
+    if small:
+        cdf = cohort.to_pandas()
+        cs = pd.Series(
+            cdf["c"].to_numpy(np.int64), index=cdf["u"].to_numpy(np.int64)
+        )
+        cref = _ray.put(cs)
+
+        def _attach(batch: pa.Table) -> pa.Table:
+            s = _ray.get(cref)
+            u = np.asarray(K._as_array(batch["u"]), dtype=np.int64)
+            w = np.asarray(K._as_array(batch["w"]), dtype=np.int64)
+            c = s.to_numpy()[s.index.get_indexer(u)]  # every user has a cohort
+            return pa.table(
+                {
+                    "cohort": c,
+                    "period_offset": (w - c) // us_per,
+                }
+            )
+
+        joined = pairs.map_batches(_attach, batch_format="pyarrow")
+    else:
+        cohortc = J._compact(cohort, [("u", pa.int64()), ("c", pa.int64())])
+        j = J.hash_join(
+            pairs,
+            cohortc,
+            on="u",
+            how="inner",
+            num_partitions=J._shuffle_partitions(),
+        )
+
+        def _off(batch: pa.Table) -> pa.Table:
+            w = np.asarray(K._as_array(batch["w"]), dtype=np.int64)
+            c = np.asarray(K._as_array(batch["c"]), dtype=np.int64)
+            return pa.table({"cohort": c, "period_offset": (w - c) // us_per})
+
+        joined = j.map_batches(_off, batch_format="pyarrow")
+
+    out = joined.groupby(["cohort", "period_offset"]).aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": pc.cast(batch["cohort"], pa.timestamp("us")),
+                "period_offset": batch["period_offset"],
+                "n_users": pc.cast(batch["n_users"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")

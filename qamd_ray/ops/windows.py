@@ -343,8 +343,13 @@ def funnel(
             m = pc.fill_null(pc.equal(batch[type_col], stage), False)
             t = batch.filter(m)
             u = np.asarray(K._as_array(t[user_col]), dtype=np.int64)
+            # normalize to us first — pandas-born columns are timestamp[ns],
+            # and the final cast back interprets the int64 as microseconds
             ts = np.asarray(
-                K._as_array(pc.cast(t[ts_col], pa.int64())), dtype=np.int64
+                K._as_array(
+                    pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+                ),
+                dtype=np.int64,
             )
             if prev_ref is not None:
                 w = _ray.get(prev_ref)  # pd.Series: user -> prev stage time
@@ -411,7 +416,9 @@ def funnel(
             return pa.table(
                 {
                     "u": pc.cast(t[user_col], pa.int64()),
-                    "t": pc.cast(t[ts_col], pa.int64()),
+                    "t": pc.cast(
+                        pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+                    ),
                 }
             )
 

@@ -1549,6 +1549,16 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention (ops.temporal.retention): users bucketed
+    by first-activity week, counted in each later week they return;
+    keys-only distinct-pair exchange + size-routed cohort attach."""
+    from .ops import temporal
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return temporal.retention(ev)
+
+
 def q_lang_moments(sf_dir: str):
     """Per-language length moments (ops.profile.grouped_moments): exact
     int64 n / Σx / Σx² per lang — mean and variance one division away,
@@ -1835,6 +1845,7 @@ QUERIES = {
     "lang_moments": q_lang_moments,
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "funnel_users": q_funnel_users,
+    "retention": q_retention,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2493,6 +2504,15 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "retention": (
+        "WITH p AS (SELECT DISTINCT user_id,"
+        "    CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),"
+        " c AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1) "
+        "SELECT c.cohort,"
+        "  CAST(date_diff('day', c.cohort, p.w) // 7 AS BIGINT) AS period_offset,"
+        "  CAST(count(*) AS BIGINT) AS n_users "
+        "FROM p JOIN c USING (user_id) GROUP BY 1, 2"
     ),
     "lang_moments": (
         "SELECT coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n,"

@@ -201,3 +201,52 @@ def test_rolling_window_sum_exact_and_min():
         want = evs.assign(roll=ref).sort_values("eid").reset_index(drop=True)
         assert got["roll"].dtype == want["roll"].dtype
         assert got["roll"].tolist() == want["roll"].tolist()
+
+
+def test_retention_cohorts_and_both_paths():
+    """Multi-cohort fixture vs a pandas twin; the broadcast and
+    hash-join attach paths agree exactly."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from qamd_ray.ops.temporal import retention
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # user 1: weeks 0,1,3; user 2: weeks 1,2; user 3: week 3 only
+    for u, weeks in ((1, [0, 1, 3]), (2, [1, 2]), (3, [3])):
+        for w in weeks:
+            rows.append(
+                {"user_id": u, "ts": base + dt.timedelta(weeks=w, hours=u)}
+            )
+            rows.append(  # second event same week — must not double count
+                {"user_id": u, "ts": base + dt.timedelta(weeks=w, days=2)}
+            )
+    ev = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["cohort", "period_offset"])
+        df["cohort"] = df["cohort"].astype("datetime64[ns]")
+        return df.reset_index(drop=True)
+
+    a = canon(retention(ev))
+    b = canon(retention(ev, n_rows=10**9, broadcast_threshold=0))
+    pd.testing.assert_frame_equal(a, b)
+
+    want = {
+        (base, 0): 1,  # u1
+        (base, 1): 1,
+        (base, 3): 1,
+        (base + dt.timedelta(weeks=1), 0): 1,  # u2 cohort week1
+        (base + dt.timedelta(weeks=1), 1): 1,
+        (base + dt.timedelta(weeks=3), 0): 1,  # u3 cohort week3
+    }
+    got = {
+        (r.cohort.to_pydatetime(), int(r.period_offset)): int(r.n_users)
+        for r in a.itertuples(index=False)
+    }
+    assert got == want
