@@ -191,3 +191,53 @@ def _compact(
     return ray.data.from_arrow_refs(keep).map_batches(
         _coerce_cols(names_types), batch_format="pyarrow"
     )
+
+
+def upsert_merge(
+    base: "ray.data.Dataset",
+    delta: "ray.data.Dataset",
+    key: str,
+    version_col: str,
+    *,
+    key_type: pa.DataType = pa.int64(),
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Lakehouse-style upsert / CDC merge: for each ``key`` across
+    ``base ∪ delta`` keep the row with the highest ``version_col``;
+    exact version ties go to the DELTA side (the MERGE INTO rule).
+    Both inputs must share a schema.
+
+    Plan: rows are tagged with a composite ``version·2 + side`` int64,
+    the winner table is a KEYS-ONLY ``groupby(key).max`` (key + one
+    int64 — payload never enters the first shuffle), and payload rows
+    move exactly once, through the hash-shuffle join back on
+    ``(key, composite)``.  Duplicate (key, version) rows on the SAME
+    side are malformed input and both survive — dedupe upstream."""
+
+    def _tag(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            v = pc.cast(batch[version_col], pa.int64())
+            vk = pc.add(pc.multiply(v, pa.scalar(2, pa.int64())), pa.scalar(side, pa.int64()))
+            return batch.append_column("_vkey", vk)
+
+        return _f
+
+    u = base.map_batches(_tag(0), batch_format="pyarrow").union(
+        delta.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Max
+
+    winners = _compact(
+        u.groupby(key).aggregate(Max("_vkey", alias_name="_vkey")),
+        [(key, key_type), ("_vkey", pa.int64())],
+    )
+    merged = hash_join(
+        u,
+        winners,
+        on=(key, "_vkey"),
+        how="inner",
+        num_partitions=_shuffle_partitions(num_partitions),
+    )
+    return merged.map_batches(
+        lambda b: b.drop_columns(["_vkey"]), batch_format="pyarrow"
+    )

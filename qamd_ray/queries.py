@@ -1549,6 +1549,38 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_upsert_orders(sf_dir: str):
+    """Lakehouse upsert / CDC merge (ops.joins.upsert_merge): base =
+    orders at version 0, delta = every 10th order re-statused 'U' at
+    version 1; latest version per key wins (ties → delta).  Keys-only
+    winner aggregate; payload rows shuffle exactly once."""
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: b.append_column(
+            "version", pa.array(np.zeros(b.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _delta(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"]
+        keep = pc.equal(
+            pc.subtract(keys, pc.multiply(pc.divide(keys, 10), 10)), 0
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": pa.array(["U"] * t.num_rows, pa.string()),
+                "version": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    delta = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        _delta, batch_format="pyarrow"
+    )
+    return joins.upsert_merge(base, delta, "o_orderkey", "version")
+
+
 def q_retention(sf_dir: str):
     """Weekly cohort retention (ops.temporal.retention): users bucketed
     by first-activity week, counted in each later week they return;
@@ -1846,6 +1878,7 @@ QUERIES = {
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "funnel_users": q_funnel_users,
     "retention": q_retention,
+    "upsert_orders": q_upsert_orders,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2504,6 +2537,16 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "upsert_orders": (
+        "WITH b AS (SELECT o_orderkey, o_orderstatus, 0 AS version, 0 AS side"
+        "    FROM orders),"
+        " d AS (SELECT o_orderkey, 'U' AS o_orderstatus, 1 AS version, 1 AS side"
+        "    FROM orders WHERE o_orderkey % 10 = 0),"
+        " u AS (SELECT * FROM b UNION ALL SELECT * FROM d) "
+        "SELECT o_orderkey, o_orderstatus, CAST(version AS BIGINT) AS version"
+        " FROM u QUALIFY row_number() OVER (PARTITION BY o_orderkey"
+        "   ORDER BY version DESC, side DESC) = 1"
     ),
     "retention": (
         "WITH p AS (SELECT DISTINCT user_id,"

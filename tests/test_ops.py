@@ -2274,3 +2274,35 @@ def test_funnel_both_paths_agree():
     assert (m["t_click"] > m["t_view"]).all()
     m = a.dropna(subset=["t_purchase"])
     assert (m["t_purchase"] > m["t_click"]).all()
+
+
+def test_upsert_merge_latest_wins_tie_to_delta():
+    from qamd_ray.ops import joins
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": [1, 2, 3],
+                "payload": ["a", "b", "c"],
+                "version": [1, 2, 1],
+            }
+        )
+    ).repartition(2)
+    delta = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": [1, 2, 4],
+                "payload": ["A", "B", "D"],  # k1 newer, k2 TIE, k4 insert
+                "version": [2, 2, 1],
+            }
+        )
+    ).repartition(2)
+    out = (
+        joins.upsert_merge(base, delta, "k", "version")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["payload"].tolist() == ["A", "B", "c", "D"]
+    assert out["version"].tolist() == [2, 2, 1, 1]
