@@ -418,11 +418,13 @@ def retention(
     pairs = events.map_batches(_pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Min
 
-    # distinct pairs corpus-wide (per-batch distinct is not enough)
+    # distinct pairs corpus-wide (per-batch distinct is not enough);
+    # compact once: the pair table is bounded (users × periods), it feeds
+    # BOTH the cohort aggregate and the attach pass (one execution, not
+    # two), and a hash aggregate's schemaless empty blocks would poison
+    # the big path's Dataset.join
     pairs = pairs.groupby(["u", "w"]).aggregate(Count(alias_name="_n"))
-    pairs = pairs.map_batches(
-        lambda b: b.select(["u", "w"]), batch_format="pyarrow"
-    )
+    pairs = J._compact(pairs, [("u", pa.int64()), ("w", pa.int64())])
     cohort = pairs.groupby("u").aggregate(Min("w", alias_name="c"))
 
     small = n_rows is None or n_rows <= broadcast_threshold
