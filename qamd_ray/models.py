@@ -62,6 +62,19 @@ def _trigram_hashes(b: np.ndarray, dim: int) -> np.ndarray:
     return (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim
 
 
+def _ppl_hashes(
+    x: np.ndarray, dim3: int, dim2: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(trigram, context-bigram, bigram) hash streams of one int64 byte
+    sequence — the ONE definition shared by PerplexityModel.__init__,
+    bits_per_char and fit_perplexity_distributed (the distributed fit is
+    bit-identical only while all three hash identically)."""
+    h3 = (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim3
+    hc2 = (x[:-2] * 8191 + x[1:-1]) % dim2
+    hb2 = (x[:-1] * 8191 + x[1:]) % dim2
+    return h3, hc2, hb2
+
+
 class LangIdModel:
     """Multinomial NB over hashed char trigrams; classes = LANGS."""
 
@@ -170,9 +183,7 @@ class PerplexityModel:
             if len(b) < 3:
                 continue
             x = b.astype(np.int64)
-            h3 = (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim3
-            hc2 = (x[:-2] * 8191 + x[1:-1]) % dim2
-            hb2 = (x[:-1] * 8191 + x[1:]) % dim2
+            h3, hc2, hb2 = _ppl_hashes(x, dim3, dim2)
             np.add.at(t3, h3, 1.0)
             np.add.at(c2, hc2, 1.0)
             np.add.at(b2, hb2, 1.0)
@@ -222,9 +233,7 @@ class PerplexityModel:
             if len(b) < 3:
                 continue
             x = b.astype(np.int64)
-            h3 = (x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % self.dim3
-            hc2 = (x[:-2] * 8191 + x[1:-1]) % self.dim2
-            hb2 = (x[:-1] * 8191 + x[1:]) % self.dim2
+            h3, hc2, hb2 = _ppl_hashes(x, self.dim3, self.dim2)
             p3 = (self.t3[h3] + a) / (self.c2[hc2] + a * 256.0)
             p2 = (self.b2[hb2[1:]] + a) / (self.c1[x[1:-1]] + a * 256.0)
             p1 = (self.u1[x[2:]] + a) / (self.total + a * 256.0)
@@ -446,7 +455,9 @@ def fit_langid_distributed(
 
     def _partials(batch: pa.Table) -> pa.Table:
         texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-        labels = K._as_array(pc.fill_null(batch[label_col], "")).to_pylist()
+        # null labels stay None → never a class key → genuinely skipped
+        # (filling to '' would corrupt a genuine empty-string class)
+        labels = K._as_array(batch[label_col]).to_pylist()
         keys = []
         for t, l in zip(texts, labels):
             i = cls_idx.get(l)
@@ -493,9 +504,10 @@ def fit_perplexity_distributed(
             if len(b) < 3:
                 continue
             x = b.astype(np.int64)
-            keys.append((x[:-2] * 1_000_003 + x[1:-1] * 8191 + x[2:]) % dim3)
-            keys.append((x[:-2] * 8191 + x[1:-1]) % dim2 + o_c2)
-            keys.append((x[:-1] * 8191 + x[1:]) % dim2 + o_b2)
+            h3, hc2, hb2 = _ppl_hashes(x, dim3, dim2)
+            keys.append(h3)
+            keys.append(hc2 + o_c2)
+            keys.append(hb2 + o_b2)
             keys.append(x[:-1] + o_c1)
             keys.append(x + o_u1)
         flat = np.concatenate(keys) if keys else np.empty(0, np.int64)

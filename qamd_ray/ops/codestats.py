@@ -445,12 +445,26 @@ def secret_scan(
 # ---------------------------------------------------------------------------
 
 
+def _disc_pick(vals: np.ndarray, cum: np.ndarray, q: float):
+    """The quantile_disc selection shared by the global and grouped
+    variants: 1-based rank ``max(ceil(q*n - 1e-9) - 1, 0) + 1`` over the
+    (value, cumulative count) histogram.  The 1e-9 guard matches DuckDB
+    when ``q*n`` is an exact integer whose double product lands just
+    above it (e.g. 0.28*25 = 7.000000000000001 — DuckDB picks rank 7,
+    a bare ceil would pick 8); pinned by a 1,100-case randomized +
+    boundary probe in test_codestats."""
+    n = int(cum[-1])
+    k = max(math.ceil(q * n - 1e-9) - 1, 0) + 1
+    return vals[int(np.searchsorted(cum, k))]
+
+
 def quantile_thresholds(
     ds: "ray.data.Dataset", col: str, qs: Sequence[float]
 ) -> list:
     """Exact discrete quantiles of ``col`` matching DuckDB's
-    ``quantile_disc``: the value at ``sorted[max(ceil(q*n)-1, 0)]``
-    (semantics pinned by a randomized probe, see test_codestats).
+    ``quantile_disc`` (selection shared with the grouped variant via
+    :func:`_disc_pick`; semantics pinned by randomized + boundary
+    probes, see test_codestats).
 
     Distributed as a (value, partial_count) histogram — per-batch
     value_counts, hash-groupby sum — so the exchange is bounded by the
@@ -467,11 +481,9 @@ def quantile_thresholds(
     order = np.argsort(vals, kind="stable")
     vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
-    n = int(cum[-1]) if len(cum) else 0
     out = []
     for q in qs:
-        k = max(math.ceil(q * n) - 1, 0) + 1  # 1-based rank
-        out.append(vals[int(np.searchsorted(cum, k))])
+        out.append(_disc_pick(vals, cum, q))
     return out
 
 
@@ -563,6 +575,9 @@ def grouped_quantile_thresholds(
 
     def _partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([group_col, value_col]).to_pandas()
+        # quantile_disc ignores NULL values (null GROUP keys still form
+        # their own group, as in SQL GROUP BY)
+        df = df[df[value_col].notna()]
         g = (
             df.groupby([group_col, value_col], dropna=False)
             .size()
@@ -581,10 +596,8 @@ def grouped_quantile_thresholds(
         part = part.sort_values(value_col, kind="stable")
         cum = part["sum(n)"].to_numpy(np.int64).cumsum()
         vals = part[value_col].to_numpy()
-        n = int(cum[-1])
         for q in qs:
-            k = max(math.ceil(q * n) - 1, 0) + 1  # 1-based rank
             out_g.append(key)
             out_q.append(float(q))
-            out_v.append(vals[int(np.searchsorted(cum, k))])
+            out_v.append(_disc_pick(vals, cum, q))
     return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})

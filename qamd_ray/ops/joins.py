@@ -212,11 +212,18 @@ def upsert_merge(
     int64 — payload never enters the first shuffle), and payload rows
     move exactly once, through the hash-shuffle join back on
     ``(key, composite)``.  Duplicate (key, version) rows on the SAME
-    side are malformed input and both survive — dedupe upstream."""
+    side are malformed input and both survive — dedupe upstream.
+    Null versions raise: a null composite would never match the join
+    back and the key would silently vanish from the merge."""
 
     def _tag(side: int):
         def _f(batch: pa.Table) -> pa.Table:
             v = pc.cast(batch[version_col], pa.int64())
+            if v.null_count:
+                raise ValueError(
+                    f"{version_col} contains nulls — upsert_merge needs a "
+                    "total version order per row"
+                )
             vk = pc.add(pc.multiply(v, pa.scalar(2, pa.int64())), pa.scalar(side, pa.int64()))
             return batch.append_column("_vkey", vk)
 

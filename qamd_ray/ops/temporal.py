@@ -392,12 +392,15 @@ def retention(
     (broadcast Series under ``broadcast_threshold`` events, inner
     hash-shuffle join above), then one counting groupby.  Pairs are
     already distinct per user×period, so the count IS the distinct-user
-    count.  ``period``: any ``floor_temporal`` unit whose DuckDB
-    ``date_trunc`` twin agrees (week starts Monday in both)."""
+    count.  ``period``: ``'day'`` or ``'week'`` — the fixed-length units
+    whose offset is an exact integer division (months are not
+    fixed-length; week starts Monday in both Arrow and DuckDB)."""
     import ray as _ray
 
     from . import joins as J
 
+    if period not in ("day", "week"):
+        raise ValueError("period must be 'day' or 'week'")
     us_per = {"day": 86_400, "week": 7 * 86_400}[period] * 1_000_000
 
     def _pairs(batch: pa.Table) -> pa.Table:

@@ -38,8 +38,13 @@ def _expand(paths: str | Sequence[str]) -> list[str]:
                 "csv.gz",
                 "jsonl",
                 "jsonl.gz",
+                "ndjson",
+                "ndjson.gz",
+                "json",
+                "json.gz",
                 "feather",
                 "arrow",
+                "ipc",
                 "dta",
                 "sav",
                 "por",

@@ -273,3 +273,32 @@ def test_grouped_quantile_thresholds_match_duckdb():
         assert len(got) == len(want)
         for _, r in got.iterrows():
             assert int(r["value"]) == int(want[(r["g"], round(r["q"], 12))]), trial
+
+
+def test_quantile_disc_float_boundary_and_nulls():
+    """q*n landing just above an exact integer in doubles (0.28*25 =
+    7.000000000000001) must match DuckDB's rank 7, not a bare ceil's 8;
+    null values are ignored like quantile_disc."""
+    con = duckdb.connect()
+    vals = list(range(25))
+    for q in (0.28, 0.56):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals}) AS x)"
+        ).fetchone()[0]
+        ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(3)
+        got = codestats.quantile_thresholds(ds, "x", [q])
+        assert int(got[0]) == int(want), q
+
+    t = pa.table(
+        {
+            "g": ["a"] * 4 + ["b"] * 2,
+            "x": pa.array([1, None, None, 3, 5, None], pa.int64()),
+        }
+    )
+    out = codestats.grouped_quantile_thresholds(
+        ray.data.from_arrow(t).repartition(2), "g", "x", [0.5, 1.0]
+    ).set_index(["g", "q"])
+    # group a non-null values [1, 3]: median=1, max=3; group b: [5]
+    assert int(out.loc[("a", 0.5), "value"]) == 1
+    assert int(out.loc[("a", 1.0), "value"]) == 3
+    assert int(out.loc[("b", 0.5), "value"]) == 5

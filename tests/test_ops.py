@@ -2306,3 +2306,16 @@ def test_upsert_merge_latest_wins_tie_to_delta():
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["payload"].tolist() == ["A", "B", "c", "D"]
     assert out["version"].tolist() == [2, 2, 1, 1]
+
+
+def test_upsert_merge_rejects_null_versions():
+    from qamd_ray.ops import joins
+
+    base = ray.data.from_arrow(
+        pa.table({"k": [1], "payload": ["a"], "version": pa.array([None], pa.int64())})
+    )
+    delta = ray.data.from_arrow(
+        pa.table({"k": [1], "payload": ["A"], "version": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        joins.upsert_merge(base, delta, "k", "version").to_pandas()
