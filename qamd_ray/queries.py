@@ -1549,6 +1549,83 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_corpus_diff(sf_dir: str):
+    """Corpus-version reconciliation: documents vs a derived v2 (every
+    7th doc's text rewritten, every 13th dropped, one new doc per 11th)
+    compared as KEYS-ONLY (doc_id, md5) tables through one full-outer
+    hash join → added / removed / changed / same per doc_id.  The diff
+    never ships content — only ids and hashes."""
+    import hashlib
+
+    from .ops import joins as J
+
+    def _base(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "").to_pylist()
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    def _v2(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(K._as_array(batch["doc_id"]), dtype=np.int64)
+        texts = np.asarray(
+            pc.fill_null(batch["text"], "").to_pylist(), dtype=object
+        )
+        keep = keys % 13 != 0
+        k2, t2 = keys[keep], texts[keep]
+        out_k = list(k2)
+        out_t = [t + " v2" if k % 7 == 0 else t for k, t in zip(k2, t2)]
+        for k in keys[keys % 11 == 0]:  # new docs in v2 only
+            out_k.append(int(k) + 10_000_000)
+            out_t.append("new doc")
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out_t]
+        return pa.table(
+            {
+                "did2": pa.array(out_k, pa.int64()),
+                "h2": pa.array(hs, pa.string()),
+            }
+        )
+
+    base = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _base, batch_format="pyarrow"
+    )
+    v2 = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _v2, batch_format="pyarrow"
+    )
+    j = J.hash_join(
+        base,
+        v2,
+        on="doc_id",
+        right_on="did2",
+        how="full_outer",
+        num_partitions=J._shuffle_partitions(),
+    )
+
+    def _status(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h1 = batch["h"] if "h" in batch.column_names else pa.nulls(n, pa.string())
+        h2 = batch["h2"] if "h2" in batch.column_names else pa.nulls(n, pa.string())
+        did = pc.cast(batch["doc_id"], pa.int64()) if "doc_id" in batch.column_names else pa.nulls(n, pa.int64())
+        did2 = pc.cast(batch["did2"], pa.int64()) if "did2" in batch.column_names else pa.nulls(n, pa.int64())
+        a = np.asarray(pc.is_null(h1))
+        r = np.asarray(pc.is_null(h2))
+        same = np.asarray(pc.fill_null(pc.equal(h1, h2), False))
+        status = np.where(
+            a, "added", np.where(r, "removed", np.where(same, "same", "changed"))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.coalesce(did, did2),
+                "status": pa.array(status.astype(object), pa.string()),
+            }
+        )
+
+    return j.map_batches(_status, batch_format="pyarrow")
+
+
 def q_upsert_orders(sf_dir: str):
     """Lakehouse upsert / CDC merge (ops.joins.upsert_merge): base =
     orders at version 0, delta = every 10th order re-statused 'U' at
@@ -1879,6 +1956,7 @@ QUERIES = {
     "funnel_users": q_funnel_users,
     "retention": q_retention,
     "upsert_orders": q_upsert_orders,
+    "corpus_diff": q_corpus_diff,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2537,6 +2615,20 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "corpus_diff": (
+        "WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),"
+        " v AS (SELECT doc_id AS did2,"
+        "    md5(CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'"
+        "        ELSE coalesce(text, '') END) AS h2"
+        "    FROM documents WHERE doc_id % 13 <> 0"
+        "  UNION ALL SELECT doc_id + 10000000, md5('new doc')"
+        "    FROM documents WHERE doc_id % 11 = 0) "
+        "SELECT coalesce(b.doc_id, v.did2) AS doc_id,"
+        "  CASE WHEN b.h IS NULL THEN 'added'"
+        "       WHEN v.h2 IS NULL THEN 'removed'"
+        "       WHEN b.h = v.h2 THEN 'same' ELSE 'changed' END AS status "
+        "FROM b FULL JOIN v ON b.doc_id = v.did2"
     ),
     "upsert_orders": (
         "WITH b AS (SELECT o_orderkey, o_orderstatus, 0 AS version, 0 AS side"
