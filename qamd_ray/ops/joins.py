@@ -248,3 +248,57 @@ def upsert_merge(
     return merged.map_batches(
         lambda b: b.drop_columns(["_vkey"]), batch_format="pyarrow"
     )
+
+
+def hash_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    *,
+    right_key_type: pa.DataType = pa.int64(),
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Distributed anti-join for two LARGE sides: rows of ``left`` whose
+    key has NO match in ``right`` (the broadcast :func:`anti_join` needs
+    the right keys on the driver; this one shuffles instead).  Built as
+    a left_outer ``Dataset.join`` against the compacted DISTINCT right
+    keys plus a match marker, filtered to null markers — the right side
+    never ships payload, only (key, int8)."""
+    rkey = right_on or on
+    from ray.data.aggregate import Count
+
+    keys = right.groupby(rkey).aggregate(Count(alias_name="_m"))
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                rkey: batch[rkey],
+                "_m": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    keys = _compact(
+        keys.map_batches(_mark, batch_format="pyarrow"),
+        [(rkey, right_key_type), ("_m", pa.int8())],
+    )
+    j = hash_join(
+        left,
+        keys,
+        on=on,
+        right_on=rkey,
+        how="left_outer",
+        num_partitions=_shuffle_partitions(num_partitions),
+    )
+
+    def _orphans(batch: pa.Table) -> pa.Table:
+        m = (
+            batch["_m"]
+            if "_m" in batch.column_names
+            else pa.nulls(batch.num_rows, pa.int8())
+        )
+        out = batch.filter(pc.is_null(m))
+        drop = [c for c in ("_m", rkey) if c != on and c in out.column_names]
+        return out.drop_columns(drop) if drop else out
+
+    return j.map_batches(_orphans, batch_format="pyarrow")

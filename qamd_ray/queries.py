@@ -1549,6 +1549,35 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity check at scale (the multi-table extension
+    of the reference's single-table integrity checks): lineitems whose
+    order vanished from a filtered orders view (every 50th dropped),
+    found by the distributed two-large-sides anti-join
+    (ops.joins.hash_anti_join — right side ships only distinct keys +
+    a marker, never payload)."""
+    from .ops import joins as J
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    kept = _t(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: b.filter(
+            pc.not_equal(
+                pc.subtract(
+                    b["o_orderkey"],
+                    pc.multiply(pc.divide(b["o_orderkey"], 50), 50),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    out = J.hash_anti_join(li, kept, on="l_orderkey", right_on="o_orderkey")
+    return out.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Corpus-version reconciliation: documents vs a derived v2 (every
     7th doc's text rewritten, every 13th dropped, one new doc per 11th)
@@ -1957,6 +1986,7 @@ QUERIES = {
     "retention": q_retention,
     "upsert_orders": q_upsert_orders,
     "corpus_diff": q_corpus_diff,
+    "fk_orphans": q_fk_orphans,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2615,6 +2645,11 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "fk_orphans": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem l"
+        " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+        "   WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 50 <> 0)"
     ),
     "corpus_diff": (
         "WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),"

@@ -2319,3 +2319,28 @@ def test_upsert_merge_rejects_null_versions():
     )
     with pytest.raises(Exception, match="nulls"):
         joins.upsert_merge(base, delta, "k", "version").to_pandas()
+
+
+def test_hash_anti_join_matches_broadcast_anti_join():
+    from qamd_ray.ops import joins
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4, 5, 6], "v": list("abcdef")})
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"k": [2, 4, 4, 9]})  # dup right keys must not dup output
+    ).repartition(2)
+    got = (
+        joins.hash_anti_join(left, right, on="k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        joins.anti_join(left, [2, 4, 9], on="k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+    assert got["k"].tolist() == [1, 3, 5, 6]
