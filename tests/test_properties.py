@@ -265,3 +265,44 @@ def test_c4_batch_fn_matches_scalar(texts):
         exp = _c4_scalar(t)
         for k, v in exp.items():
             assert row[k] == v, (k, t)
+
+
+@given(
+    st.lists(st.integers(0, 300), min_size=0, max_size=60),
+    st.integers(1, 20),
+)
+@settings(max_examples=120, deadline=None)
+def test_merged_spans_equals_interval_union(positions, window):
+    """dup-substring span merging == brute-force union of the
+    [p, p+window) intervals (touching intervals merge)."""
+    from qamd_ray.ops.dedup import _merged_spans
+
+    pos = np.unique(np.array(positions, dtype=np.int64))
+    starts, lens = _merged_spans(pos, window)
+
+    covered = set()
+    for p in pos:
+        covered.update(range(p, p + window))
+    got = set()
+    for s, ln in zip(starts.tolist(), lens.tolist()):
+        got.update(range(s, s + ln))
+    assert got == covered
+    # spans are disjoint, non-touching, and sorted
+    ends = [s + ln for s, ln in zip(starts.tolist(), lens.tolist())]
+    for i in range(1, len(starts)):
+        assert starts[i] > ends[i - 1]
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=0, max_size=40),
+    st.lists(st.integers(-50, 50), min_size=0, max_size=40),
+)
+@settings(max_examples=120, deadline=None)
+def test_member_mask_equals_isin(flat_vals, key_vals):
+    from qamd_ray.ops.dedup import _member_mask
+
+    flat = np.array(flat_vals, dtype=np.int64)
+    keys = np.unique(np.array(key_vals, dtype=np.int64))
+    got = _member_mask(flat, keys)
+    want = np.isin(flat, keys)
+    assert np.array_equal(got, want)
