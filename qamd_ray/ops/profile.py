@@ -159,3 +159,64 @@ def grouped_moments(
             Sum("sum_sq", alias_name="sum_sq"),
         )
     )
+
+
+def rollup_counts(
+    ds: "ray.data.Dataset",
+    groupings: Sequence[Sequence[str]],
+) -> "ray.data.Dataset":
+    """Multi-level counts in the SQL ``GROUPING SETS`` shape: one output
+    row per key of each grouping set, with ``grouping_id`` = the set's
+    index, null cells for columns absent from that set, and ``n`` the
+    row count (``[]`` as a set gives the grand total).
+
+    Each set runs as per-batch Arrow ``count_all`` partials → a keys-only
+    ``groupby().sum`` (one tiny shuffle per set — sets are few and the
+    partials are pre-aggregated; Ray's sort shuffle cannot order null
+    keys, so per-set grouping keeps keys non-null by construction and
+    nulls appear only as the widened placeholder cells).  Group-key
+    columns must themselves be non-null — ``coalesce`` upstream, as in
+    SQL."""
+    all_cols: list[str] = []
+    for g in groupings:
+        for c in g:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    outs = []
+    col_types: dict[str, pa.DataType] = {}
+    for gid, g in enumerate(groupings):
+        g = list(g)
+
+        def _partial(batch: pa.Table, g=g) -> pa.Table:
+            if g:
+                t = batch.select(g).group_by(g).aggregate([([], "count_all")])
+                n = t["count_all"]
+                cols = {c: t[c] for c in g}
+            else:
+                cols = {}
+                n = pa.array([batch.num_rows], pa.int64())
+            cols["n"] = pc.cast(n, pa.int64())
+            return pa.table(cols)
+
+        part = ds.map_batches(_partial, batch_format="pyarrow")
+        if g:
+            df = part.groupby(g).aggregate(Sum("n", alias_name="n")).to_pandas()
+        else:
+            tot = part.aggregate(Sum("n", alias_name="n"))
+            df = pd.DataFrame({"n": [int(tot["n"])]})
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        for c in g:
+            col_types[c] = tbl.schema.field(c).type
+        outs.append((gid, g, tbl))
+
+    def _widen(gid: int, g: list, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {"grouping_id": pa.array(np.full(n, gid, np.int64))}
+        for c in all_cols:
+            cols[c] = tbl[c] if c in g else pa.nulls(n, col_types[c])
+        cols["n"] = pc.cast(tbl["n"], pa.int64())
+        return pa.table(cols)
+
+    wide = [_widen(*o) for o in outs]
+    return ray.data.from_arrow(pa.concat_tables(wide))

@@ -1549,6 +1549,60 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_rollup_docs(sf_dir: str):
+    """GROUPING SETS-shaped multi-level counts
+    (ops.profile.rollup_counts): documents by (lang), (lang, source)
+    and the grand total in one pass shape — per-set keys-only
+    aggregates, null placeholder cells like SQL."""
+    from .ops import profile
+
+    ds = _t(sf_dir, "documents", ["lang", "source"]).map_batches(
+        lambda b: pa.table(
+            {
+                "lang": pc.fill_null(b["lang"], ""),
+                "source": pc.fill_null(b["source"], ""),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return profile.rollup_counts(ds, [["lang"], ["lang", "source"], []])
+
+
+def q_winsorized_qty(sf_dir: str):
+    """Winsorization / percentile clipping (feature-engineering staple):
+    lineitem quantity clipped to its exact [p05, p95] — thresholds from
+    the bounded (value, count) histogram of
+    ops.codestats.quantile_thresholds, then a stateless clip pass."""
+    from .ops import codestats
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+
+    ints = ds.map_batches(_int, batch_format="pyarrow")
+    lo, hi = codestats.quantile_thresholds(ints, "qty", [0.05, 0.95])
+    lo, hi = int(lo), int(hi)
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        q = np.asarray(K._as_array(batch["qty"]), dtype=np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "qty_w": np.clip(q, lo, hi),
+            }
+        )
+
+    return ints.map_batches(_clip, batch_format="pyarrow")
+
+
 def q_fk_orphans(sf_dir: str):
     """Referential-integrity check at scale (the multi-table extension
     of the reference's single-table integrity checks): lineitems whose
@@ -1987,6 +2041,8 @@ QUERIES = {
     "upsert_orders": q_upsert_orders,
     "corpus_diff": q_corpus_diff,
     "fk_orphans": q_fk_orphans,
+    "winsorized_qty": q_winsorized_qty,
+    "rollup_docs": q_rollup_docs,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2645,6 +2701,24 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "rollup_docs": (
+        "SELECT CAST(0 AS BIGINT) AS grouping_id, coalesce(lang, '') AS lang,"
+        "  CAST(NULL AS VARCHAR) AS source, CAST(count(*) AS BIGINT) AS n"
+        "  FROM documents GROUP BY 2"
+        " UNION ALL SELECT 1, coalesce(lang, ''), coalesce(source, ''),"
+        "  CAST(count(*) AS BIGINT) FROM documents GROUP BY 2, 3"
+        " UNION ALL SELECT 2, NULL, NULL, CAST(count(*) AS BIGINT)"
+        "  FROM documents"
+    ),
+    "winsorized_qty": (
+        "WITH v AS (SELECT l_orderkey, l_linenumber,"
+        "    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),"
+        " t AS (SELECT quantile_disc(qty, [0.05::DOUBLE, 0.95::DOUBLE]) AS q"
+        "    FROM v) "
+        "SELECT l_orderkey, l_linenumber,"
+        "  CAST(LEAST(GREATEST(qty, q[1]), q[2]) AS BIGINT) AS qty_w"
+        " FROM v, t"
     ),
     "fk_orphans": (
         "SELECT l_orderkey, l_linenumber FROM lineitem l"
