@@ -1549,6 +1549,51 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_session_durations(sf_dir: str):
+    """Per-session stats on top of the sessionizer (ops.windows.
+    sessionize → one keys-only groupby): events, first/last timestamp
+    span in microseconds, per (user, session)."""
+    from ray.data.aggregate import Max as _Max
+
+    from .ops.windows import sessionize
+
+    out = sessionize(_t(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_seq": batch["session_seq"],
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    g = (
+        out.map_batches(_us, batch_format="pyarrow")
+        .groupby(["user_id", "session_seq"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("ts_us", alias_name="t0"),
+            _Max("ts_us", alias_name="t1"),
+        )
+    )
+
+    def _dur(batch: pa.Table) -> pa.Table:
+        d = pc.subtract(batch["t1"], batch["t0"])
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_seq": batch["session_seq"],
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "duration_us": pc.cast(d, pa.int64()),
+            }
+        )
+
+    return g.map_batches(_dur, batch_format="pyarrow")
+
+
 def q_rollup_docs(sf_dir: str):
     """GROUPING SETS-shaped multi-level counts
     (ops.profile.rollup_counts): documents by (lang), (lang, source)
@@ -2043,6 +2088,7 @@ QUERIES = {
     "fk_orphans": q_fk_orphans,
     "winsorized_qty": q_winsorized_qty,
     "rollup_docs": q_rollup_docs,
+    "session_durations": q_session_durations,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2701,6 +2747,20 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "session_durations": (
+        "WITH s AS (SELECT user_id, ts, CAST(SUM(new_s) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM ("
+        "  SELECT event_id, user_id, ts, CASE WHEN prev_ts IS NULL"
+        "       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+        "  FROM (SELECT event_id, user_id, ts, lag(ts) OVER"
+        "        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts"
+        "        FROM events))) "
+        "SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,"
+        "  CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT)"
+        "    AS duration_us "
+        "FROM s GROUP BY 1, 2"
     ),
     "rollup_docs": (
         "SELECT CAST(0 AS BIGINT) AS grouping_id, coalesce(lang, '') AS lang,"
