@@ -2344,3 +2344,22 @@ def test_hash_anti_join_matches_broadcast_anti_join():
     )
     pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
     assert got["k"].tolist() == [1, 3, 5, 6]
+
+
+def test_grouped_moments_exact_sums():
+    from qamd_ray.ops import profile
+
+    t = pa.table({"g": ["a", "a", "b", "a", "b"], "v": [1, 2, 10, 3, 20]})
+    out = (
+        profile.grouped_moments(
+            ray.data.from_arrow(t).repartition(3), "g", "v"
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    assert int(out.loc["a", "n"]) == 3
+    assert int(out.loc["a", "sum_v"]) == 6 and int(out.loc["a", "sum_sq"]) == 14
+    assert int(out.loc["b", "sum_v"]) == 30 and int(out.loc["b", "sum_sq"]) == 500
+    # variance derivable: var_a = (14 - 36/3) / 2 = 1.0
+    va = (14 - 6**2 / 3) / 2
+    assert abs(va - 1.0) < 1e-12
