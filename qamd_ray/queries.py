@@ -1549,6 +1549,18 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_parquet_audit(sf_dir: str):
+    """Footer-only input audit (sources.parquet_audit): per-row-group
+    rows/bytes for every table in the sf dir — the 100 TB pre-flight.
+    Rows-only here (the DuckDB parquet_metadata() twin needs a literal
+    path, so the exact comparison lives in test_kernels)."""
+    import glob as _glob
+
+    from .sources import parquet_audit
+
+    return parquet_audit(sorted(_glob.glob(f"{sf_dir}/*.parquet")))
+
+
 def q_session_durations(sf_dir: str):
     """Per-session stats on top of the sessionizer (ops.windows.
     sessionize → one keys-only groupby): events, first/last timestamp
@@ -2089,6 +2101,7 @@ QUERIES = {
     "winsorized_qty": q_winsorized_qty,
     "rollup_docs": q_rollup_docs,
     "session_durations": q_session_durations,
+    "parquet_audit": q_parquet_audit,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same

@@ -269,3 +269,46 @@ def write_partitioned(
     shutil.rmtree(path, ignore_errors=True)
     os.replace(stage, path)
     return manifest
+
+
+def parquet_audit(paths: str | Sequence[str]) -> "ray.data.Dataset":
+    """Footer-only input audit: ``(file_name, row_group_id, n_rows,
+    compressed_bytes, uncompressed_bytes)`` per row group — the
+    pre-flight a 100 TB run does before scheduling (row-group count
+    bounds read parallelism; giant or skewed groups predict stragglers).
+    One task per file, reads ONLY parquet footers, never data pages;
+    matches DuckDB's ``parquet_metadata()`` aggregated per row group
+    (asserted in test_kernels)."""
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch["path"].to_pylist():
+            meta = pq.ParquetFile(path).metadata
+            base = os.path.basename(path)
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                comp = sum(
+                    g.column(c).total_compressed_size
+                    for c in range(g.num_columns)
+                )
+                unc = sum(
+                    g.column(c).total_uncompressed_size
+                    for c in range(g.num_columns)
+                )
+                rows.append((base, rg, g.num_rows, comp, unc))
+        return pa.table(
+            {
+                "file_name": pa.array([r[0] for r in rows], pa.string()),
+                "row_group_id": pa.array([r[1] for r in rows], pa.int64()),
+                "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+                "compressed_bytes": pa.array([r[3] for r in rows], pa.int64()),
+                "uncompressed_bytes": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    return ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    ).map_batches(_audit, batch_size=1, batch_format="pyarrow")

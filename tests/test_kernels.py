@@ -172,3 +172,30 @@ def test_read_table_compressed_and_ipc(tmp_path, ray_session):
     df = read_table(str(tmp_path / "t.feather"), columns=["a", "c"]).to_pandas()
     assert sorted(df.columns) == ["a", "c"]
     assert sorted(df["a"].tolist()) == [1, 2]
+
+
+def test_parquet_audit_matches_duckdb_metadata(ray_session):
+    """Footer audit equals DuckDB's parquet_metadata() aggregated per
+    row group (and reads no data pages — it is metadata-only)."""
+    import duckdb
+
+    from qamd_ray.sources import parquet_audit
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = (
+        parquet_audit(path)
+        .to_pandas()
+        .sort_values("row_group_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT row_group_id, any_value(row_group_num_rows) AS n_rows,
+              CAST(sum(total_compressed_size) AS BIGINT) AS comp,
+              CAST(sum(total_uncompressed_size) AS BIGINT) AS unc
+           FROM parquet_metadata('{path}') GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got["row_group_id"].tolist() == want["row_group_id"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    assert got["compressed_bytes"].tolist() == want["comp"].tolist()
+    assert got["uncompressed_bytes"].tolist() == want["unc"].tolist()
+    assert (got["file_name"] == "lineitem.parquet").all()
