@@ -312,3 +312,46 @@ def parquet_audit(paths: str | Sequence[str]) -> "ray.data.Dataset":
     return ray.data.from_items(
         [{"path": f} for f in files], override_num_blocks=len(files)
     ).map_batches(_audit, batch_size=1, batch_format="pyarrow")
+
+
+def compact_parquet(
+    paths: str | Sequence[str],
+    out_dir: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    columns: Optional[list[str]] = None,
+) -> dict[str, int]:
+    """Small-files compaction (the lakehouse maintenance job): read the
+    fragmented input, rewrite it as files of ``target_rows_per_file``
+    (row-group-aligned so downstream read parallelism is healthy), and
+    publish atomically like :func:`write_partitioned`.  Returns
+    ``{"files_in": …, "files_out": …, "rows": …}``.
+
+    Streaming end-to-end: the read never materializes, the writer packs
+    blocks up to the target; footers of the OUTPUT are counted for the
+    manifest (never trusted row counts)."""
+    import json
+    import shutil
+
+    files = _expand(paths)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+    ds = ray.data.read_parquet(files, columns=columns)
+    stage = f"{out_dir}.staging-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.write_parquet(
+        stage,
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+        arrow_parquet_args_fn=lambda: {"row_group_size": target_rows_per_file},
+    )
+    rows = 0
+    out_files = [f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")]
+    for f in out_files:
+        rows += pq.read_metadata(os.path.join(stage, f)).num_rows
+    manifest = {"files_in": len(files), "files_out": len(out_files), "rows": rows}
+    with open(os.path.join(stage, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(stage, out_dir)
+    return manifest

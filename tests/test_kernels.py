@@ -199,3 +199,23 @@ def test_parquet_audit_matches_duckdb_metadata(ray_session):
     assert got["compressed_bytes"].tolist() == want["comp"].tolist()
     assert got["uncompressed_bytes"].tolist() == want["unc"].tolist()
     assert (got["file_name"] == "lineitem.parquet").all()
+
+
+def test_compact_parquet_small_files(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qamd_ray.sources import compact_parquet
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    for i in range(12):  # 12 tiny fragments of 50 rows
+        t = pa.table({"k": list(range(i * 50, i * 50 + 50))})
+        pq.write_table(t, src / f"part{i:03d}.parquet")
+    out = tmp_path / "compacted"
+    man = compact_parquet(str(src), str(out), target_rows_per_file=300)
+    assert man == {"files_in": 12, "files_out": 2, "rows": 600}
+    import ray.data
+
+    back = ray.data.read_parquet(str(out)).to_pandas()
+    assert sorted(back["k"]) == list(range(600))
