@@ -399,3 +399,44 @@ def chunk_by_tokens(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def z_order_key(
+    ds: "ray.data.Dataset",
+    cols: "list[str]",
+    *,
+    bits: int = 21,
+    out_col: str = "zkey",
+) -> "ray.data.Dataset":
+    """Adds ``out_col``: the Morton / Z-order interleaving of 2-3
+    non-negative integer columns (bit b of column i lands at position
+    ``b*k + i``) — the space-filling-curve sort key Delta/Iceberg use
+    for multi-column data skipping: sorting by it co-locates rows close
+    in EVERY keyed dimension, so min/max pruning works for predicates
+    on any of them (a plain compound sort only prunes the leading key).
+
+    ``k * bits`` must fit int64 (≤ 63); values must lie in
+    ``[0, 2^bits)`` — rescale upstream — or the op raises.  One
+    vectorized numpy pass; compose with ``ds.sort(out_col)`` and a
+    row-group-aligned writer for the skipping to materialize."""
+    k = len(cols)
+    if not 2 <= k <= 3:
+        raise ValueError("z_order_key interleaves 2 or 3 columns")
+    if k * bits > 63:
+        raise ValueError("k * bits must fit a signed int64")
+
+    def _f(batch: pa.Table) -> pa.Table:
+        xs = [
+            np.asarray(K._as_array(pc.cast(batch[c], pa.int64())), dtype=np.int64)
+            for c in cols
+        ]
+        for c, x in zip(cols, xs):
+            if x.size and (x.min() < 0 or x.max() >> bits):
+                raise ValueError(f"{c} outside [0, 2^{bits})")
+        z = np.zeros(len(batch), dtype=np.int64)
+        for b in range(bits):
+            for i, x in enumerate(xs):
+                z |= ((x >> b) & 1) << (b * k + i)
+        return batch.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1549,6 +1549,16 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_z_order_events(sf_dir: str):
+    """Morton / Z-order interleaved sort key over (user_id, event_id)
+    (ops.packing.z_order_key — the Delta/Iceberg multi-column
+    data-skipping key); bit-exact vs a generated shift/mask SQL twin."""
+    from .ops import packing
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id"])
+    return packing.z_order_key(ev, ["user_id", "event_id"])
+
+
 def q_parquet_audit(sf_dir: str):
     """Footer-only input audit (sources.parquet_audit): per-row-group
     rows/bytes for every table in the sf dir — the 100 TB pre-flight.
@@ -2102,6 +2112,7 @@ QUERIES = {
     "rollup_docs": q_rollup_docs,
     "session_durations": q_session_durations,
     "parquet_audit": q_parquet_audit,
+    "z_order_events": q_z_order_events,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2760,6 +2771,18 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    # generated bit-interleave twin of ops.packing.z_order_key (bit b of
+    # user_id at position 2b, of event_id at 2b+1; disjoint positions so
+    # + == |)
+    "z_order_events": (
+        "SELECT event_id, user_id, CAST("
+        + " + ".join(
+            f"(((user_id >> {b}) & 1) << {2 * b})"
+            f" + (((event_id >> {b}) & 1) << {2 * b + 1})"
+            for b in range(21)
+        )
+        + " AS BIGINT) AS zkey FROM events"
     ),
     "session_durations": (
         "WITH s AS (SELECT user_id, ts, CAST(SUM(new_s) OVER ("

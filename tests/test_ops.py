@@ -2363,3 +2363,42 @@ def test_grouped_moments_exact_sums():
     # variance derivable: var_a = (14 - 36/3) / 2 = 1.0
     va = (14 - 6**2 / 3) / 2
     assert abs(va - 1.0) < 1e-12
+
+
+def test_z_order_key_interleaves_bits():
+    from qamd_ray.ops import packing
+
+    t = pa.table({"x": [0b101, 0, 7, 1], "y": [0b011, 0, 7, 0]})
+    out = (
+        packing.z_order_key(
+            ray.data.from_arrow(t).repartition(2), ["x", "y"], bits=4
+        )
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+
+    def scalar_z(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in out.itertuples(index=False):
+        assert r.zkey == scalar_z(r.x, r.y), (r.x, r.y)
+    # locality: sorting by zkey keeps both dims local — consecutive
+    # points on a grid sorted by z have bounded average manhattan step
+    import itertools
+
+    pts = list(itertools.product(range(8), range(8)))
+    zs = sorted(pts, key=lambda p: scalar_z(p[0], p[1]))
+    step = np.mean(
+        [abs(a[0] - b[0]) + abs(a[1] - b[1]) for a, b in zip(zs, zs[1:])]
+    )
+    assert step < 2.2  # z-curve: mostly unit steps; row-major would pay 8-jumps
+
+    with pytest.raises(Exception, match="outside"):
+        packing.z_order_key(
+            ray.data.from_arrow(pa.table({"x": [99], "y": [0]})), ["x", "y"], bits=4
+        ).to_pandas()
