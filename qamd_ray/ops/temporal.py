@@ -482,3 +482,91 @@ def retention(
         )
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+def interval_union(
+    events: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_us: int = 30 * 60 * 1_000_000,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """``(key_col, covered_us, n_intervals)`` — total length of the
+    UNION of each key's intervals ``[ts, ts + duration_us)`` with
+    overlaps merged (the gaps-and-islands problem: total active /
+    covered time per entity).
+
+    Distribution: the same hash co-partition the other temporal ops use
+    (all of a key's intervals land in one partition task), then one
+    vectorized pandas pass per partition — sort by (key, start), island
+    break where start exceeds the running per-key max end, island sums
+    grouped per key.  No per-key Python."""
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _lift(batch: pa.Table) -> pa.Table:
+        s = np.asarray(
+            K._as_array(
+                pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+            ),
+            dtype=np.int64,
+        )
+        df = pd.DataFrame(
+            {"k": np.asarray(K._as_array(batch[key_col]), dtype=np.int64)}
+        )
+        p = _part_ids(df, ["k"], num_partitions)
+        return pa.table(
+            {
+                "k": df["k"].to_numpy(),
+                "s": s,
+                "e": s + duration_us,
+                _PART: p,
+            }
+        )
+
+    def _union(tbl: pa.Table) -> pa.Table:
+        df = (
+            tbl.select(["k", "s", "e"])
+            .to_pandas()
+            .sort_values(["k", "s", "e"], kind="stable")
+        )
+        if df.empty:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "covered_us": pa.array([], pa.int64()),
+                    "n_intervals": pa.array([], pa.int64()),
+                }
+            )
+        k = df["k"].to_numpy()
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        # previous max end WITHIN key: per-key cummax, shifted one row
+        # (keys are contiguous after the sort, so a global shift only
+        # leaks at key boundaries — masked to NaN there)
+        pme = pd.Series(e).groupby(pd.Series(k)).cummax().shift().to_numpy()
+        pme[new_key] = np.nan
+        island = new_key | (s > np.nan_to_num(pme, nan=-np.inf))
+        isl_id = np.cumsum(island) - 1
+        g = pd.DataFrame({"k": k, "isl": isl_id, "s": s, "e": e})
+        per_isl = g.groupby("isl", sort=False).agg(
+            k=("k", "first"), s0=("s", "min"), e1=("e", "max"), n=("s", "size")
+        )
+        per_key = per_isl.assign(length=per_isl["e1"] - per_isl["s0"]).groupby(
+            "k", sort=False
+        )
+        out = per_key.agg(covered_us=("length", "sum"), n_intervals=("n", "sum"))
+        return pa.table(
+            {
+                key_col: out.index.to_numpy(np.int64),
+                "covered_us": out["covered_us"].to_numpy(np.int64),
+                "n_intervals": out["n_intervals"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.map_batches(_lift, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_union, batch_format="pyarrow")
+    )

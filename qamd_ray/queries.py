@@ -1549,6 +1549,17 @@ def q_funnel_users(sf_dir: str):
     return W.funnel(ev, ["view", "click", "purchase"])
 
 
+def q_active_time(sf_dir: str):
+    """Per-user total ACTIVE time: union of [ts, ts+30min) event
+    intervals with overlaps merged (ops.temporal.interval_union — the
+    gaps-and-islands problem, hash co-partitioned then one vectorized
+    pandas pass per partition)."""
+    from .ops import temporal
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return temporal.interval_union(ev)
+
+
 def q_z_order_events(sf_dir: str):
     """Morton / Z-order interleaved sort key over (user_id, event_id)
     (ops.packing.z_order_key — the Delta/Iceberg multi-column
@@ -2113,6 +2124,7 @@ QUERIES = {
     "session_durations": q_session_durations,
     "parquet_audit": q_parquet_audit,
     "z_order_events": q_z_order_events,
+    "active_time": q_active_time,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2771,6 +2783,19 @@ ORACLES = {
         "    WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1) "
         "SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase"
         " FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+    ),
+    "active_time": (
+        "WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,"
+        "    epoch_us(ts + INTERVAL 30 MINUTE) AS e FROM events),"
+        " m AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),"
+        " g AS (SELECT k, s, e, SUM(CASE WHEN pme IS NULL OR s > pme"
+        "    THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY s, e) AS isl"
+        "    FROM m),"
+        " u AS (SELECT k, isl, max(e) - min(s) AS len, count(*) AS n"
+        "    FROM g GROUP BY 1, 2) "
+        "SELECT k AS user_id, CAST(sum(len) AS BIGINT) AS covered_us,"
+        "  CAST(sum(n) AS BIGINT) AS n_intervals FROM u GROUP BY 1"
     ),
     # generated bit-interleave twin of ops.packing.z_order_key (bit b of
     # user_id at position 2b, of event_id at 2b+1; disjoint positions so

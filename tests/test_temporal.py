@@ -250,3 +250,37 @@ def test_retention_cohorts_and_both_paths():
         for r in a.itertuples(index=False)
     }
     assert got == want
+
+
+def test_interval_union_overlap_merge():
+    """Planted overlapping/touching/disjoint intervals vs hand-computed
+    union lengths (duration 10us for easy arithmetic)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import ray.data
+    from qamd_ray.ops.temporal import interval_union
+
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: [0,10) [5,15) [15,25) -> one island, 25us, 3 intervals
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + 5 * us},
+        {"user_id": 1, "ts": base + 15 * us},
+        # user 2: [0,10) [100,110) -> two islands, 20us
+        {"user_id": 2, "ts": base},
+        {"user_id": 2, "ts": base + 100 * us},
+    ]
+    ev = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = (
+        interval_union(ev, duration_us=10)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert int(out.loc[1, "covered_us"]) == 25
+    assert int(out.loc[1, "n_intervals"]) == 3
+    assert int(out.loc[2, "covered_us"]) == 20
+    assert int(out.loc[2, "n_intervals"]) == 2
