@@ -426,6 +426,9 @@ def z_order_key(
         raise ValueError("k * bits must fit a signed int64")
 
     def _f(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if batch[c].null_count:
+                raise ValueError(f"{c} contains nulls — fill or drop upstream")
         xs = [
             np.asarray(K._as_array(pc.cast(batch[c], pa.int64())), dtype=np.int64)
             for c in cols

@@ -170,53 +170,59 @@ def rollup_counts(
     index, null cells for columns absent from that set, and ``n`` the
     row count (``[]`` as a set gives the grand total).
 
-    Each set runs as per-batch Arrow ``count_all`` partials → a keys-only
-    ``groupby().sum`` (one tiny shuffle per set — sets are few and the
-    partials are pre-aggregated; Ray's sort shuffle cannot order null
-    keys, so per-set grouping keeps keys non-null by construction and
-    nulls appear only as the widened placeholder cells).  Group-key
-    columns must themselves be non-null — ``coalesce`` upstream, as in
-    SQL."""
+    ONE input scan for every set: counts are additive and each set is a
+    subset of the union of grouped columns, so the per-batch partial is
+    one Arrow ``group_by(all_cols).count_all`` and every coarser set is
+    derived from the collected FINEST table on the driver (bounded by
+    distinct full tuples — the usual keys-only assumption; at extreme
+    cardinality derive through one distributed groupby per set instead).
+    Group-key columns must be non-null — ``coalesce`` upstream, as in
+    SQL; an empty input yields only the grand-total row (n=0) like
+    GROUPING SETS over an empty table."""
     all_cols: list[str] = []
     for g in groupings:
         for c in g:
             if c not in all_cols:
                 all_cols.append(c)
 
-    outs = []
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(all_cols)
+            .group_by(all_cols)
+            .aggregate([([], "count_all")])
+        )
+        cols = {c: t[c] for c in all_cols}
+        cols["n"] = pc.cast(t["count_all"], pa.int64())
+        return pa.table(cols)
+
+    finest = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    empty = finest.empty or "n" not in finest.columns
     col_types: dict[str, pa.DataType] = {}
+    if not empty:
+        tbl0 = pa.Table.from_pandas(finest, preserve_index=False)
+        for c in all_cols:
+            col_types[c] = tbl0.schema.field(c).type
+
+    wide = []
     for gid, g in enumerate(groupings):
         g = list(g)
-
-        def _partial(batch: pa.Table, g=g) -> pa.Table:
-            if g:
-                t = batch.select(g).group_by(g).aggregate([([], "count_all")])
-                n = t["count_all"]
-                cols = {c: t[c] for c in g}
-            else:
-                cols = {}
-                n = pa.array([batch.num_rows], pa.int64())
-            cols["n"] = pc.cast(n, pa.int64())
-            return pa.table(cols)
-
-        part = ds.map_batches(_partial, batch_format="pyarrow")
-        if g:
-            df = part.groupby(g).aggregate(Sum("n", alias_name="n")).to_pandas()
+        if empty:
+            if g:  # keyed sets over an empty table produce no rows
+                continue
+            df = pd.DataFrame({"n": [0]})
+        elif g:
+            df = finest.groupby(g, sort=False)["n"].sum().reset_index()
         else:
-            tot = part.aggregate(Sum("n", alias_name="n"))
-            df = pd.DataFrame({"n": [int(tot["n"])]})
+            df = pd.DataFrame({"n": [int(finest["n"].sum())]})
         tbl = pa.Table.from_pandas(df, preserve_index=False)
-        for c in g:
-            col_types[c] = tbl.schema.field(c).type
-        outs.append((gid, g, tbl))
-
-    def _widen(gid: int, g: list, tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
         cols = {"grouping_id": pa.array(np.full(n, gid, np.int64))}
         for c in all_cols:
-            cols[c] = tbl[c] if c in g else pa.nulls(n, col_types[c])
+            cols[c] = (
+                tbl[c]
+                if c in g
+                else pa.nulls(n, col_types.get(c, pa.string()))
+            )
         cols["n"] = pc.cast(tbl["n"], pa.int64())
-        return pa.table(cols)
-
-    wide = [_widen(*o) for o in outs]
+        wide.append(pa.table(cols))
     return ray.data.from_arrow(pa.concat_tables(wide))

@@ -505,6 +505,12 @@ def interval_union(
     num_partitions = _shuffle_partitions(num_partitions)
 
     def _lift(batch: pa.Table) -> pa.Table:
+        if batch[key_col].null_count or batch[ts_col].null_count:
+            raise ValueError(
+                f"{key_col}/{ts_col} contain nulls — interval_union needs "
+                "non-null keys and timestamps (filter or fill upstream; a "
+                "silent int cast would corrupt the null rows)"
+            )
         s = np.asarray(
             K._as_array(
                 pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())

@@ -279,7 +279,7 @@ def parquet_audit(paths: str | Sequence[str]) -> "ray.data.Dataset":
     One task per file, reads ONLY parquet footers, never data pages;
     matches DuckDB's ``parquet_metadata()`` aggregated per row group
     (asserted in test_kernels)."""
-    files = _expand(paths)
+    files = [f for f in _expand(paths) if f.endswith((".parquet", ".pq"))]
     if not files:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
 
@@ -333,7 +333,7 @@ def compact_parquet(
     import json
     import shutil
 
-    files = _expand(paths)
+    files = [f for f in _expand(paths) if f.endswith((".parquet", ".pq"))]
     if not files:
         raise FileNotFoundError(f"no parquet files under {paths!r}")
     ds = ray.data.read_parquet(files, columns=columns)

@@ -2402,3 +2402,46 @@ def test_z_order_key_interleaves_bits():
         packing.z_order_key(
             ray.data.from_arrow(pa.table({"x": [99], "y": [0]})), ["x", "y"], bits=4
         ).to_pandas()
+
+
+def test_rollup_counts_empty_input_and_null_guards():
+    """Empty input yields only the grand-total n=0 row (GROUPING SETS
+    semantics); interval_union and z_order_key raise loudly on nulls
+    instead of silently casting them to INT64_MIN."""
+    from qamd_ray.ops import packing, profile, temporal
+
+    empty = ray.data.from_arrow(
+        pa.table({"lang": pa.array([], pa.string()), "source": pa.array([], pa.string())})
+    )
+    out = profile.rollup_counts(empty, [["lang"], ["lang", "source"], []]).to_pandas()
+    assert len(out) == 1
+    assert int(out["grouping_id"][0]) == 2 and int(out["n"][0]) == 0
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, None], pa.int64()),
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="nulls"):
+        temporal.interval_union(ev, duration_us=10).to_pandas()
+
+    with pytest.raises(Exception, match="nulls"):
+        packing.z_order_key(
+            ray.data.from_arrow(
+                pa.table({"x": pa.array([1, None], pa.int64()), "y": [0, 0]})
+            ),
+            ["x", "y"],
+            bits=4,
+        ).to_pandas()
+
+    # non-parquet directories fail the parquet ops loudly
+    import tempfile, os
+    from qamd_ray.sources import parquet_audit
+
+    d = tempfile.mkdtemp()
+    open(os.path.join(d, "x.csv"), "w").write("a\n1\n")
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        parquet_audit(d)
