@@ -370,11 +370,15 @@ def write_corpus(
     is one read task in Ray Data) and model the sharded layout a real
     corpus would have.
     """
+    import os
     import pyarrow.parquet as pq
 
     t = gen_corpus(n_rows=n_rows, n_repos=n_repos, seed=seed, lines=lines)
     out = strip_labels(t)
     if n_files <= 1:
+        parent = os.path.dirname(out_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         pq.write_table(out, out_path, row_group_size=row_group_size)
     else:
         import os
