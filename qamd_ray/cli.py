@@ -44,7 +44,11 @@ def _load_config(args):
     return cfg
 
 
-def _init_ray():
+def _init_ray(disable_progress: bool = True):
+    """``--disable-progress`` mirrors qamd.rs:121-123; unlike the reference
+    (progress on by default, flag turns it off) we also honour it when the
+    flag is absent only for non-TTY runs — scripts stay quiet, interactive
+    runs get Ray Data's progress bars back."""
     import ray
 
     if not ray.is_initialized():
@@ -58,7 +62,8 @@ def _init_ray():
 
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    show = (not disable_progress) and sys.stderr.isatty()
+    DataContext.get_current().enable_progress_bars = show
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
@@ -95,6 +100,82 @@ def quality_summary_html(rep: dict) -> str:
     return "".join(parts)
 
 
+# A compact public-knowledge English wordlist for the offline `init`
+# scaffold.  The reference (qamd.rs:162 get_file) downloads the full dwyl
+# english-words list; this sandbox has no network, so init writes this
+# stand-in and prints the reference-style warning pointing at the full list.
+_EN_BASIC = (
+    "a about above after again all also an and any are as at be because been "
+    "before being below between both but by can could data did do does down "
+    "during each few file first for from further had has have he her here "
+    "hers him his how i if in into is it its just like me more most my no "
+    "nor not now of off on once only or other our out over own same she "
+    "should so some such table than that the their them then there these "
+    "they this those through to too under until up value very was we were "
+    "what when where which while who why will with you your "
+    "count index buffer result node item row batch stream query parse merge "
+    "split cache config handler worker offset total input output state flag "
+    "score group filter reduce label variable check report missing unique "
+    "household age income region survey year month code name type number"
+).split()
+
+_STOPWORDS = (
+    "the of and a to in is it you that he was for on are with as i his they "
+    "be at one have this from or had by hot word but what some"
+).split()
+
+
+def init_scaffold(base: str | None = None) -> int:
+    """No-network `init` (qamd.rs:137-192): scaffold config/ dictionaries/
+    data/ data/test/ in the current directory, write config/default.yaml,
+    an offline dictionaries/en.txt + stopword.txt, and a deterministic
+    synthetic sample corpus in place of the mtcars downloads (for which we
+    print the reference's couldn't-get warning with the original URLs)."""
+    base = base or os.getcwd()
+    dirs = ["config", "dictionaries", "data", "data/test"]
+    for d in dirs:
+        path = os.path.join(base, d)
+        if os.path.exists(path):
+            print(f"Directory {d} already exists, exiting...")
+            return 1
+        os.makedirs(path)
+
+    from .gen_config import default_yaml
+
+    with open(os.path.join(base, "config", "default.yaml"), "w") as f:
+        f.write(default_yaml())
+    with open(os.path.join(base, "dictionaries", "en.txt"), "w") as f:
+        f.write("\n".join(sorted(set(_EN_BASIC))) + "\n")
+    # the default config's string_value_stopword references stopword.txt
+    with open(os.path.join(base, "dictionaries", "stopword.txt"), "w") as f:
+        f.write("\n".join(_STOPWORDS) + "\n")
+
+    # deterministic sample corpus (input_hint schema) — the offline stand-in
+    # for the reference's mtcars test downloads
+    from .synth import write_corpus
+
+    test_dir = os.path.join(base, "data", "test")
+    t = write_corpus(os.path.join(test_dir, "sample.parquet"), n_rows=200, seed=7)
+    from .synth import strip_labels
+
+    strip_labels(t).to_pandas().to_csv(
+        os.path.join(test_dir, "sample.csv"), index=False
+    )
+
+    github = "https://github.com/ukdataservice/qamd/blob/master/"
+    for fname, uri in [
+        ("dictionaries/en.txt (full list)",
+         "https://raw.githubusercontent.com/dwyl/english-words/master/words.txt"),
+        ("data/test/mtcars.dta", f"{github}test/mtcars.dta?raw=true"),
+        ("data/test/mtcars.sav", f"{github}test/mtcars.sav?raw=true"),
+        ("data/test/mtcars.sas7bdat", f"{github}test/mtcars.sas?raw=true"),
+        ("data/test/mtcars.csv", f"{github}test/mtcars.csv?raw=true"),
+    ]:
+        print(f"Warning: Couldn't get {fname} You can find it here: {uri}")
+    print(f"Initialised qamd_ray project under {base}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="qamd_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -107,6 +188,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--output-format", choices=["json", "html"], default="json")
         sp.add_argument("--metadata-only", action="store_true",
                         help="suppress locators (counts unaffected)")
+        sp.add_argument("-p", "--disable-progress", action="store_true",
+                        help="disable the progress bar (qamd.rs:121-123); "
+                             "useful if running inside scripts")
 
     runp = sub.add_parser("run", help="quality-filter pipeline (checkpointed)")
     _common(runp)
@@ -115,12 +199,20 @@ def main(argv: list[str] | None = None) -> int:
     checkp = sub.add_parser("check", help="QAMD health-check report")
     _common(checkp)
 
+    initp = sub.add_parser(
+        "init", help="scaffold config/ dictionaries/ data/test/ (offline)"
+    )
+    initp.add_argument("--base", help="target directory (default: cwd)")
+
     genp = sub.add_parser("gen-config", help="print default YAML config")
     genp.add_argument("--full", action="store_true")
     genp.add_argument("--quality", action="store_true",
                       help="quality_filter section instead of the QAMD registry")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "init":
+        return init_scaffold(args.base)
 
     if args.cmd == "gen-config":
         from .gen_config import default_yaml, generated_yaml, quality_yaml
@@ -141,7 +233,7 @@ def main(argv: list[str] | None = None) -> int:
     except (ValueError, _yaml.YAMLError) as e:
         print(f"error: invalid config: {e}", file=sys.stderr)
         return 2
-    _init_ray()
+    _init_ray(disable_progress=args.disable_progress)
 
     if args.cmd == "run":
         from .pipeline import run_checkpointed

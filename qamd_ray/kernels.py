@@ -44,6 +44,55 @@ def _as_array(arr) -> pa.Array:
     return arr
 
 
+def digest_rows(arr, algo: str = "sha256") -> list[str]:
+    """Per-row hexdigests of a UTF-8 string (or binary) column, hashed
+    straight from the Arrow values buffer via memoryview slices — no
+    per-row Python str allocation or .encode() round-trip.  Arrow strings
+    are valid UTF-8 by construction, so the buffer bytes equal
+    ``s.encode("utf-8", "surrogatepass")`` of the decoded value and the
+    digests match the naive to_pylist() path bit-for-bit.
+
+    Nulls hash as the empty string (same as the fill_null('') the callers
+    previously applied).
+    """
+    import hashlib as _hl
+
+    hasher = getattr(_hl, algo)
+    empty_hex = hasher(b"").hexdigest()
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    out: list[str] = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        t = ch.type
+        if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            odt = np.int64
+        elif pa.types.is_string(t) or pa.types.is_binary(t):
+            odt = np.int32
+        else:
+            raise TypeError(f"digest_rows: unsupported type {t}")
+        bufs = ch.buffers()
+        # offsets buffer includes the chunk's logical offset; slice past it
+        offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1 + ch.offset)[
+            ch.offset :
+        ]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        if ch.null_count:
+            valid = ~np.asarray(ch.is_null())
+            out.extend(
+                hasher(data[offs[i] : offs[i + 1]]).hexdigest()
+                if valid[i]
+                else empty_hex
+                for i in range(n)
+            )
+        else:
+            out.extend(
+                hasher(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(n)
+            )
+    return out
+
+
 def contains_any(arr: pa.Array, patterns: Sequence[str]) -> pa.Array:
     """True where the string contains ANY of the literal substrings.
 

@@ -886,6 +886,15 @@ def label_propagate_min(
         labels = agg.map_batches(coerce_nl, batch_format="pyarrow")
         if n_changed == 0:
             break
+    else:
+        # a component with diameter > max_rounds would otherwise return
+        # silently-wrong cluster ids — fail loudly like every other cap here
+        raise RuntimeError(
+            f"label_propagate_min: not converged after {max_rounds} rounds "
+            f"({n_changed} labels still changing); raise max_rounds — LSH "
+            "pair graphs are star-like, so this indicates a pathological "
+            "long chain"
+        )
     return labels
 
 
@@ -922,7 +931,13 @@ def _attach_cluster_ids(
 
     def _fill(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.int64())
-        cl = pc.coalesce(pc.cast(batch["cluster_id"], pa.int64()), ids)
+        if "cluster_id" in batch.column_names:
+            cl = pc.coalesce(pc.cast(batch["cluster_id"], pa.int64()), ids)
+        else:
+            # a left_outer join partition that received no label rows can
+            # emit blocks MISSING the right-side column entirely (same Ray
+            # quirk _coerce_cols documents) — every such row is unmatched
+            cl = ids
         return pa.table({id_col: ids, "cluster_id": cl})
 
     return joined.map_batches(_fill, batch_format="pyarrow")
@@ -1334,58 +1349,58 @@ def simhash_pairs(
     # below the threshold the exploded block rows (4 int rows per doc) pin
     # in plasma; above it they spill to Parquet once and the two consumers
     # re-read column-pruned — the 100-TB path never pins O(docs) rows
-    spill = None
-    if (ds.count() if n_rows is None else n_rows) * 4 > spill_threshold:
-        import tempfile
-
-        spill = tempfile.mkdtemp(prefix="qamd_simhash_spill_", dir="/tmp")
-        ds.map_batches(_FP(), batch_format="pyarrow").write_parquet(spill)
-        exploded = ray.data.read_parquet(spill)
-        counts_src = ray.data.read_parquet(spill, columns=["block", "block_val"])
-    else:
-        exploded = ds.map_batches(_FP(), batch_format="pyarrow").materialize()
-        counts_src = exploded.select_columns(["block", "block_val"])
-
-    # same collision-bucket prefilter as minhash_lsh_pairs: hash-aggregate
-    # counts, broadcast the rare hot keys, pair survivors on the driver
-    counts = (
-        counts_src
-        .groupby(["block", "block_val"])
-        .aggregate(Count(alias_name="n"))
-    )
-    hot = counts.filter(expr="n > 1").to_pandas()
     empty = pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"),
          "id_b": pd.Series([], dtype="int64"),
          "hamming": pd.Series([], dtype="int64")}
     )
-    if len(hot) == 0:
+    spill = None
+    try:
+        if (ds.count() if n_rows is None else n_rows) * 4 > spill_threshold:
+            import tempfile
+
+            spill = tempfile.mkdtemp(prefix="qamd_simhash_spill_", dir="/tmp")
+            ds.map_batches(_FP(), batch_format="pyarrow").write_parquet(spill)
+            exploded = ray.data.read_parquet(spill)
+            counts_src = ray.data.read_parquet(spill, columns=["block", "block_val"])
+        else:
+            exploded = ds.map_batches(_FP(), batch_format="pyarrow").materialize()
+            counts_src = exploded.select_columns(["block", "block_val"])
+
+        # same collision-bucket prefilter as minhash_lsh_pairs: hash-aggregate
+        # counts, broadcast the rare hot keys, pair survivors on the driver
+        counts = (
+            counts_src
+            .groupby(["block", "block_val"])
+            .aggregate(Count(alias_name="n"))
+        )
+        hot = counts.filter(expr="n > 1").to_pandas()
+        if len(hot) == 0:
+            return empty
+        # pack (block, block_val) into one int64 key: block_val < 2^16
+        hot_keys = np.unique(
+            (hot["block"].to_numpy().astype(np.int64) << 16)
+            + hot["block_val"].to_numpy().astype(np.int64)
+        )
+        import ray as _ray
+
+        hot_ref = _ray.put(hot_keys)
+
+        def _only_hot(batch: pa.Table) -> pa.Table:
+            keys = _ray.get(hot_ref)
+            b = np.asarray(K._as_array(batch["block"]), dtype=np.int64)
+            v = np.asarray(K._as_array(batch["block_val"]), dtype=np.int64)
+            mask = np.isin((b << 16) + v, keys)
+            return batch.filter(pa.array(mask))
+
+        surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    finally:
+        # minhash_lsh_pairs-style hygiene: never leak the spill dir, even
+        # when the groupby / hot-key collect / survivor pass raises
         if spill is not None:
             import shutil
 
             shutil.rmtree(spill, ignore_errors=True)
-        return empty
-    # pack (block, block_val) into one int64 key: block_val < 2^16
-    hot_keys = np.unique(
-        (hot["block"].to_numpy().astype(np.int64) << 16)
-        + hot["block_val"].to_numpy().astype(np.int64)
-    )
-    import ray as _ray
-
-    hot_ref = _ray.put(hot_keys)
-
-    def _only_hot(batch: pa.Table) -> pa.Table:
-        keys = _ray.get(hot_ref)
-        b = np.asarray(K._as_array(batch["block"]), dtype=np.int64)
-        v = np.asarray(K._as_array(batch["block_val"]), dtype=np.int64)
-        mask = np.isin((b << 16) + v, keys)
-        return batch.filter(pa.array(mask))
-
-    surv = exploded.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
-    if spill is not None:
-        import shutil
-
-        shutil.rmtree(spill, ignore_errors=True)
     rows: list[tuple[int, int, int]] = []
     for (_blk, _bv), g in surv.groupby(["block", "block_val"], sort=False):
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -2011,8 +2026,13 @@ def incremental_exact_dedup(
     )
 
     def _keep_unseen(batch: pa.Table) -> pa.Table:
-        mask = pc.is_null(batch["_in_index"])
-        return batch.filter(mask).drop_columns(["content_md5", "_in_index"])
+        # a left_outer partition with no index rows may omit the right-side
+        # marker column entirely — then every row is unseen (keep all)
+        if "_in_index" in batch.column_names:
+            batch = batch.filter(pc.is_null(batch["_in_index"])).drop_columns(
+                ["_in_index"]
+            )
+        return batch.drop_columns(["content_md5"])
 
     return joined.map_batches(_keep_unseen, batch_format="pyarrow")
 

@@ -137,7 +137,14 @@ def _shuffle_partitions(requested: Optional[int] = None) -> int:
         int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     )
     cap = max(2, ncpu)
-    return min(int(requested), cap) if requested else cap
+    if requested is None:
+        return cap
+    requested = int(requested)
+    if requested < 1:
+        raise ValueError(
+            f"_shuffle_partitions: num_partitions must be >= 1 (got {requested})"
+        )
+    return min(requested, cap)
 
 
 def _coerce_cols(names_types: list[tuple[str, pa.DataType]]):

@@ -112,11 +112,9 @@ def content_keys(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     dropped in the same task; only three short string columns leave it."""
 
     def _keys(batch: pa.Table) -> pa.Table:
-        content = K._as_array(pc.fill_null(batch["content"], ""))
-        sha = [
-            hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
-            for s in content.to_pylist()
-        ]
+        # hash straight from the Arrow values buffer — no per-row Python
+        # str allocation (VERDICT r3 #10); nulls hash as ""
+        sha = K.digest_rows(batch["content"], "sha256")
         return pa.table(
             {
                 "content_sha256": pa.array(sha, pa.string()),
@@ -231,13 +229,9 @@ def _winners_from_files(
             tbl = pq.ParquetFile(t["path"]).read_row_group(
                 t["row_group"], columns=["repo", "path", "content"]
             )
-            content = pc.fill_null(tbl["content"], "").to_pylist()
             repos = tbl["repo"].to_pylist()
             paths_ = tbl["path"].to_pylist()
-            shas.extend(
-                hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
-                for s in content
-            )
+            shas.extend(K.digest_rows(tbl["content"], "sha256"))
             keys.extend(f"{r}\x00{p}" for r, p in zip(repos, paths_))
         return shas, keys
 
@@ -410,6 +404,12 @@ def finalize(
         )
 
         def _dup_join(batch: pa.Table) -> pa.Table:
+            if "winner" not in batch.column_names:
+                # unmatched-only join partitions can omit the right-side
+                # column entirely — no winner row means not a duplicate
+                return batch.append_column(
+                    "f_duplicate", pa.array(np.zeros(len(batch), dtype=bool))
+                )
             win = np.asarray(K._as_array(batch["winner"]), dtype=object)
             repos = np.asarray(K._as_array(batch["repo"]), dtype=object)
             paths = np.asarray(K._as_array(batch["path"]), dtype=object)

@@ -84,3 +84,36 @@ def test_tune_read_parallelism(tmp_path, ray_session):
         assert ctx.read_op_min_num_blocks == 32
     finally:
         ctx.read_op_min_num_blocks = before
+
+
+def test_cli_init_scaffold(tmp_path, capsys):
+    """Offline `init` (qamd.rs:137-192): scaffolds the four directories,
+    writes a loadable default.yaml + dictionaries, synthesizes sample data,
+    and exits 1 on re-run when a directory already exists."""
+    base = str(tmp_path / "proj")
+    assert main(["init", "--base", base]) == 0
+    out = capsys.readouterr().out
+    assert "Couldn't get" in out  # reference-parity warning for downloads
+    for d in ("config", "dictionaries", "data/test"):
+        assert (tmp_path / "proj" / d).is_dir()
+    from qamd_ray.config import Config
+
+    cfg = Config.from_yaml_file(str(tmp_path / "proj" / "config" / "default.yaml"))
+    assert cfg is not None
+    words = (tmp_path / "proj" / "dictionaries" / "en.txt").read_text().split()
+    assert "the" in words and len(words) > 100
+    sample = pq.read_table(str(tmp_path / "proj" / "data" / "test" / "sample.parquet"))
+    assert sample.num_rows == 200
+    assert set(sample.column_names) == {"repo", "path", "commit", "lang", "content"}
+    # second run must refuse (reference exits 1 on existing dirs)
+    assert main(["init", "--base", base]) == 1
+
+
+def test_cli_disable_progress_flag(tmp_path, ray_session, capsys):
+    """-p/--disable-progress parses and the run still completes."""
+    t = pa.table({"name": pa.array(["a", "b"], pa.string())})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "rep.json")
+    assert main(["check", src, "-p", "-o", out]) == 0
+    assert json.load(open(out))["metadata"]["raw_case_count"] == 2

@@ -219,3 +219,34 @@ def test_compact_parquet_small_files(tmp_path, ray_session):
 
     back = ray.data.read_parquet(str(out)).to_pandas()
     assert sorted(back["k"]) == list(range(600))
+
+
+def test_digest_rows_matches_naive():
+    """Buffer-level hashing must equal the to_pylist()+encode path on every
+    layout: plain, nulls, chunked, sliced, large_string, binary."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from qamd_ray import kernels as K
+
+    vals = ["", "hello", "héllo wörld", "a" * 5000, None, "☃ snow", "x"]
+
+    def naive(v, algo="sha256"):
+        enc = (v or "").encode("utf-8", "surrogatepass")
+        return getattr(hashlib, algo)(enc).hexdigest()
+
+    expect = [naive(v) for v in vals]
+    for arr in (
+        pa.array(vals, pa.string()),
+        pa.array(vals, pa.large_string()),
+        pa.chunked_array([pa.array(vals[:3]), pa.array(vals[3:])]),
+        pa.array([None, None] + vals, pa.string()).slice(2),
+    ):
+        assert K.digest_rows(arr) == expect, arr.type
+    # md5 + binary type
+    barr = pa.array([(v or "").encode() for v in vals], pa.binary())
+    assert K.digest_rows(barr, "md5") == [naive(v, "md5") for v in vals]
+    # empty array
+    assert K.digest_rows(pa.array([], pa.string())) == []

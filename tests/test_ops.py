@@ -555,6 +555,31 @@ def test_label_propagate_min_chain():
     assert got == {1: 1, 3: 1, 5: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_label_propagate_min_unconverged_raises():
+    """A chain whose diameter exceeds max_rounds must fail loudly, never
+    return silently-wrong labels (ADVICE r3)."""
+    n = 8
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(list(range(n - 1)), pa.int64()),
+                  "id_b": pa.array(list(range(1, n)), pa.int64())})
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.label_propagate_min(pairs, max_rounds=2)
+
+
+def test_shuffle_partitions_validates():
+    """0 and negative partition counts both raise (previously 0 fell to
+    the CPU cap while -3 passed through invalid — ADVICE r3)."""
+    from qamd_ray.ops.joins import _shuffle_partitions
+
+    with pytest.raises(ValueError):
+        _shuffle_partitions(0)
+    with pytest.raises(ValueError):
+        _shuffle_partitions(-3)
+    assert _shuffle_partitions(2) == 2
+    assert _shuffle_partitions() >= 2
+
+
 def test_minhash_clusters_distributed_matches_driver(near_dup_table):
     """Cluster assignment equivalence: union-find over driver-collected
     pairs == distributed min-label propagation over the pair Dataset."""
