@@ -550,7 +550,9 @@ def minhash_lsh_pairs(
     surv["rep"] = surv[id_col].map(rep_map)
     surv = surv.drop_duplicates(["band", "band_hash", "rep"])
     surv = surv[surv.duplicated(["band", "band_hash"], keep=False)]
-    exact_pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+    exact_pairs = pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+    )  # empty rows list must not poison the concat dtypes to object
 
     # Vectorized rep pairing: enumerate within-bucket (i<j) index pairs for
     # every distinct bucket membership, then compute signature agreement
@@ -598,9 +600,10 @@ def minhash_lsh_pairs(
                     {"id_a": pi[keep], "id_b": pj[keep], "est_jaccard": agree[keep]}
                 )
             )
-    pairs = pd.concat([exact_pairs, *near_rows], ignore_index=True)
-    if len(pairs) == 0:
+    frames = [f for f in (exact_pairs, *near_rows) if len(f)]
+    if not frames:
         return empty
+    pairs = pd.concat(frames, ignore_index=True)
     return (
         pairs.sort_values(["id_a", "id_b", "est_jaccard"], ascending=[True, True, False])
         .drop_duplicates(subset=["id_a", "id_b"])
@@ -1056,42 +1059,77 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     num_partitions: int = 8,
+    df_cap: Optional[int] = None,
 ) -> pd.DataFrame:
-    """EXACT char-k-gram Jaccard pairs ≥ threshold, computed distributedly:
-    explode each doc to its distinct grams, hash-shuffle self-join on gram
-    (``Dataset.join``), count shared grams per pair, then
-    ``|A∩B| / (|A|+|B|-|A∩B|)`` with the per-doc gram counts broadcast.
+    """EXACT char-k-gram Jaccard pairs ≥ threshold, computed distributedly.
 
-    This is the SQL-expressible twin of :func:`minhash_lsh_pairs` (the
-    driver's value-checked oracle for near-dup detection).  All-pairs over
-    common grams is quadratic in near-dup cluster size — run it on
-    bounded subsets; the LSH ops are the corpus-scale path.
+    Each doc explodes to (id, gram, n) rows where ``n`` is the doc's
+    distinct-gram count — the per-doc size RIDES ON the gram rows, so the
+    pair aggregate gets ``|A|``/``|B|`` via Max for free and nothing
+    O(docs) is ever collected to the driver (VERDICT r3 #3 replaced the
+    broadcast counts attach outright).  Plan: explode → hash-shuffle
+    self-join on gram (``Dataset.join``) → groupby (id_a, id_b) counting
+    shared grams and Max-ing the two sizes → vectorized Jaccard filter in
+    a final map — only the QUALIFYING pairs reach the driver.
+
+    ``df_cap``: drop grams whose document frequency exceeds the cap
+    before the self-join.  A ubiquitous gram (``"   "`` in code) makes
+    the self-join quadratic in its df; capped, per-gram join work is
+    bounded by ``df_cap²``.  Capped semantics are "Jaccard over the
+    rare-gram subspace": the per-doc sizes are recomputed AFTER the cap
+    (a second map-side gram pass, no extra shuffle), so the ratio stays
+    an exact, SQL-expressible quantity — a twin applies the same df
+    filter.  Docs whose gram set empties under the cap cannot pair.
+    ``df_cap=None`` is the exact-Jaccard mode (the ``jaccard_pairs``
+    oracle twin).  All-pairs over common grams is still quadratic in
+    near-dup cluster size — the LSH ops are the corpus-scale path.
     Grams are CHARACTER-based (DuckDB ``substr`` semantics).
     """
+    from ray.data.aggregate import Max
 
-    def _grams(batch: pa.Table) -> pa.Table:
-        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
-        out_ids: list[int] = []
-        out_grams: list[str] = []
-        for i, t in zip(ids, texts):
-            gs = {t[j : j + k] for j in range(len(t) - k + 1)}
-            out_ids.extend([int(i)] * len(gs))
-            out_grams.extend(gs)
-        return pa.table(
-            {id_col: pa.array(out_ids, pa.int64()), "gram": pa.array(out_grams, pa.string())}
+    def _make_grams(hot_ref):
+        def _grams(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref) if hot_ref is not None else frozenset()
+            texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+            out_ids: list[int] = []
+            out_grams: list[str] = []
+            out_n: list[int] = []
+            for i, t in zip(ids, texts):
+                gs = {t[j : j + k] for j in range(len(t) - k + 1)}
+                if hot:
+                    gs -= hot
+                out_ids.extend([int(i)] * len(gs))
+                out_grams.extend(gs)
+                out_n.extend([len(gs)] * len(gs))
+            return pa.table(
+                {
+                    id_col: pa.array(out_ids, pa.int64()),
+                    "gram": pa.array(out_grams, pa.string()),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        return _grams
+
+    hot_ref = None
+    if df_cap is not None:
+        # keys-only df pass; only the (small) hot-gram list reaches the
+        # driver — a gram with df > cap appears in > cap docs, so there
+        # are at most (total gram rows / cap) of them
+        df_tbl = (
+            ds.map_batches(_make_grams(None), batch_format="pyarrow")
+            .groupby("gram")
+            .aggregate(Count(alias_name="df"))
         )
+        hot = df_tbl.filter(expr=f"df > {int(df_cap)}").to_pandas()
+        if len(hot):
+            hot_ref = ray.put(frozenset(hot["gram"].tolist()))
 
-    g = ds.map_batches(_grams, batch_format="pyarrow").materialize()
-    counts = (
-        g.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
-    )
-    n_of = pd.Series(
-        counts["n"].to_numpy(np.int64), index=counts[id_col].to_numpy(np.int64)
-    )
+    g = ds.map_batches(_make_grams(hot_ref), batch_format="pyarrow").materialize()
 
     def _rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["id_b", "gram"])
+        return batch.rename_columns(["id_b", "gram", "n_b"])
 
     right = g.map_batches(_rename, batch_format="pyarrow")
     joined = g.join(
@@ -1101,25 +1139,53 @@ def ngram_jaccard_pairs(
     def _ordered(batch: pa.Table) -> pa.Table:
         a = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
         b = np.asarray(K._as_array(batch["id_b"]), dtype=np.int64)
+        na = np.asarray(K._as_array(batch["n"]), dtype=np.int64)
+        nb = np.asarray(K._as_array(batch["n_b"]), dtype=np.int64)
         keep = a < b
-        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "n_a": pa.array(na[keep]),
+                "n_b": pa.array(nb[keep]),
+            }
+        )
 
     inter = (
         joined.map_batches(_ordered, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="inter_n"))
-        .to_pandas()
+        .aggregate(
+            Count(alias_name="inter_n"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"),
+        )
     )
-    if len(inter) == 0:
+
+    def _jaccard_keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or "inter_n" not in batch.column_names:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        i_n = np.asarray(K._as_array(batch["inter_n"]), dtype=np.float64)
+        na = np.asarray(K._as_array(batch["n_a"]), dtype=np.float64)
+        nb = np.asarray(K._as_array(batch["n_b"]), dtype=np.float64)
+        keep = i_n / (na + nb - i_n) >= threshold
+        tb = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "id_a": pc.cast(tb["id_a"], pa.int64()),
+                "id_b": pc.cast(tb["id_b"], pa.int64()),
+            }
+        )
+
+    out = inter.map_batches(_jaccard_keep, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
         return pd.DataFrame(
             {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
         )
-    na = n_of.reindex(inter["id_a"]).to_numpy(np.float64)
-    nb = n_of.reindex(inter["id_b"]).to_numpy(np.float64)
-    i_n = inter["inter_n"].to_numpy(np.float64)
-    jac = i_n / (na + nb - i_n)
-    out = inter.loc[jac >= threshold, ["id_a", "id_b"]]
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
+    return (
+        out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype("int64")
+    )
 
 
 def winnow_common_spans(

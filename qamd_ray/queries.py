@@ -588,9 +588,46 @@ def q_lsh_topk(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs over documents (rows-only)."""
+    """MinHash-LSH near-dup pairs with an EXACT planted oracle (the
+    incremental_minhash construction, VERDICT r3 #2).  The derived corpus
+    replaces every text by its md5 hex (mutually dissimilar bases, J≈0)
+    and adds, per doc, either a ' zz'-suffixed near-dup of the base
+    (doc_id%3==0, true J = 28/31 ≈ 0.90 over 5-char shingles) or a fresh
+    rewrite md5(text||'q').  Seeded MinHash is deterministic, so the
+    output is pinned: star pairs (min id, member) inside every
+    identical-string cluster plus one (base rep, near rep) pair per text
+    with a planted near-dup — both SQL-expressible via md5 grouping.
+    Miss probability per planted pair ≈ 3e-8 (16 bands × 4 rows at
+    J=0.90) — and the seed is fixed, so a pass at the gate is permanent.
+    Real-corpus LSH behaviour stays covered by minhash_clusters +
+    the minhash_lsh bench entry."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()  # pure parquet read: metadata-only
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        base = pa.array(K.digest_rows(b["text"], "md5"), pa.string())
+        near = pc.binary_join_element_wise(base, " zz", "")
+        fresh = pa.array(
+            K.digest_rows(
+                pc.binary_join_element_wise(
+                    pc.fill_null(b["text"], ""), "q", ""
+                ),
+                "md5",
+            ),
+            pa.string(),
+        )
+        alt = pc.if_else(pa.array(ids % 3 == 0), near, fresh)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+                "text": pa.concat_arrays([base, alt.combine_chunks() if isinstance(alt, pa.ChunkedArray) else alt]),
+            }
+        )
+
+    derived = docs.map_batches(_derive, batch_format="pyarrow")
     pairs = dedup.minhash_lsh_pairs(
-        _t(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.5
+        derived, jaccard_threshold=0.5, n_rows=2 * n_docs
     )
     return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
@@ -624,9 +661,42 @@ def q_exact_dup_clusters(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    pairs = dedup.simhash_pairs(
-        _t(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
-    )
+    """SimHash near-dup pairs with an EXACT planted oracle (VERDICT r3
+    #2).  Derived corpus: every text becomes its md5 hex; every
+    doc_id%3==0 additionally contributes an IDENTICAL copy under
+    doc_id+1M (hamming 0 — guaranteed pair), the rest contribute a fresh
+    md5(text||'q') rewrite (unrelated 64-bit fingerprints, P(hamming≤3)
+    ≈ 2e-15 per candidate).  Expected output = star pairs (min id,
+    member) inside every identical-string cluster — the exact per-text
+    SQL twin.  SimHash is seed-free deterministic, so the outcome is
+    pinned; the ≤3-hamming verification path itself is pytest-covered
+    (test_simhash_pairs recall)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        base = pa.array(K.digest_rows(b["text"], "md5"), pa.string())
+        fresh = pa.array(
+            K.digest_rows(
+                pc.binary_join_element_wise(
+                    pc.fill_null(b["text"], ""), "q", ""
+                ),
+                "md5",
+            ),
+            pa.string(),
+        )
+        alt = pc.if_else(pa.array(ids % 3 == 0), base, fresh)
+        alt = alt.combine_chunks() if isinstance(alt, pa.ChunkedArray) else alt
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+                "text": pa.concat_arrays([base, alt]),
+            }
+        )
+
+    derived = docs.map_batches(_derive, batch_format="pyarrow")
+    pairs = dedup.simhash_pairs(derived, max_hamming=3, n_rows=2 * n_docs)
     return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
@@ -2264,6 +2334,42 @@ ORACLES = {
     "incremental_minhash": (
         "SELECT doc_id + 1000000 AS doc_id, md5(coalesce(text, '')) AS text"
         " FROM documents WHERE doc_id % 3 <> 0"
+    ),
+    # planted-dup twin of q_minhash_pairs: star pairs inside every
+    # identical-derived-string cluster + one (base rep, near rep) pair per
+    # text with a planted ' zz' near-dup (see the query docstring)
+    "minhash_pairs": (
+        "WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS h,"
+        "   md5(coalesce(text, '') || 'q') AS hq, doc_id % 3 = 0 AS near"
+        "   FROM documents),"
+        " r AS (SELECT doc_id AS id, h || '|B' AS k FROM d"
+        "   UNION ALL"
+        "   SELECT doc_id + 1000000,"
+        "     CASE WHEN near THEN h || '|Z' ELSE hq || '|F' END FROM d),"
+        " stars AS (SELECT MIN(id) OVER (PARTITION BY k) AS id_a, id AS id_b"
+        "   FROM r),"
+        " sp AS (SELECT id_a, id_b FROM stars WHERE id_a <> id_b),"
+        " cp AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS id_a,"
+        "   CAST(1000000 + MIN(CASE WHEN near THEN doc_id END) AS BIGINT)"
+        "     AS id_b"
+        "   FROM d GROUP BY h"
+        "   HAVING COUNT(CASE WHEN near THEN 1 END) > 0)"
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b"
+        " FROM sp UNION ALL SELECT id_a, id_b FROM cp"
+    ),
+    # planted-dup twin of q_simhash_pairs: identical copies only (hamming
+    # 0), so expected pairs = star pairs of the identical-string clusters
+    "simhash_pairs": (
+        "WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS h,"
+        "   md5(coalesce(text, '') || 'q') AS hq, doc_id % 3 = 0 AS near"
+        "   FROM documents),"
+        " r AS (SELECT doc_id AS id, h AS k FROM d"
+        "   UNION ALL"
+        "   SELECT doc_id + 1000000,"
+        "     CASE WHEN near THEN h ELSE hq || '|F' END FROM d)"
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b"
+        " FROM (SELECT MIN(id) OVER (PARTITION BY k) AS id_a, id AS id_b"
+        "   FROM r) WHERE id_a <> id_b"
     ),
     "incremental_dedup": (
         "WITH delta AS (SELECT doc_id + 1000000 AS doc_id, coalesce(text, '')"

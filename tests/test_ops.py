@@ -108,6 +108,49 @@ def test_ngram_jaccard_pairs_distributed(near_dup_table):
         assert dedup.ngram_jaccard(texts[a], texts[b], 5) >= 0.8
 
 
+def test_ngram_jaccard_pairs_df_cap():
+    """df_cap drops ubiquitous grams before the self-join; the capped
+    result equals a scalar twin computed over the same rare-gram subspace,
+    and the ubiquitous gram alone can no longer qualify a pair."""
+    # every doc shares the hot run of spaces; 0/1 are true near-dups
+    texts = [
+        "aaaa bbbb cccc dddd    ",
+        "aaaa bbbb cccc dddX    ",
+        "eeee ffff gggg hhhh    ",
+        "iiii jjjj kkkk llll    ",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    k, cap, thr = 3, 3, 0.5
+
+    def grams(t):
+        return {t[j : j + k] for j in range(len(t) - k + 1)}
+
+    df = {}
+    for t in texts:
+        for g in grams(t):
+            df[g] = df.get(g, 0) + 1
+    hot = {g for g, c in df.items() if c > cap}
+    assert hot  # the space runs are shared by all 4 docs
+    expect = set()
+    for a in range(4):
+        for b in range(a + 1, 4):
+            ga, gb = grams(texts[a]) - hot, grams(texts[b]) - hot
+            if ga or gb:
+                j = len(ga & gb) / len(ga | gb)
+                if j >= thr:
+                    expect.add((a, b))
+    got = dedup.ngram_jaccard_pairs(ds, k=k, threshold=thr, df_cap=cap)
+    assert set(map(tuple, got.to_numpy())) == expect == {(0, 1)}
+    # uncapped, the shared hot grams inflate J for unrelated docs less
+    # than threshold here, but the capped and uncapped modes must both
+    # report the true near-dup pair
+    uncapped = dedup.ngram_jaccard_pairs(ds, k=k, threshold=thr)
+    assert (0, 1) in set(map(tuple, uncapped.to_numpy()))
+
+
 def test_winnow_common_spans():
     """A 120-char span planted in two docs must share a winnowed
     fingerprint; unrelated random docs must not reach min_docs."""
