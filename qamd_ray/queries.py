@@ -881,8 +881,11 @@ def q_dup_line_stats(sf_dir: str):
 
 def q_repetition_scores(sf_dir: str):
     """Gopher-style per-doc repetition signals (dup-line fraction,
-    top-2/3-gram char coverage, dup-5-gram char coverage) — rows-only:
-    the n-gram identities use a uint64 mixing hash."""
+    top-2/3-gram char coverage, dup-5-gram char coverage).  EXACT DuckDB
+    twin: the SQL groups n-grams by their space-joined token string —
+    tokens contain no whitespace, so that grouping equals the op's
+    uint64-mix hash grouping (collisions aside); all fractions are
+    integer ratios, so the float divisions are bit-identical."""
     return textstats.repetition_scores(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
@@ -1389,8 +1392,12 @@ def q_secret_scan(sf_dir: str):
     detect-secrets heuristic) over documents with a deterministic planted
     credential: every third doc carries its md5 hex digest as a token
     (per-char entropy ~3.7 bits > the 3.0 hex threshold), so the flag
-    fires on exactly the planted rows.  Rows-only check (Shannon entropy
-    is not SQL-expressible); exactness is pytest-covered with planted
+    fires on exactly the planted rows.  EXACT DuckDB twin (VERDICT r3
+    #4): Shannon entropy in integer milli-bits over per-candidate char
+    histograms — floor(h*1000) is summation-order-stable away from
+    integer h, and exact-integer h only arises from dyadic terms that
+    sum exactly in any order; pinned by gate runs at sf0.01 + sf0.1.
+    Exactness is also pytest-covered with planted
     base64/hex/English fixtures."""
     import hashlib
 
@@ -2556,6 +2563,97 @@ ORACLES = {
         "CAST(COUNT(*) AS BIGINT) AS n_distinct_lines, "
         "CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT) AS dup_line_chars "
         "FROM c GROUP BY doc_id"
+    ),
+    # full twin of repetition_scores (VERDICT r3 #4): line fractions extend
+    # the dup_line_stats twin; token n-gram fractions group by the n-gram
+    # STRING (tokens contain no whitespace, so a space join is injective —
+    # equal to the op's uint64-mix grouping sans astronomically-unlikely
+    # collisions).  Window char length = sum of token lengths (no seps).
+    "repetition_scores": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),"
+        " l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),"
+        " lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len"
+        "   FROM l GROUP BY 1, 2),"
+        " ls AS (SELECT doc_id, SUM(cnt) AS nl, COUNT(*) AS nd,"
+        "   SUM(cnt * len) AS lchars,"
+        "   SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dchars"
+        "   FROM lc GROUP BY 1),"
+        " tl AS (SELECT doc_id, regexp_extract_all(t, '[^ \\t\\n]+') AS toks"
+        "   FROM d),"
+        " tc AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,"
+        "   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)"
+        "     AS BIGINT) AS tchars FROM tl),"
+        " w2 AS (SELECT doc_id, array_to_string(toks[p:p+1], ' ') AS gram,"
+        "   CAST(list_sum(list_transform(toks[p:p+1], x -> length(x)))"
+        "     AS BIGINT) AS wl"
+        "   FROM (SELECT doc_id, toks,"
+        "     unnest(generate_series(1, nt - 1)) AS p FROM tc)),"
+        " w3 AS (SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS gram,"
+        "   CAST(list_sum(list_transform(toks[p:p+2], x -> length(x)))"
+        "     AS BIGINT) AS wl"
+        "   FROM (SELECT doc_id, toks,"
+        "     unnest(generate_series(1, nt - 2)) AS p FROM tc)),"
+        " w5 AS (SELECT doc_id, array_to_string(toks[p:p+4], ' ') AS gram,"
+        "   CAST(list_sum(list_transform(toks[p:p+4], x -> length(x)))"
+        "     AS BIGINT) AS wl"
+        "   FROM (SELECT doc_id, toks,"
+        "     unnest(generate_series(1, nt - 4)) AS p FROM tc)),"
+        " a2 AS (SELECT doc_id, MAX(cnt * wl) AS top FROM (SELECT doc_id,"
+        "   gram, count(*) AS cnt, min(wl) AS wl FROM w2 GROUP BY 1, 2)"
+        "   GROUP BY 1),"
+        " a3 AS (SELECT doc_id, MAX(cnt * wl) AS top FROM (SELECT doc_id,"
+        "   gram, count(*) AS cnt, min(wl) AS wl FROM w3 GROUP BY 1, 2)"
+        "   GROUP BY 1),"
+        " a5 AS (SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt * wl ELSE 0"
+        "   END) AS dup FROM (SELECT doc_id, gram, count(*) AS cnt,"
+        "   min(wl) AS wl FROM w5 GROUP BY 1, 2) GROUP BY 1)"
+        " SELECT d.doc_id,"
+        "  1.0 - CAST(ls.nd AS DOUBLE) / GREATEST(ls.nl, 1) AS dup_line_frac,"
+        "  CAST(ls.dchars AS DOUBLE) / GREATEST(ls.lchars, 1)"
+        "    AS dup_line_char_frac,"
+        "  LEAST(CAST(coalesce(a2.top, 0) AS DOUBLE)"
+        "    / GREATEST(tc.tchars, 1), 1.0) AS top2gram_char_frac,"
+        "  LEAST(CAST(coalesce(a3.top, 0) AS DOUBLE)"
+        "    / GREATEST(tc.tchars, 1), 1.0) AS top3gram_char_frac,"
+        "  LEAST(CAST(coalesce(a5.dup, 0) AS DOUBLE)"
+        "    / GREATEST(tc.tchars, 1), 1.0) AS dup5gram_char_frac"
+        " FROM d JOIN ls USING (doc_id) JOIN tc USING (doc_id)"
+        " LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"
+        " LEFT JOIN a5 USING (doc_id)"
+    ),
+    # full twin of secret_scan (VERDICT r3 #4): Shannon entropy in integer
+    # milli-bits over per-candidate char histograms — floor(h*1000) is
+    # stable across summation orders except when h*1000 sits within ~1e-9
+    # of an integer, which only happens at exact powers of two where every
+    # term is a dyadic rational and ANY order sums exactly (verified at
+    # sf0.01 + sf0.1; the corpus is fixed, so a gate pass is permanent)
+    "secret_scan": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),"
+        " p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0"
+        "   THEN t || ' ' || md5(t) ELSE t END AS content FROM d),"
+        " sp AS (SELECT doc_id,"
+        "   regexp_split_to_array(content, '[ \\t\\r\\n]+') AS arr FROM p),"
+        " tk AS (SELECT doc_id, unnest(arr) AS tok,"
+        "   unnest(generate_series(1, len(arr))) AS occ FROM sp),"
+        " cand AS (SELECT doc_id, occ, tok, CAST(length(tok) AS BIGINT) AS L"
+        "   FROM tk"
+        "   WHERE regexp_matches(tok, '^[A-Za-z0-9+/=_\\-]{16,}$')),"
+        " ch AS (SELECT doc_id, occ, L,"
+        "   unnest(regexp_extract_all(tok, '.')) AS c FROM cand),"
+        " hist AS (SELECT doc_id, occ, L, c, count(*) AS k"
+        "   FROM ch GROUP BY 1, 2, 3, 4),"
+        " ent AS (SELECT doc_id, occ, CAST(floor(-SUM((CAST(k AS DOUBLE) / L)"
+        "   * log2(CAST(k AS DOUBLE) / L)) * 1000) AS BIGINT) AS em"
+        "   FROM hist GROUP BY 1, 2),"
+        " agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,"
+        "   CAST(SUM(CASE WHEN em >= 3000 THEN 1 ELSE 0 END) AS BIGINT)"
+        "     AS n_high_entropy,"
+        "   CAST(MAX(em) AS BIGINT) AS max_entropy_milli FROM ent GROUP BY 1)"
+        " SELECT d.doc_id, coalesce(agg.n_candidates, 0) AS n_candidates,"
+        "  coalesce(agg.n_high_entropy, 0) AS n_high_entropy,"
+        "  coalesce(agg.max_entropy_milli, 0) AS max_entropy_milli,"
+        "  coalesce(agg.n_high_entropy, 0) > 0 AS has_secret"
+        " FROM d LEFT JOIN agg USING (doc_id)"
     ),
     "decontaminate_docs": (
         "WITH tok AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS arr FROM documents), "
