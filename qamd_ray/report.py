@@ -138,6 +138,53 @@ class ReportMetadata:
         return dict(self.__dict__)
 
 
+def format_data_type_occurrences(occ: dict) -> str:
+    """Metadata::get_data_type_occurrences (report/mod.rs:84-92): '-' when
+    empty, else '", {k}: {v}"'-folded with the leading ', ' split off.
+    The reference iterates a HashMap (nondeterministic order); here the
+    insertion order is used — deterministic, and identical for the
+    single-type tables the fixtures carry."""
+    if not occ:
+        return "-"
+    return ", ".join(f"{k}: {v}" for k, v in occ.items())
+
+
+def _fmt_naive_time(v: Optional[str]) -> str:
+    """NaiveDateTime::from_timestamp(0,0) default display
+    (report/mod.rs:73-74): epoch when unknown."""
+    return str(v) if v else "1970-01-01 00:00:00"
+
+
+def metadata_html(md: "ReportMetadata") -> str:
+    """Bit-exact twin of the reference's metadata() HTML block
+    (src/report/html/mod.rs:209-262; golden string at 269-290 —
+    mirrored by test_report_metadata_html_golden).  Optional fields
+    (case_count, file_encoding) render an EMPTY row div, exactly like
+    the reference's `@ if let Some(...)` inside a fixed div."""
+    e = _html.escape
+    rows = [
+        f'<div id="title" class="row"><h1 id="file-name">{e(md.file_name)}</h1></div>',
+        f"<strong>Raw Case Count: {md.raw_case_count}</strong>",
+        f"<strong>Aggregated Case Count: {md.case_count}</strong>"
+        if md.case_count is not None
+        else "",
+        f"<strong>Total Variables: {md.variable_count}</strong>",
+        "<strong>Data Type Occurrences: "
+        f"{e(format_data_type_occurrences(md.data_type_occurrences))}</strong>",
+        f"<strong>Created At: {e(_fmt_naive_time(md.creation_time))}</strong>",
+        f"<strong>Last modified at: {e(_fmt_naive_time(md.modified_time))}</strong>",
+        f"<strong>File Label: {e(md.file_label)}</strong>",
+        f"<strong>File Format Version: {md.file_format_version or 0}</strong>",
+        f"<strong>File Encoding: {e(md.file_encoding)}</strong>"
+        if md.file_encoding is not None
+        else "",
+        f"<strong>Compression type: {e(md.compression)}</strong>",
+    ]
+    return rows[0] + "".join(
+        f'<div class="row metadata">{r}</div>' for r in rows[1:]
+    )
+
+
 @dataclass
 class Report:
     metadata: ReportMetadata = field(default_factory=ReportMetadata)
@@ -185,16 +232,13 @@ class Report:
             "details{margin:0.4em 0 1em 0}summary{cursor:pointer}"
             "h2{border-bottom:2px solid #eee;padding-bottom:0.2em}"
             ".meta{max-width:40em}.meta th{background:#f7f7f7;width:16em}"
+            ".row.metadata{margin:0.15em 0}#file-name{margin-bottom:0.3em}"
             "a.chk{color:inherit}"
             "</style></head><body>",
-            f"<h1 id='file-name'>{_html.escape(md.file_name)}</h1>",
-            "<h2>Metadata</h2><table class='meta'>",
         ]
-        for k, v in md.to_dict().items():
-            parts.append(
-                f"<tr><th>{_html.escape(str(k))}</th><td>{_html.escape(str(v))}</td></tr>"
-            )
-        parts.append("</table>")
+        # the reference's metadata block verbatim (html/mod.rs:209-262);
+        # the .metadata CSS below stands in for Bootstrap's .row spacing
+        parts.append(metadata_html(md))
         # per-category summary tables — the reference's layout
         # (report/html/mod.rs:44-77: Name | Status (N) | Description, rows
         # coloured table-success/table-danger); failing names anchor-link
@@ -247,7 +291,10 @@ class Report:
                 "<th scope='col'>Row number</th></tr>"
             )
             for i, l in enumerate(shown):
-                row = "-" if l.value_index < 0 else str(l.value_index)
+                # value_if_positive (html/mod.rs:129-135): the reference
+                # renders '-' for value <= 0 — row indexes are 0-based on
+                # both sides, so row 0 shows '-' there too (quirk kept)
+                row = "-" if l.value_index <= 0 else str(l.value_index)
                 parts.append(
                     f"<tr class='locator'><td scope='row'>{i + 1}</td>"
                     f"<td>{_html.escape(l.variable_name)}</td><td>{row}</td></tr>"

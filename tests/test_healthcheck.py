@@ -185,6 +185,38 @@ def test_report_shape(report):
     assert "Basic file checks" in html and "Disclosure risk" in html
 
 
+def test_report_metadata_html_golden():
+    """Mirror of the reference's golden-string test
+    (src/report/html/mod.rs:269-290): a default-constructed metadata block
+    renders CHARACTER-IDENTICAL HTML."""
+    from qamd_ray.report import ReportMetadata, metadata_html
+
+    md = ReportMetadata(file_name="test")
+    actual = (
+        '<div id="title" class="row"><h1 id="file-name">test</h1></div>'
+        '<div class="row metadata"><strong>Raw Case Count: 0</strong></div>'
+        '<div class="row metadata"></div>'
+        '<div class="row metadata"><strong>Total Variables: 0</strong></div>'
+        '<div class="row metadata"><strong>Data Type Occurrences: -</strong></div>'
+        '<div class="row metadata"><strong>Created At: 1970-01-01 00:00:00</strong></div>'
+        '<div class="row metadata"><strong>Last modified at: 1970-01-01 00:00:00</strong></div>'
+        '<div class="row metadata"><strong>File Label: </strong></div>'
+        '<div class="row metadata"><strong>File Format Version: 0</strong></div>'
+        '<div class="row metadata"></div>'
+        '<div class="row metadata"><strong>Compression type: </strong></div>'
+    )
+    assert metadata_html(md) == actual
+    # populated optionals fill their divs (the `@ if let Some(...)` arms)
+    md2 = ReportMetadata(
+        file_name="f", case_count=7, file_encoding="UTF-8",
+        data_type_occurrences={"Text": 2, "Numeric": 1},
+    )
+    h = metadata_html(md2)
+    assert "<strong>Aggregated Case Count: 7</strong>" in h
+    assert "<strong>File Encoding: UTF-8</strong>" in h
+    assert "<strong>Data Type Occurrences: Text: 2, Numeric: 1</strong>" in h
+
+
 # --- checks needing different meta/config run separately -------------------
 
 
