@@ -612,6 +612,78 @@ class _PorStream:
         return self.take(int(n or 0))
 
 
+# The documented "portable character set" positions our grammar needs
+# (PSPP manual, "Portable File Characters"; ReadStat carries the same
+# lookup): digits at 64-73, A-Z at 74-99, a-z at 100-125, space at 126,
+# EBCDIC-ordered punctuation at 127-155.  Positions 0-63 (control) and
+# 156-255 (accented letters) are outside the grammar and untranslated
+# bytes render U+FFFD — visible, never a silent mis-read.
+_POR_PUNCT = ".<(+|&[]!$*);^-/¦,%_>?`:#@'=\""
+
+
+def por_portable_charset() -> dict[int, str]:
+    import string as _s
+
+    out = {64 + i: c for i, c in enumerate("0123456789")}
+    out.update({74 + i: c for i, c in enumerate(_s.ascii_uppercase)})
+    out.update({100 + i: c for i, c in enumerate(_s.ascii_lowercase)})
+    out[126] = " "
+    out.update({127 + i: c for i, c in enumerate(_POR_PUNCT)})
+    return out
+
+
+def _por_80col_streams(raw: bytes) -> list[bytes]:
+    """Candidate joined byte streams: as-is, plus the 80-column layout cut
+    at a FIXED stride for each line terminator observed right after the
+    first 80 bytes.  Stride slicing (not a global strip) keeps data bytes
+    that happen to equal the terminator intact."""
+    outs = [raw]
+    for term in (b"\r\n", b"\n", b"\r", b"\x85", b"\x15", b"\x25"):
+        w = 80 + len(term)
+        if len(raw) > 80 and raw[80 : 80 + len(term)] == term:
+            pieces: list[bytes] = []
+            off, ok = 0, True
+            while off < len(raw):
+                pieces.append(raw[off : off + 80])
+                nxt = raw[off + 80 : off + 80 + len(term)]
+                if nxt == term:
+                    off += w
+                elif off + 80 >= len(raw):
+                    break
+                else:
+                    ok = False
+                    break
+            if ok:
+                outs.append(b"".join(pieces))
+    return outs
+
+
+def _por_decode_via_table(stream: bytes) -> Optional[str]:
+    """Bespoke translation-table decoding (the reference routes this
+    through ReadStat's table-driven translation, src/readstat/read.rs:
+    51-58): bytes 200..455 of the joined stream are the file's rendering
+    of each portable-set position; inverting them against the documented
+    portable set translates the whole stream.  Returns None unless the
+    translated stream reads SPSSPORT at offset 456 (the spec position) —
+    a wrong table can never silently mis-render."""
+    if len(stream) < 464:
+        return None
+    charset = por_portable_charset()
+    table = stream[200:456]
+    m: dict[int, str] = {}
+    ambiguous: set[int] = set()
+    for pos, ch in charset.items():
+        b = table[pos]
+        if b in m and m[b] != ch:
+            ambiguous.add(b)
+        else:
+            m[b] = ch
+    for b in ambiguous:  # a byte claimed by two positions translates to
+        m.pop(b, None)  # neither — U+FFFD makes the conflict loud
+    text = "".join(m.get(b, "�") for b in stream)
+    return text if text[456:464] == "SPSSPORT" else None
+
+
 def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
     """One ``.por`` portable file → (Arrow table with ``__row__``,
     TableMeta).  Supports the ASCII common case: numeric and string
@@ -624,11 +696,12 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
     mandatory SPSSPORT signature — latin-1 (ASCII superset, covering
     accented labels/values) first, then the EBCDIC code pages
     (cp037/cp500/cp875/cp1026/cp1140) that mainframe-written portable
-    files actually use.  This covers the translation cases that occur in
-    practice through canonical, verifiable codecs; a file using a bespoke
-    translation table whose signature matches no known code page fails
-    LOUDLY here rather than silently mis-rendering (the reference routes
-    this through ReadStat's table-driven translation).
+    files actually use.  A file matching no known code page falls back to
+    its OWN 256-byte translation table (bytes 200..455), inverted against
+    the documented portable character set — the same table-driven route
+    ReadStat takes (src/readstat/read.rs:51-58).  Either way the decode
+    must reproduce the SPSSPORT signature at its spec position or the
+    reader fails LOUDLY; there is no silent mis-rendering path.
     """
     raw_bytes = open(path, "rb").read()
     text = sig_at = None
@@ -643,10 +716,17 @@ def read_por_file(path: str) -> tuple[pa.Table, TableMeta]:
             text, sig_at = cand, at
             break
     if text is None:
+        # bespoke translation table: decode via the file's own table
+        for stream in _por_80col_streams(raw_bytes):
+            cand = _por_decode_via_table(stream)
+            if cand is not None:
+                text, sig_at = cand, 456
+                break
+    if text is None:
         raise ValueError(
             f"{path}: not a portable file (no SPSSPORT signature under "
-            "latin-1 or the known EBCDIC code pages; bespoke "
-            "translation-table charsets are not supported)"
+            "latin-1 or the known EBCDIC code pages, and the embedded "
+            "translation table does not decode to one either)"
         )
     st = _PorStream(text)
     st.i = sig_at + len("SPSSPORT")

