@@ -688,14 +688,35 @@ class AudioFeatures:
         )
 
 
+def _split_mjpeg(payload: bytes) -> list[bytes]:
+    """Concatenated-JPEG (MJPEG) payload → per-frame byte slices.  Valid
+    entropy data never contains a bare 0xFFD8/0xFFD9 (encoders stuff
+    0xFF00), so marker scans find true frame boundaries."""
+    frames: list[bytes] = []
+    start = 0
+    while True:
+        s = payload.find(b"\xff\xd8", start)
+        if s < 0:
+            break
+        e = payload.find(b"\xff\xd9", s)
+        if e < 0:
+            raise ValueError("truncated MJPEG frame")
+        frames.append(payload[s : e + 2])
+        start = e + 2
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG payload")
+    return frames
+
+
 class FrameSampler:
     """Actor stage for video rows: sample ``k`` frame indices uniformly and
     emit one row per sampled frame (flat_map-shaped via map_batches).
-    ``gif`` payloads decode FOR REAL (the from-scratch LZW codec above):
-    each emitted row carries the sampled frame's mean pixel value in
-    ``frame_mean``; containers without a codec emit -1.0 there, and so
-    do corrupt gif payloads unless ``strict=True`` (one bad row must
-    not kill a corpus-scale batch)."""
+    ``gif`` and ``mjpeg`` (concatenated baseline JPEG frames, 4:4:4 or
+    4:2:0) payloads decode FOR REAL (the from-scratch LZW/T.81 codecs
+    above): each emitted row carries the sampled frame's mean pixel value
+    in ``frame_mean``; containers without a codec emit -1.0 there, and so
+    do corrupt payloads unless ``strict=True`` (one bad row must not kill
+    a corpus-scale batch)."""
 
     def __init__(self, k: int = 4, strict: bool = False):
         self.k = k
@@ -721,6 +742,19 @@ class FrameSampler:
                     rgb = pal[dec]  # (nf, h, w, 3) via palette lookup
                     means = [
                         float(rgb[min(int(j), len(dec) - 1)].mean()) for j in idx
+                    ]
+                except ValueError:
+                    if self.strict:
+                        raise
+                    means = [-1.0] * kk
+            elif fmts[i] == "mjpeg":
+                # motion-JPEG: concatenated baseline JPEG frames; entropy
+                # data byte-stuffs 0xFF so SOI/EOI scans cannot false-hit
+                try:
+                    fr = _split_mjpeg(payloads[i] or b"")
+                    means = [
+                        float(decode_jpeg(fr[min(int(j), len(fr) - 1)]).mean())
+                        for j in idx
                     ]
                 except ValueError:
                     if self.strict:
@@ -962,10 +996,18 @@ def _jpeg_encode_blocks(blocks, q, dc_tab, ac_tab, bw, dc_pred):
     return dc_pred
 
 
-def encode_jpeg(img, quality=90):
+def encode_jpeg(img, quality=90, subsampling="444"):
+    """Baseline JPEG (T.81) encoder.  ``subsampling``: "444" (one block
+    per component per MCU) or "420" (2x2 Y blocks + box-averaged chroma
+    per 16x16 MCU — the layout the overwhelming majority of real-world
+    JPEGs use); grayscale ignores the option."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    if subsampling == "420" and not gray:
+        return _encode_jpeg_420(img, quality)
     # quality-scale quant tables (IJG formula)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     ql = np.clip((_JQL * s + 50) // 100, 1, 255)
@@ -1030,6 +1072,78 @@ def encode_jpeg(img, quality=90):
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_420(img, quality):
+    """RGB → 4:2:0 baseline JPEG: 16x16 MCUs of four Y blocks plus one
+    box-averaged Cb and Cr block each (T.81 A.2.3 raster order)."""
+    h, w = img.shape[:2]
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JQL * s + 50) // 100, 1, 255)
+    qc = np.clip((_JQC * s + 50) // 100, 1, 255)
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+
+    def _pad(c):
+        p = np.zeros((ph, pw), np.float64)
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        return p
+
+    yp = _pad(y)
+    cbd = _pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crd = _pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    out = bytearray(b"\xff\xd8")
+    zl = np.zeros(64, np.uint8)
+    zl[:] = ql.reshape(-1)[_JZZ]
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + zl.tobytes()
+    zc = np.zeros(64, np.uint8)
+    zc[:] = qc.reshape(-1)[_JZZ]
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 1) + zc.tobytes()
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    sof += _struct.pack(">BBB", 1, 0x22, 0)  # Y: 2x2 sampling
+    sof += _struct.pack(">BBB", 2, 0x11, 1)
+    sof += _struct.pack(">BBB", 3, 0x11, 1)
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _JDC_L_BITS, _JDC_L_VALS) + dht(1, 0, _JAC_L_BITS, _JAC_L_VALS)
+    out += dht(0, 1, _JDC_C_BITS, _JDC_C_VALS) + dht(1, 1, _JAC_C_BITS, _JAC_C_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _JpegBitWriter()
+    dcl = _jpeg_huff_codes(_JDC_L_BITS, _JDC_L_VALS)
+    acl = _jpeg_huff_codes(_JAC_L_BITS, _JAC_L_VALS)
+    dcc = _jpeg_huff_codes(_JDC_C_BITS, _JDC_C_VALS)
+    acc = _jpeg_huff_codes(_JAC_C_BITS, _JAC_C_VALS)
+    qlf, qcf = ql.astype(np.float64), qc.astype(np.float64)
+    py, pcb, pcr = 0, 0, 0
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for v in (0, 8):
+                for u in (0, 8):
+                    blk = yp[my + v : my + v + 8, mx + u : mx + u + 8]
+                    py = _jpeg_encode_blocks([blk], qlf, dcl, acl, bw, py)
+            cy, cx = my // 2, mx // 2
+            pcb = _jpeg_encode_blocks(
+                [cbd[cy : cy + 8, cx : cx + 8]], qcf, dcc, acc, bw, pcb
+            )
+            pcr = _jpeg_encode_blocks(
+                [crd[cy : cy + 8, cx : cx + 8]], qcf, dcc, acc, bw, pcr
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1117,9 +1231,10 @@ def _decode_jpeg_inner(payload):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                hf, vf = samp >> 4, samp & 15
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise ValueError(f"bad sampling factors {hf}x{vf}")
+                comps.append((cid, hf, vf, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker 0xff{marker:02x} (baseline only)")
@@ -1140,51 +1255,90 @@ def _decode_jpeg_inner(payload):
             # entropy data runs until next real marker (EOI) — BitReader
             # handles stuffing; find EOI to bound
             br = _JpegBitReader(data)
-            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-            planes = [np.zeros((ph, pw), np.float64) for _ in comps]
-            preds = [0] * len(comps)
-            for cid, tq in comps:
+            if len(scomp) != len(comps):
+                raise ValueError("non-interleaved multi-scan JPEG not supported")
+            for cid, hf, vf, tq in comps:
                 if tq not in qt:
                     raise ValueError(f"SOF references missing quant table {tq}")
             for _, dct, act in scomp:
                 if (0, dct) not in hts or (1, act) not in hts:
                     raise ValueError("SOS references missing huffman table")
-            qmap = {cid: qt[tq] for cid, tq in comps}
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
-                    for ci, (cid, dct, act) in enumerate(scomp):
-                        dc_tab = hts[(0, dct)]
-                        ac_tab = hts[(1, act)]
-                        zz = np.zeros(64, np.int64)
-                        cat = _jpeg_read_code(br, dc_tab)
-                        if cat > 15:
-                            raise ValueError(f"bad DC category {cat}")
-                        diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        i = 1
-                        while i < 64:
-                            rs = _jpeg_read_code(br, ac_tab)
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                i += 16
-                                continue
-                            run, cat = rs >> 4, rs & 15
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC coefficient overflow")
-                            zz[i] = _jpeg_extend(br.bits(cat), cat)
-                            i += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[_JZZ] = zz
-                        coefs = blk.reshape(8, 8) * qmap[cid]
-                        planes[ci][by : by + 8, bx : bx + 8] = _DCT8.T @ coefs @ _DCT8
-                    # (1x1 sampling: one block per component per MCU)
+            by_cid = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
+            if len(by_cid) != len(comps):
+                raise ValueError("duplicate component ids in SOF")
+            hmax = max(hf for _, hf, _, _ in comps)
+            vmax = max(vf for _, _, vf, _ in comps)
+            for _, hf, vf, _ in comps:
+                if hmax % hf or vmax % vf:
+                    raise ValueError(
+                        f"non-integer chroma upsampling {hf}x{vf} vs "
+                        f"{hmax}x{vmax}"
+                    )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-SCAN-component padded plane at its own resolution
+            planes = []
+            sinfo = []
+            for cid, dct, act in scomp:
+                if cid not in by_cid:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                hf, vf, tq = by_cid[cid]
+                planes.append(np.zeros((mcuy * 8 * vf, mcux * 8 * hf), np.float64))
+                sinfo.append((hf, vf, qt[tq], hts[(0, dct)], hts[(1, act)]))
+            preds = [0] * len(scomp)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hf, vf, q, dc_tab, ac_tab) in enumerate(sinfo):
+                        # T.81 A.2.3: hf*vf data units per component per
+                        # MCU, raster order inside the MCU
+                        for v in range(vf):
+                            for u in range(hf):
+                                zz = np.zeros(64, np.int64)
+                                cat = _jpeg_read_code(br, dc_tab)
+                                if cat > 15:
+                                    raise ValueError(f"bad DC category {cat}")
+                                diff = (
+                                    _jpeg_extend(br.bits(cat), cat) if cat else 0
+                                )
+                                preds[ci] += diff
+                                zz[0] = preds[ci]
+                                i = 1
+                                while i < 64:
+                                    rs = _jpeg_read_code(br, ac_tab)
+                                    if rs == 0x00:
+                                        break
+                                    if rs == 0xF0:
+                                        i += 16
+                                        continue
+                                    run, cat = rs >> 4, rs & 15
+                                    i += run
+                                    if i > 63:
+                                        raise ValueError("AC coefficient overflow")
+                                    zz[i] = _jpeg_extend(br.bits(cat), cat)
+                                    i += 1
+                                blk = np.zeros(64, np.float64)
+                                blk[_JZZ] = zz
+                                coefs = blk.reshape(8, 8) * q
+                                oy = (my * vf + v) * 8
+                                ox = (mx * hf + u) * 8
+                                planes[ci][oy : oy + 8, ox : ox + 8] = (
+                                    _DCT8.T @ coefs @ _DCT8
+                                )
+            # upsample subsampled components by sample replication and
+            # crop to the image size
+            full = []
+            for (hf, vf, _, _, _), plane in zip(sinfo, planes):
+                if hf != hmax or vf != vmax:
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1
+                    )
+                full.append(plane[:h, :w])
             if len(comps) == 1:
-                out = np.clip(planes[0][:h, :w] + 128.0, 0, 255)
+                out = np.clip(full[0] + 128.0, 0, 255)
                 return out.astype(np.uint8)
-            y, cb, cr = (p[:h, :w] for p in planes)
+            if len(comps) != 3:
+                raise ValueError(f"unsupported component count {len(comps)}")
+            y, cb, cr = full
             y = y + 128.0
             r = y + 1.402 * cr
             g = y - 0.344136 * cb - 0.714136 * cr

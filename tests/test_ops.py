@@ -1812,6 +1812,50 @@ def test_jpeg_codec_roundtrip():
     assert abs(out["pix_mean"][0].as_py() - dec2.mean()) < 1e-9
 
 
+def test_jpeg_420_roundtrip():
+    """4:2:0 chroma-subsampled baseline JPEG (VERDICT r3 #7 — the layout
+    most real-world JPEGs use): round-trips within the subsampling error
+    budget across dims incl. non-multiples of 16; luma stays sharp; the
+    ImageDecoder stage handles a 4:2:0 payload for real."""
+    x = np.linspace(0, 4 * np.pi, 48)
+    smooth = (127 + 100 * np.outer(np.sin(x), np.cos(x))).astype(np.uint8)
+    rgb = np.stack([smooth, smooth.T, 255 - smooth], axis=2)
+    for hh, ww in [(48, 48), (17, 23), (33, 15), (16, 16)]:
+        img = rgb[:hh, :ww]
+        enc = multimodal.encode_jpeg(img, quality=95, subsampling="420")
+        dec = multimodal.decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8, (hh, ww)
+    # 420 compresses chroma: smaller than 444 on real content
+    e444 = multimodal.encode_jpeg(rgb, quality=95, subsampling="444")
+    e420 = multimodal.encode_jpeg(rgb, quality=95, subsampling="420")
+    assert len(e420) < len(e444)
+    # luma-only accuracy: grey through the 420 colour path stays tight
+    grey3 = np.stack([smooth] * 3, axis=2)
+    d = multimodal.decode_jpeg(multimodal.encode_jpeg(grey3, quality=95, subsampling="420"))
+    assert np.abs(d.astype(int) - grey3.astype(int)).max() <= 8
+
+    dec_ref = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, quality=95, subsampling="420"))
+    row = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "format": pa.array(["jpeg"], pa.string()),
+            "width": pa.array([rgb.shape[1]], pa.int32()),
+            "height": pa.array([rgb.shape[0]], pa.int32()),
+            "n_frames": pa.array([1], pa.int32()),
+            "payload": pa.array(
+                [multimodal.encode_jpeg(rgb, quality=95, subsampling="420")],
+                pa.binary(),
+            ),
+        }
+    )
+    out = multimodal.ImageDecoder(resize=None, fake=False)(row)
+    assert abs(out["pix_mean"][0].as_py() - dec_ref.mean()) < 1e-9
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg(rgb, subsampling="422")
+
+
 def test_codec_fuzz_single_failure_type():
     """Untrusted-bytes contract: every mutated payload either decodes or
     raises ValueError — never IndexError/KeyError/OverflowError/zlib or
@@ -1824,6 +1868,8 @@ def test_codec_fuzz_single_failure_type():
         (multimodal.decode_png, multimodal.encode_png(rgb, filter_type=4)),
         (multimodal.decode_gif, multimodal.encode_gif(np.stack([img, img.T]))),
         (multimodal.decode_jpeg, multimodal.encode_jpeg(rgb, quality=80)),
+        (multimodal.decode_jpeg,
+         multimodal.encode_jpeg(rgb, quality=80, subsampling="420")),
         (multimodal.decode_netpbm, multimodal.encode_netpbm(rgb)),
     ]
     for dec, seed in cases:
@@ -1841,6 +1887,51 @@ def test_codec_fuzz_single_failure_type():
                 dec(bytes(b))
             except ValueError:
                 pass
+
+
+def test_frame_sampler_mjpeg_420():
+    """FrameSampler decodes an MJPEG payload of 4:2:0 frames for real
+    (VERDICT r3 #7) and stays tolerant on truncated payloads."""
+    x = np.linspace(0, 6, 32)
+    base = (127 + 100 * np.outer(np.sin(x), np.cos(x))).astype(np.uint8)
+    frames = [
+        np.stack([np.roll(base, 4 * f, axis=1)] * 3, axis=2) for f in range(4)
+    ]
+    payload = b"".join(
+        multimodal.encode_jpeg(f, quality=92, subsampling="420") for f in frames
+    )
+    expected = [
+        float(multimodal.decode_jpeg(p).mean())
+        for p in multimodal._split_mjpeg(payload)
+    ]
+    row = pa.table(
+        {
+            "media_id": pa.array([3], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "format": pa.array(["mjpeg"], pa.string()),
+            "width": pa.array([32], pa.int32()),
+            "height": pa.array([32], pa.int32()),
+            "n_frames": pa.array([4], pa.int32()),
+            "payload": pa.array([payload], pa.binary()),
+        }
+    )
+    out = multimodal.FrameSampler(k=2)(row)
+    assert out["frame_index"].to_pylist() == [0, 2]
+    assert out["frame_mean"].to_pylist() == [expected[0], expected[2]]
+    # corrupt payload: tolerant default, strict raises
+    bad = row.set_column(
+        row.column_names.index("payload"), "payload",
+        pa.array([payload[: len(payload) // 3]], pa.binary()),
+    )
+    tol = multimodal.FrameSampler(k=2)(bad)
+    assert len(tol) == 2  # rows still emitted (means may be real or -1)
+    with pytest.raises(ValueError):
+        multimodal.FrameSampler(k=2, strict=True)(
+            row.set_column(
+                row.column_names.index("payload"), "payload",
+                pa.array([b"\xff\xd8no-eoi"], pa.binary()),
+            )
+        )
 
 
 def test_frame_sampler_tolerates_corrupt_gif():
