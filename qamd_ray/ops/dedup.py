@@ -56,8 +56,9 @@ def with_content_hash(
     """Adds an md5 hex column (md5 so DuckDB's ``md5()`` is a direct oracle)."""
 
     def _h(batch: pa.Table) -> pa.Table:
-        vals = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
-        hs = [hashlib.md5(v.encode("utf-8", "surrogatepass")).hexdigest() for v in vals]
+        # hash straight from the Arrow values buffer (no per-row str
+        # allocation); nulls hash as "" like the previous fill_null path
+        hs = K.digest_rows(batch[text_col], "md5")
         return batch.append_column(out_col, pa.array(hs, pa.string()))
 
     return ds.map_batches(_h, batch_format="pyarrow")

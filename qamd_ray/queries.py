@@ -587,27 +587,25 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(emb, Q, k=10, num_planes=6, num_tables=12)
 
 
-def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs with an EXACT planted oracle (the
-    incremental_minhash construction, VERDICT r3 #2).  The derived corpus
-    replaces every text by its md5 hex (mutually dissimilar bases, J≈0)
-    and adds, per doc, either a ' zz'-suffixed near-dup of the base
-    (doc_id%3==0, true J = 28/31 ≈ 0.90 over 5-char shingles) or a fresh
-    rewrite md5(text||'q').  Seeded MinHash is deterministic, so the
-    output is pinned: star pairs (min id, member) inside every
-    identical-string cluster plus one (base rep, near rep) pair per text
-    with a planted near-dup — both SQL-expressible via md5 grouping.
-    Miss probability per planted pair ≈ 3e-8 (16 bands × 4 rows at
-    J=0.90) — and the seed is fixed, so a pass at the gate is permanent.
-    Real-corpus LSH behaviour stays covered by minhash_clusters +
-    the minhash_lsh bench entry."""
+def _planted_corpus(sf_dir: str, near_mode: str):
+    """The planted-dup derivation shared by the minhash/simhash exact
+    oracles (the incremental_minhash construction, VERDICT r3 #2): every
+    text becomes its md5 hex (mutually dissimilar bases, J≈0), and per
+    doc a second row under doc_id+1M carries either a planted dup of the
+    base — ``near_mode="suffix"``: base+' zz' (J = 28/31 ≈ 0.90 over
+    5-char shingles); ``near_mode="identical"``: the base verbatim
+    (hamming 0) — when doc_id%3==0, else a fresh rewrite md5(text||'q').
+    Returns (derived Dataset, n_rows)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()  # pure parquet read: metadata-only
 
     def _derive(b: pa.Table) -> pa.Table:
         ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
         base = pa.array(K.digest_rows(b["text"], "md5"), pa.string())
-        near = pc.binary_join_element_wise(base, " zz", "")
+        if near_mode == "suffix":
+            near = pc.binary_join_element_wise(base, " zz", "")
+        else:
+            near = base
         fresh = pa.array(
             K.digest_rows(
                 pc.binary_join_element_wise(
@@ -618,20 +616,48 @@ def q_minhash_pairs(sf_dir: str):
             pa.string(),
         )
         alt = pc.if_else(pa.array(ids % 3 == 0), near, fresh)
+        alt = alt.combine_chunks() if isinstance(alt, pa.ChunkedArray) else alt
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
-                "text": pa.concat_arrays([base, alt.combine_chunks() if isinstance(alt, pa.ChunkedArray) else alt]),
+                "text": pa.concat_arrays([base, alt]),
             }
         )
 
-    derived = docs.map_batches(_derive, batch_format="pyarrow")
-    pairs = dedup.minhash_lsh_pairs(
-        derived, jaccard_threshold=0.5, n_rows=2 * n_docs
-    )
+    return docs.map_batches(_derive, batch_format="pyarrow"), 2 * n_docs
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs with an EXACT planted oracle over
+    :func:`_planted_corpus` (suffix mode).  Seeded MinHash is
+    deterministic, so the output is pinned: star pairs (min id, member)
+    inside every identical-string cluster plus one (base rep, near rep)
+    pair per text with a planted near-dup — both SQL-expressible via md5
+    grouping.  Miss probability per planted pair ≈ 3e-8 (16 bands × 4
+    rows at J=0.90) — and the seed is fixed, so a pass at the gate is
+    permanent.  Real-corpus LSH behaviour stays covered by
+    minhash_clusters + the minhash_lsh bench entry."""
+    derived, n_rows = _planted_corpus(sf_dir, "suffix")
+    pairs = dedup.minhash_lsh_pairs(derived, jaccard_threshold=0.5, n_rows=n_rows)
     return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
+
+
+def q_minhash_clusters_planted(sf_dir: str):
+    """Near-dup CLUSTER assignment over the planted corpus, forced down
+    the fully distributed path (parquet-spilled signatures, hash-join
+    bucket pairing, Pregel min-label propagation, cluster-id attach —
+    the ADVICE r3 join-guard path) with an EXACT oracle: components are
+    per-text {base ∪ near} sets plus per-text fresh-rewrite sets, so
+    cluster_id = MIN(id) OVER the component key.  Unlike the pair query
+    this is immune even to exact-signature merges — merging clusters
+    inside one component cannot change the component minimum."""
+    derived, n_rows = _planted_corpus(sf_dir, "suffix")
+    out = dedup.minhash_clusters(
+        derived, jaccard_threshold=0.5, driver_collect_threshold=0, n_rows=n_rows
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_minhash_clusters(sf_dir: str):
@@ -671,32 +697,8 @@ def q_simhash_pairs(sf_dir: str):
     SQL twin.  SimHash is seed-free deterministic, so the outcome is
     pinned; the ≤3-hamming verification path itself is pytest-covered
     (test_simhash_pairs recall)."""
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = docs.count()
-
-    def _derive(b: pa.Table) -> pa.Table:
-        ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
-        base = pa.array(K.digest_rows(b["text"], "md5"), pa.string())
-        fresh = pa.array(
-            K.digest_rows(
-                pc.binary_join_element_wise(
-                    pc.fill_null(b["text"], ""), "q", ""
-                ),
-                "md5",
-            ),
-            pa.string(),
-        )
-        alt = pc.if_else(pa.array(ids % 3 == 0), base, fresh)
-        alt = alt.combine_chunks() if isinstance(alt, pa.ChunkedArray) else alt
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
-                "text": pa.concat_arrays([base, alt]),
-            }
-        )
-
-    derived = docs.map_batches(_derive, batch_format="pyarrow")
-    pairs = dedup.simhash_pairs(derived, max_hamming=3, n_rows=2 * n_docs)
+    derived, n_rows = _planted_corpus(sf_dir, "identical")
+    pairs = dedup.simhash_pairs(derived, max_hamming=3, n_rows=n_rows)
     return pairs[["id_a", "id_b"]] if len(pairs) else pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
@@ -1559,7 +1561,7 @@ def q_code_curation(sf_dir: str):
     def _tok_md5(batch: pa.Table) -> pa.Table:
         c = K._as_array(batch["content"])
         n_tok = pc.add(pc.count_substring(c, " "), 1)
-        hs = [hashlib.md5(v.encode()).hexdigest() for v in c.to_pylist()]
+        hs = K.digest_rows(c, "md5")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -2137,6 +2139,7 @@ QUERIES = {
     "ivf_index_topk": q_ivf_index_topk,
     "lsh_topk": q_lsh_topk,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_clusters_planted": q_minhash_clusters_planted,
     "minhash_clusters": q_minhash_clusters,
     "exact_dup_clusters": q_exact_dup_clusters,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2363,6 +2366,21 @@ ORACLES = {
         "   HAVING COUNT(CASE WHEN near THEN 1 END) > 0)"
         " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b"
         " FROM sp UNION ALL SELECT id_a, id_b FROM cp"
+    ),
+    # planted-dup twin of q_minhash_clusters_planted: components are
+    # per-text {base ∪ near} sets (the cross rep-edge joins them) plus
+    # per-text fresh-rewrite sets; cluster_id = component MIN
+    "minhash_clusters_planted": (
+        "WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS h,"
+        "   md5(coalesce(text, '') || 'q') AS hq, doc_id % 3 = 0 AS near"
+        "   FROM documents),"
+        " r AS (SELECT doc_id AS id, h || '|BZ' AS k FROM d"
+        "   UNION ALL"
+        "   SELECT doc_id + 1000000,"
+        "     CASE WHEN near THEN h || '|BZ' ELSE hq || '|F' END FROM d)"
+        " SELECT CAST(id AS BIGINT) AS doc_id,"
+        "  CAST(MIN(id) OVER (PARTITION BY k) AS BIGINT) AS cluster_id"
+        " FROM r"
     ),
     # planted-dup twin of q_simhash_pairs: identical copies only (hamming
     # 0), so expected pairs = star pairs of the identical-string clusters
