@@ -174,3 +174,82 @@ def dsir_scores(
         return pa.table({id_col: batch[id_col], out_col: scores})
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def cap_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "cap",
+) -> "ray.data.Dataset":
+    """Per-group quota sampling: keep AT MOST ``k`` rows of every group,
+    chosen as the k smallest ``md5(salt + str(id))`` — a deterministic,
+    seed-free, unbiased sample that is reproducible under any
+    parallelism (the standard per-domain/per-repo cap of web-corpus
+    curation, e.g. C4's per-URL and Gopher's per-domain limits).
+
+    Plan: one keys-only pass emits each batch's k smallest (group, hash)
+    candidates — the exchange is bounded by batches × groups × k, never
+    O(rows), and content never moves; the driver merges candidates into
+    a {group → k-th hash} threshold map (O(groups × k) driver state —
+    size-route to a hash-partitioned variant if group cardinality ever
+    approaches driver memory); a second streaming filter keeps rows at
+    or under their group's threshold.  md5 is collision-free at these
+    scales, so "≤ k-th smallest" keeps exactly min(k, |group|) rows.
+
+    DuckDB twin: ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    md5(salt || CAST(id AS VARCHAR))) <= k``.
+    """
+    if k < 1:
+        raise ValueError(f"cap_per_group: k must be >= 1 (got {k})")
+
+    def _hkeys(batch: pa.Table) -> list[str]:
+        ids = K._as_array(pc.cast(batch[id_col], pa.string()))
+        salted = pc.binary_join_element_wise(
+            pa.array([salt] * len(batch), pa.string()), ids, ""
+        )
+        return K.digest_rows(salted, "md5")
+
+    def _gkeys(batch: pa.Table) -> list:
+        # null group keys form their own group (SQL PARTITION BY
+        # semantics); the sentinel keeps sorts/dict lookups total-ordered
+        return [
+            "\x00<null>" if g is None else str(g)
+            for g in K._as_array(batch[group_col]).to_pylist()
+        ]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"g": _gkeys(batch), "h": _hkeys(batch)})
+        top = df.sort_values(["g", "h"], kind="stable").groupby(
+            "g", sort=False
+        ).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cand = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["g", "h"], kind="stable")
+    )
+    thr: dict = {}
+    for g, part in cand.groupby("g", sort=False):
+        hs = part["h"].to_numpy()
+        if len(hs) >= k:
+            thr[g] = hs[k - 1]
+    thr_ref = ray.put(thr)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        gs = _gkeys(batch)
+        hs = _hkeys(batch)
+        mask = np.fromiter(
+            (g not in t or h <= t[g] for g, h in zip(gs, hs)),
+            bool,
+            len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

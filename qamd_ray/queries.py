@@ -158,6 +158,18 @@ def q_balanced_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_cap_per_source(sf_dir: str):
+    """Per-domain quota sampling (ops.selection.cap_per_group — the
+    C4/Gopher per-domain cap shape): keep each source's 7 rows with the
+    smallest salted md5.  Keys-only candidate exchange + broadcast
+    threshold filter; EXACT row_number() OVER (PARTITION BY ...) twin."""
+    from .ops import selection
+
+    return selection.cap_per_group(
+        _t(sf_dir, "documents", ["doc_id", "source"]), "source", 7
+    )
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE-style pre-tokenizer token counts (RE2 pattern shared verbatim
     with the DuckDB oracle, so the counts are exact)."""
@@ -2117,6 +2129,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
     "balanced_sample": q_balanced_sample,
+    "cap_per_source": q_cap_per_source,
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
@@ -2464,6 +2477,13 @@ ORACLES = {
     "token_counts": (
         "SELECT doc_id, CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) "
         "AS n_tokens FROM documents"
+    ),
+    "cap_per_source": (
+        "SELECT doc_id, source FROM ("
+        "  SELECT doc_id, source, row_number() OVER ("
+        "    PARTITION BY source"
+        "    ORDER BY md5('cap' || CAST(doc_id AS VARCHAR))) AS rn"
+        "  FROM documents) WHERE rn <= 7"
     ),
     "balanced_sample": (
         "WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1), "

@@ -2097,6 +2097,39 @@ def test_shuffle_shards_deterministic_permutation():
     pd.testing.assert_frame_equal(out, out2)
 
 
+def test_cap_per_group():
+    """Per-group quota: exactly min(k, |group|) rows kept, the selection
+    matches a brute-force salted-md5 sort, null groups form their own
+    group, and k<1 raises."""
+    import hashlib
+
+    from qamd_ray.ops import selection
+
+    ids = list(range(40))
+    groups = (["a"] * 20 + ["b"] * 12 + [None] * 5 + ["tiny"] * 3)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "g": pa.array(groups, pa.string())})
+    )
+    out = selection.cap_per_group(ds, "g", 4, id_col="doc_id").to_pandas()
+    # brute force
+    df = pd.DataFrame({"doc_id": ids, "g": groups})
+    df["h"] = [hashlib.md5(f"cap{i}".encode()).hexdigest() for i in ids]
+    expect = (
+        df.sort_values(["h"])
+        .groupby("g", dropna=False, sort=False)
+        .head(4)["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert sorted(out["doc_id"]) == expect
+    sizes = out.groupby("g", dropna=False).size()
+    assert sizes["a"] == 4 and sizes["b"] == 4 and sizes["tiny"] == 3
+    assert sizes[sizes.index.isnull()].iloc[0] == 4
+    with pytest.raises(ValueError):
+        selection.cap_per_group(ds, "g", 0)
+
+
 def test_dsir_scores_vs_scalar_twin():
     """dsir_scores matches a plain-Python re-computation and ranks docs
     drawn from the target vocabulary above off-target docs."""
