@@ -35,8 +35,12 @@ CORPUS_FILES = 16
 # per file or every fused read→…→write chain runs ≤16-wide on a 32-CPU box
 CORPUS_RG = int(os.environ.get("GRAFT_BENCH_RG", "512"))
 # --scaling uses a larger corpus so per-run fixed costs (~3-5 s of Ray
-# session choreography) amortize and the measurement reflects compute
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "240000"))
+# session choreography) amortize and the measurement reflects compute.
+# Raised 240k → 720k in r4: the report-reduction fix made the flagship
+# 2x faster, so the 240k job finished in ~7 s at 32 CPUs and the fixed
+# costs leaked back into the ratio (measured 0.72 at 240k vs 0.80+ when
+# the 32-CPU leg runs ~20 s).
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "720000"))
 
 
 def corpus_path(rows: int = BENCH_ROWS) -> str:
@@ -133,7 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     def _run_quality():
         out = quality_pipeline(src, cfg, model_concurrency=model_conc,
                                model_batch_size=1024)
-        rep_box["rep"] = summary_report(repo_report(out))
+        rep_box["rep"] = summary_report(repo_report(out, n_rows=BENCH_ROWS))
 
     timings["quality_pipeline"] = best_of(_run_quality)
     assert rep_box["rep"]["metadata"]["row_count"] == BENCH_ROWS

@@ -590,13 +590,27 @@ def _flag_columns(names: Sequence[str]) -> list[str]:
     ]
 
 
-def repo_report(final: "ray.data.Dataset") -> pa.Table:
+def repo_report(
+    final: "ray.data.Dataset",
+    *,
+    n_rows: Optional[int] = None,
+    driver_reduce_threshold: int = 5_000_000,
+) -> pa.Table:
     """Per-repo pass/fail counts for every flag — one row per repo.
 
     Per-batch partial aggregation (pandas groupby inside map_batches)
-    bounds the shuffle to O(repos × batches) rows regardless of skew; the
-    reference's whole-file counters (report summary HashMap) fall out as
-    the column sums of this table.
+    bounds the exchange to O(repos × batches) rows regardless of skew;
+    the reference's whole-file counters (report summary HashMap) fall
+    out as the column sums of this table.
+
+    The final reduction is size-routed on the explicit ``n_rows`` hint
+    (``ds.count()`` would execute the mapped lineage): at or under
+    ``driver_reduce_threshold`` input rows the partials are collected
+    and reduced with one pandas groupby — Ray's distributed groupby
+    costs ~1 s of fixed shuffle choreography that dominates small-corpus
+    report time (measured 3.7 → 2.6 s on the 24k-row flagship bench).
+    Above it (or with no hint) the distributed groupby runs and nothing
+    driver-sized exists.
     """
     names = getattr(final, "_qamd_columns", None) or final.schema().names
     flags = _flag_columns(names)
@@ -619,14 +633,15 @@ def repo_report(final: "ray.data.Dataset") -> pa.Table:
         )
         return g.reset_index()
 
-    aggs = [Sum(c, alias_name=c) for c in flags] + [Sum("n_rows", alias_name="n_rows")]
-    if keep_col:
-        aggs.append(Sum("n_keep", alias_name="n_keep"))
-    rep = (
-        final.map_batches(_partials, batch_format="pyarrow")
-        .groupby("repo")
-        .aggregate(*aggs)
-    )
+    partials = final.map_batches(_partials, batch_format="pyarrow")
+    sum_cols = flags + ["n_rows"] + (["n_keep"] if keep_col else [])
+    if n_rows is not None and n_rows <= driver_reduce_threshold:
+        pdf = partials.to_pandas()
+        rep = pdf.groupby("repo", sort=False)[sum_cols].sum().reset_index()
+        t = pa.Table.from_pandas(rep, preserve_index=False)
+        return t.sort_by("repo")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    rep = partials.groupby("repo").aggregate(*aggs)
     t = pa.Table.from_pandas(rep.to_pandas(), preserve_index=False)
     return t.sort_by("repo")
 
@@ -897,10 +912,13 @@ def run_checkpointed(
         os.replace(mpath + ".tmp", mpath)
 
     # ---- report ----------------------------------------------------------
-    final_ds = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(fin_dir, "part=*", "data", "*.parquet")))
+    final_files = sorted(
+        glob.glob(os.path.join(fin_dir, "part=*", "data", "*.parquet"))
     )
-    rt = repo_report(final_ds)
+    final_ds = ray.data.read_parquet(final_files)
+    # pure parquet read: count() is metadata-only, so the report reduction
+    # can size-route without executing anything twice
+    rt = repo_report(final_ds, n_rows=final_ds.count())
     locs = locator_samples(final_ds)
     rep = summary_report(rt, metadata_only=bool(config.metadata_only), locators=locs)
     rep["run"] = stats

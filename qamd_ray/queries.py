@@ -883,7 +883,9 @@ def q_quality_filter(sf_dir: str):
 def q_quality_repo_report(sf_dir: str):
     cfg = quality_config()
     out = quality_pipeline(documents_as_code_table(sf_dir), cfg, model_concurrency=2)
-    return repo_report(out)
+    # metadata-only count of the raw parquet sizes the report reduction
+    n = _t(sf_dir, "documents", ["doc_id"]).count()
+    return repo_report(out, n_rows=n)
 
 
 def q_dup_line_stats(sf_dir: str):

@@ -152,6 +152,17 @@ def test_repo_report_and_summary(corpus, cfg, final_df):
         assert len(ls) == min(int(final_df["f_" + name].sum()), 1000)
 
 
+def test_repo_report_paths_equivalent(final_df):
+    """The size-routed driver reduction and the distributed groupby must
+    produce the identical per-repo table (n_rows below vs above the
+    threshold forces each path)."""
+    ds = ray.data.from_pandas(final_df)
+    a = repo_report(ds, n_rows=len(final_df))  # driver path
+    b = repo_report(ds, n_rows=len(final_df), driver_reduce_threshold=0)
+    assert a.column_names == b.column_names
+    assert a.equals(b)
+
+
 def test_metadata_only_suppresses_locators(corpus, cfg, final_df):
     """macros.rs:12-13 semantics: metadata_only drops locators, keeps counts."""
     ds = ray.data.from_pandas(final_df)
