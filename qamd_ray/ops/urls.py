@@ -1,0 +1,241 @@
+"""URL canonicalization and domain extraction for web-curation pipelines.
+
+Standard CommonCrawl-style pre-dedup step: web corpora carry one URL per
+page, and exact-URL dedup only works after tracking parameters, default
+ports, ``www.`` prefixes, fragments and case differences are normalized
+away.  The reference has no URL stage (its inputs are survey files); this
+is part of the graft's LLM-pipeline op set, like ``ops/textstats.py``.
+
+Everything is one stateless vectorized ``map_batches`` stage — pyarrow
+``extract_regex`` for the parse, flat numpy ``lexsort``/``bincount`` over
+the exploded query parameters (no per-row Python), ``pc.binary_join`` to
+rebuild.  Each rule has an exact DuckDB twin (``list_filter``/``list_sort``
+lambdas over ``string_split``), used by the ``canonical_urls`` /
+``url_dedup`` oracle queries.
+
+Canonicalization rules (applied only to rows matching
+``scheme://authority``; non-URL rows canonicalize to null):
+
+1. scheme lowercased;
+2. host lowercased, one leading ``www.`` stripped, default port stripped
+   (``:80`` for http, ``:443`` for https);
+3. empty path becomes ``/``;
+4. query parameters split on ``&``; empty params and tracking params
+   (name ``utm_*`` or in TRACKING_NAMES) dropped; the rest sorted
+   bytewise and re-joined (dropped entirely if none survive);
+5. fragment dropped.
+
+Ordering note: parameter sort is bytewise (numpy ``<U`` sort == DuckDB
+binary collation on ASCII); non-ASCII param names would need a collation
+pin, documented here rather than handled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import kernels as K
+
+# non-identifying tracking parameters commonly stripped by canonicalizers
+TRACKING_NAMES = ("fbclid", "gclid", "ref", "mc_cid", "mc_eid")
+
+# one regex so the Python and SQL twins share a single source of truth
+_TRACKING_RE = r"^(utm_[^=]*|" + "|".join(TRACKING_NAMES) + r")(=|$)"
+
+_PARSE_RE = r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+_QUERY_RE = r"\?(?P<q>[^#]*)"
+
+
+def _canon_query(rawq: pa.Array) -> pa.Array:
+    """Sorted, tracking-stripped re-join of ``k=v&...`` query strings.
+
+    Fully vectorized: explode via split offsets, mask, one lexsort over
+    (row, param), rebuild a ListArray from bincount offsets, binary_join.
+    """
+    parts = K._as_array(pc.split_pattern(pc.fill_null(rawq, ""), "&"))
+    flat = K._as_array(parts.flatten())
+    n = len(parts)
+    counts = np.diff(np.asarray(parts.offsets))
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, _TRACKING_RE)),
+    )
+    keep_np = np.asarray(keep.to_numpy(zero_copy_only=False), dtype=bool)
+    kept_rows = row_idx[keep_np]
+    kept_params = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)[keep_np]
+    kept_params = kept_params.astype(str)
+
+    # sort within each row: primary key row, secondary key param bytes
+    order = np.lexsort((kept_params, kept_rows))
+    kept_rows = kept_rows[order]
+    kept_params = kept_params[order]
+
+    new_counts = np.bincount(kept_rows, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(new_counts, out=offsets[1:])
+    rebuilt = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(kept_params, pa.string())
+    )
+    return K._as_array(pc.binary_join(rebuilt, "&"))
+
+
+def canonicalize_urls(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    domain_col: str = "domain",
+) -> "ray.data.Dataset":
+    """Add ``out_col`` (canonical URL, null for non-URL rows) and
+    ``domain_col`` (registrable domain: last two host labels — a
+    public-suffix list would replace this heuristic in production, the
+    sandbox has none; single-label hosts pass through)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        urls = K._as_array(pc.cast(batch[url_col], pa.string()))
+        parsed = pc.extract_regex(urls, _PARSE_RE)
+        valid = pc.is_valid(parsed)
+        scheme = pc.utf8_lower(pc.struct_field(parsed, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(parsed, "host"))
+        host = pc.replace_substring_regex(host, r"^www\.", "", max_replacements=1)
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", "", max_replacements=1),
+            host,
+        )
+        host = pc.if_else(
+            pc.equal(scheme, "https"),
+            pc.replace_substring_regex(host, r":443$", "", max_replacements=1),
+            host,
+        )
+        path = pc.struct_field(parsed, "path")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+
+        qs = pc.struct_field(pc.extract_regex(urls, _QUERY_RE), "q")
+        q = _canon_query(qs)
+        qpart = pc.if_else(pc.equal(q, ""), "", pc.binary_join_element_wise("?", q, ""))
+
+        canon = pc.binary_join_element_wise(
+            scheme, "://", host, path, pc.fill_null(qpart, ""), ""
+        )
+        canon = pc.if_else(valid, canon, pa.nulls(len(urls), pa.string()))
+
+        dom = pc.struct_field(
+            pc.extract_regex(pc.fill_null(host, ""), r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        )
+        dom = pc.if_else(pc.is_valid(dom), dom, host)
+        dom = pc.if_else(valid, dom, pa.nulls(len(urls), pa.string()))
+
+        out = batch
+        for name, arr in ((out_col, canon), (domain_col, dom)):
+            out = out.append_column(name, K._as_array(arr))
+        return out
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def url_dedup(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Keep-first (min ``id_col``) dedup by canonical URL.
+
+    Canonicalize, then reuse the exact-dedup machinery keyed on the
+    canonical string (``ops.dedup.exact_dedup`` semantics: winner = min
+    id per key).  Null canonicals — non-URL rows — are ALL kept: each is
+    keyed by a per-row sentinel (``\\x00<id>``, unambiguous because a
+    canonical URL never starts with a control byte) so they can't collide
+    with each other or with real URLs.  The shuffle is keys-only (md5 of
+    the canonical), same scale posture as content dedup.
+    """
+    from . import dedup
+
+    canon = canonicalize_urls(ds, url_col=url_col)
+
+    def _sentinel(batch: pa.Table) -> pa.Table:
+        c = batch["canonical_url"]
+        filled = pc.if_else(
+            pc.is_valid(c),
+            c,
+            pc.binary_join_element_wise(
+                "\x00", pc.cast(batch[id_col], pa.string()), ""
+            ),
+        )
+        # a separate key column (not canonical_url itself) so the
+        # no-duplicates early return inside exact_dedup can't leak
+        # sentinel strings into the output's canonical column
+        return batch.append_column("_url_key", K._as_array(filled))
+
+    keyed = canon.map_batches(_sentinel, batch_format="pyarrow")
+    deduped = dedup.exact_dedup(keyed, text_col="_url_key", id_col=id_col)
+    return deduped.map_batches(
+        lambda b: b.drop_columns(["_url_key"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin fragments (kept next to the kernel so the rules can't drift)
+# ---------------------------------------------------------------------------
+
+def canonical_sql(url_expr: str) -> str:
+    """DuckDB expression computing the same canonical URL as
+    :func:`canonicalize_urls` for ``url_expr``.  Emitted as a 3-level
+    nested CASE/CTE-free expression so callers can inline it."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rawhost = (
+        f"regexp_replace(lower(regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({rawhost}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({rawhost}, ':443$', '')"
+        f" ELSE {rawhost} END"
+    )
+    path = (
+        f"CASE WHEN regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'"
+        f" ELSE regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
+    )
+    rawq = (
+        f"CASE WHEN {url_expr} LIKE '%?%' THEN"
+        f" regexp_extract({url_expr}, '\\?([^#]*)', 1) ELSE '' END"
+    )
+    # coalesce: DuckDB's array_to_string yields NULL (not '') on an empty list
+    q = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({rawq}, '&'),"
+        f" x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))), '&'), '')"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN NULL ELSE"
+        f" {scheme} || '://' || {host} || {path} ||"
+        f" CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END END"
+    )
+
+
+def domain_sql(url_expr: str) -> str:
+    """DuckDB expression for the registrable-domain heuristic of
+    :func:`canonicalize_urls` (last two labels of the canonical host)."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    rawhost = (
+        f"regexp_replace(lower(regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({rawhost}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({rawhost}, ':443$', '')"
+        f" ELSE {rawhost} END"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN NULL"
+        f" WHEN {host} LIKE '%.%' THEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+        f" ELSE {host} END"
+    )

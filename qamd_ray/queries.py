@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Min, Sum
 from . import kernels as K
 from .gen_config import quality_config
 from .healthcheck import VariableMeta, frequency_table
-from .ops import dedup, joins, similarity, textstats
+from .ops import dedup, joins, similarity, textstats, urls
 from .pipeline import quality_pipeline, repo_integrity, repo_report
 from .sources import read_parquet_with_row_index
 
@@ -2115,6 +2115,70 @@ def q_dsir_scores(sf_dir: str):
     return selection.dsir_scores(ds, _is_en)
 
 
+def _synth_urls(sf_dir: str):
+    """Deterministic per-doc URL corpus for the URL ops (documents has no
+    URL column): four variants cycling on doc_id — v0 and v2 canonicalize
+    identically (guaranteed dup pairs: tracking params + default port +
+    WWW/case noise vs a clean twin), v1 differs only by scheme (NOT a
+    dup), v3 is not a URL at all (null canonical, exercises the null
+    path).  Built identically in SQL by ``_SYNTH_URL_SQL``."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids_np = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        k = pa.array((ids_np // 4).astype(str), pa.string())
+        idstr = pa.array(ids_np.astype(str), pa.string())
+        j = pc.binary_join_element_wise
+        v0 = j(
+            "HTTP://WWW.News.Example.COM:80/docs/",
+            k,
+            "?utm_source=rss&b=2&a=1#sec",
+            "",
+        )
+        v1 = j("https://news.example.com:443/docs/", k, "?a=1&b=2", "")
+        v2 = j("http://news.example.com/docs/", k, "?b=2&utm_medium=email&a=1", "")
+        v3 = j("not-a-url ", idstr, "")
+        m = ids_np % 4
+        url = pc.if_else(
+            pa.array(m == 0),
+            v0,
+            pc.if_else(pa.array(m == 1), v1, pc.if_else(pa.array(m == 2), v2, v3)),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "url": K._as_array(url)})
+
+    return ds.map_batches(_mk, batch_format="pyarrow")
+
+
+_SYNTH_URL_SQL = (
+    "SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)"
+    " WHEN 0 THEN 'HTTP://WWW.News.Example.COM:80/docs/'"
+    "   || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=rss&b=2&a=1#sec'"
+    " WHEN 1 THEN 'https://news.example.com:443/docs/'"
+    "   || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'"
+    " WHEN 2 THEN 'http://news.example.com/docs/'"
+    "   || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_medium=email&a=1'"
+    " ELSE 'not-a-url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents"
+)
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization + registrable-domain extraction
+    (ops.urls.canonicalize_urls — the CommonCrawl pre-dedup normalize
+    step: scheme/host case, www., default ports, tracking params,
+    fragment).  EXACT DuckDB twin built from the same rule fragments
+    (ops.urls.canonical_sql / domain_sql)."""
+    return urls.canonicalize_urls(_synth_urls(sf_dir))
+
+
+def q_url_dedup(sf_dir: str):
+    """Keep-first dedup by canonical URL (ops.urls.url_dedup): v2 rows
+    always lose to their v0 twin; null canonicals (v3) are all kept via
+    per-row sentinels — the SQL twin mirrors the sentinel in its
+    PARTITION BY coalesce.  Keys-only shuffle, same scale posture as
+    content dedup."""
+    return urls.url_dedup(_synth_urls(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2220,6 +2284,8 @@ QUERIES = {
     "parquet_audit": q_parquet_audit,
     "z_order_events": q_z_order_events,
     "active_time": q_active_time,
+    "canonical_urls": q_canonical_urls,
+    "url_dedup": q_url_dedup,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3137,5 +3203,30 @@ ORACLES = {
         f" CAST(MIN({c}) AS VARCHAR) AS min_s,"
         f" CAST(MAX({c}) AS VARCHAR) AS max_s FROM orders"
         for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    ),
+    # URL canonicalization: the SQL is generated from the SAME rule
+    # fragments the Arrow kernel documents (ops.urls.canonical_sql /
+    # domain_sql), over the same synthetic URL corpus.
+    "canonical_urls": (
+        "WITH u AS (" + _SYNTH_URL_SQL + ")"
+        " SELECT doc_id, url, "
+        + urls.canonical_sql("url")
+        + " AS canonical_url, "
+        + urls.domain_sql("url")
+        + " AS domain FROM u"
+    ),
+    # keep-first by canonical URL; NULL canonicals keyed per-row exactly
+    # like the op's sentinel (chr(0) || id) so all non-URL rows survive
+    "url_dedup": (
+        "WITH u AS (" + _SYNTH_URL_SQL + "),"
+        " c AS (SELECT doc_id, url, "
+        + urls.canonical_sql("url")
+        + " AS canonical_url, "
+        + urls.domain_sql("url")
+        + " AS domain FROM u),"
+        " w AS (SELECT *, MIN(doc_id) OVER (PARTITION BY"
+        " coalesce(canonical_url, chr(0) || CAST(doc_id AS VARCHAR)))"
+        " AS wmin FROM c)"
+        " SELECT doc_id, url, canonical_url, domain FROM w WHERE doc_id = wmin"
     ),
 }

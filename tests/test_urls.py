@@ -1,0 +1,110 @@
+"""URL canonicalization / domain / dedup (qamd_ray.ops.urls).
+
+Twin-parity is additionally pinned end-to-end by the canonical_urls /
+url_dedup oracle queries; these tests cover the rule edge cases and the
+null/sentinel semantics directly.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from qamd_ray.ops import urls
+
+CASES = [
+    # (input, canonical, domain)
+    (
+        "HTTP://WWW.news.Example.COM:80/docs/5?utm_source=rss&b=2&a=1#sec",
+        "http://news.example.com/docs/5?a=1&b=2",
+        "example.com",
+    ),
+    ("https://news.example.com:443/docs/5?a=1&b=2",
+     "https://news.example.com/docs/5?a=1&b=2", "example.com"),
+    # no path -> "/"
+    ("https://x.example.com", "https://x.example.com/", "example.com"),
+    # tracking-only query drops entirely; bare names (no "=") also match
+    ("http://a.b/?utm_campaign=x&ref", "http://a.b/", "a.b"),
+    # :80 is NOT default for https; :443 not for http; ftp keeps both
+    ("https://h.example.com:80/p", "https://h.example.com:80/p", "example.com:80"),
+    ("ftp://Host.Example.com:443/f", "ftp://host.example.com:443/f",
+     "example.com:443"),
+    # params sort bytewise; duplicates survive; empty params drop
+    ("http://h.io/p?z=1&&a=2&a=1", "http://h.io/p?a=1&a=2&z=1", "h.io"),
+    # single-label host: domain == host
+    ("http://localhost:8080/x", "http://localhost:8080/x", "localhost:8080"),
+    # only the FIRST www. strips
+    ("http://www.www.example.com/", "http://www.example.com/", "example.com"),
+    ("not a url", None, None),
+    (None, None, None),
+]
+
+
+def _run(urls_in):
+    tbl = pa.table(
+        {"doc_id": list(range(len(urls_in))), "url": pa.array(urls_in, pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    return (
+        urls.canonicalize_urls(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_canonicalize_cases():
+    out = _run([c[0] for c in CASES])
+    for i, (u, canon, dom) in enumerate(CASES):
+        assert out.loc[i, "canonical_url"] == canon or (
+            canon is None and pd.isna(out.loc[i, "canonical_url"])
+        ), (u, out.loc[i, "canonical_url"])
+        assert out.loc[i, "domain"] == dom or (
+            dom is None and pd.isna(out.loc[i, "domain"])
+        ), (u, out.loc[i, "domain"])
+
+
+def test_sql_twin_matches_kernel():
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(CASES))),
+            "url": pa.array([c[0] for c in CASES], pa.string()),
+        }
+    )
+    out = _run([c[0] for c in CASES])
+    con = duckdb.connect()
+    con.register("u", tbl)
+    sq = con.execute(
+        f"SELECT doc_id, {urls.canonical_sql('url')} AS canonical_url,"
+        f" {urls.domain_sql('url')} AS domain FROM u ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "canonical_url", "domain"]], sq
+    )
+
+
+def test_url_dedup_keeps_nulls_and_min_id():
+    urls_in = [
+        "http://WWW.a.example.com:80/p?utm_source=x",  # 0: canon http://a.example.com/p
+        "http://a.example.com/p",                      # 1: dup of 0 -> dropped
+        "garbage",                                     # 2: null canonical -> kept
+        "also garbage",                                # 3: null canonical -> kept
+        "http://a.example.com/p?k=1",                  # 4: distinct -> kept
+    ]
+    tbl = pa.table({"doc_id": [0, 1, 2, 3, 4], "url": pa.array(urls_in, pa.string())})
+    out = urls.url_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]
+    # sentinel key column must not leak; canonical stays null for non-URLs
+    assert "_url_key" not in out.columns
+    assert out.set_index("doc_id").loc[2, "canonical_url"] is None or pd.isna(
+        out.set_index("doc_id").loc[2, "canonical_url"]
+    )
+
+
+def test_url_dedup_no_duplicates_passthrough():
+    # exercises exact_dedup's schemaless-empty early return inside url_dedup
+    urls_in = ["http://a.io/1", "http://a.io/2", "junk"]
+    tbl = pa.table({"doc_id": [0, 1, 2], "url": pa.array(urls_in, pa.string())})
+    out = urls.url_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+    assert "_url_key" not in out.columns
+    assert pd.isna(out.sort_values("doc_id")["canonical_url"].iloc[2])
