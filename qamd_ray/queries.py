@@ -185,9 +185,41 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_langid_docs(sf_dir: str):
-    """Stopword-marker language-ID heuristic (no SQL oracle — heuristic)."""
+    """Stopword-marker language-ID heuristic.  EXACT DuckDB twin
+    (_LANGID_ORACLE, generated from the same LANG_MARKERS table):
+    integer hit counts per language, argmax with first-in-sorted-order
+    tie-break — no floats anywhere, so the twin is bit-exact."""
     out = textstats.langid_heuristic(_t(sf_dir, "documents", ["doc_id", "text"]))
     return out.select_columns(["doc_id", "langid_guess"])
+
+
+def _langid_oracle() -> str:
+    """SQL twin of textstats.langid_heuristic (min_hits=1): whitespace
+    tokens of lower(text), per-language marker membership counts,
+    CASE-chain argmax in sorted language order (== np.argmax first-max)."""
+    langs = sorted(textstats.LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        marker = sorted(textstats.LANG_MARKERS[lang])
+        if marker:
+            inlist = ", ".join(f"'{m}'" for m in marker)
+            expr = (
+                f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS BIGINT)"
+            )
+        else:
+            expr = "CAST(0 AS BIGINT)"
+        score_cols.append(f"{expr} AS s_{lang}")
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs)
+    return (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
+        " '\\s+'), x -> x <> '') AS toks FROM documents),"
+        " s AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM t)"
+        " SELECT doc_id, CASE WHEN " + mx + " < 1 THEN 'unknown' "
+        + pick
+        + " END AS langid_guess FROM s"
+    )
 
 
 def q_leakage_safe_split(sf_dir: str):
@@ -2381,6 +2413,7 @@ _WEBCUR_ORACLE = (
 )
 
 ORACLES = {
+    "langid_docs": _langid_oracle(),
     "gopher_rules": _GOPHER_ORACLE,
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
