@@ -785,6 +785,42 @@ def q_embedding_dups(sf_dir: str):
     )
 
 
+def q_embedding_dups_planted(sf_dir: str):
+    """Embedding near-dup pairs with an EXACT planted oracle: every 10th
+    vector is duplicated verbatim at vec_id+1M.  Identical vectors land
+    in the same bucket of EVERY LSH table (same hyperplane signs), so
+    recall on the planted pairs is exactly 1 — not probabilistic — and
+    their cosine is ~1.0, far from the 0.95 threshold; all other corpus
+    pairs sit ≤~0.51 at every sf, far below it.  The SQL twin is literal
+    all-pairs ``list_cosine_similarity`` over the same derived corpus, so
+    both engines agree pair-for-pair (a non-planted pair inside
+    (0.95, 1) would break LSH-vs-exact agreement; none exists at any
+    tested sf, and the 0.44 margin makes float noise irrelevant)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["vec_id"], pa.int64())
+        base = pa.table({"vec_id": K._as_array(ids), "embedding": batch["embedding"]})
+        keep = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        sub = base.filter(keep)
+        dup = pa.table(
+            {
+                "vec_id": K._as_array(pc.add(sub["vec_id"], 1_000_000)),
+                "embedding": sub["embedding"],
+            }
+        )
+        return pa.concat_tables([base, dup])
+
+    pairs = dedup.embedding_dup_pairs(
+        ds.map_batches(_plant, batch_format="pyarrow"), cosine_threshold=0.95
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+    return pairs[["id_a", "id_b"]]
+
+
 def q_media_decode_stats(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
     table (no media table exists in the sf testdata; the synth rows are
@@ -2318,6 +2354,7 @@ QUERIES = {
     "active_time": q_active_time,
     "canonical_urls": q_canonical_urls,
     "url_dedup": q_url_dedup,
+    "embedding_dups_planted": q_embedding_dups_planted,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3261,5 +3298,17 @@ ORACLES = {
         " coalesce(canonical_url, chr(0) || CAST(doc_id AS VARCHAR)))"
         " AS wmin FROM c)"
         " SELECT doc_id, url, canonical_url, domain FROM w WHERE doc_id = wmin"
+    ),
+    # planted-identical embedding dups: literal all-pairs cosine in SQL
+    # vs LSH+exact-verify in Ray — agreement is exact because identical
+    # vectors have LSH recall 1 and nothing else approaches the threshold
+    "embedding_dups_planted": (
+        "WITH base AS (SELECT vec_id, embedding FROM embeddings),"
+        " planted AS (SELECT vec_id + 1000000 AS vec_id, embedding"
+        "   FROM base WHERE vec_id % 10 = 0),"
+        " all_v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)"
+        " SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        " FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
     ),
 }
