@@ -150,12 +150,19 @@ def langid_heuristic(
 
     Vectorized: tokens flattened once per batch, per-language membership
     via pandas' hashed ``Index.isin``, per-row counts via a cumsum over
-    the list offsets — no Python lambda per row."""
+    the list offsets — no Python lambda per row.
+
+    Tokenizes on the explicit ``_WS_CLASS`` (ASCII whitespace), NOT
+    ``utf8_split_whitespace``: the SQL twin (queries._langid_oracle)
+    splits with the same literal class, and RE2's ``\\s`` vs Arrow's
+    Unicode whitespace diverge on NBSP/U+3000 — one spelled-out class on
+    both sides keeps the twin bit-exact (empty tokens from leading
+    whitespace are never markers, so they don't need filtering)."""
     langs = sorted(LANG_MARKERS)
 
     def _f(batch: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(K._as_array(batch[text_col]), ""))
-        toks = K._as_array(pc.utf8_split_whitespace(text))
+        toks = K._as_array(pc.split_pattern_regex(text, _WS_CLASS))
         flat = toks.flatten()
         offsets = np.asarray(toks.offsets)
         start, end = offsets[:-1], offsets[1:]

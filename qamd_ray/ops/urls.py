@@ -40,14 +40,20 @@ import ray.data
 
 from .. import kernels as K
 
-# non-identifying tracking parameters commonly stripped by canonicalizers
-TRACKING_NAMES = ("fbclid", "gclid", "ref", "mc_cid", "mc_eid")
+# non-identifying tracking parameters commonly stripped by canonicalizers.
+# Deliberately NOT bare "ref": on code hosts ?ref=<branch> selects the
+# content, so stripping it would merge genuinely different documents.
+TRACKING_NAMES = ("fbclid", "gclid", "ref_src", "mc_cid", "mc_eid")
 
 # one regex so the Python and SQL twins share a single source of truth
 _TRACKING_RE = r"^(utm_[^=]*|" + "|".join(TRACKING_NAMES) + r")(=|$)"
 
-_PARSE_RE = r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
-_QUERY_RE = r"\?(?P<q>[^#]*)"
+# query folded into the ONE parse so a '?' inside the fragment can never
+# be mistaken for a query string (the group must precede any '#')
+_PARSE_RE = (
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<q>[^#]*))?"
+)
 
 
 def _canon_query(rawq: pa.Array) -> pa.Array:
@@ -92,9 +98,11 @@ def canonicalize_urls(
     domain_col: str = "domain",
 ) -> "ray.data.Dataset":
     """Add ``out_col`` (canonical URL, null for non-URL rows) and
-    ``domain_col`` (registrable domain: last two host labels — a
-    public-suffix list would replace this heuristic in production, the
-    sandbox has none; single-label hosts pass through)."""
+    ``domain_col`` (registrable domain: last two labels of the HOSTNAME —
+    any ``:port`` removed first, so per-domain grouping never fragments
+    by port; a public-suffix list would replace the two-label heuristic
+    in production, the sandbox has none; hostnames the label pattern
+    can't match — single-label, trailing-dot — pass through whole)."""
 
     def _f(batch: pa.Table) -> pa.Table:
         urls = K._as_array(pc.cast(batch[url_col], pa.string()))
@@ -116,8 +124,7 @@ def canonicalize_urls(
         path = pc.struct_field(parsed, "path")
         path = pc.if_else(pc.equal(path, ""), "/", path)
 
-        qs = pc.struct_field(pc.extract_regex(urls, _QUERY_RE), "q")
-        q = _canon_query(qs)
+        q = _canon_query(pc.struct_field(parsed, "q"))
         qpart = pc.if_else(pc.equal(q, ""), "", pc.binary_join_element_wise("?", q, ""))
 
         canon = pc.binary_join_element_wise(
@@ -125,10 +132,13 @@ def canonicalize_urls(
         )
         canon = pc.if_else(valid, canon, pa.nulls(len(urls), pa.string()))
 
-        dom = pc.struct_field(
-            pc.extract_regex(pc.fill_null(host, ""), r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        hostname = pc.replace_substring_regex(
+            pc.fill_null(host, ""), r":[0-9]+$", "", max_replacements=1
         )
-        dom = pc.if_else(pc.is_valid(dom), dom, host)
+        dom = pc.struct_field(
+            pc.extract_regex(hostname, r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        )
+        dom = pc.if_else(pc.is_valid(dom), dom, hostname)
         dom = pc.if_else(valid, dom, pa.nulls(len(urls), pa.string()))
 
         out = batch
@@ -183,29 +193,43 @@ def url_dedup(
 # DuckDB twin fragments (kept next to the kernel so the rules can't drift)
 # ---------------------------------------------------------------------------
 
-def canonical_sql(url_expr: str) -> str:
-    """DuckDB expression computing the same canonical URL as
-    :func:`canonicalize_urls` for ``url_expr``.  Emitted as a 3-level
-    nested CASE/CTE-free expression so callers can inline it."""
-    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+def _scheme_sql(url_expr: str) -> str:
+    return f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+
+
+def _host_sql(url_expr: str) -> str:
+    """The ONE host normalization both twins build on (lowercase, strip
+    one www., strip the scheme's default port) — shared so the two SQL
+    fragments cannot drift from each other."""
+    scheme = _scheme_sql(url_expr)
     rawhost = (
         f"regexp_replace(lower(regexp_extract({url_expr},"
         f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
     )
-    host = (
+    return (
         f"CASE WHEN {scheme} = 'http' THEN regexp_replace({rawhost}, ':80$', '')"
         f" WHEN {scheme} = 'https' THEN regexp_replace({rawhost}, ':443$', '')"
         f" ELSE {rawhost} END"
     )
+
+
+def canonical_sql(url_expr: str) -> str:
+    """DuckDB expression computing the same canonical URL as
+    :func:`canonicalize_urls` for ``url_expr``.  Emitted as a nested
+    CASE/CTE-free expression so callers can inline it."""
+    scheme = _scheme_sql(url_expr)
+    host = _host_sql(url_expr)
     path = (
         f"CASE WHEN regexp_extract({url_expr},"
         f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'"
         f" ELSE regexp_extract({url_expr},"
         f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
     )
+    # anchored through host+path so a '?' inside the fragment can never
+    # start the query (mirrors _PARSE_RE); no-match extract yields ''
     rawq = (
-        f"CASE WHEN {url_expr} LIKE '%?%' THEN"
-        f" regexp_extract({url_expr}, '\\?([^#]*)', 1) ELSE '' END"
+        f"regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*)', 1)"
     )
     # coalesce: DuckDB's array_to_string yields NULL (not '') on an empty list
     q = (
@@ -222,20 +246,14 @@ def canonical_sql(url_expr: str) -> str:
 
 def domain_sql(url_expr: str) -> str:
     """DuckDB expression for the registrable-domain heuristic of
-    :func:`canonicalize_urls` (last two labels of the canonical host)."""
-    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
-    rawhost = (
-        f"regexp_replace(lower(regexp_extract({url_expr},"
-        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
-    )
-    host = (
-        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({rawhost}, ':80$', '')"
-        f" WHEN {scheme} = 'https' THEN regexp_replace({rawhost}, ':443$', '')"
-        f" ELSE {rawhost} END"
-    )
+    :func:`canonicalize_urls`: last two labels of the PORT-STRIPPED
+    hostname; hostnames the label pattern can't match (single-label,
+    trailing-dot) pass through whole, exactly like the kernel."""
+    hostname = f"regexp_replace({_host_sql(url_expr)}, ':[0-9]+$', '')"
     return (
         f"CASE WHEN NOT regexp_matches({url_expr},"
         f" '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN NULL"
-        f" WHEN {host} LIKE '%.%' THEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
-        f" ELSE {host} END"
+        f" WHEN regexp_matches({hostname}, '[^.]+\\.[^.]+$')"
+        f" THEN regexp_extract({hostname}, '([^.]+\\.[^.]+)$', 1)"
+        f" ELSE {hostname} END"
     )

@@ -194,9 +194,11 @@ def q_langid_docs(sf_dir: str):
 
 
 def _langid_oracle() -> str:
-    """SQL twin of textstats.langid_heuristic (min_hits=1): whitespace
-    tokens of lower(text), per-language marker membership counts,
-    CASE-chain argmax in sorted language order (== np.argmax first-max)."""
+    """SQL twin of textstats.langid_heuristic (min_hits=1): tokens split
+    on the SAME literal whitespace class the kernel uses
+    (textstats._WS_CLASS — RE2 '\\s' and Arrow's Unicode whitespace
+    diverge on NBSP), per-language marker membership counts, CASE-chain
+    argmax in sorted language order (== np.argmax first-max)."""
     langs = sorted(textstats.LANG_MARKERS)
     score_cols = []
     for lang in langs:
@@ -211,10 +213,11 @@ def _langid_oracle() -> str:
         score_cols.append(f"{expr} AS s_{lang}")
     mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     pick = " ".join(f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs)
+    ws = textstats._WS_CLASS  # the kernel's literal class, not \\s
     return (
         "WITH t AS (SELECT doc_id,"
         " list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
-        " '\\s+'), x -> x <> '') AS toks FROM documents),"
+        f" '{ws}'), x -> x <> '') AS toks FROM documents),"
         " s AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM t)"
         " SELECT doc_id, CASE WHEN " + mx + " < 1 THEN 'unknown' "
         + pick
@@ -800,6 +803,15 @@ def q_embedding_dups_planted(sf_dir: str):
 
     def _plant(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch["vec_id"], pa.int64())
+        mx = pc.max(ids).as_py()
+        if mx is not None and mx >= 1_000_000:
+            # the offset is a literal in the SQL twin too — a collision
+            # would corrupt both sides differently (duplicate ids break
+            # the searchsorted vector fetch AND the a<b pair join)
+            raise ValueError(
+                f"embedding_dups_planted: vec_id {mx} >= the 1M planted-id "
+                "offset; raise the offset in BOTH the query and its oracle"
+            )
         base = pa.table({"vec_id": K._as_array(ids), "embedding": batch["embedding"]})
         keep = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
         sub = base.filter(keep)
@@ -814,10 +826,7 @@ def q_embedding_dups_planted(sf_dir: str):
     pairs = dedup.embedding_dup_pairs(
         ds.map_batches(_plant, batch_format="pyarrow"), cosine_threshold=0.95
     )
-    if len(pairs) == 0:
-        return pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
-        )
+    # embedding_dup_pairs returns a typed empty frame on every empty path
     return pairs[["id_a", "id_b"]]
 
 

@@ -299,6 +299,40 @@ def test_langid_heuristic():
     assert out["langid_guess"].tolist() == ["en", "de", "fr", "unknown"]
 
 
+def test_langid_sql_twin_on_nonascii_whitespace():
+    """Kernel and _langid_oracle must agree even on NBSP-joined tokens
+    (the two engines' default whitespace notions diverge there — both
+    sides are pinned to the literal _WS_CLASS)."""
+    import duckdb
+
+    from qamd_ray.queries import _langid_oracle
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "the the der",  # NBSP is NOT a separator: de wins
+                    "the\tthe der",  # tab IS: en wins 2-1
+                    "est\u3000est und",  # ideographic space: de via 'und'
+                ]
+            ),
+        }
+    )
+    got = (
+        textstats.langid_heuristic(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")["langid_guess"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(_langid_oracle() + " ORDER BY doc_id").df()["langid_guess"].tolist()
+    )
+    assert got == want == ["de", "en", "de"]
+
+
 def test_multimodal_plumbing():
     t = multimodal.synth_media_table(48, seed=21)
     ds = ray.data.from_arrow(t)

@@ -26,17 +26,24 @@ CASES = [
     # no path -> "/"
     ("https://x.example.com", "https://x.example.com/", "example.com"),
     # tracking-only query drops entirely; bare names (no "=") also match
-    ("http://a.b/?utm_campaign=x&ref", "http://a.b/", "a.b"),
-    # :80 is NOT default for https; :443 not for http; ftp keeps both
-    ("https://h.example.com:80/p", "https://h.example.com:80/p", "example.com:80"),
+    ("http://a.b/?utm_campaign=x&fbclid", "http://a.b/", "a.b"),
+    # bare "ref" is CONTENT-BEARING (code-host branch selectors) — kept
+    ("http://a.b/?ref=main", "http://a.b/?ref=main", "a.b"),
+    # :80 is NOT default for https; :443 not for http; ftp keeps both;
+    # the DOMAIN strips any port regardless
+    ("https://h.example.com:80/p", "https://h.example.com:80/p", "example.com"),
     ("ftp://Host.Example.com:443/f", "ftp://host.example.com:443/f",
-     "example.com:443"),
+     "example.com"),
     # params sort bytewise; duplicates survive; empty params drop
     ("http://h.io/p?z=1&&a=2&a=1", "http://h.io/p?a=1&a=2&z=1", "h.io"),
-    # single-label host: domain == host
-    ("http://localhost:8080/x", "http://localhost:8080/x", "localhost:8080"),
+    # single-label host: domain == port-stripped host
+    ("http://localhost:8080/x", "http://localhost:8080/x", "localhost"),
     # only the FIRST www. strips
     ("http://www.www.example.com/", "http://www.example.com/", "example.com"),
+    # a '?' INSIDE the fragment is not a query (fragment fully dropped)
+    ("http://a.b/p#sec?x=1", "http://a.b/p", "a.b"),
+    # trailing-dot FQDN: the label pattern can't match -> hostname whole
+    ("http://example.com./p", "http://example.com./p", "example.com."),
     ("not a url", None, None),
     (None, None, None),
 ]
