@@ -45,6 +45,7 @@ def _expand(paths: str | Sequence[str]) -> list[str]:
                 "feather",
                 "arrow",
                 "ipc",
+                "orc",
                 "dta",
                 "sav",
                 "por",
@@ -158,6 +159,29 @@ def read_table(
         return ds
     if exts <= {".parquet", ".pq"}:
         return ray.data.read_parquet(files, columns=columns)
+    if exts <= {".orc"}:
+        # ORC — one read task per STRIPE (ORC's row-group analogue), so a
+        # few huge files still parallelize; stripe enumeration is a cheap
+        # driver-side footer read, column pruning happens inside the task
+        import pyarrow.orc as _orc
+
+        units = [
+            {"path": f, "stripe": s}
+            for f in files
+            for s in range(_orc.ORCFile(f).nstripes)
+        ]
+
+        def _read_stripe(batch: pa.Table) -> pa.Table:
+            import pyarrow.orc as _o
+
+            path = batch["path"][0].as_py()
+            stripe = batch["stripe"][0].as_py()
+            rb = _o.ORCFile(path).read_stripe(stripe, columns=columns)
+            return pa.Table.from_batches([rb])
+
+        return ray.data.from_items(
+            units, override_num_blocks=len(units)
+        ).map_batches(_read_stripe, batch_size=1, batch_format="pyarrow")
     if exts <= {".dta", ".sav", ".por", ".sas7bdat", ".xpt"}:
         # native statistical readers (data only — use readers.read_stat_table
         # directly when the header metadata is needed too)
@@ -220,9 +244,9 @@ def read_table(
             ds = ds.map_batches(_null_empty, batch_format="pyarrow")
         return ds
     raise ValueError(
-        f"unsupported input extension(s) {sorted(exts)}; expected parquet/csv[.gz]/"
-        "jsonl[.gz]/feather/arrow or a statistical format (.dta/.sav/.por/"
-        ".sas7bdat/.xpt)"
+        f"unsupported input extension(s) {sorted(exts)}; expected parquet/orc/"
+        "csv[.gz]/jsonl[.gz]/feather/arrow or a statistical format "
+        "(.dta/.sav/.por/.sas7bdat/.xpt)"
     )
 
 

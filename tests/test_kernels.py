@@ -174,6 +174,34 @@ def test_read_table_compressed_and_ipc(tmp_path, ray_session):
     assert sorted(df["a"].tolist()) == [1, 2]
 
 
+def test_read_table_orc_multi_stripe(tmp_path, ray_session):
+    """.orc dispatches at STRIPE granularity (one read task per stripe)
+    with in-task column pruning; a small stripe_size forces ≥2 stripes
+    so the per-stripe path is actually exercised."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from qamd_ray.sources import read_table
+
+    n = 50_000
+    t = pa.table(
+        {
+            "a": pa.array(range(n), pa.int64()),
+            "b": pa.array([f"row{i}" for i in range(n)], pa.string()),
+        }
+    )
+    orc.write_table(t, tmp_path / "t.orc", stripe_size=64 * 1024)
+    assert orc.ORCFile(tmp_path / "t.orc").nstripes >= 2
+
+    out = read_table(str(tmp_path / "t.orc")).to_pandas().sort_values("a")
+    assert out["a"].tolist() == list(range(n))
+    assert out["b"].iloc[0] == "row0"
+
+    pruned = read_table(str(tmp_path / "t.orc"), columns=["a"]).to_pandas()
+    assert list(pruned.columns) == ["a"]
+    assert sorted(pruned["a"].tolist()) == list(range(n))
+
+
 def test_parquet_audit_matches_duckdb_metadata(ray_session):
     """Footer audit equals DuckDB's parquet_metadata() aggregated per
     row group (and reads no data pages — it is metadata-only)."""
