@@ -91,18 +91,14 @@ def _canon_query(rawq: pa.Array) -> pa.Array:
     return K._as_array(pc.binary_join(rebuilt, "&"))
 
 
-def canonicalize_urls(
-    ds: "ray.data.Dataset",
+def canonicalize_batch_fn(
     url_col: str = "url",
     out_col: str = "canonical_url",
     domain_col: str = "domain",
-) -> "ray.data.Dataset":
-    """Add ``out_col`` (canonical URL, null for non-URL rows) and
-    ``domain_col`` (registrable domain: last two labels of the HOSTNAME —
-    any ``:port`` removed first, so per-domain grouping never fragments
-    by port; a public-suffix list would replace the two-label heuristic
-    in production, the sandbox has none; hostnames the label pattern
-    can't match — single-label, trailing-dot — pass through whole)."""
+):
+    """The per-batch kernel behind :func:`canonicalize_urls`, exposed as
+    a factory (gopher_batch_fn pattern) so property tests can hammer it
+    against the SQL twins without a Ray session."""
 
     def _f(batch: pa.Table) -> pa.Table:
         urls = K._as_array(pc.cast(batch[url_col], pa.string()))
@@ -146,7 +142,25 @@ def canonicalize_urls(
             out = out.append_column(name, K._as_array(arr))
         return out
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return _f
+
+
+def canonicalize_urls(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    domain_col: str = "domain",
+) -> "ray.data.Dataset":
+    """Add ``out_col`` (canonical URL, null for non-URL rows) and
+    ``domain_col`` (registrable domain: last two labels of the HOSTNAME —
+    any ``:port`` removed first, so per-domain grouping never fragments
+    by port; a public-suffix list would replace the two-label heuristic
+    in production, the sandbox has none; hostnames the label pattern
+    can't match — single-label, trailing-dot — pass through whole)."""
+    return ds.map_batches(
+        canonicalize_batch_fn(url_col, out_col, domain_col),
+        batch_format="pyarrow",
+    )
 
 
 def url_dedup(

@@ -107,6 +107,51 @@ def test_url_dedup_keeps_nulls_and_min_id():
     )
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _CHARS = "abcXZ019./?#&=:_-%~+!, "
+
+    _piece = st.text(alphabet=_CHARS, min_size=0, max_size=24)
+    _url = st.one_of(
+        _piece,  # arbitrary garbage (null-canonical path)
+        st.tuples(
+            st.sampled_from(
+                ["http://", "https://", "HTTP://WWW.", "ftp://", "Https://www."]
+            ),
+            _piece,
+        ).map(lambda t: t[0] + t[1]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_url, min_size=1, max_size=12))
+    def test_property_kernel_matches_sql_twins(urls_in):
+        """Kernel vs generated SQL twins on random ASCII URL-ish strings —
+        structural fuzz over ?, #, &, =, :port, dots and empty segments.
+        ASCII-only by contract: the bytewise param sort and lower() are
+        pinned to ASCII semantics (module docstring ordering note)."""
+        import duckdb
+
+        tbl = pa.table(
+            {
+                "doc_id": list(range(len(urls_in))),
+                "url": pa.array(urls_in, pa.string()),
+            }
+        )
+        got = urls.canonicalize_batch_fn()(tbl).to_pandas()
+        con = duckdb.connect()
+        con.register("u", tbl)
+        want = con.execute(
+            f"SELECT doc_id, url, {urls.canonical_sql('url')} AS canonical_url,"
+            f" {urls.domain_sql('url')} AS domain FROM u ORDER BY doc_id"
+        ).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_url_dedup_no_duplicates_passthrough():
     # exercises exact_dedup's schemaless-empty early return inside url_dedup
     urls_in = ["http://a.io/1", "http://a.io/2", "junk"]
