@@ -1061,8 +1061,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_partitions: int = 8,
     df_cap: Optional[int] = None,
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """EXACT char-k-gram Jaccard pairs ≥ threshold, computed distributedly.
+
+    ``metric="containment"`` switches the pair score to
+    ``|A∩B| / min(|A|, |B|)`` (Broder's containment coefficient) — the
+    partial-duplicate detector: a document embedded verbatim inside a
+    larger one scores 1.0 here but arbitrarily low on Jaccard, so
+    quote-expansion / file-concatenation dups that Jaccard misses
+    qualify.  Identical plan; only the final vectorized filter changes.
 
     Each doc explodes to (id, gram, n) rows where ``n`` is the doc's
     distinct-gram count — the per-doc size RIDES ON the gram rows, so the
@@ -1087,6 +1095,12 @@ def ngram_jaccard_pairs(
     Grams are CHARACTER-based (DuckDB ``substr`` semantics).
     """
     from ray.data.aggregate import Max
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"ngram_jaccard_pairs: metric must be 'jaccard' or 'containment'"
+            f" (got {metric!r})"
+        )
 
     def _make_grams(hot_ref):
         def _grams(batch: pa.Table) -> pa.Table:
@@ -1170,7 +1184,10 @@ def ngram_jaccard_pairs(
         i_n = np.asarray(K._as_array(batch["inter_n"]), dtype=np.float64)
         na = np.asarray(K._as_array(batch["n_a"]), dtype=np.float64)
         nb = np.asarray(K._as_array(batch["n_b"]), dtype=np.float64)
-        keep = i_n / (na + nb - i_n) >= threshold
+        if metric == "containment":
+            keep = i_n / np.minimum(na, nb) >= threshold
+        else:
+            keep = i_n / (na + nb - i_n) >= threshold
         tb = batch.filter(pa.array(keep))
         return pa.table(
             {

@@ -759,6 +759,17 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
+def q_containment_pairs(sf_dir: str):
+    """Char-3-gram CONTAINMENT pairs (|A∩B| / min(|A|,|B|) ≥ 0.8) over the
+    first 100 docs — the partial-duplicate detector Jaccard misses (a doc
+    embedded verbatim in a larger one scores containment 1.0, Jaccard
+    ~|A|/|B|).  Same distributed gram self-join plan as ``jaccard_pairs``;
+    only the final ratio differs, and the DuckDB twin swaps the union
+    denominator for least(n_a, n_b)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).filter(expr="doc_id < 100")
+    return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.8, metric="containment")
+
+
 def q_approx_top_langs(sf_dir: str):
     """Count-Min + per-batch candidates heavy hitters over documents.lang.
     The sketch is deterministic and 5 distinct keys cannot collide in a
@@ -2299,6 +2310,7 @@ QUERIES = {
     "minhash_clusters": q_minhash_clusters,
     "exact_dup_clusters": q_exact_dup_clusters,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
@@ -2951,6 +2963,20 @@ ORACLES = {
         ") SELECT id_a, id_b FROM inter "
         "JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b "
         "WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5"
+    ),
+    "containment_pairs": (
+        "WITH g AS ("
+        "  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram"
+        "  FROM (SELECT doc_id, coalesce(text,'') AS text,"
+        "               unnest(range(1, length(coalesce(text,'')) - 1)) AS i"
+        "        FROM documents WHERE doc_id < 100)"
+        "), c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),"
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n"
+        "  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2"
+        ") SELECT id_a, id_b FROM inter "
+        "JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b "
+        "WHERE CAST(inter_n AS DOUBLE) / least(ca.n, cb.n) >= 0.8"
     ),
     "topk_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "

@@ -108,6 +108,40 @@ def test_ngram_jaccard_pairs_distributed(near_dup_table):
         assert dedup.ngram_jaccard(texts[a], texts[b], 5) >= 0.8
 
 
+def test_ngram_containment_pairs():
+    """metric='containment' finds a doc embedded verbatim in a larger one
+    (containment 1.0) that Jaccard misses at the same threshold, and
+    agrees with a scalar twin on every qualifying pair."""
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz ")
+    rand = lambda n: "".join(rng.choice(alphabet, n))
+    small = rand(60)
+    texts = [small, rand(400) + small + rand(400), rand(300), rand(300)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    k, thr = 5, 0.9
+    got = dedup.ngram_jaccard_pairs(ds, k=k, threshold=thr, metric="containment")
+    got = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+
+    def grams(t):
+        return {t[j : j + k] for j in range(len(t) - k + 1)}
+
+    expect = set()
+    for a in range(4):
+        for b in range(a + 1, 4):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if ga and gb and len(ga & gb) / min(len(ga), len(gb)) >= thr:
+                expect.add((a, b))
+    assert got == expect and (0, 1) in got
+    # Jaccard at the same threshold must NOT pair the substring doc
+    jac = dedup.ngram_jaccard_pairs(ds, k=k, threshold=thr)
+    assert (0, 1) not in set(map(tuple, jac[["id_a", "id_b"]].to_numpy()))
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(ds, metric="dice")
+
+
 def test_ngram_jaccard_pairs_df_cap():
     """df_cap drops ubiquitous grams before the self-join; the capped
     result equals a scalar twin computed over the same rare-gram subspace,
