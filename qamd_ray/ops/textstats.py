@@ -220,6 +220,43 @@ def quality_score(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.D
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def compression_ratio(
+    ds: "ray.data.Dataset", text_col: str = "text", *, level: int = 6
+) -> "ray.data.Dataset":
+    """Adds ``raw_len`` / ``zlib_len`` / ``compress_ratio`` (compressed ÷
+    raw UTF-8 bytes) — the gzip-compressibility quality signal the Dolma
+    and RedPajama-v2 pipelines ship as a per-doc annotation: template- or
+    repetition-heavy text compresses far below natural prose (~0.3-0.4),
+    while random/encoded payloads sit near 1.0, and both tails get
+    dropped by curation configs.  The per-doc loop is ``zlib.compress``
+    (a C kernel) over the raw bytes, so the stage is compute- not
+    Python-bound; empty docs get ratio 0.0.
+
+    No SQL twin — DuckDB exposes no zlib — so the driver check is
+    rows-only; the semantics are pinned by pytest instead (repetitive ≪
+    prose < random, byte-exact lengths against direct zlib calls).
+    """
+    import zlib
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        raw = np.zeros(len(texts), dtype=np.int64)
+        comp = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8", "surrogatepass")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return (
+            batch.append_column("raw_len", pa.array(raw))
+            .append_column("zlib_len", pa.array(comp))
+            .append_column("compress_ratio", pa.array(ratio))
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def fingerprint(
     ds: "ray.data.Dataset", text_col: str = "text", out_col: str = "fingerprint"
 ) -> "ray.data.Dataset":

@@ -241,6 +241,14 @@ def q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars_m", "n_tokens"])
 
 
+def q_compression_ratios(sf_dir: str):
+    """Gzip-compressibility quality signal (ops.textstats.compression_ratio
+    — the Dolma/RedPajama-v2 per-doc annotation).  Rows-only: DuckDB has
+    no zlib, so the byte-exact lengths are pinned by pytest instead."""
+    out = textstats.compression_ratio(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "raw_len", "zlib_len"])
+
+
 def q_normalized_docs(sf_dir: str):
     """CCNet-style text canonicalization (ops.textstats.normalize_text):
     NFC → lower → whitespace collapse → trim, all Arrow kernels.  The
@@ -2287,6 +2295,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "langid_docs": q_langid_docs,
     "quality_scores": q_quality_scores,
+    "compression_ratios": q_compression_ratios,
     "normalized_docs": q_normalized_docs,
     "leakage_safe_split": q_leakage_safe_split,
     "pricing_summary": q_pricing_summary,

@@ -316,6 +316,39 @@ def test_quality_score_ranges(docs):
     assert empty["q_score"][0] == 0.0 and empty["q_score"][1] > 0.0
 
 
+def test_compression_ratio():
+    """Byte-exact against direct zlib calls; repetitive ≪ prose < random;
+    empty and null docs get ratio 0.0."""
+    import zlib
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bridge", "count", "delta", "ember", "frost", "gleam",
+             "hollow", "ivory", "jolt", "kernel", "lumen", "marsh", "nectar"]
+    texts = [
+        "spam ham " * 200,                                       # repetitive
+        " ".join(rng.choice(words, 400)),                        # prose-ish
+        "".join(chr(c) for c in rng.integers(0x21, 0x7E, 1800)),  # random
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts + [None], pa.string()).slice(0, 4)})
+    out = (
+        textstats.compression_ratio(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for i, s in enumerate(texts):
+        b = s.encode("utf-8")
+        assert out["raw_len"].iloc[i] == len(b)
+        assert out["zlib_len"].iloc[i] == len(zlib.compress(b, 6))
+    r = out["compress_ratio"].to_numpy()
+    assert r[0] < 0.1 < r[1] < r[2] and r[3] == 0.0
+    nul = textstats.compression_ratio(
+        ray.data.from_arrow(pa.table({"text": pa.array([None], pa.string())}))
+    ).to_pandas()
+    assert nul["compress_ratio"][0] == 0.0 and nul["raw_len"][0] == 0
+
+
 def test_langid_heuristic():
     t = pa.table(
         {
