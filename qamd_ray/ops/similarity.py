@@ -102,15 +102,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     sample_size: int = 2048,
     seed: int = 3,
+    dtype: type = np.float32,
 ) -> pd.DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid buckets.
 
-    Recall < 1 by design; nprobe = n_clusters degenerates to exact.
+    Recall < 1 by design; nprobe = n_clusters degenerates to exact —
+    with ``dtype=np.float64`` that mode is bit-comparable to the
+    brute-force ``topk_cosine`` / DuckDB ``list_cosine_similarity``
+    ordering (float32 scores can swap near-ties vs a double oracle).
     """
     sample_rows = ds.limit(sample_size).to_pandas()
     C = kmeans_centroids(np.stack(sample_rows[emb_col].to_numpy()), n_clusters, seed=seed)
+    C = C.astype(dtype)
     c_ref = ray.put(C)
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    Q = _normalize(np.asarray(queries, dtype=dtype))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe_sets = [set(map(int, row)) for row in probe]
     q_ref = ray.put(Q)
@@ -118,7 +123,7 @@ def ivf_topk(
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         Cm, Qm, probes = ray.get(c_ref), ray.get(q_ref), ray.get(p_ref)
-        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(Qm.dtype))
         ids = batch[id_col].to_numpy()
         assign = (M @ Cm.T).argmax(axis=1)
         out = []

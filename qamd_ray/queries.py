@@ -606,6 +606,27 @@ def q_ivf_topk(sf_dir: str):
     return res[["query_id", "vec_id"]].astype("int64")
 
 
+def q_ivf_exact_topk(sf_dir: str):
+    """IVF with nprobe = n_clusters probes EVERY centroid bucket, which
+    degenerates to exact brute force — so the whole IVF plumbing
+    (centroid assignment, probe routing, per-batch partial top-k, final
+    merge) gets a VALUE-checked oracle: the same SQL as ``topk_cosine``.
+    float64 so near-tie ordering matches DuckDB's double cosine."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    ).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy())
+    res = similarity.ivf_topk(
+        emb, Q, k=10, n_clusters=16, nprobe=16, dtype=np.float64
+    )
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    return res[["query_id", "vec_id"]].astype("int64")
+
+
 def q_ivf_index_topk(sf_dir: str):
     """Persistent IVF index: built once per sf_dir under /tmp (Parquet
     partitioned by centroid bucket), queried with partition pruning —
@@ -2312,6 +2333,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "topk_cosine": q_topk_cosine,
     "ivf_topk": q_ivf_topk,
+    "ivf_exact_topk": q_ivf_exact_topk,
     "ivf_index_topk": q_ivf_index_topk,
     "lsh_topk": q_lsh_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2988,6 +3010,13 @@ ORACLES = {
         "WHERE CAST(inter_n AS DOUBLE) / least(ca.n, cb.n) >= 0.8"
     ),
     "topk_cosine": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "
+        "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    # nprobe = n_clusters probes every bucket → exact; same oracle shape
+    "ivf_exact_topk": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "
         "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
         "QUALIFY row_number() OVER (PARTITION BY q.query_id "

@@ -271,6 +271,23 @@ def test_ivf_topk_recall():
     assert np.mean(recalls) >= 0.6  # nprobe=4/8 buckets: decent recall
 
 
+def test_ivf_full_probe_is_exact():
+    """nprobe = n_clusters probes every bucket → ivf_topk must return the
+    exact brute-force neighbour set for every query (float64 so near-tie
+    ordering matches the double-precision reference)."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Q = M[:5]
+    exact = similarity.topk_cosine(emb, Q, k=10, dtype=np.float64)
+    full = similarity.ivf_topk(emb, Q, k=10, n_clusters=8, nprobe=8,
+                               dtype=np.float64)
+    for qi in range(5):
+        e = exact[exact["query_id"] == qi]["vec_id"].tolist()
+        f = full[full["query_id"] == qi]["vec_id"].tolist()
+        assert e == f, (qi, e, f)
+
+
 def test_ivf_persistent_index(tmp_path):
     """ivf_build/ivf_query: partitioned index on disk, partition-pruned
     query, recall vs exact; identical probe set ⇒ identical results to the

@@ -1,0 +1,52 @@
+"""Dump Ray Data per-stage stats for one flagship run over the bench
+corpus — the `ds.stats()` feedback loop used to keep wall time dominated
+by useful compute (see BENCH.md for the optimization history).
+
+    python tools/flagship_stats.py [num_cpus]    # default 32
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    num_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from bench import corpus_path, BENCH_ROWS
+    from qamd_ray.gen_config import quality_config
+    from qamd_ray.pipeline import quality_pipeline, repo_report
+    from qamd_ray.tuning import tune_read_parallelism
+
+    src = corpus_path()
+    files = sorted(os.path.join(src, f) for f in os.listdir(src))
+    tune_read_parallelism(files, num_cpus)
+
+    cfg = quality_config()
+    out = quality_pipeline(src, cfg, model_concurrency=max(2, num_cpus * 2 // 3),
+                           model_batch_size=1024)
+    # consume the stream the way the bench does (content never leaves the
+    # fused task chain — a materialize() here would change the plan) and
+    # print the executed chain's per-stage breakdown
+    tail = out.map_batches(lambda b: b.select(["repo"]), batch_format="pyarrow")
+    n = tail.count()
+    assert n == BENCH_ROWS, (n, BENCH_ROWS)
+    print(tail.stats())
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
