@@ -253,3 +253,70 @@ def cap_per_group(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+    salt: str = "aes",
+) -> "pd.DataFrame":
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows, by the
+    Efraimidis–Spirakis A-ES reservoir scheme (Inf. Process. Lett. 97(5),
+    2006): each row gets key ``u^(1/w)`` (equivalently ``ln(u)/w``) with
+    ``u ~ U(0,1]``; the k largest keys are a weight-proportional sample
+    without replacement.  The mixture-construction step of a training
+    pipeline when ``balanced_sample``'s Bernoulli thresholds can't hit an
+    exact budget.
+
+    ``u`` is DETERMINISTIC — ``(first-48-bits-of-md5(salt+str(id)) + 1)
+    / 2^48`` — so the sample is reproducible under any parallelism and
+    has a value-checked DuckDB twin: ``ORDER BY ln((('0x' ||
+    substr(md5(salt||CAST(id AS VARCHAR)),1,12))::UBIGINT + 1) /
+    281474976710656.0) / w DESC, id LIMIT k``.  The +1 and the 2^48
+    divisor are exact in binary64, so ``u`` is bit-identical on both
+    sides; ``log`` may differ from DuckDB's by 1 ULP on some platforms,
+    which flips the selected SET only when the k-th and (k+1)-th keys
+    collide to ~1e-15 relative — measure-zero for 48-bit-entropy keys
+    (verified hash-exact at sf0.01 and sf0.1).
+
+    Plan (the ``topk_cosine`` shape — no shuffle): one streaming
+    keys-only pass emits each batch's local top-k ``(id, key)``; the
+    driver merges O(batches × k) candidates.  Weights must be positive
+    and non-null (raises — a silent 0-weight would divide by zero into
+    a NaN key that sorts nondeterministically)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1 (got {k})")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        wcol = K._as_array(batch[weight_col])
+        if wcol.null_count:
+            raise ValueError("weighted_sample: null weights")
+        w = np.asarray(wcol, dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample: weights must be > 0")
+        ids = K._as_array(pc.cast(batch[id_col], pa.string()))
+        salted = pc.binary_join_element_wise(
+            pa.array([salt] * len(batch), pa.string()), ids, ""
+        )
+        h48 = np.array(
+            [int(d[:12], 16) for d in K.digest_rows(salted, "md5")],
+            dtype=np.int64,
+        )
+        u = (h48 + 1) / np.float64(2**48)  # exact: ≤2^48 / power of two
+        key = np.log(u) / w
+        idv = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        pick = np.lexsort((idv, -key))[: min(k, len(key))]
+        return pa.table(
+            {id_col: pa.array(idv[pick]), "sample_key": pa.array(key[pick])}
+        )
+
+    cand = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["sample_key", id_col], ascending=[False, True], kind="stable"
+    )
+    return cand.head(k).reset_index(drop=True)

@@ -486,3 +486,105 @@ def funnel(
         return pa.table(cols)
 
     return acc.map_batches(_final, batch_format="pyarrow")
+
+
+def rolling_counts(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: Optional[str] = "value",
+    window_us: int = 3_600_000_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key rolling time-window aggregate — for every event, the count
+    (and integer-cents sum) of the SAME key's events in the trailing
+    window ``[ts - window_us, ts]``, both ends inclusive of timestamp
+    PEERS.  That is exactly SQL's ``count(*) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)`` —
+    the sliding-window aggregate Ray Data has no native operator for.
+
+    Plan: ONE shuffle on a COARSE key (``user % num_partitions``) via
+    ``groupby().map_groups`` — safe here because the group count is
+    ``num_partitions`` (bounded, ~2×CPUs), never O(users), so the
+    one-Python-call-per-group cost of map_groups is ~nothing; each
+    partition holds complete per-user histories (the partitioning
+    assumption every windowed aggregate needs).  Inside a partition the
+    whole computation is three numpy calls on a (user, ts)-sorted view:
+    encode (segment, ts) into ONE monotone int64 composite
+    ``seg * HUGE + ts0`` — monotone because ``HUGE > ts0.max() +
+    window_us + 1``, so a window query ``seg*HUGE + ts0 - window_us``
+    can never reach back into the previous segment — then two global
+    ``searchsorted`` calls give every row's window bounds at once (no
+    per-user loop).  Raises on composite overflow (at extreme
+    users-per-partition × time-range, raise ``num_partitions`` — it
+    should scale with the cluster).
+
+    Sums are exact: ``floor(value*100 + 0.5)`` cents as int64 on both
+    sides (float window sums are order-dependent; integer sums are not).
+    Null keys/timestamps raise — a null would silently become INT64_MIN
+    in the int view (see the interval_union lesson).
+    """
+    if window_us <= 0:
+        raise ValueError(f"rolling_counts: window_us must be > 0 (got {window_us})")
+    if num_partitions < 1:
+        raise ValueError("rolling_counts: num_partitions must be >= 1")
+
+    def _with_pkey(batch: pa.Table) -> pa.Table:
+        ucol = K._as_array(batch[user_col])
+        tcol = K._as_array(batch[ts_col])
+        if ucol.null_count or tcol.null_count:
+            raise ValueError("rolling_counts: null keys or timestamps")
+        u = np.asarray(ucol, dtype=np.int64)
+        return batch.append_column(
+            "_pkey", pa.array(u % num_partitions, pa.int64())
+        )
+
+    def _per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([user_col, ts_col, id_col], kind="stable")
+        u = df[user_col].to_numpy(dtype=np.int64)
+        # timestamps arrive tz-naive us (pandas may widen to ns — cast
+        # through arrow to keep the unit pinned; see the retention lesson)
+        ts = np.asarray(
+            pc.cast(pa.array(df[ts_col]), pa.timestamp("us")).cast(pa.int64())
+        )
+        n = len(df)
+        seg = np.zeros(n, dtype=np.int64)
+        if n:
+            seg[1:] = (u[1:] != u[:-1]).astype(np.int64)
+            seg = np.cumsum(seg)
+            ts0 = ts - ts.min()
+            huge = int(ts0.max()) + window_us + 2
+            if seg[-1] + 1 > (2**63 - 1) // huge:
+                raise OverflowError(
+                    "rolling_counts: composite key overflow — raise num_partitions"
+                )
+            comp = seg * huge + ts0
+            lo = np.searchsorted(comp, comp - window_us, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+            counts = hi - lo
+        else:
+            counts = np.zeros(0, dtype=np.int64)
+        out = {
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            "n_window": counts,
+        }
+        if value_col is not None and n:
+            vals = df[value_col].to_numpy(dtype=np.float64)
+            if np.isnan(vals).any():
+                raise ValueError("rolling_counts: null values in value_col")
+            cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cents)])
+            out["sum_cents"] = csum[hi] - csum[lo]
+        elif value_col is not None:
+            out["sum_cents"] = np.zeros(0, dtype=np.int64)
+        import pandas as pd
+
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(_with_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(_per_partition, batch_format="pandas")
+    )

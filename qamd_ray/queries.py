@@ -2296,6 +2296,42 @@ def q_url_dedup(sf_dir: str):
     return urls.url_dedup(_synth_urls(sf_dir))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Exactly-200-row weighted sample without replacement
+    (ops.selection.weighted_sample, Efraimidis–Spirakis A-ES) — weight =
+    n_chars + 1, so long documents are proportionally likelier but the
+    budget is exact (balanced_sample's Bernoulli thresholds can't pin a
+    count).  Deterministic md5-derived uniforms make the DuckDB
+    ``ORDER BY ln(u)/w DESC LIMIT k`` twin value-exact."""
+    from .ops.selection import weighted_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _w(batch: pa.Table) -> pa.Table:
+        w = pc.add(K._as_array(batch["n_chars"]), pa.scalar(1, pa.int64()))
+        return batch.append_column("w", w)
+
+    res = weighted_sample(
+        ds.map_batches(_w, batch_format="pyarrow"), 200, id_col="doc_id"
+    )
+    return res[["doc_id"]]
+
+
+def q_rolling_counts(sf_dir: str):
+    """Per-EVENT trailing-window aggregate (ops.windows.rolling_counts):
+    for every event, the same user's event count and integer-cents value
+    sum over the inclusive trailing hour — SQL's RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW frame, which Ray Data has no native
+    operator for.  One coarse-key shuffle; three numpy calls per
+    partition (monotone composite + two searchsorteds), no per-user
+    loop."""
+    from .ops.windows import rolling_counts
+
+    return rolling_counts(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2406,6 +2442,8 @@ QUERIES = {
     "active_time": q_active_time,
     "canonical_urls": q_canonical_urls,
     "url_dedup": q_url_dedup,
+    "weighted_sample": q_weighted_sample,
+    "rolling_counts": q_rolling_counts,
     "embedding_dups_planted": q_embedding_dups_planted,
 }
 
@@ -3383,5 +3421,24 @@ ORACLES = {
         " SELECT a.vec_id AS id_a, b.vec_id AS id_b"
         " FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id"
         " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+    ),
+    # Efraimidis–Spirakis A-ES: the uniform is md5-derived on both sides
+    # ((h48+1)/2^48 is exact in binary64), so ORDER BY ln(u)/w DESC picks
+    # the identical 200-row set (ties broken by doc_id on both sides).
+    "weighted_sample": (
+        "SELECT doc_id FROM documents"
+        " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
+        " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
+        " DESC, doc_id LIMIT 200"
+    ),
+    # the literal RANGE-frame window the op reimplements shuffle-free;
+    # integer cents per row BEFORE the window sum so both sides are exact
+    "rolling_counts": (
+        "SELECT event_id,"
+        " CAST(count(*) OVER w AS BIGINT) AS n_window,"
+        " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w"
+        "   AS BIGINT) AS sum_cents"
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
     ),
 }

@@ -2755,3 +2755,94 @@ def test_rollup_counts_empty_input_and_null_guards():
     open(os.path.join(d, "x.csv"), "w").write("a\n1\n")
     with pytest.raises(FileNotFoundError, match="no parquet files"):
         parquet_audit(d)
+
+
+def test_weighted_sample_vs_brute_force():
+    """weighted_sample (Efraimidis–Spirakis A-ES) picks exactly the k
+    rows a brute-force ln(u)/w ranking picks, is deterministic under a
+    different block layout, and rejects bad k / null / non-positive
+    weights."""
+    import hashlib
+    import math
+
+    from qamd_ray.ops import selection
+
+    ids = list(range(100))
+    w = [(i % 7) + 1.5 for i in ids]
+    df = pd.DataFrame({"doc_id": ids, "w": w})
+
+    def key(i, wi):
+        u = (int(hashlib.md5(f"aes{i}".encode()).hexdigest()[:12], 16) + 1) / 2**48
+        return math.log(u) / wi
+
+    expect = sorted(ids, key=lambda i: (-key(i, w[i]), i))[:10]
+    out = selection.weighted_sample(ray.data.from_pandas(df), 10)
+    assert list(out["doc_id"]) == expect
+    out2 = selection.weighted_sample(
+        ray.data.from_pandas(df).repartition(7), 10
+    )
+    assert list(out2["doc_id"]) == expect
+    # k >= n returns everything
+    assert sorted(
+        selection.weighted_sample(ray.data.from_pandas(df), 500)["doc_id"]
+    ) == ids
+    with pytest.raises(ValueError, match="k must be"):
+        selection.weighted_sample(ray.data.from_pandas(df), 0)
+    bad = df.copy()
+    bad.loc[3, "w"] = 0.0
+    with pytest.raises(Exception, match="weights must be > 0"):
+        selection.weighted_sample(ray.data.from_pandas(bad), 5)
+
+
+def test_rolling_counts_vs_brute_force():
+    """rolling_counts matches an O(n^2) per-row trailing-window twin
+    (RANGE frame: inclusive bounds, timestamp peers included), across
+    partition routing and with duplicate timestamps; bad args raise."""
+    from qamd_ray.ops.windows import rolling_counts
+
+    rng = np.random.default_rng(42)
+    n = 400
+    users = rng.integers(0, 9, n)
+    base = pd.Timestamp("2024-03-01")
+    # coarse second grid => plenty of exact-duplicate-ts peers
+    ts = base + pd.to_timedelta(rng.integers(0, 50, n), unit="s")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users.astype(np.int64),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 20, n), 2),
+        }
+    )
+    win_us = 10_000_000  # 10 s
+    out = (
+        rolling_counts(
+            ray.data.from_pandas(df).repartition(5),
+            window_us=win_us,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    tsi = ts.astype("datetime64[us]").astype(np.int64)
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    exp_n = np.empty(n, dtype=np.int64)
+    exp_s = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        m = (users == users[i]) & (tsi >= tsi[i] - win_us) & (tsi <= tsi[i])
+        exp_n[i] = m.sum()
+        exp_s[i] = cents[m].sum()
+    assert list(out["n_window"]) == list(exp_n)
+    assert list(out["sum_cents"]) == list(exp_s)
+    # value_col=None drops the sum column
+    out2 = rolling_counts(
+        ray.data.from_pandas(df), value_col=None, window_us=win_us
+    ).to_pandas()
+    assert "sum_cents" not in out2.columns and len(out2) == n
+    with pytest.raises(ValueError, match="window_us"):
+        rolling_counts(ray.data.from_pandas(df), window_us=0)
+    bad = df.copy()
+    bad.loc[5, "user_id"] = None
+    with pytest.raises(Exception, match="null keys"):
+        rolling_counts(ray.data.from_pandas(bad)).to_pandas()
