@@ -828,6 +828,32 @@ def q_embedding_dups(sf_dir: str):
     )
 
 
+def _plant_embedding_dups(batch: pa.Table) -> pa.Table:
+    """Duplicate every 10th vector verbatim at vec_id+1M — the shared
+    planted-dup construction of the embedding_dups_planted and
+    semantic_dedup_exact oracles (the offset is a literal in BOTH SQL
+    twins)."""
+    ids = pc.cast(batch["vec_id"], pa.int64())
+    mx = pc.max(ids).as_py()
+    if mx is not None and mx >= 1_000_000:
+        # a collision would corrupt both sides differently (duplicate
+        # ids break the searchsorted vector fetch AND the a<b pair join)
+        raise ValueError(
+            f"planted embedding dups: vec_id {mx} >= the 1M planted-id "
+            "offset; raise the offset in BOTH the queries and oracles"
+        )
+    base = pa.table({"vec_id": K._as_array(ids), "embedding": batch["embedding"]})
+    keep = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+    sub = base.filter(keep)
+    dup = pa.table(
+        {
+            "vec_id": K._as_array(pc.add(sub["vec_id"], 1_000_000)),
+            "embedding": sub["embedding"],
+        }
+    )
+    return pa.concat_tables([base, dup])
+
+
 def q_embedding_dups_planted(sf_dir: str):
     """Embedding near-dup pairs with an EXACT planted oracle: every 10th
     vector is duplicated verbatim at vec_id+1M.  Identical vectors land
@@ -841,33 +867,34 @@ def q_embedding_dups_planted(sf_dir: str):
     tested sf, and the 0.44 margin makes float noise irrelevant)."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def _plant(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch["vec_id"], pa.int64())
-        mx = pc.max(ids).as_py()
-        if mx is not None and mx >= 1_000_000:
-            # the offset is a literal in the SQL twin too — a collision
-            # would corrupt both sides differently (duplicate ids break
-            # the searchsorted vector fetch AND the a<b pair join)
-            raise ValueError(
-                f"embedding_dups_planted: vec_id {mx} >= the 1M planted-id "
-                "offset; raise the offset in BOTH the query and its oracle"
-            )
-        base = pa.table({"vec_id": K._as_array(ids), "embedding": batch["embedding"]})
-        keep = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
-        sub = base.filter(keep)
-        dup = pa.table(
-            {
-                "vec_id": K._as_array(pc.add(sub["vec_id"], 1_000_000)),
-                "embedding": sub["embedding"],
-            }
-        )
-        return pa.concat_tables([base, dup])
-
     pairs = dedup.embedding_dup_pairs(
-        ds.map_batches(_plant, batch_format="pyarrow"), cosine_threshold=0.95
+        ds.map_batches(_plant_embedding_dups, batch_format="pyarrow"),
+        cosine_threshold=0.95,
     )
     # embedding_dup_pairs returns a typed empty frame on every empty path
     return pairs[["id_a", "id_b"]]
+
+
+def q_semantic_dedup_exact(sf_dir: str):
+    """SemDeDup degenerated to ONE cluster value-checks the whole
+    plumbing — sampled k-means, broadcast centroid, vectorized
+    assignment, within-cluster chunked triangular keep-first cosine —
+    against a literal NOT-EXISTS all-pairs SQL twin (the ivf_exact_topk
+    degeneration trick applied to dedup).  Planted verbatim dups at
+    vec_id+1M are the non-trivial drops (cosine ~1.0 in both engines);
+    every natural pair sits ≤~0.51 at every sf, so the 0.39 margin to
+    the 0.9 threshold makes float32-vs-double cosine irrelevant."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = dedup.semantic_dedup(
+        ds.map_batches(_plant_embedding_dups, batch_format="pyarrow"),
+        n_clusters=1,
+        cosine_threshold=0.9,
+    )
+    # cluster is constant 0 in the 1-cluster degeneration — drop it
+    # inside the batch fn (select_columns forces a schema resolution)
+    return res.map_batches(
+        lambda b: b.select(["vec_id", "keep"]), batch_format="pyarrow"
+    )
 
 
 def q_media_decode_stats(sf_dir: str):
@@ -2445,6 +2472,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "rolling_counts": q_rolling_counts,
     "embedding_dups_planted": q_embedding_dups_planted,
+    "semantic_dedup_exact": q_semantic_dedup_exact,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3430,6 +3458,19 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # SemDeDup's 1-cluster degeneration: keep-first all-pairs cosine —
+    # a is kept iff no lower-id b has cosine >= 0.9 (planted dups drop,
+    # natural pairs are <=~0.51 so float width can't flip a decision)
+    "semantic_dedup_exact": (
+        "WITH base AS (SELECT vec_id, embedding FROM embeddings),"
+        " planted AS (SELECT vec_id + 1000000 AS vec_id, embedding"
+        "   FROM base WHERE vec_id % 10 = 0),"
+        " all_v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)"
+        " SELECT a.vec_id, NOT EXISTS (SELECT 1 FROM all_v b"
+        "   WHERE b.vec_id < a.vec_id"
+        "   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)"
+        " AS keep FROM all_v a"
     ),
     # the literal RANGE-frame window the op reimplements shuffle-free;
     # integer cents per row BEFORE the window sum so both sides are exact
