@@ -284,3 +284,49 @@ def load_wordlists(paths: Iterable[str]) -> frozenset[str]:
         except OSError:
             continue
     return frozenset(words)
+
+
+def digest64(arr, algo: str = "md5") -> np.ndarray:
+    """First 8 digest bytes of every row as one int64 each — the compact
+    shuffle-key form of :func:`digest_rows` (same buffer-sliced hashing,
+    no hex round-trip).  Nulls hash as the empty string.  64 bits is a
+    GROUPING key, not an identity proof: callers must tolerate (or
+    document) the ~n²/2⁶⁴ collision odds."""
+    import hashlib as _hl
+
+    hasher = getattr(_hl, algo)
+    empty8 = hasher(b"").digest()[:8]
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    parts: list[np.ndarray] = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        t = ch.type
+        if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            odt = np.int64
+        elif pa.types.is_string(t) or pa.types.is_binary(t):
+            odt = np.int32
+        else:
+            raise TypeError(f"digest64: unsupported type {t}")
+        bufs = ch.buffers()
+        offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1 + ch.offset)[
+            ch.offset :
+        ]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        out = np.empty(n, dtype="S8")
+        if ch.null_count:
+            valid = ~np.asarray(ch.is_null())
+            for i in range(n):
+                out[i] = (
+                    hasher(data[offs[i] : offs[i + 1]]).digest()[:8]
+                    if valid[i]
+                    else empty8
+                )
+        else:
+            for i in range(n):
+                out[i] = hasher(data[offs[i] : offs[i + 1]]).digest()[:8]
+        parts.append(out.view(np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)

@@ -2626,3 +2626,196 @@ def drop_dup_substrings(
         return batch.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(_cut, batch_format="pyarrow")
+
+
+def _explode_paragraphs(
+    batch: pa.Table, text_col: str, id_col: str, sep: str, pos_cap: int
+):
+    """(doc ids int64, per-doc paragraph counts, flat paragraph array,
+    non-empty mask, global order keys id*pos_cap+pos) for one batch —
+    the shared split step of paragraph_dedup's two passes."""
+    ids = K._as_array(batch[id_col])
+    if ids.null_count:
+        raise ValueError("paragraph_dedup: null ids")
+    idv = np.asarray(ids, dtype=np.int64)
+    if len(idv) and (idv.min() < 0 or idv.max() > (2**63 - 1) // pos_cap):
+        raise ValueError(
+            f"paragraph_dedup: ids must be in [0, 2^63/pos_cap) — got "
+            f"[{idv.min()}, {idv.max()}] with pos_cap={pos_cap}"
+        )
+    lists = pc.split_pattern(
+        pc.fill_null(K._as_array(batch[text_col]), ""), sep
+    )
+    sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    sizes = sizes.astype(np.int64)
+    if len(sizes) and sizes.max() > pos_cap:
+        raise ValueError(
+            f"paragraph_dedup: a document has {sizes.max()} paragraphs "
+            f"> pos_cap={pos_cap}; raise pos_cap"
+        )
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = int(sizes.sum())
+    docx = np.repeat(np.arange(len(idv), dtype=np.int64), sizes)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(sizes)[:-1]]) if len(sizes) else [],
+        sizes,
+    )
+    nonempty = (
+        np.asarray(pc.not_equal(flat, ""), dtype=bool)
+        if total
+        else np.empty(0, dtype=bool)
+    )
+    order = idv[docx] * pos_cap + pos
+    return idv, sizes, flat, nonempty, order
+
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+    out_col: str = "text_dedup",
+    removed_col: str = "n_removed",
+    driver_merge_threshold: int = 5_000_000,
+    distributed: bool = False,
+    max_winners: int = 50_000_000,
+    pos_cap: int = 1_048_576,
+) -> "ray.data.Dataset":
+    """Global keep-FIRST paragraph-level exact dedup — the Dolma /
+    RefinedWeb paragraph dedup run exactly instead of via a Bloom
+    filter: every non-empty paragraph occurring more than once in the
+    corpus survives only at its first occurrence (lexicographic minimum
+    of (id, position)) and is removed everywhere else.  Empty paragraphs
+    (consecutive separators) always survive, preserving document
+    structure — the blank-line rule of drop_common_lines.  Returns
+    Dataset(id, out_col, removed_col) — removed_col counts dropped
+    paragraph instances per document.
+
+    drop_common_lines is the FREQUENCY rule (boilerplate in ≥k docs goes
+    everywhere); this is the ORDERED rule (one global survivor).
+
+    Plan: pass 1 ships only (8-byte paragraph digest, count, min order
+    key) — an Arrow group_by per batch as combiner, then the same
+    size-routed reduction as common_lines (driver Arrow group_by under
+    ``driver_merge_threshold`` partial rows, distributed groupby above,
+    ``distributed=True`` to skip materialization outright).  Winners
+    (digest → min order key, duplicated digests only) broadcast once via
+    ``ray.put``.  Pass 2 re-splits each batch, ONE searchsorted against
+    the sorted winner digests, and reassembles documents vectorized
+    (list offsets + ``pc.binary_join``) — a doc never spans a batch, so
+    reassembly needs no shuffle.  Two passes over the input: cache or
+    checkpoint upstream lineage if it is expensive (the
+    drop_common_lines guidance).  Digests are 64-bit grouping keys —
+    a collision would merge two distinct paragraphs (~n²/2⁶⁴ odds,
+    documented not guarded).  Winner sets above ``max_winners`` raise
+    loudly toward a join-based rewrite rather than silently thrashing
+    the broadcast."""
+    if not sep:
+        raise ValueError("paragraph_dedup: sep must be non-empty")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, _, flat, nonempty, order = _explode_paragraphs(
+            batch, text_col, id_col, sep, pos_cap
+        )
+        h = K.digest64(flat)
+        t = pa.table(
+            {"h": pa.array(h[nonempty]), "o": pa.array(order[nonempty])}
+        )
+        g = t.group_by("h").aggregate([("o", "count"), ("o", "min")])
+        return g.rename_columns(["h", "n", "mn"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    if distributed:
+        agg = partials.groupby("h").aggregate(
+            Sum("n", alias_name="n"), Min("mn", alias_name="mn")
+        )
+        dup = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h", "mn"]),
+            batch_format="pyarrow",
+        )
+        tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
+        win = (
+            pa.concat_tables([t.combine_chunks() for t in tabs])
+            if tabs
+            else pa.table({"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())})
+        )
+    else:
+        mat = partials.materialize()
+        if mat.count() <= driver_merge_threshold:
+            tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+            if tabs:
+                allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+                g = allp.group_by("h").aggregate([("n", "sum"), ("mn", "min")])
+                win = g.filter(pc.greater_equal(g["n_sum"], 2)).select(
+                    ["h", "mn_min"]
+                ).rename_columns(["h", "mn"])
+            else:
+                win = pa.table(
+                    {"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())}
+                )
+        else:
+            agg = mat.groupby("h").aggregate(
+                Sum("n", alias_name="n"), Min("mn", alias_name="mn")
+            )
+            dup = agg.map_batches(
+                lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(
+                    ["h", "mn"]
+                ),
+                batch_format="pyarrow",
+            )
+            tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
+            win = (
+                pa.concat_tables([t.combine_chunks() for t in tabs])
+                if tabs
+                else pa.table(
+                    {"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())}
+                )
+            )
+    if win.num_rows > max_winners:
+        raise ValueError(
+            f"paragraph_dedup: {win.num_rows} duplicated paragraphs exceed "
+            f"max_winners={max_winners}; rewrite with a hash join on the "
+            "digest instead of the broadcast map"
+        )
+    wh = np.asarray(win["h"], dtype=np.int64)
+    wo = np.asarray(win["mn"], dtype=np.int64)
+    srt = np.argsort(wh, kind="stable")
+    w_ref = ray.put((wh[srt], wo[srt]))
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        idv, sizes, flat, nonempty, order = _explode_paragraphs(
+            batch, text_col, id_col, sep, pos_cap
+        )
+        sh, sw = ray.get(w_ref)
+        if len(flat) and sh.size:
+            h = K.digest64(flat)
+            idx = np.minimum(np.searchsorted(sh, h), sh.size - 1)
+            hit = (sh[idx] == h) & nonempty
+            keep = ~hit | (order == sw[idx])
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        counts = (
+            np.bincount(
+                np.repeat(np.arange(len(idv), dtype=np.int64), sizes)[keep],
+                minlength=len(idv),
+            ).astype(np.int64)
+            if len(idv)
+            else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        kept = flat.filter(pa.array(keep)) if len(flat) else flat
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept
+        )
+        return pa.table(
+            {
+                id_col: pa.array(idv),
+                out_col: pc.binary_join(la, sep),
+                removed_col: pa.array(sizes - counts),
+            }
+        )
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")

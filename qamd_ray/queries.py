@@ -875,6 +875,37 @@ def q_embedding_dups_planted(sf_dir: str):
     return pairs[["id_a", "id_b"]]
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Global keep-FIRST paragraph dedup (ops.dedup.paragraph_dedup —
+    the Dolma/RefinedWeb paragraph rule run exactly) over a derived
+    multi-paragraph view (the corpus has no newlines, so the view is
+    built by the same deterministic-rewrite trick as the C4 webpage
+    view): every 5th doc gains a shared COMMON INTRO paragraph, every
+    7th a shared COMMON FOOTER, and ' query ' splits bodies into
+    per-doc-distinct paragraphs.  The shared paragraphs survive only in
+    their lowest-(doc, position) occurrence; empty paragraphs always
+    survive.  The oracle is the literal row_number() construction over
+    the identically-built SQL view."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    SEP = "\n\n"
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        body = pc.replace_substring(t, " query ", SEP)
+        intro = np.where(ids % 5 == 0, "COMMON INTRO" + SEP, "")
+        footer = np.where(ids % 7 == 0, SEP + "COMMON FOOTER", "")
+        # binary_join_element_wise treats the LAST arg as the separator
+        full = pc.binary_join_element_wise(
+            pa.array(intro, pa.string()), body, pa.array(footer, pa.string()), ""
+        )
+        return pa.table({"doc_id": pa.array(ids), "text": full})
+
+    return dedup.paragraph_dedup(
+        ds.map_batches(_view, batch_format="pyarrow")
+    )
+
+
 def q_knn_eval_join(sf_dir: str):
     """Broadcast vector join (ops.similarity.knn_join): every corpus
     vector's 3 nearest eval-set vectors — the semantic-decontamination
@@ -2514,6 +2545,7 @@ QUERIES = {
     "embedding_dups_planted": q_embedding_dups_planted,
     "semantic_dedup_exact": q_semantic_dedup_exact,
     "knn_eval_join": q_knn_eval_join,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3499,6 +3531,29 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # keep-first paragraph dedup over the identically-built planted
+    # view: winner = row_number() 1 per paragraph ordered (doc_id, pos);
+    # empty paragraphs always survive (structure-preserving blank rule)
+    "paragraph_dedup": (
+        "WITH v AS (SELECT doc_id,"
+        "   (CASE WHEN doc_id % 5 = 0 THEN 'COMMON INTRO' || chr(10) || chr(10)"
+        "     ELSE '' END)"
+        "   || replace(coalesce(text, ''), ' query ', chr(10) || chr(10))"
+        "   || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'COMMON FOOTER'"
+        "     ELSE '' END) AS t FROM documents),"
+        " s AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls FROM v),"
+        " p AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls"
+        "   FROM s),"
+        " q AS (SELECT doc_id, i, ls[i] AS para FROM p),"
+        " r AS (SELECT doc_id, i, para, row_number() OVER"
+        "   (PARTITION BY para ORDER BY doc_id, i) AS rn FROM q),"
+        " k AS (SELECT doc_id, i, para, (para = '' OR rn = 1) AS keep FROM r)"
+        " SELECT doc_id,"
+        "  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY i)"
+        "    FILTER (WHERE keep), '') AS text_dedup,"
+        "  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed"
+        " FROM k GROUP BY doc_id"
     ),
     # the broadcast vector join: literal cross-join top-3 per corpus
     # vector, ranked (cosine DESC, eval_id) exactly like the op's

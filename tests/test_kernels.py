@@ -278,3 +278,30 @@ def test_digest_rows_matches_naive():
     assert K.digest_rows(barr, "md5") == [naive(v, "md5") for v in vals]
     # empty array
     assert K.digest_rows(pa.array([], pa.string())) == []
+
+
+def test_digest64_matches_digest_rows():
+    """digest64 == int64 view of the first 8 md5 bytes, across chunks,
+    nulls (hash of ''), empty strings and multi-byte text."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from qamd_ray import kernels as K
+
+    vals = ["ab", "", None, "x" * 300, "héllo ✓", "ab"]
+    arr = pa.chunked_array(
+        [pa.array(vals[:3]), pa.array([], pa.string()), pa.array(vals[3:])]
+    )
+    got = K.digest64(arr)
+    exp = np.array(
+        [
+            np.frombuffer(
+                hashlib.md5((v or "").encode("utf-8")).digest()[:8], np.int64
+            )[0]
+            for v in vals
+        ]
+    )
+    assert (got == exp).all()
+    assert K.digest64(pa.array([], pa.string())).size == 0

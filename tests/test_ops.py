@@ -2909,3 +2909,77 @@ def test_knn_join_vs_brute_force_and_ties():
         similarity.knn_join(
             ray.data.from_pandas(ldf), rdf, 1, max_right_rows=5
         )
+
+
+def test_paragraph_dedup_vs_brute_force():
+    """paragraph_dedup keeps each duplicated non-empty paragraph only at
+    its (doc_id, pos) minimum — including within-doc repeats — across
+    the driver-merge, forced-distributed-groupby and distributed=True
+    reduction paths; empty paragraphs always survive; null text is '';
+    bad inputs raise."""
+    rng = np.random.default_rng(3)
+    vocab = [f"para {i}" for i in range(12)]
+    texts = [
+        "\n\n".join(rng.choice(vocab, size=rng.integers(1, 6)))
+        for _ in range(60)
+    ]
+    texts[5] = "solo unique\n\n\n\npara 0"   # empty para + cross-doc dup
+    texts[9] = "para 3\n\npara 3"            # within-doc repeat
+    texts[11] = None
+    ids = np.arange(60, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    # brute force: first (doc, pos) per non-empty paragraph wins
+    first: dict[str, tuple] = {}
+    for d, t in zip(ids, texts):
+        for i, p in enumerate((t or "").split("\n\n")):
+            if p and (p not in first):
+                first[p] = (d, i)
+    exp_text, exp_rm = [], []
+    for d, t in zip(ids, texts):
+        kept = [
+            p
+            for i, p in enumerate((t or "").split("\n\n"))
+            if p == "" or first[p] == (d, i)
+        ]
+        exp_text.append("\n\n".join(kept))
+        exp_rm.append(len((t or "").split("\n\n")) - len(kept))
+
+    from qamd_ray.ops.dedup import paragraph_dedup
+
+    for kwargs in (
+        {},
+        {"driver_merge_threshold": 0},  # forced distributed reduction
+        {"distributed": True},
+    ):
+        out = (
+            paragraph_dedup(
+                ray.data.from_pandas(df).repartition(6), **kwargs
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["text_dedup"]) == exp_text, kwargs
+        assert list(out["n_removed"]) == exp_rm, kwargs
+    # a dup-free corpus passes through identity
+    uniq = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a\n\nb", "c\n\nd"]}
+    )
+    out = (
+        paragraph_dedup(ray.data.from_pandas(uniq))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["text_dedup"]) == ["a\n\nb", "c\n\nd"]
+    assert list(out["n_removed"]) == [0, 0]
+    with pytest.raises(ValueError, match="sep must be"):
+        paragraph_dedup(ray.data.from_pandas(uniq), sep="")
+    bad = df.head(4).copy()
+    bad.loc[2, "doc_id"] = None
+    with pytest.raises(Exception, match="null ids"):
+        paragraph_dedup(ray.data.from_pandas(bad)).to_pandas()
+    with pytest.raises(Exception, match="pos_cap"):
+        paragraph_dedup(
+            ray.data.from_pandas(df.head(10).fillna({"text": ""})), pos_cap=2
+        ).to_pandas()
