@@ -813,6 +813,10 @@ def label_propagate_min(
     """
     from .joins import hash_join
 
+    if max_rounds < 1:
+        raise ValueError(
+            f"label_propagate_min: max_rounds must be >= 1 (got {max_rounds})"
+        )
     num_partitions = _shuffle_partitions(num_partitions)
     INF = np.iinfo(np.int64).max
 
@@ -1134,6 +1138,12 @@ def ngram_jaccard_pairs(
         # are at most (total gram rows / cap) of them
         df_tbl = (
             ds.map_batches(_make_grams(None), batch_format="pyarrow")
+            # project to the gram column INSIDE the fused map chain — the
+            # groupby shuffle would otherwise move two dead int64 columns
+            # on every exploded gram row
+            .map_batches(
+                lambda b: b.select(["gram"]), batch_format="pyarrow"
+            )
             .groupby("gram")
             .aggregate(Count(alias_name="df"))
         )
@@ -2658,10 +2668,12 @@ def _explode_paragraphs(
         flat = flat.combine_chunks()
     total = int(sizes.sum())
     docx = np.repeat(np.arange(len(idv), dtype=np.int64), sizes)
-    pos = np.arange(total, dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(sizes)[:-1]]) if len(sizes) else [],
-        sizes,
+    starts = (
+        np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+        if len(sizes)
+        else np.zeros(0, dtype=np.int64)
     )
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
     nonempty = (
         np.asarray(pc.not_equal(flat, ""), dtype=bool)
         if total
@@ -2725,7 +2737,11 @@ def paragraph_dedup(
             {"h": pa.array(h[nonempty]), "o": pa.array(order[nonempty])}
         )
         g = t.group_by("h").aggregate([("o", "count"), ("o", "min")])
-        return g.rename_columns(["h", "n", "mn"])
+        # select by the GENERATED names — the aggregate's column order is
+        # pyarrow-version-dependent (the grouped-moments lesson)
+        return g.select(["h", "o_count", "o_min"]).rename_columns(
+            ["h", "n", "mn"]
+        )
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     if distributed:

@@ -223,6 +223,12 @@ def cap_per_group(
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if not len(batch):
+            # typed empty — from_pandas of an empty frame defaults the
+            # columns to double, poisoning the candidate schema
+            return pa.table(
+                {"g": pa.array([], pa.string()), "h": pa.array([], pa.string())}
+            )
         df = pd.DataFrame({"g": _gkeys(batch), "h": _hkeys(batch)})
         top = df.sort_values(["g", "h"], kind="stable").groupby(
             "g", sort=False

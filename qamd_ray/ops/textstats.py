@@ -482,7 +482,10 @@ def repetition_scores(
         out["dup_line_char_frac"] = dup_chars / np.maximum(line_chars, 1)
 
         # --- token n-gram fractions ---
-        toks = txt.str.split()
+        # the explicit 5-char whitespace class (the gopher_rules / BPE
+        # convention), NOT str.split(): Python splits on \v and Unicode
+        # whitespace too, which no SQL twin can reproduce
+        toks = txt.str.findall(r"[^ \t\n\f\r]+")
         nt = toks.str.len().to_numpy(np.int64)
         d = np.repeat(np.arange(ndoc), nt)
         flat_t = pd.Series(

@@ -677,6 +677,14 @@ def _planted_corpus(sf_dir: str, near_mode: str):
 
     def _derive(b: pa.Table) -> pa.Table:
         ids = np.asarray(K._as_array(pc.cast(b["doc_id"], pa.int64())))
+        if len(ids) and ids.max() >= 1_000_000:
+            # the offset is a literal in the SQL twins too — a collision
+            # corrupts both engines differently (duplicate ids break the
+            # driver path's unique-id contract and the star pairing)
+            raise ValueError(
+                f"_planted_corpus: doc_id {ids.max()} >= the 1M planted-id "
+                "offset; raise the offset in BOTH the queries and oracles"
+            )
         base = pa.array(K.digest_rows(b["text"], "md5"), pa.string())
         if near_mode == "suffix":
             near = pc.binary_join_element_wise(base, " zz", "")
@@ -2945,8 +2953,8 @@ ORACLES = {
         "   SUM(cnt * len) AS lchars,"
         "   SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dchars"
         "   FROM lc GROUP BY 1),"
-        " tl AS (SELECT doc_id, regexp_extract_all(t, '[^ \\t\\n]+') AS toks"
-        "   FROM d),"
+        " tl AS (SELECT doc_id, regexp_extract_all(t, '[^ \\t\\n\\f\\r]+')"
+        "   AS toks FROM d),"
         " tc AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,"
         "   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)"
         "     AS BIGINT) AS tchars FROM tl),"

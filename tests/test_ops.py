@@ -945,6 +945,14 @@ def test_repetition_scores_gopher_signals():
     assert out.loc[4, "top2gram_char_frac"] == 1.0
     assert out.loc[4, "dup5gram_char_frac"] == 1.0
     assert (out[[c for c in out.columns if c != "doc_id"]] <= 1.0).all().all()
+    # tokenizer = the explicit [^ \t\n\f\r]+ class, NOT str.split():
+    # \v stays inside a token ("aa\vbb cc" is ONE 2-gram covering all 7
+    # token chars; str.split would yield 3 tokens and 4/6 coverage)
+    vt = pd.DataFrame({"doc_id": [0], "text": ["aa\vbb cc"]})
+    out_vt = textstats.repetition_scores(
+        ray.data.from_arrow(pa.Table.from_pandas(vt))
+    ).to_pandas()
+    assert out_vt.loc[0, "top2gram_char_frac"] == 1.0
 
 
 def test_gopher_rules_per_rule_and_duckdb_twin():
