@@ -1224,19 +1224,31 @@ def winnow_common_spans(
     k: int = 8,
     window: int = 16,
     min_docs: int = 2,
+    hash: str = "rolling",
 ) -> "ray.data.Dataset":
     """Fine-grained duplicate SPANS via winnowing (Schleimer, Wilkerson &
     Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
-    SIGMOD 2003): k-byte rolling hashes per doc, minimum per sliding
-    window of ``window`` hashes → a sparse, position-robust fingerprint
-    set; any shared span of ≥ ``k + window - 1`` bytes is guaranteed to
-    share a fingerprint.  → (fingerprint, n_docs, min_id) for every
-    fingerprint present in ≥ ``min_docs`` docs.
+    SIGMOD 2003): k-gram hashes per doc, minimum per sliding window of
+    ``window`` hashes → a sparse, position-robust fingerprint set; any
+    shared span of ≥ ``k + window - 1`` units is guaranteed to share a
+    fingerprint.  → (fingerprint, n_docs, min_id) for every fingerprint
+    present in ≥ ``min_docs`` docs.
 
-    Shuffle shape: one groupby over (fingerprint, id) pairs — ints only,
-    deduped per doc inside the batch (combiner), never content.
+    ``hash="rolling"`` (default): O(n) byte-level polynomial rolling
+    hash, int64 fingerprints — the fast path.  ``hash="md5"``: per-window
+    md5 prefixes (char-based ``_window_keys``, the dup_spans keys) with
+    the min taken BYTE-LEXICOGRAPHICALLY (big-endian uint64 view), and
+    hex-string fingerprints — exactly ``MIN(substr(md5(w),1,16)) OVER
+    (ROWS window-1 PRECEDING)`` in SQL, which makes the whole winnowing
+    selection value-checkable by a DuckDB twin at ~k× the hash cost.
+
+    Shuffle shape: one groupby over (fingerprint, id) pairs — never
+    content, deduped per doc inside the batch (combiner).
     """
     from ..ops.textstats import rolling_fingerprints
+
+    if hash not in ("rolling", "md5"):
+        raise ValueError(f"winnow_common_spans: unknown hash {hash!r}")
 
     def _fps(batch: pa.Table) -> pa.Table:
         texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
@@ -1244,21 +1256,40 @@ def winnow_common_spans(
         out_fp: list[np.ndarray] = []
         out_id: list[np.ndarray] = []
         for i, t in zip(ids, texts):
-            h = rolling_fingerprints(t, window=k)
-            if len(h) < window:
-                continue
-            mins = np.unique(
-                np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-            )
+            if hash == "md5":
+                keys = _window_keys(t, k)
+                if len(keys) < window:
+                    continue
+                # big-endian view: uint64 min == byte-lexicographic min
+                # == SQL's MIN over the hex prefix strings
+                u = keys.view(">u8")
+                umins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(
+                        u, window
+                    ).min(axis=1)
+                )
+                mins = np.array(
+                    [format(int(x), "016x") for x in umins], dtype=object
+                )
+            else:
+                h = rolling_fingerprints(t, window=k)
+                if len(h) < window:
+                    continue
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(
+                        h, window
+                    ).min(axis=1)
+                )
             out_fp.append(mins)
             out_id.append(np.full(len(mins), i, dtype=np.int64))
+        fp_type = pa.string() if hash == "md5" else pa.int64()
         if not out_fp:
             return pa.table(
-                {"fingerprint": pa.array([], pa.int64()),
+                {"fingerprint": pa.array([], fp_type),
                  id_col: pa.array([], pa.int64())}
             )
         return pa.table(
-            {"fingerprint": pa.array(np.concatenate(out_fp)),
+            {"fingerprint": pa.array(np.concatenate(out_fp), fp_type),
              id_col: pa.array(np.concatenate(out_id))}
         )
 

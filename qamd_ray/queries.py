@@ -820,10 +820,18 @@ def q_approx_top_langs(sf_dir: str):
 
 
 def q_common_spans(sf_dir: str):
-    """Winnowed duplicate-span fingerprints shared by ≥2 docs (rows-only:
-    winnowing has no reasonable SQL twin)."""
+    """Winnowed duplicate-span fingerprints shared by ≥2 docs
+    (ops.dedup.winnow_common_spans, SIGMOD 2003).  hash="md5" makes the
+    whole winnowing selection value-checkable: the per-window key is the
+    dup_spans md5 prefix and the window minimum is byte-lexicographic,
+    so the oracle is a literal MIN(...) OVER (ROWS 15 PRECEDING) window
+    over the same hex keys."""
     return dedup.winnow_common_spans(
-        _t(sf_dir, "documents", ["doc_id", "text"]), k=8, window=16, min_docs=2
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        k=8,
+        window=16,
+        min_docs=2,
+        hash="md5",
     )
 
 
@@ -3539,6 +3547,25 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # literal winnowing twin: per-position md5-prefix keys (the dup_spans
+    # construction), window minimum as a ROWS frame (hex-string MIN ==
+    # the op's big-endian uint64 min), distinct per doc, then the >=2
+    # docs filter
+    "common_spans": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents"
+        "   WHERE length(coalesce(text, '')) >= 8 + 16 - 1),"
+        " p AS (SELECT doc_id, t,"
+        "   unnest(generate_series(1, length(t) - 7)) AS i FROM d),"
+        " h AS (SELECT doc_id, i,"
+        "   substr(md5(substr(t, i, 8)), 1, 16) AS hh FROM p),"
+        " m AS (SELECT doc_id, i, MIN(hh) OVER (PARTITION BY doc_id"
+        "   ORDER BY i ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)"
+        "   AS hmin FROM h),"
+        " s AS (SELECT DISTINCT doc_id, hmin FROM m WHERE i >= 16)"
+        " SELECT hmin AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  MIN(doc_id) AS min_id FROM s GROUP BY 1"
+        " HAVING count(*) >= 2"
     ),
     # keep-first paragraph dedup over the identically-built planted
     # view: winner = row_number() 1 per paragraph ordered (doc_id, pos);

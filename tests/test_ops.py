@@ -202,6 +202,40 @@ def test_winnow_common_spans():
     assert len(out) >= 1
     assert (out["min_id"] <= 1).all()  # only the planted pair shares spans
     assert (out["n_docs"] == 2).all()
+    # md5 mode matches a scalar winnow (hex-string window MIN — the SQL
+    # twin's semantics) exactly, fingerprints and counts
+    import hashlib
+
+    def scalar_winnow(t, k=8, window=16):
+        keys = [
+            hashlib.md5(t[i : i + k].encode()).hexdigest()[:16]
+            for i in range(len(t) - k + 1)
+        ]
+        if len(keys) < window:
+            return set()
+        return {
+            min(keys[i - window + 1 : i + 1])
+            for i in range(window - 1, len(keys))
+        }
+
+    counts: dict = {}
+    for d, t in enumerate(texts):
+        for fp in scalar_winnow(t):
+            counts.setdefault(fp, []).append(d)
+    expect = sorted(
+        (fp, len(ds_), min(ds_))
+        for fp, ds_ in counts.items()
+        if len(ds_) >= 2
+    )
+    got = dedup.winnow_common_spans(
+        ds, k=8, window=16, min_docs=2, hash="md5"
+    ).to_pandas()
+    assert (
+        sorted(zip(got["fingerprint"], got["n_docs"], got["min_id"]))
+        == expect
+    )
+    with pytest.raises(ValueError, match="unknown hash"):
+        dedup.winnow_common_spans(ds, hash="sha1")
 
 
 def test_ngram_jaccard_exact():
