@@ -27,6 +27,8 @@ would make block attribution ambiguous under Ray's sort).
 
 from __future__ import annotations
 
+import hashlib
+
 from typing import Optional
 
 import numpy as np
@@ -443,3 +445,89 @@ def z_order_key(
         return batch.append_column(out_col, pa.array(z))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def cdc_chunks(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    mean_size: int = 64,
+) -> "ray.data.Dataset":
+    """Content-defined chunking (the LBFS boundary rule — Muthitacharoen,
+    Chen & Mazières, SOSP 2001): a chunk boundary falls after character
+    ``i`` whenever the hash of the ``window``-char span ending at ``i``
+    is below ``2^64 / mean_size``, so boundaries move WITH the content —
+    an insertion only reshapes the chunks it touches, which is what makes
+    chunk-level dedup robust to edits (the fixed-stride failure mode).
+    The final chunk always ends at the text end.  Expected chunk length
+    ≈ ``mean_size`` characters.  Returns one row per chunk:
+    (id, chunk_idx 1-based, chunk_start 1-based, chunk_len, chunk_md5).
+
+    The span hash is the dup_spans md5-prefix key compared as a
+    big-endian uint64, so the boundary predicate is exactly SQL's
+    ``substr(md5(substr(t, i, window)), 1, 16) < '<16-hex threshold>'``
+    (lower-case hex compare == unsigned compare) — the whole op has a
+    literal DuckDB twin.  No min/max chunk bounds: those make boundary
+    acceptance sequential (each depends on the previous accepted one),
+    which no vectorized or SQL formulation reproduces; callers needing
+    them should post-merge small chunks.  Empty/null texts yield no
+    rows.  Plan: pure per-batch map — no shuffle; the md5-per-position
+    pass is the dup_spans cost profile."""
+    from ..ops.dedup import _window_keys
+
+    if window < 1:
+        raise ValueError(f"cdc_chunks: window must be >= 1 (got {window})")
+    if mean_size < 2 or (mean_size & (mean_size - 1)):
+        raise ValueError(
+            f"cdc_chunks: mean_size must be a power of two >= 2 "
+            f"(got {mean_size}) so the threshold is exact in both engines"
+        )
+    thr = np.uint64(2**64 // mean_size)
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        o_id: list[int] = []
+        o_idx: list[int] = []
+        o_start: list[int] = []
+        o_len: list[int] = []
+        o_md5: list[str] = []
+        md5 = hashlib.md5
+        for d, t in zip(ids, texts):
+            n = len(t)
+            if n == 0:
+                continue
+            keys = _window_keys(t, window)
+            if keys.size:
+                # window starting at 0-based i covers chars [i, i+window)
+                # → 1-based boundary END position = i + window
+                ends = (
+                    np.flatnonzero(keys.view(">u8") < thr) + window
+                ).tolist()
+            else:
+                ends = []
+            if not ends or ends[-1] != n:
+                ends.append(n)
+            start = 1
+            for idx, e in enumerate(ends, start=1):
+                o_id.append(int(d))
+                o_idx.append(idx)
+                o_start.append(start)
+                o_len.append(e - start + 1)
+                o_md5.append(
+                    md5(t[start - 1 : e].encode("utf-8")).hexdigest()
+                )
+                start = e + 1
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int64()),
+                "chunk_start": pa.array(o_start, pa.int64()),
+                "chunk_len": pa.array(o_len, pa.int64()),
+                "chunk_md5": pa.array(o_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")

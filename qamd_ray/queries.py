@@ -891,6 +891,20 @@ def q_embedding_dups_planted(sf_dir: str):
     return pairs[["id_a", "id_b"]]
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (ops.packing.cdc_chunks, the LBFS
+    boundary rule): boundaries where the 8-char md5-prefix window key
+    drops below 2^64/64, final chunk pinned to the text end — chunk
+    boundaries move WITH the content, the property chunk-level dedup
+    needs.  The oracle is the literal hex-threshold + lag() window
+    construction over the same keys."""
+    from .ops.packing import cdc_chunks
+
+    return cdc_chunks(
+        _t(sf_dir, "documents", ["doc_id", "text"]), window=8, mean_size=64
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Global keep-FIRST paragraph dedup (ops.dedup.paragraph_dedup —
     the Dolma/RefinedWeb paragraph rule run exactly) over a derived
@@ -2562,6 +2576,7 @@ QUERIES = {
     "semantic_dedup_exact": q_semantic_dedup_exact,
     "knn_eval_join": q_knn_eval_join,
     "paragraph_dedup": q_paragraph_dedup,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3547,6 +3562,29 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # literal CDC twin: boundary after char i+7 iff the window's md5 hex
+    # prefix < the 2^58 threshold (lower-case hex compare == unsigned);
+    # UNION (not ALL) folds the always-boundary text end into the set
+    "cdc_chunks": (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents"
+        "   WHERE length(coalesce(text, '')) >= 1),"
+        " p AS (SELECT doc_id, t,"
+        "   unnest(generate_series(1, length(t) - 7)) AS i FROM d"
+        "   WHERE length(t) >= 8),"
+        " b AS (SELECT doc_id, i + 7 AS e FROM p"
+        "   WHERE substr(md5(substr(t, i, 8)), 1, 16) < '0400000000000000'),"
+        " ends AS (SELECT doc_id, e FROM b"
+        "   UNION SELECT doc_id, length(t) AS e FROM d),"
+        " o AS (SELECT doc_id, e,"
+        "   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e)"
+        "     AS BIGINT) AS chunk_idx,"
+        "   coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1"
+        "     AS chunk_start FROM ends)"
+        " SELECT o.doc_id, chunk_idx, chunk_start,"
+        "  e - chunk_start + 1 AS chunk_len,"
+        "  md5(substr(d.t, chunk_start, e - chunk_start + 1)) AS chunk_md5"
+        " FROM o JOIN d ON o.doc_id = d.doc_id"
     ),
     # literal winnowing twin: per-position md5-prefix keys (the dup_spans
     # construction), window minimum as a ROWS frame (hex-string MIN ==

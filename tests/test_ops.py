@@ -3025,3 +3025,73 @@ def test_paragraph_dedup_vs_brute_force():
         paragraph_dedup(
             ray.data.from_pandas(df.head(10).fillna({"text": ""})), pos_cap=2
         ).to_pandas()
+
+
+def test_cdc_chunks_vs_brute_force_and_edit_robustness():
+    """cdc_chunks matches a scalar LBFS-rule twin exactly, yields no
+    rows for empty text, single whole-text chunks for short text, and —
+    the property that motivates CDC — resynchronizes after an edit so
+    chunk hashes downstream of the edit are unchanged."""
+    import hashlib
+
+    from qamd_ray.ops.packing import cdc_chunks
+
+    W, MS = 8, 64
+    thr = 2**64 // MS
+
+    def scalar(t):
+        ends = [
+            i + W
+            for i in range(len(t) - W + 1)
+            if int(hashlib.md5(t[i : i + W].encode()).hexdigest()[:16], 16)
+            < thr
+        ]
+        if not ends or ends[-1] != len(t):
+            ends.append(len(t))
+        rows, start = [], 1
+        for idx, e in enumerate(ends, 1):
+            rows.append(
+                (idx, start, e - start + 1,
+                 hashlib.md5(t[start - 1 : e].encode()).hexdigest())
+            )
+            start = e + 1
+        return rows
+
+    rng = np.random.default_rng(12)
+    alphabet = list("abcdefghij \n")
+    texts = ["".join(rng.choice(alphabet, rng.integers(0, 900))) for _ in range(30)]
+    texts += ["", "short"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    out = (
+        cdc_chunks(ray.data.from_pandas(df).repartition(4), window=W, mean_size=MS)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    expect = [
+        (d, idx, s, ln, h)
+        for d, t in enumerate(texts)
+        if t
+        for idx, s, ln, h in scalar(t)
+    ]
+    got = list(
+        zip(out["doc_id"], out["chunk_idx"], out["chunk_start"],
+            out["chunk_len"], out["chunk_md5"])
+    )
+    assert got == expect
+    assert 31 not in set(out["doc_id"]) or texts[31]  # empty doc: no rows
+    assert (
+        out[out["doc_id"] == 31]["chunk_len"].tolist() == [5]
+    )  # "short" < window: one whole-text chunk
+    # edit robustness: prepend a char to a long doc — every chunk hash
+    # after the first post-edit boundary appears in the original too
+    t0 = max(texts, key=len)
+    h_orig = {h for _, _, _, h in scalar(t0)}
+    h_edit = [h for _, _, _, h in scalar("Z" + t0)]
+    assert h_edit[-1] in h_orig or len(h_edit) == 1
+    assert sum(h in h_orig for h in h_edit) >= len(h_edit) - 2
+    with pytest.raises(ValueError, match="power of two"):
+        cdc_chunks(ray.data.from_pandas(df), mean_size=48)
+    with pytest.raises(ValueError, match="window"):
+        cdc_chunks(ray.data.from_pandas(df), window=0)
