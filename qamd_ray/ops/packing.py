@@ -447,6 +447,36 @@ def z_order_key(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _cdc_validate(window: int, mean_size: int, who: str) -> "np.uint64":
+    if window < 1:
+        raise ValueError(f"{who}: window must be >= 1 (got {window})")
+    if mean_size < 2 or (mean_size & (mean_size - 1)):
+        raise ValueError(
+            f"{who}: mean_size must be a power of two >= 2 "
+            f"(got {mean_size}) so the threshold is exact in both engines"
+        )
+    return np.uint64(2**64 // mean_size)
+
+
+def _cdc_bounds(t: str, window: int, thr: "np.uint64") -> list[int]:
+    """1-based inclusive chunk END positions of ``t`` under the LBFS
+    boundary rule (md5-prefix window key < thr, final chunk pinned to
+    the text end).  Empty text → no chunks."""
+    from ..ops.dedup import _window_keys
+
+    n = len(t)
+    if n == 0:
+        return []
+    keys = _window_keys(t, window)
+    if keys.size:
+        ends = (np.flatnonzero(keys.view(">u8") < thr) + window).tolist()
+    else:
+        ends = []
+    if not ends or ends[-1] != n:
+        ends.append(n)
+    return ends
+
+
 def cdc_chunks(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -475,16 +505,7 @@ def cdc_chunks(
     them should post-merge small chunks.  Empty/null texts yield no
     rows.  Plan: pure per-batch map — no shuffle; the md5-per-position
     pass is the dup_spans cost profile."""
-    from ..ops.dedup import _window_keys
-
-    if window < 1:
-        raise ValueError(f"cdc_chunks: window must be >= 1 (got {window})")
-    if mean_size < 2 or (mean_size & (mean_size - 1)):
-        raise ValueError(
-            f"cdc_chunks: mean_size must be a power of two >= 2 "
-            f"(got {mean_size}) so the threshold is exact in both engines"
-        )
-    thr = np.uint64(2**64 // mean_size)
+    thr = _cdc_validate(window, mean_size, "cdc_chunks")
 
     def _chunks(batch: pa.Table) -> pa.Table:
         texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
@@ -496,20 +517,9 @@ def cdc_chunks(
         o_md5: list[str] = []
         md5 = hashlib.md5
         for d, t in zip(ids, texts):
-            n = len(t)
-            if n == 0:
+            ends = _cdc_bounds(t, window, thr)
+            if not ends:
                 continue
-            keys = _window_keys(t, window)
-            if keys.size:
-                # window starting at 0-based i covers chars [i, i+window)
-                # → 1-based boundary END position = i + window
-                ends = (
-                    np.flatnonzero(keys.view(">u8") < thr) + window
-                ).tolist()
-            else:
-                ends = []
-            if not ends or ends[-1] != n:
-                ends.append(n)
             start = 1
             for idx, e in enumerate(ends, start=1):
                 o_id.append(int(d))
@@ -531,3 +541,140 @@ def cdc_chunks(
         )
 
     return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+def cdc_dup_doc_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    mean_size: int = 64,
+    dup_frac_num: int = 1,
+    dup_frac_den: int = 2,
+    driver_merge_threshold: int = 5_000_000,
+    max_dup_keys: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Per-document CDC duplicate-content fraction — the chunk-level
+    near-dup detector content-defined chunking exists for (the LBFS
+    dedup shape): a document is flagged when at least
+    ``dup_frac_num/dup_frac_den`` of its characters live in chunks whose
+    content also occurs in ANOTHER document.  Unlike whole-doc hashing
+    this survives edits (boundaries resynchronize), and unlike MinHash
+    it measures literal shared bytes.  Returns one row per input row:
+    (id, total_chars, dup_chars, is_dup) — integer chars on both sides
+    and an integer cross-multiplied threshold, so the DuckDB twin is
+    exact; empty/null text → (0, 0, false).
+
+    Plan: pass 1 ships only (8-byte chunk-content digest, docs-in-batch
+    count) — chunks are collapsed per (key, doc) inside the batch first,
+    and docs never span batches, so summing batch counts gives exact
+    distinct-doc counts per key (the common_lines argument).  The
+    reduction is size-routed (driver Arrow group_by under
+    ``driver_merge_threshold`` partial rows, distributed groupby above);
+    keys in ≥2 docs broadcast once via ``ray.put`` (``max_dup_keys``
+    raises loudly toward a join rewrite).  Pass 2 re-chunks each batch
+    and takes one searchsorted per batch.  Key equality is equality of
+    the md5 prefix, so SQL grouping by ``substr(md5(chunk),1,16)``
+    partitions identically."""
+    thr = _cdc_validate(window, mean_size, "cdc_dup_doc_stats")
+    if dup_frac_num < 0 or dup_frac_den < 1:
+        raise ValueError(
+            "cdc_dup_doc_stats: dup fraction must be non-negative with a "
+            f"positive denominator (got {dup_frac_num}/{dup_frac_den})"
+        )
+
+    def _doc_keys(t: str):
+        """(int64 chunk-content digests, int64 chunk char lengths)."""
+        ends = _cdc_bounds(t, window, thr)
+        if not ends:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        starts = [1] + [e + 1 for e in ends[:-1]]
+        chunks = pa.array(
+            [t[s - 1 : e] for s, e in zip(starts, ends)], pa.string()
+        )
+        lens = np.array(
+            [e - s + 1 for s, e in zip(starts, ends)], dtype=np.int64
+        )
+        return K.digest64(chunks, "md5"), lens
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        per_doc: list[np.ndarray] = []
+        for t in texts:
+            keys, _ = _doc_keys(t)
+            if keys.size:
+                per_doc.append(np.unique(keys))  # one row per (key, doc)
+        if not per_doc:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(per_doc)
+        uk, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_threshold:
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+            g = allp.group_by("h").aggregate([("n", "sum")])
+            dup_keys = np.asarray(
+                g.filter(pc.greater_equal(g["n_sum"], 2))["h"],
+                dtype=np.int64,
+            )
+        else:
+            dup_keys = np.empty(0, dtype=np.int64)
+    else:
+        from ray.data.aggregate import Sum
+
+        agg = partials.groupby("h").aggregate(Sum("n", alias_name="n"))
+        dup = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
+            batch_format="pyarrow",
+        )
+        tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
+        dup_keys = (
+            np.asarray(
+                pa.concat_tables([t.combine_chunks() for t in tabs])["h"],
+                dtype=np.int64,
+            )
+            if tabs
+            else np.empty(0, dtype=np.int64)
+        )
+    if dup_keys.size > max_dup_keys:
+        raise ValueError(
+            f"cdc_dup_doc_stats: {dup_keys.size} duplicated chunk keys "
+            f"exceed max_dup_keys={max_dup_keys}; rewrite the attach as a "
+            "hash join on the digest instead of the broadcast set"
+        )
+    # np.sort (copy): the array may be a read-only Arrow-buffer view
+    d_ref = ray.put(np.sort(dup_keys))
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        sd = ray.get(d_ref)
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        total = np.zeros(len(texts), dtype=np.int64)
+        dupc = np.zeros(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            keys, lens = _doc_keys(t)
+            total[j] = lens.sum()
+            if keys.size and sd.size:
+                idx = np.minimum(np.searchsorted(sd, keys), sd.size - 1)
+                dupc[j] = lens[sd[idx] == keys].sum()
+        is_dup = (dupc * dup_frac_den >= total * dup_frac_num) & (total > 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "total_chars": pa.array(total),
+                "dup_chars": pa.array(dupc),
+                "is_dup": pa.array(is_dup),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

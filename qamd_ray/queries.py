@@ -905,6 +905,47 @@ def q_cdc_chunks(sf_dir: str):
     )
 
 
+_CDC_TRAILER = (
+    "shared boilerplate trailer for cdc chunk dedup testing. " * 8
+)
+
+
+def q_cdc_dup_docs(sf_dir: str):
+    """Chunk-level near-dup detection (ops.packing.cdc_dup_doc_stats):
+    a doc is flagged when ≥1/4 of its characters live in CDC chunks
+    whose content also occurs in another doc.  The corpus shares no
+    natural 64-char chunks, so every 10th doc gains an identical
+    456-char trailer (built identically in SQL) — those docs share the
+    trailer's chunks after CDC boundary resynchronization and flag
+    true; the rest stay at dup_chars 0.  Integer chars + cross-
+    multiplied threshold make the big CTE twin exact."""
+    from .ops.packing import cdc_dup_doc_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        trail = pa.array(
+            np.where(ids % 10 == 0, _CDC_TRAILER, ""), pa.string()
+        )
+        # binary_join_element_wise treats the LAST arg as the separator
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, trail, ""),
+            }
+        )
+
+    return cdc_dup_doc_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        window=8,
+        mean_size=64,
+        dup_frac_num=1,
+        dup_frac_den=4,
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Global keep-FIRST paragraph dedup (ops.dedup.paragraph_dedup —
     the Dolma/RefinedWeb paragraph rule run exactly) over a derived
@@ -2577,6 +2618,7 @@ QUERIES = {
     "knn_eval_join": q_knn_eval_join,
     "paragraph_dedup": q_paragraph_dedup,
     "cdc_chunks": q_cdc_chunks,
+    "cdc_dup_docs": q_cdc_dup_docs,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3562,6 +3604,39 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # the CDC chunk construction over the planted-trailer view, grouped
+    # by the 16-hex chunk-content key; dup = key in >=2 docs; integer
+    # chars + cross-multiplied 1/4 threshold
+    "cdc_dup_docs": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "   || CASE WHEN doc_id % 10 = 0 THEN '" + _CDC_TRAILER + "'"
+        "   ELSE '' END AS t FROM documents),"
+        " d AS (SELECT doc_id, t FROM v WHERE length(t) >= 1),"
+        " p AS (SELECT doc_id, t,"
+        "   unnest(generate_series(1, length(t) - 7)) AS i FROM d"
+        "   WHERE length(t) >= 8),"
+        " b AS (SELECT doc_id, i + 7 AS e FROM p"
+        "   WHERE substr(md5(substr(t, i, 8)), 1, 16) < '0400000000000000'),"
+        " ends AS (SELECT doc_id, e FROM b"
+        "   UNION SELECT doc_id, length(t) AS e FROM d),"
+        " o AS (SELECT doc_id, e,"
+        "   coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1"
+        "     AS cs FROM ends),"
+        " c AS (SELECT o.doc_id, e - cs + 1 AS cl,"
+        "   substr(md5(substr(d.t, cs, e - cs + 1)), 1, 16) AS ck"
+        "   FROM o JOIN d ON o.doc_id = d.doc_id),"
+        " kd AS (SELECT ck, doc_id, CAST(SUM(cl) AS BIGINT) AS chars"
+        "   FROM c GROUP BY 1, 2),"
+        " dup AS (SELECT ck FROM kd GROUP BY ck HAVING count(*) >= 2),"
+        " per AS (SELECT doc_id, CAST(SUM(chars) AS BIGINT) AS total_chars,"
+        "   CAST(SUM(CASE WHEN ck IN (SELECT ck FROM dup) THEN chars"
+        "     ELSE 0 END) AS BIGINT) AS dup_chars FROM kd GROUP BY doc_id)"
+        " SELECT v.doc_id, coalesce(total_chars, 0) AS total_chars,"
+        "  coalesce(dup_chars, 0) AS dup_chars,"
+        "  (coalesce(dup_chars, 0) * 4 >= coalesce(total_chars, 0)"
+        "   AND coalesce(total_chars, 0) > 0) AS is_dup"
+        " FROM v LEFT JOIN per ON v.doc_id = per.doc_id"
     ),
     # literal CDC twin: boundary after char i+7 iff the window's md5 hex
     # prefix < the 2^58 threshold (lower-case hex compare == unsigned);

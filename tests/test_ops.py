@@ -3095,3 +3095,83 @@ def test_cdc_chunks_vs_brute_force_and_edit_robustness():
         cdc_chunks(ray.data.from_pandas(df), mean_size=48)
     with pytest.raises(ValueError, match="window"):
         cdc_chunks(ray.data.from_pandas(df), window=0)
+
+
+def test_cdc_dup_doc_stats_planted_trailer():
+    """cdc_dup_doc_stats flags docs sharing a planted trailer (CDC
+    boundaries resynchronize inside identical content), matches a scalar
+    recomputation exactly on both reduction paths, zeroes unrelated
+    docs, and handles empty text and bad fractions."""
+    import hashlib
+
+    from qamd_ray.ops.packing import cdc_dup_doc_stats
+
+    W, MS = 8, 64
+    thr = 2**64 // MS
+    rng = np.random.default_rng(21)
+    alphabet = list("abcdefghijklmnop ")
+    # NOTE: a short repeat unit can have NO window below the 1/64
+    # threshold (every repeated unit only contributes |unit| distinct
+    # windows) — this unit is verified to carry a boundary every 56
+    # chars, so the trailer region resynchronizes and shares chunks
+    trailer = "shared boilerplate trailer for cdc chunk dedup testing. " * 8
+    texts = []
+    for i in range(40):
+        base = "".join(rng.choice(alphabet, rng.integers(150, 400)))
+        texts.append(base + trailer if i % 8 == 0 else base)
+    texts.append("")
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    def chunks_of(t):
+        ends = [
+            i + W
+            for i in range(len(t) - W + 1)
+            if int(hashlib.md5(t[i : i + W].encode()).hexdigest()[:16], 16)
+            < thr
+        ]
+        if t and (not ends or ends[-1] != len(t)):
+            ends.append(len(t))
+        out, s = [], 0
+        for e in ends:
+            out.append(t[s:e])
+            s = e
+        return out
+
+    from collections import Counter
+
+    doc_chunks = [chunks_of(t) for t in texts]
+    key_docs = Counter()
+    for cs in doc_chunks:
+        for c in set(cs):
+            key_docs[c] += 1
+    exp = []
+    for d, cs in enumerate(doc_chunks):
+        total = sum(len(c) for c in cs)
+        dupc = sum(len(c) for c in cs if key_docs[c] >= 2)
+        exp.append((d, total, dupc, bool(total and dupc * 4 >= total)))
+
+    for kwargs in ({}, {"driver_merge_threshold": 0}):
+        out = (
+            cdc_dup_doc_stats(
+                ray.data.from_pandas(df).repartition(5),
+                window=W,
+                mean_size=MS,
+                dup_frac_num=1,
+                dup_frac_den=4,
+                **kwargs,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = list(
+            zip(out["doc_id"], out["total_chars"], out["dup_chars"],
+                out["is_dup"])
+        )
+        assert got == exp, kwargs
+    flagged = [d for d, _, _, f in exp if f]
+    assert flagged == [i for i in range(40) if i % 8 == 0]
+    assert exp[40] == (40, 0, 0, False)  # empty text
+    with pytest.raises(ValueError, match="fraction"):
+        cdc_dup_doc_stats(ray.data.from_pandas(df), dup_frac_den=0)
