@@ -910,6 +910,71 @@ _CDC_TRAILER = (
 )
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
+    bipartite customer→supplier graph (distinct pairs from
+    orders⋈lineitem; supplier ids offset by 1M) — the host-centrality
+    quality-prior shape web curation uses (Common Crawl ranks hosts by
+    OPIC/harmonic centrality).  All-integer arithmetic makes the fixed
+    rounds bit-exact under any parallelism, so the oracle is the
+    literally unrolled 3-iteration SQL."""
+    from .ops.graph import pagerank_int
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    n_edges = li.count()  # pure parquet read: metadata-only
+    od = (
+        pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .to_pandas()
+        .rename(columns={"o_orderkey": "l_orderkey"})
+    )
+    joined = joins.broadcast_hash_join(li, od, "l_orderkey")
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(K._as_array(batch["o_custkey"]), pa.int64()),
+                "dst": pc.add(
+                    pc.cast(K._as_array(batch["l_suppkey"]), pa.int64()),
+                    pa.scalar(1_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    return pagerank_int(
+        joined.map_batches(_edges, batch_format="pyarrow"),
+        iters=3,
+        n_edges=n_edges,
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """The unrolled integer-PageRank twin — generated from the same
+    round structure the op runs (the z_order generated-SQL trick)."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT o.o_custkey AS src,"
+        "   l.l_suppkey + 1000000 AS dst FROM orders o"
+        "   JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        " nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)",
+        " od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1)",
+        " r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f" s{i} AS (SELECT e.dst AS n,"
+            f" CAST(SUM(r{i-1}.r // od.d) AS BIGINT) AS s"
+            f" FROM e JOIN od USING (src)"
+            f" JOIN r{i-1} ON r{i-1}.n = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f" r{i} AS (SELECT nodes.n,"
+            f" CAST(150000 + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT)"
+            f" AS r FROM nodes LEFT JOIN s{i} USING (n))"
+        )
+    return ",".join(parts) + f" SELECT n AS node, r AS pr FROM r{iters}"
+
+
 def q_cdc_dup_docs(sf_dir: str):
     """Chunk-level near-dup detection (ops.packing.cdc_dup_doc_stats):
     a doc is flagged when ≥1/4 of its characters live in CDC chunks
@@ -2619,6 +2684,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup_docs": q_cdc_dup_docs,
+    "pagerank": q_pagerank,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3605,6 +3671,8 @@ ORACLES = {
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
     ),
+    # unrolled 3-round integer PageRank (generated, see _pagerank_oracle)
+    "pagerank": _pagerank_oracle(3),
     # the CDC chunk construction over the planted-trailer view, grouped
     # by the 16-hex chunk-content key; dup = key in >=2 docs; integer
     # chars + cross-multiplied 1/4 threshold

@@ -3175,3 +3175,56 @@ def test_cdc_dup_doc_stats_planted_trailer():
     assert exp[40] == (40, 0, 0, False)  # empty text
     with pytest.raises(ValueError, match="fraction"):
         cdc_dup_doc_stats(ray.data.from_pandas(df), dup_frac_den=0)
+
+
+def test_pagerank_int_vs_scalar_and_paths():
+    """pagerank_int matches a scalar integer recomputation on both the
+    driver and distributed paths (bit-exact — that's the point of the
+    integer formulation), collapses duplicate edges, ranks a hub above
+    leaves, and rejects bad args."""
+    from qamd_ray.ops.graph import pagerank_int
+
+    # star into node 99 + a chain + a duplicate edge + a dangling source
+    edges = [(1, 99), (2, 99), (3, 99), (99, 4), (4, 5), (2, 99), (7, 8)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+
+    def scalar(edges, iters=3, scale=1_000_000):
+        es = sorted(set(edges))
+        nodes = sorted({x for e in es for x in e})
+        out = {n: 0 for n in nodes}
+        for s, _ in es:
+            out[s] += 1
+        r = {n: scale for n in nodes}
+        base = scale * 15 // 100
+        for _ in range(iters):
+            s = {n: 0 for n in nodes}
+            for a, b in es:
+                s[b] += r[a] // out[a]
+            r = {n: base + 85 * s[n] // 100 for n in nodes}
+        return r
+
+    exp = scalar(edges)
+    for kwargs in ({"n_edges": len(df)}, {"n_edges": None}):
+        out = (
+            pagerank_int(
+                ray.data.from_pandas(df).repartition(3), **kwargs
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        got = dict(zip(out["node"], out["pr"]))
+        assert got == exp, kwargs
+    # the hub out-ranks its leaf in-neighbours; the chain sink (5) is
+    # global max (it inherits the hub's mass through outdeg-1 node 4)
+    assert exp[99] > exp[1] and exp[5] == max(exp.values())
+    assert exp[1] == exp[3] and exp[1] == 150000  # leaves: base only
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_int(ray.data.from_pandas(df), iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_int(ray.data.from_pandas(df), damping_num=100)
+    bad = df.copy()
+    bad.loc[1, "dst"] = None
+    with pytest.raises(Exception, match="null edge"):
+        pagerank_int(
+            ray.data.from_pandas(bad), n_edges=len(bad)
+        ).to_pandas()
