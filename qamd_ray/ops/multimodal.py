@@ -998,16 +998,20 @@ def _jpeg_encode_blocks(blocks, q, dc_tab, ac_tab, bw, dc_pred):
 
 def encode_jpeg(img, quality=90, subsampling="444"):
     """Baseline JPEG (T.81) encoder.  ``subsampling``: "444" (one block
-    per component per MCU) or "420" (2x2 Y blocks + box-averaged chroma
+    per component per MCU), "420" (2x2 Y blocks + box-averaged chroma
     per 16x16 MCU — the layout the overwhelming majority of real-world
-    JPEGs use); grayscale ignores the option."""
-    if subsampling not in ("444", "420"):
+    JPEGs use) or "422" (two Y blocks + horizontally-averaged chroma per
+    16x8 MCU — the digital-video/MJPEG layout); grayscale ignores the
+    option."""
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if subsampling == "420" and not gray:
         return _encode_jpeg_420(img, quality)
+    if subsampling == "422" and not gray:
+        return _encode_jpeg_422(img, quality)
     # quality-scale quant tables (IJG formula)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     ql = np.clip((_JQL * s + 50) // 100, 1, 255)
@@ -1140,6 +1144,78 @@ def _encode_jpeg_420(img, quality):
             )
             pcr = _jpeg_encode_blocks(
                 [crd[cy : cy + 8, cx : cx + 8]], qcf, dcc, acc, bw, pcr
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_jpeg_422(img, quality):
+    """RGB → 4:2:2 baseline JPEG: 16x8 MCUs of two side-by-side Y blocks
+    plus one horizontally box-averaged Cb and Cr block each (T.81 A.2.3
+    raster order; Y sampling 2x1) — the digital-video/MJPEG layout."""
+    h, w = img.shape[:2]
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JQL * s + 50) // 100, 1, 255)
+    qc = np.clip((_JQC * s + 50) // 100, 1, 255)
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+
+    def _pad(c):
+        p = np.zeros((ph, pw), np.float64)
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        return p
+
+    yp = _pad(y)
+    cbd = _pad(cb).reshape(ph, pw // 2, 2).mean(axis=2)
+    crd = _pad(cr).reshape(ph, pw // 2, 2).mean(axis=2)
+
+    out = bytearray(b"\xff\xd8")
+    zl = np.zeros(64, np.uint8)
+    zl[:] = ql.reshape(-1)[_JZZ]
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + zl.tobytes()
+    zc = np.zeros(64, np.uint8)
+    zc[:] = qc.reshape(-1)[_JZZ]
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 1) + zc.tobytes()
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    sof += _struct.pack(">BBB", 1, 0x21, 0)  # Y: 2x1 sampling
+    sof += _struct.pack(">BBB", 2, 0x11, 1)
+    sof += _struct.pack(">BBB", 3, 0x11, 1)
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals)
+        return b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _JDC_L_BITS, _JDC_L_VALS) + dht(1, 0, _JAC_L_BITS, _JAC_L_VALS)
+    out += dht(0, 1, _JDC_C_BITS, _JDC_C_VALS) + dht(1, 1, _JAC_C_BITS, _JAC_C_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _JpegBitWriter()
+    dcl = _jpeg_huff_codes(_JDC_L_BITS, _JDC_L_VALS)
+    acl = _jpeg_huff_codes(_JAC_L_BITS, _JAC_L_VALS)
+    dcc = _jpeg_huff_codes(_JDC_C_BITS, _JDC_C_VALS)
+    acc = _jpeg_huff_codes(_JAC_C_BITS, _JAC_C_VALS)
+    qlf, qcf = ql.astype(np.float64), qc.astype(np.float64)
+    py, pcb, pcr = 0, 0, 0
+    for my in range(0, ph, 8):
+        for mx in range(0, pw, 16):
+            for u in (0, 8):
+                blk = yp[my : my + 8, mx + u : mx + u + 8]
+                py = _jpeg_encode_blocks([blk], qlf, dcl, acl, bw, py)
+            cx = mx // 2
+            pcb = _jpeg_encode_blocks(
+                [cbd[my : my + 8, cx : cx + 8]], qcf, dcc, acc, bw, pcb
+            )
+            pcr = _jpeg_encode_blocks(
+                [crd[my : my + 8, cx : cx + 8]], qcf, dcc, acc, bw, pcr
             )
     bw.flush()
     out += bw.buf

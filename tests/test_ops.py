@@ -2013,7 +2013,7 @@ def test_jpeg_420_roundtrip():
     out = multimodal.ImageDecoder(resize=None, fake=False)(row)
     assert abs(out["pix_mean"][0].as_py() - dec_ref.mean()) < 1e-9
     with pytest.raises(ValueError):
-        multimodal.encode_jpeg(rgb, subsampling="422")
+        multimodal.encode_jpeg(rgb, subsampling="411")
 
 
 def test_codec_fuzz_single_failure_type():
@@ -2030,6 +2030,8 @@ def test_codec_fuzz_single_failure_type():
         (multimodal.decode_jpeg, multimodal.encode_jpeg(rgb, quality=80)),
         (multimodal.decode_jpeg,
          multimodal.encode_jpeg(rgb, quality=80, subsampling="420")),
+        (multimodal.decode_jpeg,
+         multimodal.encode_jpeg(rgb, quality=80, subsampling="422")),
         (multimodal.decode_netpbm, multimodal.encode_netpbm(rgb)),
     ]
     for dec, seed in cases:
@@ -3228,3 +3230,25 @@ def test_pagerank_int_vs_scalar_and_paths():
         pagerank_int(
             ray.data.from_pandas(bad), n_edges=len(bad)
         ).to_pandas()
+
+
+def test_jpeg_422_roundtrip():
+    """4:2:2 chroma-subsampled baseline JPEG (the digital-video/MJPEG
+    layout, Y sampling 2x1): round-trips within the subsampling error
+    budget across dims incl. non-multiples of 16; error sits between
+    444 and 420 on chroma-heavy content; size sits between them too."""
+    x = np.linspace(0, 4 * np.pi, 48)
+    smooth = (127 + 100 * np.outer(np.sin(x), np.cos(x))).astype(np.uint8)
+    rgb = np.stack([smooth, smooth.T, 255 - smooth], axis=2)
+    for hh, ww in [(48, 48), (17, 23), (33, 15), (16, 16), (8, 32)]:
+        img = rgb[:hh, :ww]
+        enc = multimodal.encode_jpeg(img, quality=95, subsampling="422")
+        dec = multimodal.decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8, (hh, ww)
+    e444 = multimodal.encode_jpeg(rgb, quality=95, subsampling="444")
+    e422 = multimodal.encode_jpeg(rgb, quality=95, subsampling="422")
+    e420 = multimodal.encode_jpeg(rgb, quality=95, subsampling="420")
+    assert len(e420) < len(e422) < len(e444)
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        multimodal.encode_jpeg(rgb, subsampling="411")
