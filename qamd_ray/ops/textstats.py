@@ -1165,3 +1165,104 @@ def bpe_encode_count(
         return batch.append_column(out_col, pa.array(ns, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def levenshtein_bytes(a: str, b: str) -> int:
+    """Levenshtein distance over the UTF-8 BYTES of ``a`` and ``b`` —
+    byte-level to match DuckDB's ``levenshtein`` (measured:
+    levenshtein('héllo','hello') = 2 there, a byte substitution plus a
+    byte deletion).  One vectorized DP row per byte of ``a``; the
+    sequential insertion term is folded in with the classic prefix-scan
+    identity ``cur[j] = min_k≤j (partial[k] + (j−k)) =
+    accumulate-min(partial − j) + j``."""
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if ab == bb:
+        return 0
+    if not ab:
+        return len(bb)
+    if not bb:
+        return len(ab)
+    bv = np.frombuffer(bb, dtype=np.uint8).astype(np.int64)
+    j = np.arange(1, len(bb) + 1, dtype=np.int64)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    for i, ca in enumerate(ab, 1):
+        partial = np.minimum(prev[1:] + 1, prev[:-1] + (bv != ca))
+        full = np.empty(len(bb) + 1, dtype=np.int64)
+        full[0] = i
+        full[1:] = partial
+        full = np.minimum.accumulate(full - np.arange(len(bb) + 1)) + np.arange(
+            len(bb) + 1
+        )
+        prev = full
+    return int(prev[-1])
+
+
+def pair_edit_distances(
+    pairs,
+    docs: "ray.data.Dataset",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_threshold: int = 2_000_000,
+    n_docs: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Exact byte-level edit distance for every (id_a, id_b) pair — the
+    fine-grained verification metric for near-dup CANDIDATES (MinHash /
+    SimHash buckets say "maybe"; edit distance says how far apart two
+    versions actually are, in edits rather than shingle overlap).
+    Returns Dataset(id_a, id_b, dist).
+
+    Text attach is size-routed like the repo's other lookups: at
+    ``n_docs ≤ broadcast_threshold`` (pass ``n_docs`` — counting a
+    mapped dataset executes lineage) the (id → text) map is collected
+    once and broadcast via ``ray.put``; above it, fetch texts with two
+    hash joins instead (not implemented here — candidate-pair
+    verification always runs AFTER bucketing, when the referenced doc
+    set is the small survivor side; the loud error keeps the contract
+    honest).  Per pair the DP is one vectorized numpy row per byte of
+    the shorter side — O(|a|·|b|/64) effective; quadratic, so callers
+    cap text length upstream (the dup_spans/minhash stages already
+    bound candidate sizes)."""
+    if n_docs is not None and n_docs > broadcast_threshold:
+        raise ValueError(
+            f"pair_edit_distances: {n_docs} docs exceed "
+            f"broadcast_threshold={broadcast_threshold}; fetch texts with "
+            "two hash joins (joins.hash_join) before calling"
+        )
+    ddf = docs.to_pandas() if not isinstance(docs, pd.DataFrame) else docs
+    tmap = dict(
+        zip(
+            ddf[id_col].astype("int64"),
+            ddf[text_col].fillna("").astype(str),
+        )
+    )
+    t_ref = ray.put(tmap)
+    pds = (
+        ray.data.from_pandas(pairs)
+        if isinstance(pairs, pd.DataFrame)
+        else pairs
+    )
+
+    def _dist(batch: pa.Table) -> pa.Table:
+        tm = ray.get(t_ref)
+        av = np.asarray(K._as_array(batch[id_a]), dtype=np.int64)
+        bv = np.asarray(K._as_array(batch[id_b]), dtype=np.int64)
+        missing = [int(x) for x in np.concatenate([av, bv]) if int(x) not in tm]
+        if missing:
+            raise KeyError(
+                f"pair_edit_distances: pair references unknown ids "
+                f"{sorted(set(missing))[:5]}"
+            )
+        d = np.fromiter(
+            (levenshtein_bytes(tm[int(x)], tm[int(y)]) for x, y in zip(av, bv)),
+            dtype=np.int64,
+            count=len(av),
+        )
+        return pa.table(
+            {id_a: pa.array(av), id_b: pa.array(bv), "dist": pa.array(d)}
+        )
+
+    return pds.map_batches(_dist, batch_format="pyarrow")

@@ -910,6 +910,31 @@ _CDC_TRAILER = (
 )
 
 
+def q_edit_distances(sf_dir: str):
+    """Byte-level Levenshtein distance for adjacent-doc candidate pairs
+    (ops.textstats.pair_edit_distances) — the fine-grained verification
+    metric applied after near-dup bucketing.  The kernel runs over UTF-8
+    bytes because DuckDB's levenshtein is byte-level (measured:
+    levenshtein('héllo','hello') = 2), so the twin is the literal
+    function call."""
+    from .ops.textstats import pair_edit_distances
+
+    ddf = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    ids = set(ddf["doc_id"].astype(int))
+    base = sorted(i for i in ids if i % 5 == 0 and i + 1 in ids)
+    pairs = pd.DataFrame(
+        {
+            "id_a": np.array(base, dtype=np.int64),
+            "id_b": np.array([i + 1 for i in base], dtype=np.int64),
+        }
+    )
+    return pair_edit_distances(
+        ray.data.from_pandas(pairs).repartition(8), ddf, n_docs=len(ddf)
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -2685,6 +2710,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup_docs": q_cdc_dup_docs,
     "pagerank": q_pagerank,
+    "edit_distances": q_edit_distances,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3670,6 +3696,14 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # literal byte-level levenshtein over the same adjacent-doc pairs
+    "edit_distances": (
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(levenshtein(coalesce(a.text, ''), coalesce(b.text, ''))"
+        "   AS BIGINT) AS dist"
+        " FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"
+        " WHERE a.doc_id % 5 = 0"
     ),
     # unrolled 3-round integer PageRank (generated, see _pagerank_oracle)
     "pagerank": _pagerank_oracle(3),

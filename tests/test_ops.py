@@ -3252,3 +3252,50 @@ def test_jpeg_422_roundtrip():
     assert len(e420) < len(e422) < len(e444)
     with pytest.raises(ValueError, match="unsupported subsampling"):
         multimodal.encode_jpeg(rgb, subsampling="411")
+
+
+def test_pair_edit_distances_vs_brute_force():
+    """levenshtein_bytes matches a classic O(nm) scalar DP over UTF-8
+    bytes (incl. multi-byte chars — DuckDB's levenshtein is byte-level);
+    pair_edit_distances attaches texts and scores pairs, raising on
+    unknown ids and oversized doc sets."""
+    from qamd_ray.ops.textstats import levenshtein_bytes, pair_edit_distances
+
+    def scalar(a, b):
+        A, B = a.encode(), b.encode()
+        prev = list(range(len(B) + 1))
+        for i, ca in enumerate(A, 1):
+            cur = [i]
+            for j, cb in enumerate(B, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(6)
+    alpha = list("abcdé ✓")
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, rng.integers(0, 30)))
+        b = "".join(rng.choice(alpha, rng.integers(0, 30)))
+        assert levenshtein_bytes(a, b) == scalar(a, b), (a, b)
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["kitten", "sitting", None, "kitten"]}
+    )
+    pairs = pd.DataFrame(
+        {"id_a": np.array([0, 0, 0], dtype=np.int64),
+         "id_b": np.array([1, 2, 3], dtype=np.int64)}
+    )
+    out = (
+        pair_edit_distances(pairs, docs, n_docs=4)
+        .to_pandas()
+        .sort_values("id_b")
+    )
+    assert list(out["dist"]) == [3, 6, 0]  # None text == ''
+    bad = pd.DataFrame({"id_a": [0], "id_b": [99]}).astype(np.int64)
+    with pytest.raises(Exception, match="unknown ids"):
+        pair_edit_distances(bad, docs, n_docs=4).to_pandas()
+    with pytest.raises(ValueError, match="broadcast_threshold"):
+        pair_edit_distances(pairs, docs, n_docs=4, broadcast_threshold=2)
