@@ -1048,22 +1048,50 @@ def q_paragraph_dedup(sf_dir: str):
     survive.  The oracle is the literal row_number() construction over
     the identically-built SQL view."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    SEP = "\n\n"
-
-    def _view(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
-        t = pc.fill_null(K._as_array(batch["text"]), "")
-        body = pc.replace_substring(t, " query ", SEP)
-        intro = np.where(ids % 5 == 0, "COMMON INTRO" + SEP, "")
-        footer = np.where(ids % 7 == 0, SEP + "COMMON FOOTER", "")
-        # binary_join_element_wise treats the LAST arg as the separator
-        full = pc.binary_join_element_wise(
-            pa.array(intro, pa.string()), body, pa.array(footer, pa.string()), ""
-        )
-        return pa.table({"doc_id": pa.array(ids), "text": full})
-
     return dedup.paragraph_dedup(
-        ds.map_batches(_view, batch_format="pyarrow")
+        ds.map_batches(_para_view, batch_format="pyarrow")
+    )
+
+
+def _para_view(batch: pa.Table) -> pa.Table:
+    """The planted multi-paragraph view shared by paragraph_dedup and
+    training_shards (built identically by the _PARA_CTES SQL)."""
+    SEP = "\n\n"
+    ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+    t = pc.fill_null(K._as_array(batch["text"]), "")
+    body = pc.replace_substring(t, " query ", SEP)
+    intro = np.where(ids % 5 == 0, "COMMON INTRO" + SEP, "")
+    footer = np.where(ids % 7 == 0, SEP + "COMMON FOOTER", "")
+    # binary_join_element_wise treats the LAST arg as the separator
+    full = pc.binary_join_element_wise(
+        pa.array(intro, pa.string()), body, pa.array(footer, pa.string()), ""
+    )
+    return pa.table({"doc_id": pa.array(ids), "text": full})
+
+
+def q_training_shards(sf_dir: str):
+    """The end-to-end curation composition: planted multi-paragraph view
+    → global keep-first paragraph dedup → BPE-token quality gate (≥40
+    tokens) → greedy token-budget shard assignment (2000-token shards
+    via the distributed ordered prefix sum).  Raw docs in, (doc_id,
+    n_bpe_tokens, shard) out — the "make training shards" pipeline.
+    Oracle = the literal CTE chain of the stage twins."""
+    from .ops.packing import pack_by_budget
+    from .ops.textstats import bpe_token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    dd = dedup.paragraph_dedup(
+        ds.map_batches(_para_view, batch_format="pyarrow")
+    )
+    tok = bpe_token_count(dd, text_col="text_dedup")
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_bpe_tokens"], 40)
+        return batch.filter(keep).select(["doc_id", "n_bpe_tokens"])
+
+    kept = tok.map_batches(_gate, batch_format="pyarrow")
+    return pack_by_budget(
+        kept, order_col="doc_id", weight_col="n_bpe_tokens", budget=2000
     )
 
 
@@ -2711,6 +2739,7 @@ QUERIES = {
     "cdc_dup_docs": q_cdc_dup_docs,
     "pagerank": q_pagerank,
     "edit_distances": q_edit_distances,
+    "training_shards": q_training_shards,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -2803,6 +2832,26 @@ _WEBCUR_ORACLE = (
     " SELECT doc_id, CAST(length(regexp_extract_all(coalesce(clean_text, ''),"
     " ' ?[A-Za-z]+|\\s?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s')) AS BIGINT)"
     " AS n_bpe_tokens FROM won WHERE doc_id = w"
+)
+
+# Shared CTE chain of the paragraph_dedup / training_shards twins: the
+# planted multi-paragraph view (every 5th doc gains COMMON INTRO, every
+# 7th COMMON FOOTER, ' query ' splits bodies), the position-exploded
+# paragraphs, and the keep-first winner rule
+_PARA_CTES = (
+    "v AS (SELECT doc_id,"
+    "   (CASE WHEN doc_id % 5 = 0 THEN 'COMMON INTRO' || chr(10) || chr(10)"
+    "     ELSE '' END)"
+    "   || replace(coalesce(text, ''), ' query ', chr(10) || chr(10))"
+    "   || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'COMMON FOOTER'"
+    "     ELSE '' END) AS t FROM documents),"
+    " s AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls FROM v),"
+    " p AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls"
+    "   FROM s),"
+    " q AS (SELECT doc_id, i, ls[i] AS para FROM p),"
+    " r AS (SELECT doc_id, i, para, row_number() OVER"
+    "   (PARTITION BY para ORDER BY doc_id, i) AS rn FROM q),"
+    " k AS (SELECT doc_id, i, para, (para = '' OR rn = 1) AS keep FROM r)"
 )
 
 ORACLES = {
@@ -3786,24 +3835,29 @@ ORACLES = {
     # view: winner = row_number() 1 per paragraph ordered (doc_id, pos);
     # empty paragraphs always survive (structure-preserving blank rule)
     "paragraph_dedup": (
-        "WITH v AS (SELECT doc_id,"
-        "   (CASE WHEN doc_id % 5 = 0 THEN 'COMMON INTRO' || chr(10) || chr(10)"
-        "     ELSE '' END)"
-        "   || replace(coalesce(text, ''), ' query ', chr(10) || chr(10))"
-        "   || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'COMMON FOOTER'"
-        "     ELSE '' END) AS t FROM documents),"
-        " s AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls FROM v),"
-        " p AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls"
-        "   FROM s),"
-        " q AS (SELECT doc_id, i, ls[i] AS para FROM p),"
-        " r AS (SELECT doc_id, i, para, row_number() OVER"
-        "   (PARTITION BY para ORDER BY doc_id, i) AS rn FROM q),"
-        " k AS (SELECT doc_id, i, para, (para = '' OR rn = 1) AS keep FROM r)"
+        "WITH " + _PARA_CTES +
         " SELECT doc_id,"
         "  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY i)"
         "    FILTER (WHERE keep), '') AS text_dedup,"
         "  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed"
         " FROM k GROUP BY doc_id"
+    ),
+    # the full curation composition: planted view → paragraph dedup →
+    # BPE token gate → greedy token-budget shard assignment (the
+    # pack_by_budget prefix-sum twin); every stage is an existing twin
+    "training_shards": (
+        "WITH " + _PARA_CTES + ","
+        " dd AS (SELECT doc_id,"
+        "   coalesce(string_agg(para, chr(10) || chr(10) ORDER BY i)"
+        "     FILTER (WHERE keep), '') AS text_dedup FROM k GROUP BY doc_id),"
+        " tc AS (SELECT doc_id,"
+        "   CAST(length(regexp_extract_all(text_dedup,"
+        "   ' ?[A-Za-z]+|\\s?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s')) AS BIGINT)"
+        "   AS n_bpe_tokens FROM dd),"
+        " kept AS (SELECT * FROM tc WHERE n_bpe_tokens >= 40)"
+        " SELECT doc_id, n_bpe_tokens,"
+        "  CAST((SUM(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED"
+        "   PRECEDING) - n_bpe_tokens) // 2000 AS BIGINT) AS shard FROM kept"
     ),
     # the broadcast vector join: literal cross-join top-3 per corpus
     # vector, ranked (cosine DESC, eval_id) exactly like the op's
