@@ -40,9 +40,21 @@ each Ray-Data-first:
 * ``decontaminate`` — benchmark decontamination via token n-gram
                    overlap against a broadcast eval-set gram index
 * ``packing``    — token-budget shard packing via a distributed
-                   ordered prefix-sum
+                   ordered prefix-sum, RAG token-window chunking,
+                   content-defined chunking (LBFS boundaries) +
+                   chunk-level near-dup stats
 * ``selection``  — DSIR hashed n-gram importance scoring (two
                    streaming passes: bounded bucket-count sketch →
-                   broadcast weight vector)
+                   broadcast weight vector), per-group quota caps,
+                   exact-budget weighted sampling without replacement
+                   (Efraimidis–Spirakis A-ES)
+* ``graph``      — integer PageRank over an edge Dataset (the
+                   host-centrality quality prior; bit-exact int64
+                   rounds, size-routed driver / broadcast-rank paths)
+* ``urls``       — URL canonicalization, registrable-domain extraction,
+                   canonical-URL dedup (SQL twins generated from the
+                   same rule fragments)
+* ``privacy``    — k-anonymity / l-diversity over quasi-identifier keys
+* ``profile``    — exact column profiler + grouped moments
 
 """
