@@ -326,3 +326,135 @@ def weighted_sample(
         ["sample_key", id_col], ascending=[False, True], kind="stable"
     )
     return cand.head(k).reset_index(drop=True)
+
+
+def stratified_budget_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    total_k: int,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "strat",
+) -> "ray.data.Dataset":
+    """EXACT-total stratified sample: ``total_k`` rows overall, allocated
+    to groups proportionally by the largest-remainder (Hamilton) method
+    — quota_g = ⌊k·n_g/N⌋ plus one for the groups with the largest
+    remainders (ties → smaller group key) until the quotas sum to k —
+    then each group's quota filled with its smallest ``md5(salt+id)``
+    hashes (the cap_per_group selection).  The mixture-construction step
+    when per-group Bernoulli thresholds (balanced_sample) can't pin an
+    exact total AND the budget must split across strata: fully integer
+    arithmetic, so the sample is reproducible under any parallelism and
+    value-checkable by a window-function SQL twin.  ``total_k`` greater
+    than the corpus raises (a silent clamp would hide a mis-sized
+    budget).  Null group keys form their own stratum.
+
+    Plan: one keys-only counting pass (per-batch Arrow group_by
+    combiner) gives group sizes — O(groups) driver state; the Hamilton
+    allocation is a driver argsort over groups; selection reuses the
+    cap_per_group exchange with a per-group k: each batch emits its
+    quota_g smallest (group, hash) candidates (bounded by batches ×
+    groups × max-quota), the driver derives per-group thresholds, and a
+    second streaming filter keeps rows at or under their group's
+    threshold — content never moves."""
+    import pandas as pd
+
+    if total_k < 1:
+        raise ValueError(
+            f"stratified_budget_sample: total_k must be >= 1 (got {total_k})"
+        )
+
+    def _hkeys(batch: pa.Table) -> list[str]:
+        ids = K._as_array(pc.cast(batch[id_col], pa.string()))
+        salted = pc.binary_join_element_wise(
+            pa.array([salt] * len(batch), pa.string()), ids, ""
+        )
+        return K.digest_rows(salted, "md5")
+
+    def _gkeys(batch: pa.Table) -> list:
+        return [
+            "\x00<null>" if g is None else str(g)
+            for g in K._as_array(batch[group_col]).to_pylist()
+        ]
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame({"g": _gkeys(batch)})
+        c = df.groupby("g", sort=False).size()
+        return pa.table(
+            {"g": pa.array(c.index, pa.string()),
+             "n": pa.array(c.to_numpy().astype(np.int64))}
+        )
+
+    cdf = (
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("g", sort=True)["n"]
+        .sum()
+    )
+    groups = cdf.index.to_numpy(dtype=object)
+    n_g = cdf.to_numpy(dtype=np.int64)
+    N = int(n_g.sum())
+    if total_k > N:
+        raise ValueError(
+            f"stratified_budget_sample: total_k={total_k} exceeds the "
+            f"corpus size {N}"
+        )
+    base = total_k * n_g // N
+    rem = total_k * n_g % N
+    shortfall = total_k - int(base.sum())
+    # largest remainder first; ties by group key ascending (groups is
+    # already sorted ascending, stable sort preserves that order)
+    order = np.argsort(-rem, kind="stable")
+    quota = base.copy()
+    quota[order[:shortfall]] += 1
+    # Hamilton can over-allocate a tiny group past its size only when
+    # total_k == N (then base == n_g exactly), so quotas are feasible
+    quotas = {g: int(q) for g, q in zip(groups, quota) if q > 0}
+    q_ref = ray.put(quotas)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"g": pa.array([], pa.string()), "h": pa.array([], pa.string())}
+            )
+        qmap = ray.get(q_ref)
+        df = pd.DataFrame({"g": _gkeys(batch), "h": _hkeys(batch)})
+        df = df[df["g"].map(qmap).notna()]
+        if not len(df):
+            return pa.table(
+                {"g": pa.array([], pa.string()), "h": pa.array([], pa.string())}
+            )
+        df = df.sort_values(["g", "h"], kind="stable")
+        top = df.groupby("g", sort=False, group_keys=False).apply(
+            lambda part: part.head(qmap[part.name])
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cand = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["g", "h"], kind="stable")
+    )
+    thr: dict = {}
+    for g, part in cand.groupby("g", sort=False):
+        q = quotas[g]
+        hs = part["h"].to_numpy()
+        thr[g] = hs[min(q, len(hs)) - 1]
+    t_ref = ray.put(thr)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(t_ref)
+        gs = _gkeys(batch)
+        hs = _hkeys(batch)
+        mask = np.fromiter(
+            (g in t and h <= t[g] for g, h in zip(gs, hs)),
+            bool,
+            len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

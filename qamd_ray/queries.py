@@ -935,6 +935,20 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_stratified_budget(sf_dir: str):
+    """EXACT-total stratified sample (ops.selection.
+    stratified_budget_sample): 200 rows overall, allocated across the
+    20 sources by the largest-remainder (Hamilton) method, each
+    stratum filled with its smallest md5(salt+id) hashes.  All-integer
+    allocation + deterministic hash ranking → the window-function SQL
+    twin is value-exact."""
+    from .ops.selection import stratified_budget_sample
+
+    return stratified_budget_sample(
+        _t(sf_dir, "documents", ["doc_id", "source"]), "source", 200
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -2740,6 +2754,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "edit_distances": q_edit_distances,
     "training_shards": q_training_shards,
+    "stratified_budget": q_stratified_budget,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3745,6 +3760,27 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # Hamilton allocation (integer base + largest-remainder correction,
+    # ties by group key) then per-stratum md5-hash ranking — the same
+    # construction the op runs, as window functions
+    "stratified_budget": (
+        "WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n"
+        "   FROM documents GROUP BY 1),"
+        " tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM g),"
+        " a AS (SELECT grp, n, CAST((200 * n) // ntot AS BIGINT) AS base,"
+        "   CAST((200 * n) % ntot AS BIGINT) AS rem FROM g, tot),"
+        " sf AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS shortfall FROM a),"
+        " fx AS (SELECT grp, base, rem,"
+        "   row_number() OVER (ORDER BY rem DESC, grp) AS rr FROM a),"
+        " quota AS (SELECT grp, base + CASE WHEN rr <="
+        "   (SELECT shortfall FROM sf) THEN 1 ELSE 0 END AS k FROM fx),"
+        " ranked AS (SELECT doc_id, source AS grp, row_number() OVER"
+        "   (PARTITION BY source"
+        "    ORDER BY md5('strat' || CAST(doc_id AS VARCHAR))) AS rn"
+        "   FROM documents)"
+        " SELECT doc_id, grp AS source FROM ranked JOIN quota USING (grp)"
+        " WHERE rn <= k"
     ),
     # literal byte-level levenshtein over the same adjacent-doc pairs
     "edit_distances": (

@@ -3299,3 +3299,58 @@ def test_pair_edit_distances_vs_brute_force():
         pair_edit_distances(bad, docs, n_docs=4).to_pandas()
     with pytest.raises(ValueError, match="broadcast_threshold"):
         pair_edit_distances(pairs, docs, n_docs=4, broadcast_threshold=2)
+
+
+def test_stratified_budget_sample_hamilton():
+    """stratified_budget_sample returns EXACTLY total_k rows allocated
+    by the largest-remainder method and selected per stratum by salted
+    md5 rank — matched against a brute-force recomputation; edge cases:
+    total_k == corpus size returns everything, total_k > corpus raises,
+    null groups form a stratum."""
+    import hashlib
+
+    from qamd_ray.ops import selection
+
+    rng = np.random.default_rng(9)
+    groups = (["a"] * 37 + ["b"] * 21 + ["c"] * 9 + [None] * 5 + ["d"] * 2)
+    ids = np.arange(len(groups), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "g": groups})
+    K_TOTAL = 20
+
+    # brute force: Hamilton quotas then md5-rank per stratum
+    sent = lambda g: "\x00<null>" if g is None else g
+    n_g: dict = {}
+    for g in groups:
+        n_g[sent(g)] = n_g.get(sent(g), 0) + 1
+    keys = sorted(n_g)
+    N = len(groups)
+    base = {g: K_TOTAL * n_g[g] // N for g in keys}
+    rem = {g: K_TOTAL * n_g[g] % N for g in keys}
+    short = K_TOTAL - sum(base.values())
+    for g in sorted(keys, key=lambda g: (-rem[g], g))[:short]:
+        base[g] += 1
+    expect = []
+    for g in keys:
+        members = [i for i in ids if sent(groups[i]) == g]
+        members.sort(
+            key=lambda i: hashlib.md5(f"strat{i}".encode()).hexdigest()
+        )
+        expect.extend(members[: base[g]])
+
+    out = selection.stratified_budget_sample(
+        ray.data.from_pandas(df).repartition(4), "g", K_TOTAL
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(expect)
+    assert len(out) == K_TOTAL
+
+    # total_k == corpus: everything survives (base == n_g exactly)
+    full = selection.stratified_budget_sample(
+        ray.data.from_pandas(df), "g", len(df)
+    ).to_pandas()
+    assert sorted(full["doc_id"]) == list(ids)
+    with pytest.raises(ValueError, match="exceeds the"):
+        selection.stratified_budget_sample(
+            ray.data.from_pandas(df), "g", len(df) + 1
+        )
+    with pytest.raises(ValueError, match="total_k"):
+        selection.stratified_budget_sample(ray.data.from_pandas(df), "g", 0)
