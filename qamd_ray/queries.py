@@ -935,6 +935,36 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-event-type robust outlier flags (ops.profile.mad_outliers,
+    3×MAD rule) over integer cents — the numeric-column health check the
+    reference lacks.  quantile_disc medians + integer cross-multiplied
+    threshold make the two-CTE DuckDB twin value-exact."""
+    from .ops.profile import mad_outliers
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        vals = K._as_array(batch["value"])
+        if vals.null_count:
+            raise ValueError("mad_outliers query: null event values")
+        c = np.floor(np.asarray(vals, dtype=np.float64) * 100.0 + 0.5)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return mad_outliers(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        id_col="event_id",
+    )
+
+
 def q_stratified_budget(sf_dir: str):
     """EXACT-total stratified sample (ops.selection.
     stratified_budget_sample): 200 rows overall, allocated across the
@@ -2755,6 +2785,7 @@ QUERIES = {
     "edit_distances": q_edit_distances,
     "training_shards": q_training_shards,
     "stratified_budget": q_stratified_budget,
+    "mad_outliers": q_mad_outliers,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3760,6 +3791,22 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # two quantile_disc CTEs (median, then MAD over deviations) + the
+    # same integer cross-multiplied 3x threshold
+    "mad_outliers": (
+        "WITH v AS (SELECT event_id, event_type,"
+        "   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),"
+        " med AS (SELECT event_type, quantile_disc(cents, 0.5) AS m"
+        "   FROM v GROUP BY 1),"
+        " dev AS (SELECT v.event_id, v.event_type, v.cents,"
+        "   abs(v.cents - med.m) AS abs_dev FROM v JOIN med"
+        "   USING (event_type)),"
+        " mad AS (SELECT event_type, quantile_disc(abs_dev, 0.5) AS md"
+        "   FROM dev GROUP BY 1)"
+        " SELECT dev.event_id, dev.event_type, dev.cents, dev.abs_dev,"
+        "  (dev.abs_dev * 1 > mad.md * 3) AS is_outlier"
+        " FROM dev JOIN mad USING (event_type)"
     ),
     # Hamilton allocation (integer base + largest-remainder correction,
     # ties by group key) then per-stratum md5-hash ranking — the same

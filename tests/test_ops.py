@@ -3354,3 +3354,66 @@ def test_stratified_budget_sample_hamilton():
         )
     with pytest.raises(ValueError, match="total_k"):
         selection.stratified_budget_sample(ray.data.from_pandas(df), "g", 0)
+
+
+def test_mad_outliers_vs_brute_force():
+    """mad_outliers matches a scalar quantile_disc median/MAD
+    recomputation (incl. even-sized groups, where quantile_disc picks
+    the lower middle), flags planted spikes, and rejects float columns
+    and null values."""
+    from qamd_ray.ops.profile import mad_outliers
+
+    rng = np.random.default_rng(13)
+    n = 300
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(90, 111, n)
+    v[5] = 100000  # planted spike
+    v[17] = -5000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "g": g,
+         "val": v.astype(np.int64)}
+    )
+
+    def disc_median(xs):
+        xs = sorted(xs)
+        import math
+
+        k = max(math.ceil(0.5 * len(xs) - 1e-9) - 1, 0)
+        return xs[k]
+
+    med = {k: disc_median(p["val"]) for k, p in df.groupby("g")}
+    df["abs_dev"] = (df["val"] - df["g"].map(med)).abs()
+    mad = {k: disc_median(p["abs_dev"]) for k, p in df.groupby("g")}
+    exp_flag = (df["abs_dev"] > 3 * df["g"].map(mad)).to_numpy()
+
+    out = (
+        mad_outliers(
+            ray.data.from_pandas(df).repartition(4), "g", "val",
+            id_col="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["abs_dev"]) == list(df["abs_dev"])
+    assert list(out["is_outlier"]) == list(exp_flag)
+    assert bool(out.loc[5, "is_outlier"]) and bool(out.loc[17, "is_outlier"])
+    fdf = df.assign(val=df["val"].astype(float))
+    with pytest.raises(ValueError, match="integer-typed"):
+        mad_outliers(ray.data.from_pandas(fdf), "g", "val")
+    # pandas nullable Int64 reaches Ray's schema as None — rejected by
+    # the type gate too
+    ndf = df.copy().astype({"val": "Int64"})
+    with pytest.raises(ValueError, match="integer-typed"):
+        mad_outliers(ray.data.from_pandas(ndf), "g", "val")
+    # arrow-born int64 WITH nulls passes the type gate, then the null
+    # guard raises in the deviation pass
+    nt = pa.table(
+        {"event_id": pa.array([0, 1, 2], pa.int64()),
+         "g": pa.array(["a", "a", "b"]),
+         "val": pa.array([1, None, 3], pa.int64())}
+    )
+    with pytest.raises(Exception, match="null"):
+        mad_outliers(
+            ray.data.from_arrow(nt), "g", "val", id_col="event_id"
+        ).to_pandas()
