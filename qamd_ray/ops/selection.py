@@ -458,3 +458,103 @@ def stratified_budget_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def weighted_sample_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+    salt: str = "aes",
+) -> "ray.data.Dataset":
+    """Per-GROUP weighted sampling without replacement: at most ``k``
+    rows of every group, drawn weight-proportionally by the same
+    Efraimidis–Spirakis A-ES keys as :func:`weighted_sample`
+    (deterministic md5 uniforms, key ``ln(u)/w``) — the per-domain
+    mixture step when the cap must FAVOUR heavy rows instead of
+    sampling uniformly (:func:`cap_per_group`).  Completes the sampling
+    family: global exact-k weighted / per-group uniform cap / Hamilton
+    stratified budget / per-group weighted cap.
+
+    Same two-pass keys-only exchange as cap_per_group, ranking by A-ES
+    key DESC: each batch ships its k largest (group, key) candidates,
+    the driver derives {group → k-th largest key} thresholds, a second
+    streaming filter keeps rows at or above their group's threshold
+    (48-bit-entropy keys collide with measure-zero probability, so the
+    threshold keeps exactly min(k, |group|) rows).  Weights must be
+    positive non-null (raises).  DuckDB twin: ``QUALIFY row_number()
+    OVER (PARTITION BY g ORDER BY ln(u)/w DESC, id) <= k`` with the
+    md5-derived ``u`` spelled out."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(
+            f"weighted_sample_per_group: k must be >= 1 (got {k})"
+        )
+
+    def _keys(batch: pa.Table) -> np.ndarray:
+        wcol = K._as_array(batch[weight_col])
+        if wcol.null_count:
+            raise ValueError("weighted_sample_per_group: null weights")
+        w = np.asarray(wcol, dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError(
+                "weighted_sample_per_group: weights must be > 0"
+            )
+        ids = K._as_array(pc.cast(batch[id_col], pa.string()))
+        salted = pc.binary_join_element_wise(
+            pa.array([salt] * len(batch), pa.string()), ids, ""
+        )
+        h48 = np.array(
+            [int(d[:12], 16) for d in K.digest_rows(salted, "md5")],
+            dtype=np.int64,
+        )
+        u = (h48 + 1) / np.float64(2**48)  # exact: ≤2^48 / power of two
+        return np.log(u) / w
+
+    def _gkeys(batch: pa.Table) -> list:
+        return [
+            "\x00<null>" if g is None else str(g)
+            for g in K._as_array(batch[group_col]).to_pylist()
+        ]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"g": pa.array([], pa.string()),
+                 "key": pa.array([], pa.float64())}
+            )
+        df = pd.DataFrame({"g": _gkeys(batch), "key": _keys(batch)})
+        top = (
+            df.sort_values(["g", "key"], ascending=[True, False], kind="stable")
+            .groupby("g", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    cand = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["g", "key"], ascending=[True, False], kind="stable")
+    )
+    thr: dict = {}
+    for g, part in cand.groupby("g", sort=False):
+        ks = part["key"].to_numpy()
+        if len(ks) >= k:
+            thr[g] = ks[k - 1]
+    t_ref = ray.put(thr)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(t_ref)
+        gs = _gkeys(batch)
+        keys = _keys(batch) if len(batch) else np.zeros(0)
+        mask = np.fromiter(
+            (g not in t or kk >= t[g] for g, kk in zip(gs, keys)),
+            bool,
+            len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -935,6 +935,28 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_weighted_group_sample(sf_dir: str):
+    """Per-source weighted sample (ops.selection.weighted_sample_per_
+    group): at most 8 docs per source, drawn ∝ (n_chars+1) by the same
+    deterministic A-ES keys as weighted_sample — the per-domain cap
+    that favours long documents.  QUALIFY twin with the md5-derived
+    uniform spelled out."""
+    from .ops.selection import weighted_sample_per_group
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _w(batch: pa.Table) -> pa.Table:
+        w = pc.add(K._as_array(batch["n_chars"]), pa.scalar(1, pa.int64()))
+        return batch.append_column("w", pc.cast(w, pa.float64()))
+
+    res = weighted_sample_per_group(
+        ds.map_batches(_w, batch_format="pyarrow"), "source", 8
+    )
+    return res.map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def q_mad_outliers(sf_dir: str):
     """Per-event-type robust outlier flags (ops.profile.mad_outliers,
     3×MAD rule) over integer cents — the numeric-column health check the
@@ -2786,6 +2808,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "stratified_budget": q_stratified_budget,
     "mad_outliers": q_mad_outliers,
+    "weighted_group_sample": q_weighted_group_sample,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3791,6 +3814,15 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # per-source A-ES ranking: same md5-derived uniform as the
+    # weighted_sample twin, QUALIFY row_number per source
+    "weighted_group_sample": (
+        "SELECT doc_id, source FROM documents"
+        " QUALIFY row_number() OVER (PARTITION BY source"
+        " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
+        " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
+        " DESC, doc_id) <= 8"
     ),
     # two quantile_disc CTEs (median, then MAD over deviations) + the
     # same integer cross-multiplied 3x threshold

@@ -3417,3 +3417,45 @@ def test_mad_outliers_vs_brute_force():
         mad_outliers(
             ray.data.from_arrow(nt), "g", "val", id_col="event_id"
         ).to_pandas()
+
+
+def test_weighted_sample_per_group_vs_brute_force():
+    """weighted_sample_per_group keeps exactly min(k, |group|) rows per
+    group, the rows a brute-force per-group A-ES ranking picks,
+    layout-invariant; null groups form a stratum; bad weights raise."""
+    import hashlib
+    import math
+
+    from qamd_ray.ops import selection
+
+    ids = list(range(80))
+    groups = ["a"] * 30 + ["b"] * 25 + [None] * 15 + ["tiny"] * 10
+    w = [(i % 9) + 0.5 for i in ids]
+    df = pd.DataFrame({"doc_id": ids, "g": groups, "w": w})
+
+    def key(i):
+        u = (int(hashlib.md5(f"aes{i}".encode()).hexdigest()[:12], 16) + 1) / 2**48
+        return math.log(u) / w[i]
+
+    expect = set()
+    sent = lambda g: "\x00<null>" if g is None else g
+    for g in {sent(x) for x in groups}:
+        members = [i for i in ids if sent(groups[i]) == g]
+        members.sort(key=lambda i: (-key(i), i))
+        expect.update(members[:6])
+
+    for parts in (1, 5):
+        out = selection.weighted_sample_per_group(
+            ray.data.from_pandas(df).repartition(parts), "g", 6
+        ).to_pandas()
+        assert set(out["doc_id"]) == expect, parts
+    sizes = out.assign(g=[sent(x) for x in out["g"]]).groupby("g").size()
+    assert sizes.to_dict() == {"a": 6, "b": 6, "\x00<null>": 6, "tiny": 6}
+    with pytest.raises(ValueError, match="k must be"):
+        selection.weighted_sample_per_group(ray.data.from_pandas(df), "g", 0)
+    bad = df.copy()
+    bad.loc[2, "w"] = -1.0
+    with pytest.raises(Exception, match="weights must be > 0"):
+        selection.weighted_sample_per_group(
+            ray.data.from_pandas(bad), "g", 3
+        ).to_pandas()
