@@ -87,6 +87,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_incremental_minhash,
         q_dup_spans,
         q_dsir_scores,
+        q_paragraph_dedup,
+        q_pagerank,
+        q_knn_eval_join,
     )
 
     src = corpus_path()
@@ -209,6 +212,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("incremental_minhash", q_incremental_minhash),
         ("dup_spans", q_dup_spans),
         ("dsir_scores", q_dsir_scores),
+        ("paragraph_dedup", q_paragraph_dedup),
+        ("pagerank", q_pagerank),
+        ("knn_eval_join", q_knn_eval_join),
     ]):
         def _one(fn=fn):
             res = fn(sf_dir)
