@@ -2866,3 +2866,132 @@ def paragraph_dedup(
         )
 
     return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    *,
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    "The merge/purge problem for large databases", SIGMOD 1995): sort by
+    a blocking key, pair every row with the next ``window`` rows of the
+    sort order → (id_a, id_b), id_a the lower-RANK row.  The classic
+    entity-resolution blocking family LSH doesn't cover: candidates are
+    ADJACENT UNDER A SEMANTIC ORDER (name prefix, normalized address,
+    text prefix) rather than sharing a hash bucket, so near-misses that
+    no shingle survives (typos in the first token, truncations) still
+    meet.  Total order = (key, id), matching SQL ``ORDER BY key, id``;
+    both engines compare strings binary, so the twin ``JOIN ON b.rn >
+    a.rn AND b.rn <= a.rn + w`` over ``row_number()`` is value-exact.
+
+    Plan (the sessionize block-stitch shape): one global sort —
+    the all-to-all a total order fundamentally needs — materialized so
+    both passes see identical blocks; pass B emits within-block pairs
+    vectorized (repeat/arange, O(rows × w) per block, no state); the
+    cross-block pairs all involve rows within ``window`` of a block
+    boundary, so pass A ships only each block's first/last ``window``
+    rows + its length (O(blocks × w) driver rows) and the driver pairs
+    the boundary strips by global rank.  Null ids raise; null keys sort
+    like SQL NULLS (both engines put them last... they don't — Ray
+    sorts nulls FIRST by default vs DuckDB's NULLS LAST) — null keys
+    raise instead, normalize upstream."""
+    if window < 1:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: window must be >= 1 (got {window})"
+        )
+    w = int(window)
+    sorted_ds = ds.sort([key_col, id_col]).materialize()
+
+    def _pass_a(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "fk": pa.array([], pa.string()),
+                    "fid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "sid": pa.array([], pa.int64()),
+                }
+            )
+        keys = K._as_array(batch[key_col])
+        ids = K._as_array(batch[id_col])
+        if keys.null_count or ids.null_count:
+            raise ValueError(
+                "sorted_neighborhood_pairs: null keys or ids (Ray sorts "
+                "nulls first, SQL last — normalize upstream)"
+            )
+        idv = np.asarray(ids, dtype=np.int64)
+        if n <= 2 * w:
+            pos = np.arange(n, dtype=np.int64)
+        else:
+            pos = np.concatenate(
+                [np.arange(w, dtype=np.int64), np.arange(n - w, n, dtype=np.int64)]
+            )
+        fk = keys[0].as_py()
+        return pa.table(
+            {
+                "fk": pa.array([fk] * len(pos), pa.string()),
+                "fid": pa.array(np.full(len(pos), idv[0])),
+                "n": pa.array(np.full(len(pos), n)),
+                "pos": pa.array(pos),
+                "sid": pa.array(idv[pos]),
+            }
+        )
+
+    strips = (
+        sorted_ds.map_batches(_pass_a, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["fk", "fid", "pos"], kind="stable")
+    )
+    cross: list[tuple[int, int]] = []
+    if len(strips):
+        blocks = strips.groupby(["fk", "fid"], sort=False)
+        lens = blocks["n"].first().to_numpy(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        rank = np.empty(len(strips), dtype=np.int64)
+        block_ix = np.empty(len(strips), dtype=np.int64)
+        start = 0
+        for bi, (_, part) in enumerate(blocks):
+            m = len(part)
+            rank[start : start + m] = offs[bi] + part["pos"].to_numpy(np.int64)
+            block_ix[start : start + m] = bi
+            start += m
+        sids = strips["sid"].to_numpy(np.int64)
+        order = np.argsort(rank, kind="stable")
+        rank, block_ix, sids = rank[order], block_ix[order], sids[order]
+        hi = np.searchsorted(rank, rank + w, side="right")
+        for i in range(len(rank)):
+            for j in range(i + 1, hi[i]):
+                if block_ix[j] != block_ix[i]:
+                    cross.append((int(sids[i]), int(sids[j])))
+
+    def _within(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        idv = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        a_ix = np.repeat(np.arange(n, dtype=np.int64), w)
+        b_ix = a_ix + np.tile(np.arange(1, w + 1, dtype=np.int64), n)
+        m = b_ix < n
+        return pa.table(
+            {"id_a": pa.array(idv[a_ix[m]]), "id_b": pa.array(idv[b_ix[m]])}
+        )
+
+    within = sorted_ds.map_batches(
+        _within, batch_format="pyarrow", batch_size=None
+    )
+    if cross:
+        ct = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in cross], pa.int64()),
+                "id_b": pa.array([b for _, b in cross], pa.int64()),
+            }
+        )
+        return within.union(ray.data.from_arrow(ct))
+    return within

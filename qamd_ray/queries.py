@@ -935,6 +935,29 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking pairs (ops.dedup.
+    sorted_neighborhood_pairs, SIGMOD 1995): every doc paired with the
+    next 3 docs under the (12-char text prefix, id) order — the
+    entity-resolution candidate generator LSH doesn't cover.  Binary
+    string comparison on both engines makes the row_number join twin
+    value-exact."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        return pa.table(
+            {
+                "doc_id": pc.cast(K._as_array(batch["doc_id"]), pa.int64()),
+                "bkey": pc.utf8_slice_codeunits(t, 0, 12),
+            }
+        )
+
+    return dedup.sorted_neighborhood_pairs(
+        ds.map_batches(_key, batch_format="pyarrow"), "bkey", window=3
+    )
+
+
 def q_weighted_group_sample(sf_dir: str):
     """Per-source weighted sample (ops.selection.weighted_sample_per_
     group): at most 8 docs per source, drawn ∝ (n_chars+1) by the same
@@ -2809,6 +2832,7 @@ QUERIES = {
     "stratified_budget": q_stratified_budget,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
+    "sorted_neighborhood": q_sorted_neighborhood,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3814,6 +3838,14 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # the literal rank-distance join over the same (prefix, id) order
+    "sorted_neighborhood": (
+        "WITH r AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY substr(coalesce(text, ''), 1, 12), doc_id) AS rn"
+        "   FROM documents)"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a JOIN r b"
+        " ON b.rn > a.rn AND b.rn <= a.rn + 3"
     ),
     # per-source A-ES ranking: same md5-derived uniform as the
     # weighted_sample twin, QUALIFY row_number per source

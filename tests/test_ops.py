@@ -3459,3 +3459,49 @@ def test_weighted_sample_per_group_vs_brute_force():
         selection.weighted_sample_per_group(
             ray.data.from_pandas(bad), "g", 3
         ).to_pandas()
+
+
+def test_sorted_neighborhood_pairs_vs_brute_force():
+    """sorted_neighborhood_pairs emits exactly the rank-distance<=w
+    pairs of the (key, id) order — brute-forced — across block layouts
+    (cross-block stitching included), with duplicate keys, w > n, and
+    null keys raising."""
+    from qamd_ray.ops.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(8)
+    n = 90
+    keys = ["k%02d" % x for x in rng.integers(0, 25, n)]  # many ties
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "bkey": keys})
+    order = sorted(range(n), key=lambda i: (keys[i], i))
+
+    for w in (1, 3, 7):
+        expect = sorted(
+            (order[i], order[j])
+            for i in range(n)
+            for j in range(i + 1, min(i + w + 1, n))
+        )
+        for parts in (1, 4, 9):
+            out = (
+                sorted_neighborhood_pairs(
+                    ray.data.from_pandas(df).repartition(parts),
+                    "bkey",
+                    window=w,
+                )
+                .to_pandas()
+            )
+            got = sorted(zip(out["id_a"], out["id_b"]))
+            assert got == expect, (w, parts)
+    # window >= n: all pairs
+    out = sorted_neighborhood_pairs(
+        ray.data.from_pandas(df.head(6)).repartition(3), "bkey", window=99
+    ).to_pandas()
+    assert len(out) == 15
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(ray.data.from_pandas(df), "bkey", window=0)
+    bad = df.copy()
+    bad.loc[4, "bkey"] = None
+    with pytest.raises(Exception, match="null keys"):
+        sorted_neighborhood_pairs(
+            ray.data.from_pandas(bad), "bkey"
+        ).to_pandas()
