@@ -958,6 +958,41 @@ def q_sorted_neighborhood(sf_dir: str):
     )
 
 
+def q_snm_verified_pairs(sf_dir: str):
+    """The full entity-resolution composition: sorted-neighborhood
+    blocking (12-char prefix order, window 3) → byte-level edit-distance
+    verification, keeping pairs within 40% of the longer text's bytes —
+    block cheap, verify exact.  Oracle = the two stage twins joined."""
+    from .ops.textstats import pair_edit_distances
+
+    cand = q_sorted_neighborhood(sf_dir).to_pandas()
+    ddf = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    dists = pair_edit_distances(cand, ddf, n_docs=len(ddf))
+
+    blen = {
+        int(i): len((t or "").encode("utf-8"))
+        for i, t in zip(ddf["doc_id"], ddf["text"])
+    }
+    b_ref = ray.put(blen)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        bl = ray.get(b_ref)
+        a = np.asarray(K._as_array(batch["id_a"]), dtype=np.int64)
+        b = np.asarray(K._as_array(batch["id_b"]), dtype=np.int64)
+        d = np.asarray(K._as_array(batch["dist"]), dtype=np.int64)
+        mx = np.fromiter(
+            (max(bl[int(x)], bl[int(y)]) for x, y in zip(a, b)),
+            np.int64,
+            len(a),
+        )
+        # integer cross-multiplied 40% threshold
+        return batch.filter(pa.array(d * 5 <= mx * 2))
+
+    return dists.map_batches(_verify, batch_format="pyarrow")
+
+
 def q_weighted_group_sample(sf_dir: str):
     """Per-source weighted sample (ops.selection.weighted_sample_per_
     group): at most 8 docs per source, drawn ∝ (n_chars+1) by the same
@@ -2833,6 +2868,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "snm_verified_pairs": q_snm_verified_pairs,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3838,6 +3874,23 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # blocking twin joined to the byte-level levenshtein verify with the
+    # same integer 40%-of-longer-side threshold (strlen = bytes in DuckDB)
+    "snm_verified_pairs": (
+        "WITH r AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY substr(coalesce(text, ''), 1, 12), doc_id) AS rn"
+        "   FROM documents),"
+        " cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a"
+        "   JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)"
+        " SELECT c.id_a, c.id_b,"
+        "  CAST(levenshtein(coalesce(da.text, ''), coalesce(db.text, ''))"
+        "    AS BIGINT) AS dist"
+        " FROM cand c JOIN documents da ON da.doc_id = c.id_a"
+        " JOIN documents db ON db.doc_id = c.id_b"
+        " WHERE levenshtein(coalesce(da.text, ''), coalesce(db.text, '')) * 5"
+        "  <= greatest(strlen(coalesce(da.text, '')),"
+        "      strlen(coalesce(db.text, ''))) * 2"
     ),
     # the literal rank-distance join over the same (prefix, id) order
     "sorted_neighborhood": (
