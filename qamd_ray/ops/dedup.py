@@ -2995,3 +2995,119 @@ def sorted_neighborhood_pairs(
         )
         return within.union(ray.data.from_arrow(ct))
     return within
+
+
+def exact_dedup_keep_best(
+    ds: "ray.data.Dataset",
+    content_col: str,
+    rank_col: str,
+    *,
+    id_col: str = "doc_id",
+    rank_bits: int = 24,
+    driver_merge_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Exact dedup keeping the BEST duplicate instead of the first:
+    within each group of identical ``content_col`` values, the survivor
+    maximizes (``rank_col`` DESC, id ASC) — the curation policy that
+    keeps the longest / highest-scored version of a duplicated document
+    (RefinedWeb keeps one arbitrary copy; real pipelines keep the best).
+    Complements :func:`exact_dedup` (keep-first) with the same shuffle
+    shape.  Returns the surviving input rows unchanged.
+
+    Plan: winner per group is ONE int64 max — the composite
+    ``rank · 2^id_bits + (2^id_bits − 1 − id)`` encodes (rank DESC, id
+    ASC) as a single ordering, so the whole reduction is per-batch Arrow
+    group_by(max) combiners + one size-routed merge (the paragraph_dedup
+    reduction), then a broadcast (digest → winner composite) map and one
+    searchsorted filter pass.  ``rank_col`` must be integer, non-null,
+    in [0, 2^rank_bits); ids in [0, 2^(63−rank_bits)) — violations
+    raise (a silent wrap would pick wrong winners).  Content groups by
+    the 64-bit digest (collision odds ~n²/2⁶⁴, documented not
+    guarded)."""
+    if not 1 <= rank_bits <= 40:
+        raise ValueError(
+            f"exact_dedup_keep_best: rank_bits must be in [1, 40] "
+            f"(got {rank_bits})"
+        )
+    id_bits = 63 - rank_bits
+    id_cap = np.int64(1) << id_bits
+    rank_cap = np.int64(1) << rank_bits
+
+    def _composite(batch: pa.Table):
+        ids = K._as_array(batch[id_col])
+        rk = K._as_array(batch[rank_col])
+        if ids.null_count or rk.null_count:
+            raise ValueError("exact_dedup_keep_best: null ids or ranks")
+        idv = np.asarray(ids, dtype=np.int64)
+        rkv = np.asarray(rk, dtype=np.int64)
+        if len(idv):
+            if idv.min() < 0 or idv.max() >= id_cap:
+                raise ValueError(
+                    f"exact_dedup_keep_best: ids must be in [0, 2^{id_bits})"
+                    f" — got [{idv.min()}, {idv.max()}]; lower rank_bits"
+                )
+            if rkv.min() < 0 or rkv.max() >= rank_cap:
+                raise ValueError(
+                    f"exact_dedup_keep_best: ranks must be in "
+                    f"[0, 2^{rank_bits}) — got [{rkv.min()}, {rkv.max()}];"
+                    " raise rank_bits or rescale upstream"
+                )
+        h = K.digest64(K._as_array(pc.cast(batch[content_col], pa.string())))
+        comp = rkv * id_cap + (id_cap - 1 - idv)
+        return h, comp
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h, comp = _composite(batch)
+        t = pa.table({"h": pa.array(h), "c": pa.array(comp)})
+        g = t.group_by("h").aggregate([("c", "max"), ("c", "count")])
+        return g.select(["h", "c_max", "c_count"]).rename_columns(
+            ["h", "c", "n"]
+        )
+
+    def _dup_only(h, c, n):
+        dup = n >= 2
+        return h[dup], c[dup]
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_threshold:
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+            g = allp.group_by("h").aggregate([("c", "max"), ("n", "sum")])
+            wh, wc = _dup_only(
+                np.asarray(g["h"], dtype=np.int64),
+                np.asarray(g["c_max"], dtype=np.int64),
+                np.asarray(g["n_sum"], dtype=np.int64),
+            )
+        else:
+            wh = np.empty(0, dtype=np.int64)
+            wc = np.empty(0, dtype=np.int64)
+    else:
+        agg = partials.groupby("h").aggregate(
+            Max("c", alias_name="c"), Sum("n", alias_name="n")
+        )
+        tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            allw = pa.concat_tables([t.combine_chunks() for t in tabs])
+            wh, wc = _dup_only(
+                np.asarray(allw["h"], dtype=np.int64),
+                np.asarray(allw["c"], dtype=np.int64),
+                np.asarray(allw["n"], dtype=np.int64),
+            )
+        else:
+            wh = np.empty(0, dtype=np.int64)
+            wc = np.empty(0, dtype=np.int64)
+    # broadcast state = one entry per DUPLICATED distinct content only
+    srt = np.argsort(wh, kind="stable")
+    w_ref = ray.put((wh[srt], wc[srt]))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        sh, sc = ray.get(w_ref)
+        if not len(batch) or not sh.size:
+            return batch
+        h, comp = _composite(batch)
+        idx = np.minimum(np.searchsorted(sh, h), sh.size - 1)
+        hit = sh[idx] == h
+        return batch.filter(pa.array(~hit | (comp == sc[idx])))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -935,6 +935,35 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_keep_best_dedup(sf_dir: str):
+    """Keep-BEST exact dedup (ops.dedup.exact_dedup_keep_best): within
+    each group of identical props, the survivor maximizes (cents, then
+    lowest id) — the curation policy that keeps the best duplicate
+    rather than the first.  The (rank·2^39 + 2^39−1−id) composite makes
+    the winner one int64 MAX, so the window twin is value-exact."""
+    ds = _t(sf_dir, "events", ["event_id", "props", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        vals = K._as_array(batch["value"])
+        if vals.null_count:
+            raise ValueError("keep_best_dedup query: null event values")
+        c = np.floor(np.asarray(vals, dtype=np.float64) * 100.0 + 0.5)
+        return pa.table(
+            {
+                "event_id": pc.cast(K._as_array(batch["event_id"]), pa.int64()),
+                "props": batch["props"],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return dedup.exact_dedup_keep_best(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        "props",
+        "cents",
+        id_col="event_id",
+    )
+
+
 def q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood blocking pairs (ops.dedup.
     sorted_neighborhood_pairs, SIGMOD 1995): every doc paired with the
@@ -2869,6 +2898,7 @@ QUERIES = {
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
     "snm_verified_pairs": q_snm_verified_pairs,
+    "keep_best_dedup": q_keep_best_dedup,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3874,6 +3904,15 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # keep-best: rank 1 of (cents DESC, id ASC) per identical props —
+    # the composite-MAX the op computes, as a window function
+    "keep_best_dedup": (
+        "WITH c AS (SELECT event_id, props,"
+        "   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),"
+        " w AS (SELECT *, row_number() OVER (PARTITION BY props"
+        "   ORDER BY cents DESC, event_id) AS rn FROM c)"
+        " SELECT event_id, props, cents FROM w WHERE rn = 1"
     ),
     # blocking twin joined to the byte-level levenshtein verify with the
     # same integer 40%-of-longer-side threshold (strlen = bytes in DuckDB)

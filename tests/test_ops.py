@@ -3505,3 +3505,51 @@ def test_sorted_neighborhood_pairs_vs_brute_force():
         sorted_neighborhood_pairs(
             ray.data.from_pandas(bad), "bkey"
         ).to_pandas()
+
+
+def test_exact_dedup_keep_best():
+    """exact_dedup_keep_best keeps the (rank DESC, id ASC) winner of
+    each identical-content group — brute-forced — on both reduction
+    paths; unique rows all survive; bound violations raise."""
+    from qamd_ray.ops.dedup import exact_dedup_keep_best
+
+    rng = np.random.default_rng(15)
+    content = [f"c{v}" for v in rng.integers(0, 12, 70)]
+    ranks = rng.integers(0, 1000, 70).astype(np.int64)
+    ranks[3] = ranks[9]  # force a rank tie somewhere plausible
+    df = pd.DataFrame(
+        {"doc_id": np.arange(70, dtype=np.int64), "text": content,
+         "score": ranks}
+    )
+    best: dict = {}
+    for i, (c, r) in enumerate(zip(content, ranks)):
+        if c not in best or (r, -i) > (best[c][0], -best[c][1]):
+            best[c] = (r, i)
+    expect = sorted(i for _, i in best.values())
+
+    for kwargs in ({}, {"driver_merge_threshold": 0}):
+        out = exact_dedup_keep_best(
+            ray.data.from_pandas(df).repartition(5), "text", "score",
+            **kwargs,
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == expect, kwargs
+    # dup-free input passes through untouched
+    uniq = df.head(12).assign(text=[f"u{i}" for i in range(12)])
+    out = exact_dedup_keep_best(
+        ray.data.from_pandas(uniq), "text", "score"
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(12))
+    with pytest.raises(Exception, match="ranks must be"):
+        exact_dedup_keep_best(
+            ray.data.from_pandas(df.assign(score=df["score"] + 2**25)),
+            "text", "score",
+        ).to_pandas()
+    with pytest.raises(Exception, match="ids must be"):
+        exact_dedup_keep_best(
+            ray.data.from_pandas(df.assign(doc_id=df["doc_id"] + 2**40)),
+            "text", "score",
+        ).to_pandas()
+    with pytest.raises(ValueError, match="rank_bits"):
+        exact_dedup_keep_best(
+            ray.data.from_pandas(df), "text", "score", rank_bits=60
+        )
