@@ -23,6 +23,7 @@ import string
 from typing import Iterable, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -330,3 +331,22 @@ def digest64(arr, algo: str = "md5") -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(parts)
+
+
+def group_sentinel(values) -> list:
+    """Normalize group-key values for dict/threshold lookups: missing
+    keys (None, float NaN, pandas NA) become the single sentinel
+    ``"\\x00<null>"`` and everything else ``str(value)`` — applied at
+    EVERY group-key boundary so Arrow-side batch keys and pandas-born
+    aggregate keys (where a null group resurfaces as NaN) land on the
+    same dictionary entry.  The sentinel sorts before every printable
+    string, keeping threshold maps total-ordered."""
+    out = []
+    for g in values:
+        if g is None or g is getattr(pd, "NA", None) or (
+            isinstance(g, float) and g != g
+        ):
+            out.append("\x00<null>")
+        else:
+            out.append(str(g))
+    return out

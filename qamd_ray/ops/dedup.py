@@ -2774,53 +2774,17 @@ def paragraph_dedup(
             ["h", "n", "mn"]
         )
 
+    from .reduce import size_routed_group_agg
+
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    if distributed:
-        agg = partials.groupby("h").aggregate(
-            Sum("n", alias_name="n"), Min("mn", alias_name="mn")
-        )
-        dup = agg.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h", "mn"]),
-            batch_format="pyarrow",
-        )
-        tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
-        win = (
-            pa.concat_tables([t.combine_chunks() for t in tabs])
-            if tabs
-            else pa.table({"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())})
-        )
-    else:
-        mat = partials.materialize()
-        if mat.count() <= driver_merge_threshold:
-            tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
-            if tabs:
-                allp = pa.concat_tables([t.combine_chunks() for t in tabs])
-                g = allp.group_by("h").aggregate([("n", "sum"), ("mn", "min")])
-                win = g.filter(pc.greater_equal(g["n_sum"], 2)).select(
-                    ["h", "mn_min"]
-                ).rename_columns(["h", "mn"])
-            else:
-                win = pa.table(
-                    {"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())}
-                )
-        else:
-            agg = mat.groupby("h").aggregate(
-                Sum("n", alias_name="n"), Min("mn", alias_name="mn")
-            )
-            dup = agg.map_batches(
-                lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(
-                    ["h", "mn"]
-                ),
-                batch_format="pyarrow",
-            )
-            tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
-            win = (
-                pa.concat_tables([t.combine_chunks() for t in tabs])
-                if tabs
-                else pa.table(
-                    {"h": pa.array([], pa.int64()), "mn": pa.array([], pa.int64())}
-                )
-            )
+    win = size_routed_group_agg(
+        partials,
+        key="h",
+        specs=[("n", "sum"), ("mn", "min")],
+        threshold=driver_merge_threshold,
+        distributed=distributed,
+        having_ge=("n_sum", 2),
+    ).select(["h", "mn_min"]).rename_columns(["h", "mn"])
     if win.num_rows > max_winners:
         raise ValueError(
             f"paragraph_dedup: {win.num_rows} duplicated paragraphs exceed "
@@ -2907,10 +2871,13 @@ def sorted_neighborhood_pairs(
 
     def _pass_a(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        # the block-first key keeps its NATIVE type: casting to string
+        # would mis-rank blocks for non-string keys ('10' < '9')
+        key_type = batch.schema.field(key_col).type
         if n == 0:
             return pa.table(
                 {
-                    "fk": pa.array([], pa.string()),
+                    "fk": pa.array([], key_type),
                     "fid": pa.array([], pa.int64()),
                     "n": pa.array([], pa.int64()),
                     "pos": pa.array([], pa.int64()),
@@ -2931,10 +2898,10 @@ def sorted_neighborhood_pairs(
             pos = np.concatenate(
                 [np.arange(w, dtype=np.int64), np.arange(n - w, n, dtype=np.int64)]
             )
-        fk = keys[0].as_py()
+        fk = keys.take(pa.array(np.zeros(len(pos), dtype=np.int64)))
         return pa.table(
             {
-                "fk": pa.array([fk] * len(pos), pa.string()),
+                "fk": fk,
                 "fid": pa.array(np.full(len(pos), idv[0])),
                 "n": pa.array(np.full(len(pos), n)),
                 "pos": pa.array(pos),
@@ -3036,6 +3003,12 @@ def exact_dedup_keep_best(
     def _composite(batch: pa.Table):
         ids = K._as_array(batch[id_col])
         rk = K._as_array(batch[rank_col])
+        if not pa.types.is_integer(rk.type):
+            raise ValueError(
+                f"exact_dedup_keep_best: {rank_col} must be integer-typed "
+                f"(got {rk.type}) — a silent float truncation would pick "
+                "wrong winners; rescale upstream"
+            )
         if ids.null_count or rk.null_count:
             raise ValueError("exact_dedup_keep_best: null ids or ranks")
         idv = np.asarray(ids, dtype=np.int64)
@@ -3064,39 +3037,17 @@ def exact_dedup_keep_best(
             ["h", "c", "n"]
         )
 
-    def _dup_only(h, c, n):
-        dup = n >= 2
-        return h[dup], c[dup]
+    from .reduce import size_routed_group_agg
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    if partials.count() <= driver_merge_threshold:
-        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-        if tabs:
-            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
-            g = allp.group_by("h").aggregate([("c", "max"), ("n", "sum")])
-            wh, wc = _dup_only(
-                np.asarray(g["h"], dtype=np.int64),
-                np.asarray(g["c_max"], dtype=np.int64),
-                np.asarray(g["n_sum"], dtype=np.int64),
-            )
-        else:
-            wh = np.empty(0, dtype=np.int64)
-            wc = np.empty(0, dtype=np.int64)
-    else:
-        agg = partials.groupby("h").aggregate(
-            Max("c", alias_name="c"), Sum("n", alias_name="n")
-        )
-        tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
-        if tabs:
-            allw = pa.concat_tables([t.combine_chunks() for t in tabs])
-            wh, wc = _dup_only(
-                np.asarray(allw["h"], dtype=np.int64),
-                np.asarray(allw["c"], dtype=np.int64),
-                np.asarray(allw["n"], dtype=np.int64),
-            )
-        else:
-            wh = np.empty(0, dtype=np.int64)
-            wc = np.empty(0, dtype=np.int64)
+    win = size_routed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        key="h",
+        specs=[("c", "max"), ("n", "sum")],
+        threshold=driver_merge_threshold,
+        having_ge=("n_sum", 2),
+    )
+    wh = np.asarray(win["h"], dtype=np.int64)
+    wc = np.asarray(win["c_max"], dtype=np.int64)
     # broadcast state = one entry per DUPLICATED distinct content only
     srt = np.argsort(wh, kind="stable")
     w_ref = ray.put((wh[srt], wc[srt]))

@@ -618,35 +618,18 @@ def cdc_dup_doc_stats(
             {"h": pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
         )
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-    if partials.count() <= driver_merge_threshold:
-        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-        if tabs:
-            allp = pa.concat_tables([t.combine_chunks() for t in tabs])
-            g = allp.group_by("h").aggregate([("n", "sum")])
-            dup_keys = np.asarray(
-                g.filter(pc.greater_equal(g["n_sum"], 2))["h"],
-                dtype=np.int64,
-            )
-        else:
-            dup_keys = np.empty(0, dtype=np.int64)
-    else:
-        from ray.data.aggregate import Sum
+    from .reduce import size_routed_group_agg
 
-        agg = partials.groupby("h").aggregate(Sum("n", alias_name="n"))
-        dup = agg.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
-            batch_format="pyarrow",
-        )
-        tabs = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
-        dup_keys = (
-            np.asarray(
-                pa.concat_tables([t.combine_chunks() for t in tabs])["h"],
-                dtype=np.int64,
-            )
-            if tabs
-            else np.empty(0, dtype=np.int64)
-        )
+    dup_keys = np.asarray(
+        size_routed_group_agg(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            key="h",
+            specs=[("n", "sum")],
+            threshold=driver_merge_threshold,
+            having_ge=("n_sum", 2),
+        )["h"],
+        dtype=np.int64,
+    )
     if dup_keys.size > max_dup_keys:
         raise ValueError(
             f"cdc_dup_doc_stats: {dup_keys.size} duplicated chunk keys "

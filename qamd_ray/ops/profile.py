@@ -272,12 +272,13 @@ def mad_outliers(
             f"(got {vt}) — convert to cents/scaled ints upstream"
         )
 
-    def _sentinel(vals: list) -> list:
-        return ["\x00<null>" if g is None else str(g) for g in vals]
-
+    # K.group_sentinel on BOTH sides: the aggregate's group keys are
+    # pandas-born (a null group resurfaces as NaN there) while batch
+    # keys are Arrow-born (None) — one normalization or the lookups
+    # can never meet
     meds = grouped_quantile_thresholds(ds, group_col, value_col, [0.5])
     med_map = dict(
-        zip(_sentinel(meds[group_col].tolist()), meds["value"].astype(int))
+        zip(K.group_sentinel(meds[group_col].tolist()), meds["value"].astype(int))
     )
     m_ref = ray.put(med_map)
 
@@ -287,7 +288,7 @@ def mad_outliers(
         if vals.null_count:
             raise ValueError(f"mad_outliers: null values in {value_col}")
         v = np.asarray(vals, dtype=np.int64)
-        gs = _sentinel(K._as_array(batch[group_col]).to_pylist())
+        gs = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
         med = np.fromiter((mm[g] for g in gs), np.int64, len(gs))
         return pa.table(
             {
@@ -301,13 +302,13 @@ def mad_outliers(
     dev = ds.map_batches(_dev, batch_format="pyarrow")
     mads = grouped_quantile_thresholds(dev, group_col, "abs_dev", [0.5])
     mad_map = dict(
-        zip(_sentinel(mads[group_col].tolist()), mads["value"].astype(int))
+        zip(K.group_sentinel(mads[group_col].tolist()), mads["value"].astype(int))
     )
     d_ref = ray.put(mad_map)
 
     def _flag(batch: pa.Table) -> pa.Table:
         dm = ray.get(d_ref)
-        gs = _sentinel(K._as_array(batch[group_col]).to_pylist())
+        gs = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
         mad = np.fromiter((dm[g] for g in gs), np.int64, len(gs))
         d = np.asarray(batch["abs_dev"], dtype=np.int64)
         return batch.append_column(

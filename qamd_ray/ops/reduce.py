@@ -1,0 +1,93 @@
+"""The shared size-routed groupby reduction.
+
+Several two-pass operators (paragraph_dedup, cdc_dup_doc_stats,
+exact_dedup_keep_best) ship bounded per-batch partials and then reduce
+them by key.  Ray's distributed hash groupby costs ~1–2 s of fixed
+shuffle choreography regardless of input size (measured, BENCH.md), so
+small partial tables are merged with one driver-side Arrow ``group_by``
+instead; above ``threshold`` rows the distributed groupby takes over.
+This module is that routing, written once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+_RAY_AGGS = {"sum": Sum, "min": Min, "max": Max}
+
+
+def size_routed_group_agg(
+    partials: "ray.data.Dataset",
+    *,
+    key: str,
+    specs: Sequence[tuple[str, str]],
+    threshold: int = 5_000_000,
+    distributed: bool = False,
+    having_ge: "tuple[str, int] | None" = None,
+) -> pa.Table:
+    """Reduce a partials Dataset by ``key`` with the aggregates in
+    ``specs`` (``(col, fn)``, fn ∈ sum/min/max) and return ONE Arrow
+    table with columns ``[key] + [f"{col}_{fn}"]`` (the pyarrow
+    generated names; the Ray path aliases to match).
+
+    Default: materialize once, merge on the driver with a single Arrow
+    ``group_by`` when the partials hold ≤ ``threshold`` rows, else run
+    the distributed groupby over the same materialized blocks.
+    ``distributed=True`` skips materialization outright and streams
+    through the distributed groupby — the path for partial tables that
+    must never be pinned.  ``having_ge=(generated_name, v)`` filters
+    groups to ``col >= v`` BEFORE the distributed path collects — the
+    dup-only reductions (count ≥ 2) must never pull singleton groups to
+    the driver.  Empty partials yield a typed empty table (column types
+    straight from the partials schema — Arrow's empty aggregates would
+    otherwise poison callers with null types)."""
+    import pyarrow.compute as pc
+    for _, fn in specs:
+        if fn not in _RAY_AGGS:
+            raise ValueError(f"size_routed_group_agg: unknown agg {fn!r}")
+    names = [f"{c}_{f}" for c, f in specs]
+
+    def _typed_empty(schema: pa.Schema) -> pa.Table:
+        cols = {key: pa.array([], schema.field(key).type)}
+        for (c, _), nm in zip(specs, names):
+            cols[nm] = pa.array([], schema.field(c).type)
+        return pa.table(cols)
+
+    if distributed:
+        mat = partials
+        driver_merge = False
+    else:
+        mat = partials.materialize()
+        driver_merge = mat.count() <= threshold
+
+    if driver_merge:
+        tabs = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return _typed_empty(mat.schema().base_schema)
+        allp = pa.concat_tables([t.combine_chunks() for t in tabs])
+        g = allp.group_by(key).aggregate(list(specs)).select([key] + names)
+        if having_ge is not None:
+            g = g.filter(pc.greater_equal(g[having_ge[0]], having_ge[1]))
+        return g
+
+    agg = mat.groupby(key).aggregate(
+        *[_RAY_AGGS[f](c, alias_name=nm) for (c, f), nm in zip(specs, names)]
+    )
+    if having_ge is not None:
+        hcol, hval = having_ge
+        agg = agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b[hcol], hval)),
+            batch_format="pyarrow",
+        )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _typed_empty(partials.schema().base_schema)
+    return pa.concat_tables([t.combine_chunks() for t in tabs]).select(
+        [key] + names
+    )

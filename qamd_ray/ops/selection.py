@@ -214,11 +214,8 @@ def cap_per_group(
 
     def _gkeys(batch: pa.Table) -> list:
         # null group keys form their own group (SQL PARTITION BY
-        # semantics); the sentinel keeps sorts/dict lookups total-ordered
-        return [
-            "\x00<null>" if g is None else str(g)
-            for g in K._as_array(batch[group_col]).to_pylist()
-        ]
+        # semantics); K.group_sentinel keeps every lookup total-ordered
+        return K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -372,10 +369,7 @@ def stratified_budget_sample(
         return K.digest_rows(salted, "md5")
 
     def _gkeys(batch: pa.Table) -> list:
-        return [
-            "\x00<null>" if g is None else str(g)
-            for g in K._as_array(batch[group_col]).to_pylist()
-        ]
+        return K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
 
     def _counts(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -429,9 +423,9 @@ def stratified_budget_sample(
                 {"g": pa.array([], pa.string()), "h": pa.array([], pa.string())}
             )
         df = df.sort_values(["g", "h"], kind="stable")
-        top = df.groupby("g", sort=False, group_keys=False).apply(
-            lambda part: part.head(qmap[part.name])
-        )
+        # vectorized per-group head: groupby.apply on the grouping column
+        # is deprecated (removed in pandas 3) and a Python call per group
+        top = df[df.groupby("g", sort=False).cumcount() < df["g"].map(qmap)]
         return pa.Table.from_pandas(top, preserve_index=False)
 
     cand = (
@@ -515,10 +509,7 @@ def weighted_sample_per_group(
         return np.log(u) / w
 
     def _gkeys(batch: pa.Table) -> list:
-        return [
-            "\x00<null>" if g is None else str(g)
-            for g in K._as_array(batch[group_col]).to_pylist()
-        ]
+        return K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
 
     def _partial(batch: pa.Table) -> pa.Table:
         if not len(batch):

@@ -3553,3 +3553,56 @@ def test_exact_dedup_keep_best():
         exact_dedup_keep_best(
             ray.data.from_pandas(df), "text", "score", rank_bits=60
         )
+
+
+def test_review_regressions_null_groups_types():
+    """Review regressions: mad_outliers handles NULL group keys (the
+    pandas-born aggregate resurfaces them as NaN — K.group_sentinel must
+    be applied on BOTH lookup sides); sorted_neighborhood_pairs accepts
+    non-string blocking keys with numeric block ordering; keep-best
+    rejects float ranks instead of silently truncating."""
+    from qamd_ray.ops.dedup import (
+        exact_dedup_keep_best,
+        sorted_neighborhood_pairs,
+    )
+    from qamd_ray.ops.profile import mad_outliers
+
+    nt = pa.table(
+        {
+            "event_id": pa.array(range(9), pa.int64()),
+            "g": pa.array(["a", "a", "a", None, None, None, "nan", "nan", "nan"]),
+            "val": pa.array([10, 11, 500, 1, 2, 90, 7, 7, 7], pa.int64()),
+        }
+    )
+    out = (
+        mad_outliers(ray.data.from_arrow(nt), "g", "val", id_col="event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # null group: median 2, MAD 1 -> 90 flags; literal "nan" group is
+    # SEPARATE from the null group (all dev 0, no flags)
+    assert bool(out.loc[5, "is_outlier"]) and not out.loc[6:8, "is_outlier"].any()
+    assert bool(out.loc[2, "is_outlier"])  # 500 in group a
+
+    # integer blocking key: block order must be numeric (10 > 9), which
+    # a string-cast block key would silently violate
+    n = 40
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "bkey": np.arange(n, dtype=np.int64)[::-1]}
+    )
+    out = sorted_neighborhood_pairs(
+        ray.data.from_pandas(df).repartition(6), "bkey", window=1
+    ).to_pandas()
+    got = sorted(zip(out["id_a"], out["id_b"]))
+    # sort by bkey ascending == doc_id descending: rank-adjacent pairs
+    assert got == [(i + 1, i) for i in range(n - 1)]
+
+    fdf = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["x", "x"], "score": [2.9, 2.1]}
+    )
+    with pytest.raises(Exception, match="integer-typed"):
+        exact_dedup_keep_best(
+            ray.data.from_pandas(fdf), "text", "score"
+        ).to_pandas()
