@@ -3062,3 +3062,205 @@ def exact_dedup_keep_best(
         return batch.filter(pa.array(~hit | (comp == sc[idx])))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def build_paragraph_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+    num_buckets: int = 64,
+    pos_cap: int = 1_048_576,
+) -> str:
+    """Persist the corpus PARAGRAPH digest set as a bucket-partitioned
+    parquet index (``index_dir/bucket=<k>/`` + a pinned ``_meta.json``)
+    — the paragraph-level sibling of :func:`build_hash_index`, enabling
+    daily-ingest Dolma-style paragraph dedup without re-reading the
+    corpus.  One int64 digest row per distinct non-empty paragraph (no
+    winner key needed: in the delta shape the corpus ALWAYS wins).
+    Whole-directory atomic publish (temp dir + ``os.replace``)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from .reduce import size_routed_group_agg
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, _, flat, nonempty, _ = _explode_paragraphs(
+            batch, text_col, id_col, sep, pos_cap
+        )
+        h = np.unique(K.digest64(flat)[nonempty])
+        return pa.table({"h": pa.array(h), "n": pa.array(np.ones(len(h), np.int64))})
+
+    uniq = size_routed_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        key="h",
+        specs=[("n", "sum")],
+    )
+    hv = np.asarray(uniq["h"], dtype=np.int64)
+    bucket = np.mod(hv, num_buckets)
+
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    tmp = tempfile.mkdtemp(prefix="_pidx_", dir=parent)
+    try:
+        import pyarrow.parquet as _pq
+
+        for b in np.unique(bucket):
+            sub = os.path.join(tmp, f"bucket={int(b)}")
+            os.makedirs(sub, exist_ok=True)
+            _pq.write_table(
+                pa.table({"h": pa.array(hv[bucket == b])}),
+                os.path.join(sub, "part.parquet"),
+            )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump({"num_buckets": num_buckets, "sep": sep}, f)
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.replace(tmp, index_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return index_dir
+
+
+def incremental_paragraph_dedup(
+    new_ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n\n",
+    num_buckets: int = 64,
+    pos_cap: int = 1_048_576,
+    out_col: str = "text_dedup",
+    removed_col: str = "n_removed",
+    max_delta_paragraphs: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Paragraph-dedup a DELTA against a persisted corpus paragraph
+    index without re-reading the corpus — the daily-ingest form of
+    :func:`paragraph_dedup`, completing the incremental family (exact
+    doc / MinHash / paragraph): a delta paragraph is removed when it
+    (a) exists in the index (the corpus always wins — every delta
+    occurrence drops) or (b) duplicates an earlier delta occurrence
+    (keep-first by (id, position), exactly paragraph_dedup's rule);
+    empty paragraphs always survive.  Returns Dataset(id, out_col,
+    removed_col).
+
+    Driver state is bounded by the DELTA, never the corpus: the delta's
+    distinct paragraph digests (capped loudly at
+    ``max_delta_paragraphs``) choose which index buckets to read
+    (partition pruning), and only the intersection is broadcast.  A
+    missing index raises (silently treating a lost path as "nothing
+    seen" would quietly disable dedup on every subsequent ingest); the
+    ``_meta.json`` sentinel pins ``num_buckets`` and ``sep``."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .reduce import size_routed_group_agg
+
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(
+            f"paragraph index {index_dir!r} does not exist; build it with "
+            "build_paragraph_index"
+        )
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("num_buckets") != num_buckets:
+            raise ValueError(
+                f"paragraph index {index_dir!r} was built with num_buckets="
+                f"{meta.get('num_buckets')}, called with {num_buckets} — "
+                "bucket pruning would silently miss keys"
+            )
+        if meta.get("sep") != sep:
+            raise ValueError(
+                f"paragraph index {index_dir!r} was built with sep="
+                f"{meta.get('sep')!r}, called with {sep!r} — digests would "
+                "never match"
+            )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, _, flat, nonempty, order = _explode_paragraphs(
+            batch, text_col, id_col, sep, pos_cap
+        )
+        h = K.digest64(flat)
+        t = pa.table(
+            {"h": pa.array(h[nonempty]), "o": pa.array(order[nonempty])}
+        )
+        g = t.group_by("h").aggregate([("o", "count"), ("o", "min")])
+        return g.select(["h", "o_count", "o_min"]).rename_columns(
+            ["h", "n", "mn"]
+        )
+
+    agg = size_routed_group_agg(
+        new_ds.map_batches(_partial, batch_format="pyarrow"),
+        key="h",
+        specs=[("n", "sum"), ("mn", "min")],
+    )
+    if agg.num_rows > max_delta_paragraphs:
+        raise ValueError(
+            f"incremental_paragraph_dedup: delta has {agg.num_rows} distinct "
+            f"paragraphs > max_delta_paragraphs={max_delta_paragraphs}; "
+            "rewrite the membership pass as a hash join on the digest"
+        )
+    dh = np.asarray(agg["h"], dtype=np.int64)
+    dmn = np.asarray(agg["mn_min"], dtype=np.int64)
+    ddup = np.asarray(agg["n_sum"], dtype=np.int64) >= 2
+
+    # partition-pruned index probe: only touched buckets are read, and
+    # only delta-present keys are kept (driver state stays delta-bounded)
+    seen_parts: list[np.ndarray] = []
+    dset = np.sort(dh)
+    for b in np.unique(np.mod(dh, num_buckets)):
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={int(b)}", "*.parquet"))):
+            kv = np.asarray(_pq.read_table(f, columns=["h"])["h"], dtype=np.int64)
+            seen_parts.append(kv[_member_mask(kv, dset)])
+    seen = (
+        np.unique(np.concatenate(seen_parts))
+        if seen_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    srt = np.argsort(dh, kind="stable")
+    w_ref = ray.put((seen, dh[srt], dmn[srt], ddup[srt]))
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        idv, sizes, flat, nonempty, order = _explode_paragraphs(
+            batch, text_col, id_col, sep, pos_cap
+        )
+        sv, sh, smn, sdup = ray.get(w_ref)
+        if len(flat):
+            h = K.digest64(flat)
+            in_idx = _member_mask(h, sv)
+            ix = np.minimum(np.searchsorted(sh, h), max(sh.size - 1, 0))
+            intra_dup = sdup[ix] if sh.size else np.zeros(len(h), bool)
+            win = (order == smn[ix]) if sh.size else np.ones(len(h), bool)
+            keep = ~nonempty | (~in_idx & (~intra_dup | win))
+        else:
+            keep = np.ones(0, dtype=bool)
+        counts = (
+            np.bincount(
+                np.repeat(np.arange(len(idv), dtype=np.int64), sizes)[keep],
+                minlength=len(idv),
+            ).astype(np.int64)
+            if len(idv)
+            else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        kept = flat.filter(pa.array(keep)) if len(flat) else flat
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept)
+        return pa.table(
+            {
+                id_col: pa.array(idv),
+                out_col: pc.binary_join(la, sep),
+                removed_col: pa.array(sizes - counts),
+            }
+        )
+
+    return new_ds.map_batches(_rewrite, batch_format="pyarrow")

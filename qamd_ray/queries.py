@@ -935,6 +935,56 @@ def q_edit_distances(sf_dir: str):
     )
 
 
+def q_incremental_para_dedup(sf_dir: str):
+    """Daily-ingest paragraph dedup (ops.dedup.incremental_paragraph_
+    dedup): the corpus paragraph index is built from the planted
+    multi-paragraph view, then a derived DELTA (doc_id+1M) is rewritten
+    — 'COMMON INTRO' paragraphs drop at every delta occurrence (corpus
+    wins), a shared delta paragraph survives only in its first delta
+    doc, within-doc repeats keep-first, fresh md5 paragraphs survive.
+    Oracle = the corpus CTEs + the literal NOT EXISTS / row_number
+    construction over the identically-built delta view."""
+    import tempfile
+
+    from .ops.dedup import build_paragraph_index, incremental_paragraph_dedup
+
+    SEP = "\n\n"
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    # leaked by design: the returned Dataset is lazy and reads the index
+    idx_dir = tempfile.mkdtemp(prefix="qamd_pidx_") + "/pidx"
+    build_paragraph_index(
+        docs.map_batches(_para_view, batch_format="pyarrow"), idx_dir
+    )
+
+    def _delta(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        md = pa.array(
+            K.digest_rows(pc.fill_null(K._as_array(batch["text"]), ""), "md5"),
+            pa.string(),
+        )
+        n = len(ids)
+        c0 = pc.binary_join_element_wise(
+            pa.array(["COMMON INTRO" + SEP] * n), md, ""
+        )
+        c1 = pc.binary_join_element_wise(
+            md, pa.array([SEP + "SHARED DELTA PARA"] * n), ""
+        )
+        c2 = pc.binary_join_element_wise(md, md, SEP)
+        m4 = ids % 4
+        t = pc.if_else(
+            pa.array(m4 == 0),
+            c0,
+            pc.if_else(
+                pa.array(m4 == 1), c1, pc.if_else(pa.array(m4 == 2), c2, md)
+            ),
+        )
+        return pa.table({"doc_id": pa.array(ids + 1_000_000), "text": t})
+
+    return incremental_paragraph_dedup(
+        docs.map_batches(_delta, batch_format="pyarrow"), idx_dir
+    )
+
+
 def q_keep_best_dedup(sf_dir: str):
     """Keep-BEST exact dedup (ops.dedup.exact_dedup_keep_best): within
     each group of identical props, the survivor maximizes (cents, then
@@ -2899,6 +2949,7 @@ QUERIES = {
     "sorted_neighborhood": q_sorted_neighborhood,
     "snm_verified_pairs": q_snm_verified_pairs,
     "keep_best_dedup": q_keep_best_dedup,
+    "incremental_para_dedup": q_incremental_para_dedup,
 }
 
 # DuckDB twin of ops.textstats.gopher_rules: every counter is the same
@@ -3904,6 +3955,35 @@ ORACLES = {
         " ORDER BY ln((('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),"
         " 1, 12))::UBIGINT + 1) / 281474976710656.0) / (n_chars + 1)"
         " DESC, doc_id LIMIT 200"
+    ),
+    # the corpus paragraph CTEs (q = exploded corpus paragraphs) + the
+    # identically-built delta view: a delta paragraph survives iff empty
+    # OR (first delta occurrence AND not in any corpus paragraph)
+    "incremental_para_dedup": (
+        "WITH " + _PARA_CTES + ","
+        " dd AS (SELECT doc_id + 1000000 AS doc_id,"
+        "   CASE WHEN doc_id % 4 = 0 THEN 'COMMON INTRO' || chr(10) || chr(10)"
+        "     || md5(coalesce(text, ''))"
+        "   WHEN doc_id % 4 = 1 THEN md5(coalesce(text, ''))"
+        "     || chr(10) || chr(10) || 'SHARED DELTA PARA'"
+        "   WHEN doc_id % 4 = 2 THEN md5(coalesce(text, ''))"
+        "     || chr(10) || chr(10) || md5(coalesce(text, ''))"
+        "   ELSE md5(coalesce(text, '')) END AS t FROM documents),"
+        " dsp AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls"
+        "   FROM dd),"
+        " dpp AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i,"
+        "   ls FROM dsp),"
+        " dq AS (SELECT doc_id, i, ls[i] AS para FROM dpp),"
+        " dr AS (SELECT doc_id, i, para, row_number() OVER"
+        "   (PARTITION BY para ORDER BY doc_id, i) AS rn FROM dq),"
+        " dk AS (SELECT doc_id, i, para, (para = '' OR (rn = 1"
+        "   AND NOT EXISTS (SELECT 1 FROM q WHERE q.para = dr.para"
+        "     AND q.para <> ''))) AS keep FROM dr)"
+        " SELECT doc_id,"
+        "  coalesce(string_agg(para, chr(10) || chr(10) ORDER BY i)"
+        "    FILTER (WHERE keep), '') AS text_dedup,"
+        "  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed"
+        " FROM dk GROUP BY doc_id"
     ),
     # keep-best: rank 1 of (cents DESC, id ASC) per identical props —
     # the composite-MAX the op computes, as a window function

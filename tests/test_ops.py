@@ -3606,3 +3606,55 @@ def test_review_regressions_null_groups_types():
         exact_dedup_keep_best(
             ray.data.from_pandas(fdf), "text", "score"
         ).to_pandas()
+
+
+def test_incremental_paragraph_dedup():
+    """Delta paragraphs present in the persisted corpus index drop at
+    EVERY occurrence; intra-delta dups keep-first by (id, pos); empty
+    paragraphs survive; missing index and meta mismatches raise."""
+    import tempfile
+
+    from qamd_ray.ops.dedup import (
+        build_paragraph_index,
+        incremental_paragraph_dedup,
+    )
+
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64),
+         "text": ["old one\n\nshared para", "old two", "shared para"]}
+    )
+    idx = tempfile.mkdtemp() + "/pidx"
+    build_paragraph_index(ray.data.from_pandas(corpus), idx)
+
+    delta = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11, 12], dtype=np.int64),
+            "text": [
+                "shared para\n\nfresh a",          # index hit dropped
+                "delta dup\n\n\n\nfresh b",        # empty para survives
+                "delta dup\n\nfresh c\n\nfresh c", # intra-delta + in-doc dup
+            ],
+        }
+    )
+    out = (
+        incremental_paragraph_dedup(
+            ray.data.from_pandas(delta).repartition(2), idx
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text_dedup"]) == [
+        "fresh a",
+        "delta dup\n\n\n\nfresh b",
+        "fresh c",
+    ]
+    assert list(out["n_removed"]) == [1, 0, 2]
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        incremental_paragraph_dedup(ray.data.from_pandas(delta), idx + "x")
+    with pytest.raises(ValueError, match="num_buckets"):
+        incremental_paragraph_dedup(
+            ray.data.from_pandas(delta), idx, num_buckets=8
+        )
+    with pytest.raises(ValueError, match="sep"):
+        incremental_paragraph_dedup(ray.data.from_pandas(delta), idx, sep="\n")
