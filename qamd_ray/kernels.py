@@ -340,7 +340,12 @@ def group_sentinel(values) -> list:
     EVERY group-key boundary so Arrow-side batch keys and pandas-born
     aggregate keys (where a null group resurfaces as NaN) land on the
     same dictionary entry.  The sentinel sorts before every printable
-    string, keeping threshold maps total-ordered."""
+    string, keeping threshold maps total-ordered.
+
+    Caveat: a genuine float NaN group VALUE also maps to the sentinel —
+    SQL's GROUP BY keeps NaN distinct from NULL, so sentinel-based ops
+    diverge there; don't use raw float columns as group keys (bucket or
+    stringify them upstream)."""
     out = []
     for g in values:
         if g is None or g is getattr(pd, "NA", None) or (

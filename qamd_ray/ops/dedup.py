@@ -2917,6 +2917,14 @@ def sorted_neighborhood_pairs(
     cross: list[tuple[int, int]] = []
     if len(strips):
         blocks = strips.groupby(["fk", "fid"], sort=False)
+        # two blocks sharing a first (key, id) row means duplicate ids
+        # span a block boundary — the groupby would silently merge them
+        # and shift every later block's global rank
+        if (blocks["pos"].apply(lambda p: (p == 0).sum()) > 1).any():
+            raise ValueError(
+                "sorted_neighborhood_pairs: duplicate (key, id) rows span "
+                "a block boundary — ids must be unique"
+            )
         lens = blocks["n"].first().to_numpy(np.int64)
         offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
         rank = np.empty(len(strips), dtype=np.int64)
@@ -3011,6 +3019,13 @@ def exact_dedup_keep_best(
             )
         if ids.null_count or rk.null_count:
             raise ValueError("exact_dedup_keep_best: null ids or ranks")
+        if K._as_array(batch[content_col]).null_count:
+            # digest64 hashes null as '' — silently merging NULL-content
+            # rows with empty-string rows diverges from SQL PARTITION BY
+            raise ValueError(
+                "exact_dedup_keep_best: null content — coalesce upstream "
+                "(SQL partitions NULL and '' separately)"
+            )
         idv = np.asarray(ids, dtype=np.int64)
         rkv = np.asarray(rk, dtype=np.int64)
         if len(idv):
@@ -3117,9 +3132,16 @@ def build_paragraph_index(
             )
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump({"num_buckets": num_buckets, "sep": sep}, f)
+        # move the old generation ASIDE, swing the new one in, then
+        # delete — rmtree-before-replace would destroy the only valid
+        # index if the process died in between
+        old = None
         if os.path.isdir(index_dir):
-            shutil.rmtree(index_dir)
+            old = index_dir + f".old.{os.getpid()}"
+            os.replace(index_dir, old)
         os.replace(tmp, index_dir)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

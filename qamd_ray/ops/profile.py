@@ -272,47 +272,50 @@ def mad_outliers(
             f"(got {vt}) — convert to cents/scaled ints upstream"
         )
 
-    # K.group_sentinel on BOTH sides: the aggregate's group keys are
-    # pandas-born (a null group resurfaces as NaN there) while batch
-    # keys are Arrow-born (None) — one normalization or the lookups
-    # can never meet
-    meds = grouped_quantile_thresholds(ds, group_col, value_col, [0.5])
-    med_map = dict(
-        zip(K.group_sentinel(meds[group_col].tolist()), meds["value"].astype(int))
-    )
+    # sentinelize the group key ONCE, upstream of the quantile passes:
+    # grouping on the string sentinel column means the pandas-born
+    # aggregate keys and the Arrow-born batch keys are the SAME
+    # representation — grouping on the raw column instead lets pandas
+    # coerce int64-with-nulls groups to float ('5' vs '5.0': KeyError)
+    def _with_sg(batch: pa.Table) -> pa.Table:
+        vals = K._as_array(batch[value_col])
+        if vals.null_count:
+            raise ValueError(f"mad_outliers: null values in {value_col}")
+        sg = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
+        return batch.append_column("_sg", pa.array(sg, pa.string()))
+
+    sds = ds.map_batches(_with_sg, batch_format="pyarrow")
+    meds = grouped_quantile_thresholds(sds, "_sg", value_col, [0.5])
+    med_map = dict(zip(meds["_sg"], meds["value"].astype(int)))
     m_ref = ray.put(med_map)
 
     def _dev(batch: pa.Table) -> pa.Table:
         mm = ray.get(m_ref)
-        vals = K._as_array(batch[value_col])
-        if vals.null_count:
-            raise ValueError(f"mad_outliers: null values in {value_col}")
-        v = np.asarray(vals, dtype=np.int64)
-        gs = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
+        v = np.asarray(K._as_array(batch[value_col]), dtype=np.int64)
+        gs = K._as_array(batch["_sg"]).to_pylist()
         med = np.fromiter((mm[g] for g in gs), np.int64, len(gs))
         return pa.table(
             {
                 id_col: batch[id_col],
                 group_col: batch[group_col],
+                "_sg": batch["_sg"],
                 value_col: pa.array(v),
                 "abs_dev": pa.array(np.abs(v - med)),
             }
         )
 
-    dev = ds.map_batches(_dev, batch_format="pyarrow")
-    mads = grouped_quantile_thresholds(dev, group_col, "abs_dev", [0.5])
-    mad_map = dict(
-        zip(K.group_sentinel(mads[group_col].tolist()), mads["value"].astype(int))
-    )
+    dev = sds.map_batches(_dev, batch_format="pyarrow")
+    mads = grouped_quantile_thresholds(dev, "_sg", "abs_dev", [0.5])
+    mad_map = dict(zip(mads["_sg"], mads["value"].astype(int)))
     d_ref = ray.put(mad_map)
 
     def _flag(batch: pa.Table) -> pa.Table:
         dm = ray.get(d_ref)
-        gs = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
+        gs = K._as_array(batch["_sg"]).to_pylist()
         mad = np.fromiter((dm[g] for g in gs), np.int64, len(gs))
         d = np.asarray(batch["abs_dev"], dtype=np.int64)
         return batch.append_column(
             "is_outlier", pa.array(d * k_den > mad * k_num)
-        )
+        ).drop_columns(["_sg"])
 
     return dev.map_batches(_flag, batch_format="pyarrow")

@@ -948,10 +948,14 @@ def q_incremental_para_dedup(sf_dir: str):
 
     from .ops.dedup import build_paragraph_index, incremental_paragraph_dedup
 
+    import shutil
+
     SEP = "\n\n"
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    # leaked by design: the returned Dataset is lazy and reads the index
-    idx_dir = tempfile.mkdtemp(prefix="qamd_pidx_") + "/pidx"
+    # the op consumes the index EAGERLY (buckets are read and broadcast
+    # before it returns), so the temp dir is removed after the call
+    tmp_root = tempfile.mkdtemp(prefix="qamd_pidx_")
+    idx_dir = tmp_root + "/pidx"
     build_paragraph_index(
         docs.map_batches(_para_view, batch_format="pyarrow"), idx_dir
     )
@@ -980,9 +984,12 @@ def q_incremental_para_dedup(sf_dir: str):
         )
         return pa.table({"doc_id": pa.array(ids + 1_000_000), "text": t})
 
-    return incremental_paragraph_dedup(
-        docs.map_batches(_delta, batch_format="pyarrow"), idx_dir
-    )
+    try:
+        return incremental_paragraph_dedup(
+            docs.map_batches(_delta, batch_format="pyarrow"), idx_dir
+        )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def q_keep_best_dedup(sf_dir: str):
@@ -1048,28 +1055,23 @@ def q_snm_verified_pairs(sf_dir: str):
     ddf = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).to_pandas()
-    dists = pair_edit_distances(cand, ddf, n_docs=len(ddf))
+    dists = pair_edit_distances(cand, ddf, n_docs=len(ddf)).to_pandas()
 
+    # candidates are already driver-collected, so the verify filter is a
+    # plain local map — a second ray.put of a full per-doc dict would
+    # duplicate the text map pair_edit_distances already broadcast
     blen = {
         int(i): len((t or "").encode("utf-8"))
         for i, t in zip(ddf["doc_id"], ddf["text"])
     }
-    b_ref = ray.put(blen)
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        bl = ray.get(b_ref)
-        a = np.asarray(K._as_array(batch["id_a"]), dtype=np.int64)
-        b = np.asarray(K._as_array(batch["id_b"]), dtype=np.int64)
-        d = np.asarray(K._as_array(batch["dist"]), dtype=np.int64)
-        mx = np.fromiter(
-            (max(bl[int(x)], bl[int(y)]) for x, y in zip(a, b)),
-            np.int64,
-            len(a),
-        )
-        # integer cross-multiplied 40% threshold
-        return batch.filter(pa.array(d * 5 <= mx * 2))
-
-    return dists.map_batches(_verify, batch_format="pyarrow")
+    mx = np.maximum(
+        dists["id_a"].map(blen).to_numpy(np.int64),
+        dists["id_b"].map(blen).to_numpy(np.int64),
+    )
+    # integer cross-multiplied 40% threshold
+    return dists[dists["dist"].to_numpy(np.int64) * 5 <= mx * 2].reset_index(
+        drop=True
+    )
 
 
 def q_weighted_group_sample(sf_dir: str):

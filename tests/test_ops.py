@@ -3658,3 +3658,31 @@ def test_incremental_paragraph_dedup():
         )
     with pytest.raises(ValueError, match="sep"):
         incremental_paragraph_dedup(ray.data.from_pandas(delta), idx, sep="\n")
+
+
+def test_mad_outliers_int_groups_with_nulls():
+    """Integer group columns WITH nulls: pandas coerces int64+null to
+    float inside the quantile pass ('5' vs '5.0' keys) — grouping on the
+    pre-sentinelized string column keeps both sides on one
+    representation."""
+    from qamd_ray.ops.profile import mad_outliers
+
+    nt = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "g": pa.array([5, 5, 5, 5, None, None, None, None], pa.int64()),
+            # med=12 MAD=2 (group 5), med=3 MAD=2 (null group) — nonzero
+            # MADs so only the planted spikes cross 3x
+            "val": pa.array([10, 12, 14, 900, 1, 3, 5, 70], pa.int64()),
+        }
+    )
+    out = (
+        mad_outliers(ray.data.from_arrow(nt), "g", "val", id_col="event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["is_outlier"]) == [
+        False, False, False, True, False, False, False, True,
+    ]
+    assert "_sg" not in out.columns
