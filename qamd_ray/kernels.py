@@ -342,16 +342,22 @@ def group_sentinel(values) -> list:
     same dictionary entry.  The sentinel sorts before every printable
     string, keeping threshold maps total-ordered.
 
-    Caveat: a genuine float NaN group VALUE also maps to the sentinel —
-    SQL's GROUP BY keeps NaN distinct from NULL, so sentinel-based ops
-    diverge there; don't use raw float columns as group keys (bucket or
-    stringify them upstream)."""
+    A genuine (non-null) float NaN group VALUE raises: SQL's GROUP BY
+    keeps NaN distinct from NULL, so silently mapping it onto the null
+    sentinel would merge two groups the oracle keeps apart.  Bucket or
+    stringify raw float group columns upstream.  (Arrow-sourced values
+    arrive as None for nulls, so the NaN branch only ever sees a real
+    NaN payload.)"""
     out = []
     for g in values:
-        if g is None or g is getattr(pd, "NA", None) or (
-            isinstance(g, float) and g != g
-        ):
+        if g is None or g is getattr(pd, "NA", None):
             out.append("\x00<null>")
+        elif isinstance(g, float) and g != g:
+            raise ValueError(
+                "group_sentinel: non-null float NaN group key — SQL GROUP "
+                "BY keeps NaN distinct from NULL; bucket or stringify the "
+                "group column upstream"
+            )
         else:
             out.append(str(g))
     return out

@@ -2679,10 +2679,13 @@ def _explode_paragraphs(
     if ids.null_count:
         raise ValueError("paragraph_dedup: null ids")
     idv = np.asarray(ids, dtype=np.int64)
-    if len(idv) and (idv.min() < 0 or idv.max() > (2**63 - 1) // pos_cap):
+    # max order key is id*pos_cap + (pos_cap-1); require it to fit int64
+    # exactly: id <= (2^63 - pos_cap) // pos_cap (the 2^63-1 bound is only
+    # equivalent when pos_cap is a power of two).
+    if len(idv) and (idv.min() < 0 or idv.max() > (2**63 - pos_cap) // pos_cap):
         raise ValueError(
-            f"paragraph_dedup: ids must be in [0, 2^63/pos_cap) — got "
-            f"[{idv.min()}, {idv.max()}] with pos_cap={pos_cap}"
+            f"paragraph_dedup: ids must be in [0, (2^63-pos_cap)/pos_cap] — "
+            f"got [{idv.min()}, {idv.max()}] with pos_cap={pos_cap}"
         )
     lists = pc.split_pattern(
         pc.fill_null(K._as_array(batch[text_col]), ""), sep

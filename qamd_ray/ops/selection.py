@@ -518,6 +518,15 @@ def weighted_sample_per_group(
                  "key": pa.array([], pa.float64())}
             )
         df = pd.DataFrame({"g": _gkeys(batch), "key": _keys(batch)})
+        # duplicate id_col values yield identical A-ES keys, breaking the
+        # "threshold keeps exactly min(k,|group|)" invariant — a copy the
+        # head(k) cut drops here would silently survive the final filter.
+        # Distinct ids collide only at measure zero (48-bit md5 uniforms).
+        if df.duplicated(["g", "key"]).any():
+            raise ValueError(
+                "weighted_sample_per_group: duplicate (group, A-ES key) "
+                "pair in a batch — id_col values must be unique per group"
+            )
         top = (
             df.sort_values(["g", "key"], ascending=[True, False], kind="stable")
             .groupby("g", sort=False)
@@ -534,6 +543,14 @@ def weighted_sample_per_group(
     for g, part in cand.groupby("g", sort=False):
         ks = part["key"].to_numpy()
         if len(ks) >= k:
+            # a tie AT the k-th key (cross-batch duplicate id) would make
+            # the >=-threshold filter keep more than k rows
+            if len(ks) > k and ks[k] == ks[k - 1]:
+                raise ValueError(
+                    "weighted_sample_per_group: tied A-ES keys at the "
+                    f"group threshold (group {g!r}) — duplicate id_col "
+                    "values; ids must be unique per group"
+                )
             thr[g] = ks[k - 1]
     t_ref = ray.put(thr)
 

@@ -32,6 +32,20 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _normalize_strict(M: np.ndarray, side: str) -> np.ndarray:
+    """Like :func:`_normalize` but raises on zero-norm rows instead of
+    clamping — a clamped row gets cosine 0 while SQL's
+    ``list_cosine_similarity`` yields NaN/error, so rank rows would
+    silently diverge from the oracle on degenerate vectors."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    if (norms == 0).any():
+        raise ValueError(
+            f"knn_join: zero-norm embedding on the {side} side — cosine is "
+            "undefined for the zero vector; drop or re-embed those rows"
+        )
+    return M / norms
+
+
 def topk_cosine(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -426,7 +440,7 @@ def knn_join(
     if not len(rdf):
         raise ValueError("knn_join: right side is empty")
     rdf = rdf.sort_values(right_id, kind="stable").reset_index(drop=True)
-    R = _normalize(np.stack(rdf[remb].to_numpy()).astype(dtype))
+    R = _normalize_strict(np.stack(rdf[remb].to_numpy()).astype(dtype), "right")
     rids = rdf[right_id].to_numpy()
     r_ref = ray.put((R, rids))
     out_rid = right_id if right_id != left_id else f"{right_id}_right"
@@ -440,7 +454,9 @@ def knn_join(
                  "cosine": pd.Series([], dtype="float64"),
                  "rank": pd.Series([], dtype="int64")}
             )
-        L = _normalize(np.stack(batch[emb_col].to_numpy()).astype(Rm.dtype))
+        L = _normalize_strict(
+            np.stack(batch[emb_col].to_numpy()).astype(Rm.dtype), "left"
+        )
         S = L @ Rm.T  # (B, m)
         B, m = S.shape
         kk = min(k, m)

@@ -3686,3 +3686,75 @@ def test_mad_outliers_int_groups_with_nulls():
         False, False, False, True, False, False, False, True,
     ]
     assert "_sg" not in out.columns
+
+
+def test_r5_advice_guards():
+    """Round-5 advice regressions: (1) _explode_paragraphs id guard is
+    exact for non-power-of-two pos_cap (id*pos_cap+pos must not wrap
+    int64); (2) group_sentinel raises on a genuine non-null float NaN
+    group key instead of silently merging it with the NULL group;
+    (3) knn_join raises on zero-norm embeddings (either side) instead
+    of clamping to cosine 0; (4) weighted_sample_per_group detects
+    duplicate id_col values (identical A-ES keys) loudly."""
+    from qamd_ray import kernels as K2
+    from qamd_ray.ops import selection, similarity
+    from qamd_ray.ops.dedup import _explode_paragraphs
+
+    # (1) boundary id that passes the old (2^63-1)//pos_cap guard but
+    # whose max order key id*pos_cap + (pos_cap-1) wraps negative
+    pos_cap = 1000  # non-power-of-two: (2^63-1)//1000 > (2^63-1000)//1000
+    bad_id = (2**63 - 1) // pos_cap  # old guard admits exactly this id
+    assert bad_id * pos_cap + (pos_cap - 1) > 2**63 - 1  # would wrap
+    bt = pa.table({"doc_id": pa.array([bad_id], pa.int64()),
+                   "text": pa.array(["a\n\nb"], pa.string())})
+    with pytest.raises(ValueError, match="ids must be"):
+        _explode_paragraphs(bt, "text", "doc_id", "\n\n", pos_cap)
+    # a safe id still passes
+    ok = pa.table({"doc_id": pa.array([(2**63 - pos_cap) // pos_cap], pa.int64()),
+                   "text": pa.array(["a\n\nb"], pa.string())})
+    _explode_paragraphs(ok, "text", "doc_id", "\n\n", pos_cap)
+
+    # (2) genuine float NaN group key raises; None still sentinelizes
+    assert K2.group_sentinel([None, "x"]) == ["\x00<null>", "x"]
+    with pytest.raises(ValueError, match="NaN group key"):
+        K2.group_sentinel([float("nan")])
+
+    # (3) zero-norm embeddings raise on both sides of knn_join
+    rng = np.random.default_rng(3)
+    L = rng.normal(size=(6, 4))
+    R = rng.normal(size=(3, 4))
+    ldf = pd.DataFrame({"vec_id": np.arange(6, dtype=np.int64),
+                        "embedding": list(L)})
+    rz = pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64),
+                       "embedding": list(np.vstack([R[:2], np.zeros(4)]))})
+    with pytest.raises(ValueError, match="zero-norm.*right"):
+        similarity.knn_join(ray.data.from_pandas(ldf), rz, 1)
+    lz = ldf.copy()
+    lz.at[2, "embedding"] = np.zeros(4)
+    rdf = pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64),
+                        "embedding": list(R)})
+    with pytest.raises(Exception, match="zero-norm.*left"):
+        similarity.knn_join(
+            ray.data.from_pandas(lz), rdf, 1
+        ).to_pandas()
+
+    # (4) duplicate ids -> identical A-ES keys -> loud raise on either
+    # the in-batch or the cross-batch (threshold-tie) detection path
+    dup = pd.DataFrame({
+        "doc_id": [1, 1, 2, 3, 4, 5],
+        "g": ["a"] * 6,
+        "w": [1.0] * 6,
+    })
+    with pytest.raises(Exception, match="duplicate|ids must be unique"):
+        selection.weighted_sample_per_group(
+            ray.data.from_pandas(dup), "g", 2, id_col="doc_id"
+        ).to_pandas()
+    # cross-batch duplicates (one copy per block) hit the threshold-tie
+    # check when the duplicated key lands at the k-th position: id 1's
+    # A-ES key ranks LAST among ids 1..5 (verified), so with k=5 the two
+    # copies straddle positions k-1 and k
+    with pytest.raises(Exception, match="duplicate|ids must be unique"):
+        selection.weighted_sample_per_group(
+            ray.data.from_pandas(dup).repartition(6), "g", 5,
+            id_col="doc_id",
+        ).to_pandas()
