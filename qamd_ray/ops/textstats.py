@@ -1218,19 +1218,29 @@ def pair_edit_distances(
     Text attach is size-routed like the repo's other lookups: at
     ``n_docs ≤ broadcast_threshold`` (pass ``n_docs`` — counting a
     mapped dataset executes lineage) the (id → text) map is collected
-    once and broadcast via ``ray.put``; above it, fetch texts with two
-    hash joins instead (not implemented here — candidate-pair
-    verification always runs AFTER bucketing, when the referenced doc
-    set is the small survivor side; the loud error keeps the contract
-    honest).  Per pair the DP is one vectorized numpy row per byte of
-    the shorter side — O(|a|·|b|/64) effective; quadratic, so callers
-    cap text length upstream (the dup_spans/minhash stages already
-    bound candidate sizes)."""
+    once and broadcast via ``ray.put``; above it the texts are fetched
+    with two distributed hash joins (pairs ⋈ docs on ``id_a``, then on
+    ``id_b``) so the doc table never lands on the driver — the at-scale
+    path for candidate verification when the referenced doc set itself
+    is big.  Both paths return byte-identical rows (forced-path
+    tested); the join path raises the same unknown-id KeyError via a
+    left-outer null check.  Per pair the DP is one vectorized numpy row
+    per byte of the shorter side — O(|a|·|b|/64) effective; quadratic,
+    so callers cap text length upstream (the dup_spans/minhash stages
+    already bound candidate sizes)."""
     if n_docs is not None and n_docs > broadcast_threshold:
-        raise ValueError(
-            f"pair_edit_distances: {n_docs} docs exceed "
-            f"broadcast_threshold={broadcast_threshold}; fetch texts with "
-            "two hash joins (joins.hash_join) before calling"
+        pds = (
+            ray.data.from_pandas(pairs)
+            if isinstance(pairs, pd.DataFrame)
+            else pairs
+        )
+        dds = (
+            ray.data.from_pandas(docs)
+            if isinstance(docs, pd.DataFrame)
+            else docs
+        )
+        return _pair_edit_distances_joined(
+            pds, dds, id_a=id_a, id_b=id_b, text_col=text_col, id_col=id_col
         )
     ddf = docs.to_pandas() if not isinstance(docs, pd.DataFrame) else docs
     tmap = dict(
@@ -1266,3 +1276,133 @@ def pair_edit_distances(
         )
 
     return pds.map_batches(_dist, batch_format="pyarrow")
+
+
+def _first_col(batch: pa.Table, name: str, typ: pa.DataType) -> pa.Array:
+    """Column by name tolerating join-block malformations: a left-outer
+    partition with no right rows can MISS the right-side column (its
+    correct value is null) and a rare block duplicates it — take the
+    first occurrence, null-fill when absent."""
+    idxs = [i for i, n in enumerate(batch.column_names) if n == name]
+    if not idxs:
+        return pa.nulls(batch.num_rows, typ)
+    col = pc.cast(batch.column(idxs[0]), typ)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _pair_edit_distances_joined(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    id_a: str,
+    id_b: str,
+    text_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """At-scale text attach for :func:`pair_edit_distances`: two
+    distributed hash joins instead of a driver-broadcast (id → text)
+    map.  ``pairs ⋈ docs ON id_a`` attaches text_a, the result is
+    compacted (schema re-pinned — chained raw left-outer joins emit
+    malformed blocks) and joined again on ``id_b``; the final streaming
+    pass runs the same byte-level DP.  Only the pair table plus one
+    text column per join ever shuffles; the doc table streams from its
+    source both times.  Unknown pair ids surface as left-outer nulls
+    (the slim doc side null-fills its own text first) and raise the
+    same KeyError as the broadcast path."""
+    from . import joins as J
+
+    nparts = J._shuffle_partitions()
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_ed_key": pc.cast(batch[id_col], pa.int64()),
+                "_ed_txt": pc.fill_null(
+                    pc.cast(batch[text_col], pa.string()), ""
+                ),
+            }
+        )
+
+    slim_nt = [("_ed_key", pa.int64()), ("_ed_txt", pa.string())]
+    slim = J._compact(
+        docs.map_batches(_slim, batch_format="pyarrow"), slim_nt
+    )
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_a: pc.cast(batch[id_a], pa.int64()),
+                id_b: pc.cast(batch[id_b], pa.int64()),
+            }
+        )
+
+    p = J._compact(
+        pairs.map_batches(_proj, batch_format="pyarrow"),
+        [(id_a, pa.int64()), (id_b, pa.int64())],
+    )
+    out_schema = pa.schema(
+        [(id_a, pa.int64()), (id_b, pa.int64()), ("dist", pa.int64())]
+    )
+    # a Dataset.join against an empty side never delivers schema (the
+    # shuffle drops every empty block) — short-circuit; counts here are
+    # metadata-cheap (both sides are compacted/materialized)
+    if p.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if slim.count() == 0:
+        raise KeyError(
+            "pair_edit_distances: pair references unknown ids — the doc "
+            "table is empty"
+        )
+
+    j1 = J.hash_join(
+        p, slim, on=id_a, right_on="_ed_key",
+        how="left_outer", num_partitions=nparts,
+    )
+
+    def _att_a(batch: pa.Table) -> pa.Table:
+        ta = _first_col(batch, "_ed_txt", pa.string())
+        if ta.null_count:
+            miss = pc.filter(batch[id_a], pc.is_null(ta)).to_pylist()
+            raise KeyError(
+                f"pair_edit_distances: pair references unknown ids "
+                f"{sorted(set(miss))[:5]}"
+            )
+        return pa.table(
+            {
+                id_a: pc.cast(batch[id_a], pa.int64()),
+                id_b: pc.cast(batch[id_b], pa.int64()),
+                "_ed_ta": ta,
+            }
+        )
+
+    left2 = J._compact(
+        j1.map_batches(_att_a, batch_format="pyarrow"),
+        [(id_a, pa.int64()), (id_b, pa.int64()), ("_ed_ta", pa.string())],
+    )
+    j2 = J.hash_join(
+        left2, slim, on=id_b, right_on="_ed_key",
+        how="left_outer", num_partitions=nparts,
+    )
+
+    def _dist(batch: pa.Table) -> pa.Table:
+        tb = _first_col(batch, "_ed_txt", pa.string())
+        if tb.null_count:
+            miss = pc.filter(batch[id_b], pc.is_null(tb)).to_pylist()
+            raise KeyError(
+                f"pair_edit_distances: pair references unknown ids "
+                f"{sorted(set(miss))[:5]}"
+            )
+        av = np.asarray(K._as_array(batch[id_a]), dtype=np.int64)
+        bv = np.asarray(K._as_array(batch[id_b]), dtype=np.int64)
+        tas = K._as_array(batch["_ed_ta"]).to_pylist()
+        tbs = tb.to_pylist()
+        d = np.fromiter(
+            (levenshtein_bytes(x, y) for x, y in zip(tas, tbs)),
+            dtype=np.int64,
+            count=len(av),
+        )
+        return pa.table(
+            {id_a: pa.array(av), id_b: pa.array(bv), "dist": pa.array(d)}
+        )
+
+    return j2.map_batches(_dist, batch_format="pyarrow")

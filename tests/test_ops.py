@@ -3297,8 +3297,66 @@ def test_pair_edit_distances_vs_brute_force():
     bad = pd.DataFrame({"id_a": [0], "id_b": [99]}).astype(np.int64)
     with pytest.raises(Exception, match="unknown ids"):
         pair_edit_distances(bad, docs, n_docs=4).to_pandas()
-    with pytest.raises(ValueError, match="broadcast_threshold"):
+
+    # FORCED distributed path (n_docs > broadcast_threshold): the
+    # two-hash-join text attach must return byte-identical rows to the
+    # broadcast path, raise the same unknown-id error, and handle the
+    # empty-pairs short-circuit
+    jout = (
         pair_edit_distances(pairs, docs, n_docs=4, broadcast_threshold=2)
+        .to_pandas()
+        .sort_values("id_b")
+        .reset_index(drop=True)
+    )
+    assert jout.equals(out.reset_index(drop=True))
+    with pytest.raises(Exception, match="unknown ids"):
+        pair_edit_distances(
+            bad, docs, n_docs=4, broadcast_threshold=2
+        ).to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64")}
+    )
+    eds = pair_edit_distances(empty, docs, n_docs=4, broadcast_threshold=2)
+    assert eds.schema().names == ["id_a", "id_b", "dist"]
+    assert len(eds.to_pandas()) == 0
+
+    # larger multi-partition forced-path case: both paths byte-equal
+    nd, npair = 400, 250
+    texts = [
+        "".join(rng.choice(alpha, rng.integers(0, 25))) for _ in range(nd)
+    ]
+    bdocs = pd.DataFrame(
+        {"doc_id": np.arange(nd, dtype=np.int64), "text": texts}
+    )
+    bpairs = pd.DataFrame(
+        {"id_a": rng.integers(0, nd, npair).astype(np.int64),
+         "id_b": rng.integers(0, nd, npair).astype(np.int64)}
+    )
+    import ray as _ray
+
+    want = (
+        pair_edit_distances(
+            _ray.data.from_pandas(bpairs).repartition(7),
+            _ray.data.from_pandas(bdocs).repartition(5),
+            n_docs=nd,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        pair_edit_distances(
+            _ray.data.from_pandas(bpairs).repartition(7),
+            _ray.data.from_pandas(bdocs).repartition(5),
+            n_docs=nd,
+            broadcast_threshold=10,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
 
 
 def test_stratified_budget_sample_hamilton():
