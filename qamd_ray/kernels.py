@@ -18,6 +18,7 @@ Reference semantics reimplemented (not ported):
 
 from __future__ import annotations
 
+import os
 import re
 import string
 from typing import Iterable, Sequence
@@ -331,6 +332,18 @@ def digest64(arr, algo: str = "md5") -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(parts)
+
+
+def force_distributed() -> bool:
+    """True when ``QAMD_FORCE_DISTRIBUTED=1``: every size-routed op takes
+    its at-scale (distributed) path regardless of input size.  The gate
+    runs the full query registry once in this mode
+    (``tools/check_queries.py --force-distributed``) — the cheapest proof
+    that the 100×-scale code paths are all correct, not only the ones
+    with forced-path unit tests.  Read at routing-decision time on the
+    driver, never inside batch fns, so a plain ``os.environ`` toggle is
+    race-free."""
+    return os.environ.get("QAMD_FORCE_DISTRIBUTED", "") == "1"
 
 
 def group_sentinel(values) -> list:

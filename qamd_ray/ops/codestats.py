@@ -236,7 +236,7 @@ def common_lines(
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     driver_merge = False
-    if not distributed:
+    if not distributed and not K.force_distributed():
         partials = partials.materialize()
         driver_merge = partials.count() <= driver_merge_threshold
     out: list[str]

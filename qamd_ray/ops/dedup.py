@@ -222,7 +222,7 @@ def dedup_spans(
 
     if winners is None:
         partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
-        if partials.count() <= driver_merge_threshold:
+        if not K.force_distributed() and partials.count() <= driver_merge_threshold:
             tabs = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
             if tabs:
                 allp = pa.concat_tables([t.combine_chunks() for t in tabs])
@@ -479,7 +479,7 @@ def minhash_lsh_pairs(
     # doubled the bench wall time when the count ran on a mapped read)
     if n_rows is None:
         n_rows = ds.count()
-    if n_rows * (bands + 1) > driver_collect_threshold:
+    if K.force_distributed() or n_rows * (bands + 1) > driver_collect_threshold:
         import shutil
         import tempfile
 
@@ -975,7 +975,10 @@ def minhash_clusters(
     bands = lsh_kwargs.get("bands", 16)
     if n_rows is None:
         n_rows = ds.count()
-    if n_rows * (bands + 1) <= driver_collect_threshold:
+    if (
+        not K.force_distributed()
+        and n_rows * (bands + 1) <= driver_collect_threshold
+    ):
         pairs = minhash_lsh_pairs(
             ds, text_col, id_col,
             jaccard_threshold=jaccard_threshold,
@@ -1481,7 +1484,10 @@ def simhash_pairs(
     )
     spill = None
     try:
-        if (ds.count() if n_rows is None else n_rows) * 4 > spill_threshold:
+        if (
+            K.force_distributed()
+            or (ds.count() if n_rows is None else n_rows) * 4 > spill_threshold
+        ):
             import tempfile
 
             spill = tempfile.mkdtemp(prefix="qamd_simhash_spill_", dir="/tmp")
@@ -1621,7 +1627,7 @@ def embedding_dup_pairs(
         )
 
     n_keyed = (ds.count() if n_rows is None else n_rows) * num_tables
-    if n_keyed <= driver_collect_threshold:
+    if not K.force_distributed() and n_keyed <= driver_collect_threshold:
         keyed = ds.map_batches(_keys, batch_format="pandas").materialize()
         df = keyed.to_pandas()
         surv = df[df.duplicated("bucket", keep=False)]
@@ -2080,7 +2086,9 @@ def incremental_exact_dedup(
     ded = exact_dedup(new_ds, text_col, id_col)
     hashed = with_content_hash(ded, text_col)
 
-    small = n_rows is None or n_rows <= broadcast_threshold
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
     if small:
         # pin the (dedup + hash) result so key collection and the final
         # filter don't execute the delta lineage twice
@@ -2501,7 +2509,9 @@ def _dup_window_keys(
         )
 
     parts = ds.map_batches(_partials, batch_format="pyarrow")
-    small = n_windows is None or n_windows <= driver_collect_threshold
+    small = not K.force_distributed() and (
+        n_windows is None or n_windows <= driver_collect_threshold
+    )
     if small:
         df = parts.to_pandas()
         if df.empty or "wkey" not in df.columns:

@@ -90,7 +90,11 @@ def pagerank_int(
     keys = edges.map_batches(_proj, batch_format="pyarrow")
     base = scale * (damping_den - damping_num) // damping_den
 
-    small = n_edges is not None and n_edges <= driver_threshold
+    small = (
+        not K.force_distributed()
+        and n_edges is not None
+        and n_edges <= driver_threshold
+    )
     if small:
         df = keys.to_pandas().drop_duplicates()
         src = df["src"].to_numpy(dtype=np.int64)

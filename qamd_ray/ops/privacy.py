@@ -95,7 +95,9 @@ def _attach_counts(
     derived null-safe keys), derive ``count >= threshold``, and drop the
     derived columns; broadcast under the threshold, shuffle join above."""
     dkeys = _derived_names(quasi)
-    small = n_rows is None or n_rows <= broadcast_threshold
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
     if small:
         cnt = counts.to_pandas()
         import ray as _ray

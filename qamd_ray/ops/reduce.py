@@ -19,6 +19,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+from .. import kernels as K
+
 _RAY_AGGS = {"sum": Sum, "min": Min, "max": Max}
 
 
@@ -59,7 +61,7 @@ def size_routed_group_agg(
             cols[nm] = pa.array([], schema.field(c).type)
         return pa.table(cols)
 
-    if distributed:
+    if distributed or K.force_distributed():
         mat = partials
         driver_merge = False
     else:

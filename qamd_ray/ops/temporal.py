@@ -430,7 +430,9 @@ def retention(
     pairs = J._compact(pairs, [("u", pa.int64()), ("w", pa.int64())])
     cohort = pairs.groupby("u").aggregate(Min("w", alias_name="c"))
 
-    small = n_rows is None or n_rows <= broadcast_threshold
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
     if small:
         cdf = cohort.to_pandas()
         cs = pd.Series(

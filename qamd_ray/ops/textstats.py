@@ -919,7 +919,9 @@ def tfidf_top_term(
             pc.utf8_lpad(pa.array(score.astype("U")), pad, "0"), terms, "|"
         )
 
-    small = n_rows is None or n_rows <= broadcast_threshold
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
     if small:
         dfp = df_tbl.to_pandas()
         dfs = pd.Series(
@@ -1228,7 +1230,9 @@ def pair_edit_distances(
     per byte of the shorter side — O(|a|·|b|/64) effective; quadratic,
     so callers cap text length upstream (the dup_spans/minhash stages
     already bound candidate sizes)."""
-    if n_docs is not None and n_docs > broadcast_threshold:
+    if K.force_distributed() or (
+        n_docs is not None and n_docs > broadcast_threshold
+    ):
         pds = (
             ray.data.from_pandas(pairs)
             if isinstance(pairs, pd.DataFrame)

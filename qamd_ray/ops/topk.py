@@ -25,6 +25,8 @@ import pandas as pd
 
 import ray.data
 
+from .. import kernels as K
+
 
 def grouped_topk(
     ds: "ray.data.Dataset",
@@ -51,7 +53,7 @@ def grouped_topk(
         )
 
     part_ds = ds.map_batches(_partial, batch_format="pandas").materialize()
-    if part_ds.count() > driver_collect_threshold:
+    if K.force_distributed() or part_ds.count() > driver_collect_threshold:
         from .joins import _shuffle_partitions
 
         npart = _shuffle_partitions(num_partitions)

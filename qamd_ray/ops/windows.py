@@ -177,7 +177,7 @@ def session_counts(
         batch_format="pyarrow",
         batch_size=None,
     )
-    if n_rows <= driver_collect_threshold:
+    if n_rows <= driver_collect_threshold and not K.force_distributed():
         parts = parts_ds.to_pandas()
         _, revoked, _ = _stitch_boundaries(parts[parts["kind"] > 0], gap_us)
         counts = parts[parts["kind"] == 0]
@@ -333,7 +333,9 @@ def funnel(
 
     from . import joins as J
 
-    small = n_rows is None or n_rows <= broadcast_threshold
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
     t_cols = [f"t_{s}" for s in stages]
 
     def _stage_rows(stage: str, prev_ref) -> "ray.data.Dataset":

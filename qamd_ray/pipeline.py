@@ -156,7 +156,7 @@ def duplicate_winners(
     )
     if n_rows is None:
         n_rows = enriched.count()
-    if n_rows <= driver_collect_threshold:
+    if n_rows <= driver_collect_threshold and not K.force_distributed():
         df = proj.to_pandas()
         dup_mask = df.duplicated("content_sha256", keep=False)
         dups = (
@@ -530,9 +530,14 @@ def quality_pipeline(
             isinstance(source, (str, list, tuple))
             and n_rows is not None
             and n_rows <= 5_000_000
+            and not K.force_distributed()
         ):
             winners = _winners_from_files(source)
-        elif n_rows is not None and n_rows <= 5_000_000:
+        elif (
+            n_rows is not None
+            and n_rows <= 5_000_000
+            and not K.force_distributed()
+        ):
             keys_ds = content_keys(
                 _as_dataset(source, columns=["repo", "path", "content"])
             )
@@ -546,7 +551,7 @@ def quality_pipeline(
                 _as_dataset(source, columns=["repo", "path", "content"])
             )
             wds = duplicate_winners_dataset(keys_ds)
-            if wds.count() <= dup_broadcast_threshold:
+            if not K.force_distributed() and wds.count() <= dup_broadcast_threshold:
                 wdf = wds.to_pandas()
                 winners = dict(zip(wdf["content_sha256"], wdf["winner"]))
             else:
@@ -635,7 +640,11 @@ def repo_report(
 
     partials = final.map_batches(_partials, batch_format="pyarrow")
     sum_cols = flags + ["n_rows"] + (["n_keep"] if keep_col else [])
-    if n_rows is not None and n_rows <= driver_reduce_threshold:
+    if (
+        n_rows is not None
+        and n_rows <= driver_reduce_threshold
+        and not K.force_distributed()
+    ):
         pdf = partials.to_pandas()
         rep = pdf.groupby("repo", sort=False)[sum_cols].sum().reset_index()
         t = pa.Table.from_pandas(rep, preserve_index=False)
@@ -858,14 +867,14 @@ def run_checkpointed(
                 sorted(glob.glob(os.path.join(enr_dir, "part=*", "data", "*.parquet"))),
                 columns=["content_sha256", "repo", "path"],
             )
-            if proj.count() <= 5_000_000:
+            if not K.force_distributed() and proj.count() <= 5_000_000:
                 winners = duplicate_winners(proj)
                 with open(winners_path + ".tmp", "w") as f:
                     json.dump(winners, f)
                 os.replace(winners_path + ".tmp", winners_path)
             else:
                 wds = duplicate_winners_dataset(proj)
-                if wds.count() <= dup_broadcast_threshold:
+                if not K.force_distributed() and wds.count() <= dup_broadcast_threshold:
                     wdf = wds.to_pandas()
                     winners = dict(zip(wdf["content_sha256"], wdf["winner"]))
                     with open(winners_path + ".tmp", "w") as f:

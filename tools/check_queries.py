@@ -2,11 +2,17 @@
 entry at a given sf dir and diff against oracle_sql() via DuckDB
 (row count + column names + order-insensitive value hash).
 
-Usage: python tools/check_queries.py [sf_dir] [name ...]
+Usage: python tools/check_queries.py [--force-distributed] [sf_dir] [name ...]
+
+``--force-distributed`` sets QAMD_FORCE_DISTRIBUTED=1 so every size-routed
+op takes its at-scale (distributed) path regardless of input size — the
+full-registry run in this mode is the proof that the 100×-scale code paths
+produce the same answers as the driver paths the sandbox normally picks.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -37,8 +43,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    if "--force-distributed" in args:
+        args.remove("--force-distributed")
+        os.environ["QAMD_FORCE_DISTRIBUTED"] = "1"
+        print("mode: QAMD_FORCE_DISTRIBUTED=1 (all size-routed ops take the at-scale path)")
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        raise SystemExit(f"unknown flags: {unknown}")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
