@@ -228,8 +228,13 @@ def ivf_build(
     np.save(os.path.join(tmp, "centroids.npy"), C)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"dim": int(C.shape[1]), "n_clusters": int(len(C)), "id_col": id_col}, f)
-    ds.map_batches(_assign, batch_format="pandas").write_parquet(
-        os.path.join(tmp, "vectors"), partition_cols=["bucket"]
+    # sort by bucket before the partitioned write so each partition dir
+    # holds a handful of files instead of blocks×buckets tiny ones —
+    # pruned ivf_query reads are file-open-bound otherwise
+    (
+        ds.map_batches(_assign, batch_format="pandas")
+        .sort("bucket")
+        .write_parquet(os.path.join(tmp, "vectors"), partition_cols=["bucket"])
     )
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)  # the index appears only when complete
