@@ -1,0 +1,200 @@
+"""Skewed-corpus stress bench (VERDICT r4 #7): does a giant repo and a
+hot duplicate key cause straggler collapse?
+
+Derives a SKEWED variant of the standard bench corpus deterministically:
+
+* ``org/giant`` holds 50% of all rows (every even global row) — the
+  north-rule "skew from giant repos" case that the salted / partial
+  per-repo report reduction must absorb;
+* 30% of rows are rewritten to one of 144 hot boilerplate texts
+  (~50 identical copies each) — hot exact-dup winner groups at ~25×
+  the organic duplicate multiplicity, and 144 hot LSH band buckets of
+  identical signatures (bounded within-cluster pair output; unbounded
+  hot keys are the documented pre-clean/``max_candidates`` territory).
+
+Times the flagship quality pipeline + per-repo report, exact_dedup and
+minhash_lsh_pairs on the uniform corpus and on the skewed variant (same
+row count, same ~file sizes; untimed warm-up + best-of-2, the bench.py
+methodology) and emits one JSON line with per-pipeline skew/uniform
+ratios.  Exit 1 when any ratio exceeds --bar (default 1.5).
+
+Usage: cd /root/repo && python tools/skew_bench.py [--bar 1.5]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from bench import (  # noqa: E402
+    BENCH_LINES,
+    BENCH_ROWS,
+    CORPUS_FILES,
+    CORPUS_RG,
+    corpus_path,
+)
+
+N_HOT_VARIANTS = 144
+SKEW_SEED = 4242
+
+
+def skew_corpus_path() -> str:
+    """The skewed variant, derived from the uniform bench corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = corpus_path()
+    path = (
+        f"/tmp/qamd_bench/skew_r{BENCH_ROWS}_v{N_HOT_VARIANTS}"
+        f"_f{CORPUS_FILES}_g{CORPUS_RG}"
+    )
+    if os.path.isdir(path) and len(os.listdir(path)) == CORPUS_FILES:
+        return path
+
+    from qamd_ray.synth import _rng, gen_content
+
+    hot = [
+        gen_content("python", _rng(SKEW_SEED * 1000 + v),
+                    n_lines=int(sum(BENCH_LINES) / 2))
+        for v in range(N_HOT_VARIANTS)
+    ]
+
+    files = sorted(
+        os.path.join(base, f) for f in os.listdir(base)
+    )
+    os.makedirs(path + ".tmp", exist_ok=True)
+    row0 = 0
+    for fi, f in enumerate(files):
+        t = pq.read_table(f)
+        n = t.num_rows
+        gi = np.arange(row0, row0 + n)
+        row0 += n
+        repo = t["repo"].to_pylist()
+        content = t["content"].to_pylist()
+        for j in range(n):
+            if gi[j] % 2 == 0:
+                repo[j] = "org/giant"
+            if gi[j] % 10 < 3:
+                content[j] = hot[int(gi[j]) % N_HOT_VARIANTS]
+        cols = {name: t[name] for name in t.column_names}
+        cols["repo"] = pa.array(repo, pa.string())
+        cols["content"] = pa.array(content, pa.string())
+        pq.write_table(
+            pa.table(cols),
+            os.path.join(path + ".tmp", f"part-{fi:04d}.parquet"),
+            row_group_size=CORPUS_RG,
+        )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def time_corpus(src: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from qamd_ray.gen_config import quality_config
+    from qamd_ray.ops import dedup
+    from qamd_ray.pipeline import quality_pipeline, repo_report
+    from qamd_ray.sources import read_parquet_with_row_index
+    from qamd_ray.tuning import tune_read_parallelism
+
+    files = sorted(os.path.join(src, f) for f in os.listdir(src))
+    tune_read_parallelism(files, num_cpus)
+    cfg = quality_config()
+    model_conc = max(2, (num_cpus * 2) // 3)
+
+    # untimed warm-up (worker spin-up, model builds, page cache)
+    warm = quality_pipeline(src, cfg, model_batch_size=1024)
+    warm.map_batches(
+        lambda b: b.select(["repo"]), batch_format="pyarrow"
+    ).count()
+    del warm
+    import gc
+
+    gc.collect()
+    time.sleep(1.0)
+
+    def best_of(fn, n=2):
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    timings: dict[str, float] = {}
+
+    def _run_quality():
+        out = quality_pipeline(
+            src, cfg, model_concurrency=model_conc, model_batch_size=1024
+        )
+        repo_report(out, n_rows=BENCH_ROWS)
+
+    timings["quality_pipeline"] = best_of(_run_quality)
+
+    def _docs():
+        return read_parquet_with_row_index(src, columns=["content"]).map_batches(
+            lambda b: __import__("pyarrow").table(
+                {"doc_id": b["__row__"], "text": b["content"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _run_exact():
+        dedup.exact_dedup(_docs()).map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ).count()
+
+    timings["exact_dedup"] = best_of(_run_exact)
+
+    timings["minhash_lsh"] = best_of(
+        lambda: dedup.minhash_lsh_pairs(
+            _docs(), jaccard_threshold=0.8, n_rows=BENCH_ROWS
+        ),
+        n=3,
+    )
+    ray.shutdown()
+    return timings
+
+
+def main() -> int:
+    bar = 1.5
+    if "--bar" in sys.argv:
+        bar = float(sys.argv[sys.argv.index("--bar") + 1])
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    uni_src = corpus_path()
+    skew_src = skew_corpus_path()
+    uniform = time_corpus(uni_src, num_cpus)
+    skewed = time_corpus(skew_src, num_cpus)
+    ratios = {
+        k: round(skewed[k] / uniform[k], 3) for k in uniform
+    }
+    line = {
+        "metric": "skewed-corpus stress: skew/uniform wall-time ratio",
+        "rows": BENCH_ROWS,
+        "num_cpus": num_cpus,
+        "uniform_sec": {k: round(v, 3) for k, v in uniform.items()},
+        "skewed_sec": {k: round(v, 3) for k, v in skewed.items()},
+        "ratio": ratios,
+        "bar": bar,
+        "pass": bool(all(r <= bar for r in ratios.values())),
+    }
+    print(json.dumps(line))
+    return 0 if line["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
