@@ -1527,6 +1527,38 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_attribute_mix(sf_dir: str):
+    """Dolma attribute-sidecar round trip (sources.write_attributes /
+    attach_attributes — arXiv:2402.00159 §2): gopher flags are computed
+    once, written as a keys-only bucket-partitioned sidecar, RE-READ
+    from disk and attached to the documents table by a distributed hash
+    join, and the mix keeps rows the stored ``keep`` flag passes.
+    Returns (doc_id, lang, n_words) of kept docs — the oracle is the
+    gopher twin joined back to documents, so the whole
+    write→publish→read→join path is value-checked."""
+    import os
+    import tempfile
+
+    from . import sources
+
+    flags = textstats.gopher_rules(
+        _t(sf_dir, "documents", ["doc_id", "text"]), min_stopwords=1
+    )
+    attr_dir = os.path.join(tempfile.mkdtemp(prefix="qamd_attrs_"), "attrs")
+    sources.write_attributes(
+        flags, attr_dir, ["doc_id"], ["n_words", "keep"], num_buckets=8
+    )
+    joined = sources.attach_attributes(
+        _t(sf_dir, "documents", ["doc_id", "lang"]), attr_dir
+    )
+
+    def _mix(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["keep"], True))
+        return t.select(["doc_id", "lang", "n_words"])
+
+    return joined.map_batches(_mix, batch_format="pyarrow")
+
+
 def q_decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (ops.decontaminate.ngram_decontaminate):
     the eval set is the deterministic doc_id % 97 == 0 subset; every
@@ -2879,6 +2911,7 @@ QUERIES = {
     "dup_line_stats": q_dup_line_stats,
     "repetition_scores": q_repetition_scores,
     "gopher_rules": q_gopher_rules,
+    "attribute_mix": q_attribute_mix,
     "c4_rules": q_c4_rules,
     "web_curation": q_web_curation,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3069,6 +3102,11 @@ _PARA_CTES = (
 ORACLES = {
     "langid_docs": _langid_oracle(),
     "gopher_rules": _GOPHER_ORACLE,
+    "attribute_mix": (
+        "SELECT d.doc_id AS doc_id, d.lang AS lang, g.n_words AS n_words "
+        "FROM documents d JOIN (" + _GOPHER_ORACLE + ") g "
+        "ON d.doc_id = g.doc_id WHERE g.keep"
+    ),
     "c4_rules": _C4_ORACLE,
     "web_curation": _WEBCUR_ORACLE,
     "hourly_active_users": (

@@ -379,3 +379,110 @@ def compact_parquet(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(stage, out_dir)
     return manifest
+
+
+def _attr_bucket(batch: pa.Table, key_cols: Sequence[str], num_buckets: int) -> np.ndarray:
+    """Stable bucket id per row from the md5 of the composite key: key
+    columns cast to string and joined with a \\x1f separator (a value
+    that never appears in repo/path/commit identifiers), hashed via the
+    buffer-sliced kernels.digest64 — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from . import kernels as K
+
+    parts: list = []
+    for c in key_cols:
+        parts.append(pc.fill_null(pc.cast(batch[c], pa.string()), ""))
+        parts.append(pa.array(["\x1f"] * len(batch), pa.string()))
+    composite = pc.binary_join_element_wise(*parts, "")
+    return np.abs(K.digest64(composite)) % num_buckets
+
+
+def write_attributes(
+    ds: "ray.data.Dataset",
+    attr_dir: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    *,
+    num_buckets: int = 32,
+) -> dict:
+    """Dolma-style attribute SIDECAR sink (Soldaini et al. 2024,
+    arXiv:2402.00159 §2: documents stored once, per-doc rule/score
+    "attributes" written alongside so downstream mixes re-filter without
+    recomputing).  Writes ONLY ``key_cols + attr_cols`` (never content),
+    hash-bucket-partitioned on the composite key (``bucket=<k>/`` dirs,
+    sorted before the partitioned write so each bucket holds a handful
+    of files), with the atomic staging + ``_attr_meta.json`` publish of
+    :func:`write_partitioned` — a killed run never leaves a half sidecar.
+    Returns the manifest.  Re-attach with :func:`attach_attributes`."""
+    import json
+    import shutil
+
+    key_cols = list(key_cols)
+    attr_cols = list(attr_cols)
+    overlap = set(key_cols) & set(attr_cols)
+    if overlap:
+        raise ValueError(f"write_attributes: columns in both keys and attrs: {sorted(overlap)}")
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in key_cols + attr_cols}
+        cols["bucket"] = pa.array(_attr_bucket(batch, key_cols, num_buckets))
+        return pa.table(cols)
+
+    manifest = write_partitioned(
+        ds.map_batches(_proj, batch_format="pyarrow").sort("bucket"),
+        attr_dir,
+        ["bucket"],
+    )
+    meta = {
+        "key_cols": key_cols,
+        "attr_cols": attr_cols,
+        "num_buckets": num_buckets,
+    }
+    tmp = os.path.join(attr_dir, "_attr_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(attr_dir, "_attr_meta.json"))
+    return manifest
+
+
+def attach_attributes(
+    docs: "ray.data.Dataset",
+    attr_dir: str,
+    *,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Re-attach a :func:`write_attributes` sidecar to a documents
+    Dataset by the sidecar's pinned key columns — the Dolma "mixer"
+    step: filter/weight a corpus by previously computed attributes
+    without recomputing them.  A distributed hash join on the composite
+    key (both sides stream; content moves exactly once), ``inner`` or
+    ``left_outer``."""
+    import json
+
+    from .ops.joins import _shuffle_partitions, hash_join
+
+    meta_path = os.path.join(attr_dir, "_attr_meta.json")
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"attribute sidecar {attr_dir!r} is missing _attr_meta.json — "
+            "write it with write_attributes"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    key_cols = meta["key_cols"]
+    files = sorted(
+        glob.glob(os.path.join(attr_dir, "bucket=*", "*.parquet"))
+    )
+    if not files:
+        raise FileNotFoundError(f"attribute sidecar {attr_dir!r} has no data files")
+    attrs = ray.data.read_parquet(
+        files, columns=key_cols + meta["attr_cols"]
+    )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"attach_attributes: how must be inner|left_outer (got {how!r})")
+    return hash_join(
+        docs, attrs, on=tuple(key_cols), how=how,
+        num_partitions=_shuffle_partitions(num_partitions),
+    )

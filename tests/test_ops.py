@@ -3816,3 +3816,92 @@ def test_r5_advice_guards():
             ray.data.from_pandas(dup).repartition(6), "g", 5,
             id_col="doc_id",
         ).to_pandas()
+
+
+def test_attribute_sidecar_roundtrip(tmp_path):
+    """write_attributes persists ONLY keys+attrs bucket-partitioned with
+    pinned meta; attach_attributes re-joins them onto the docs by the
+    pinned composite key (inner and left_outer), multi-column keys work,
+    missing meta raises, and a re-write atomically replaces the old
+    generation."""
+    from qamd_ray.sources import attach_attributes, write_attributes
+
+    n = 200
+    docs = pd.DataFrame(
+        {
+            "repo": [f"org/r{i % 7}" for i in range(n)],
+            "path": [f"src/f{i}.py" for i in range(n)],
+            "commit": [f"c{i % 13}" for i in range(n)],
+            "content": [f"body {i}" for i in range(n)],
+        }
+    )
+    attrs = docs[["repo", "path", "commit"]].copy()
+    attrs["score"] = np.arange(n, dtype=np.int64) * 3
+    attrs["keep"] = (np.arange(n) % 4) != 0
+
+    adir = str(tmp_path / "attrs")
+    man = write_attributes(
+        ray.data.from_pandas(attrs).repartition(5), adir,
+        ["repo", "path", "commit"], ["score", "keep"], num_buckets=4,
+    )
+    assert sum(man.values()) == n
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{adir}/bucket=*/*.parquet"))
+    assert files
+    # keys+attrs only — content never lands in the sidecar
+    assert set(_pq.read_schema(files[0]).names) == {
+        "repo", "path", "commit", "score", "keep",
+    }
+    with open(f"{adir}/_attr_meta.json") as fh:
+        assert _json.load(fh)["key_cols"] == ["repo", "path", "commit"]
+
+    out = (
+        attach_attributes(ray.data.from_pandas(docs).repartition(3), adir)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = (
+        docs.merge(attrs, on=["repo", "path", "commit"])
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert list(out.sort_index(axis=1).itertuples(index=False)) == list(
+        want.sort_index(axis=1).itertuples(index=False)
+    )
+
+    # left_outer keeps unmatched docs with null attrs
+    extra = pd.concat(
+        [docs, pd.DataFrame({"repo": ["org/new"], "path": ["x.py"],
+                             "commit": ["c0"], "content": ["zzz"]})],
+        ignore_index=True,
+    )
+    lo = attach_attributes(
+        ray.data.from_pandas(extra), adir, how="left_outer"
+    ).to_pandas()
+    assert len(lo) == n + 1
+    assert lo.loc[lo["repo"] == "org/new", "score"].isna().all()
+
+    # missing meta raises loudly
+    with pytest.raises(FileNotFoundError, match="_attr_meta"):
+        attach_attributes(ray.data.from_pandas(docs), str(tmp_path / "nope"))
+    # overlapping key/attr columns raise
+    with pytest.raises(ValueError, match="both keys and attrs"):
+        write_attributes(
+            ray.data.from_pandas(attrs), adir, ["repo"], ["repo", "score"]
+        )
+
+    # re-write atomically replaces the previous generation
+    attrs2 = attrs.copy()
+    attrs2["score"] = attrs2["score"] + 1
+    write_attributes(
+        ray.data.from_pandas(attrs2), adir,
+        ["repo", "path", "commit"], ["score", "keep"], num_buckets=4,
+    )
+    out2 = attach_attributes(ray.data.from_pandas(docs), adir).to_pandas()
+    assert sorted(out2["score"]) == sorted(attrs2["score"])
