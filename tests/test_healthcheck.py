@@ -272,3 +272,55 @@ def test_health_check_csv_path(tmp_path):
     # each column has 1/4 = 25% sysmiss > 20% threshold → both fail
     assert (st.pass_, st.fail) == (0, 2)
     assert rep.metadata.file_name == "mini.csv"
+
+
+def test_locator_table_html_golden():
+    """Golden-string mirror of the reference's locators_table fragment
+    (src/report/html/mod.rs:104-126): the '# (limited to 1000)' header,
+    one numbered row per locator in (variable_index, value_index) order,
+    the value_if_positive '-' quirk for value_index <= 0 (mod.rs:129-135),
+    the click-to-expand wrapper (native <details> standing in for
+    custom.js), the summary-table anchor link, and the 1000-row cap."""
+    from qamd_ray.report import (
+        LOCATOR_CAP,
+        Locator,
+        Report,
+        ReportMetadata,
+        Status,
+    )
+
+    rep = Report(metadata=ReportMetadata(file_name="t"))
+    st = rep.ensure("DuplicateValues", "dup check", "DataIntegrity")
+    st.pass_, st.fail = 7, 3
+    st.locators = {
+        Locator(2, 5, "colB"),
+        Locator(1, -1, "colA"),   # whole-variable failure -> '-'
+        Locator(1, 0, "colA"),    # 0 is NOT positive -> '-' (quirk kept)
+    }
+    html = rep.to_html()
+
+    golden = (
+        "<details id='loc-duplicatevalues'><summary>"
+        "<b>Duplicate values</b> "
+        "<span class='badge bp'>pass 7</span> "
+        "<span class='badge bf'>fail 3</span> "
+        "(show 3 locators)</summary>"
+        "<table><tr><th scope='col'># (limited to 1000)</th>"
+        "<th scope='col'>Variable</th>"
+        "<th scope='col'>Row number</th></tr>"
+        "<tr class='locator'><td scope='row'>1</td><td>colA</td><td>-</td></tr>"
+        "<tr class='locator'><td scope='row'>2</td><td>colA</td><td>-</td></tr>"
+        "<tr class='locator'><td scope='row'>3</td><td>colB</td><td>5</td></tr>"
+        "</table></details>"
+    )
+    assert golden in html
+    # the summary row's check name anchor-links to the locator table
+    assert "<a class='chk' href='#loc-duplicatevalues'>Duplicate values</a>" in html
+
+    # cap: 1000 of 1200 locators render, numbered 1..1000
+    st.locators = {Locator(i, i + 1, f"v{i}") for i in range(1200)}
+    capped = rep.to_html()
+    assert "(show 1000 locators)" in capped
+    assert capped.count("<tr class='locator'>") == 1000
+    assert "<td scope='row'>1000</td>" in capped
+    assert "<td scope='row'>1001</td>" not in capped
