@@ -1379,8 +1379,27 @@ def minhash_dedup(
             zip(tdf[id_col].to_numpy(np.int64), tdf[text_col].fillna(""))
         )
         k = lsh_kwargs.get("shingle_k", 5)
+        # shingle each candidate text ONCE (sorted unique hashes from
+        # _shingle_hashes); per pair only a searchsorted intersection
+        # remains — the previous per-pair ngram_jaccard recomputed both
+        # texts' shingle sets for every pair a doc appeared in
+        sh = {i: _shingle_hashes(t, k) for i, t in texts.items()}
+        empty_sh = _shingle_hashes("", k)
+
+        def _pair_ok(a: int, b: int) -> bool:
+            ha, hb = sh.get(a, empty_sh), sh.get(b, empty_sh)
+            if len(ha) == 0 and len(hb) == 0:
+                return 1.0 >= jaccard_threshold
+            if len(ha) > len(hb):
+                ha, hb = hb, ha
+            if len(hb) == 0:
+                return 0.0 >= jaccard_threshold
+            idx = np.minimum(np.searchsorted(hb, ha), len(hb) - 1)
+            inter = int(np.count_nonzero(hb[idx] == ha))
+            return inter / (len(ha) + len(hb) - inter) >= jaccard_threshold
+
         keep_mask = [
-            ngram_jaccard(texts.get(a, ""), texts.get(b, ""), k) >= jaccard_threshold
+            _pair_ok(int(a), int(b))
             for a, b in zip(pairs["id_a"], pairs["id_b"])
         ]
         pairs = pairs[keep_mask].reset_index(drop=True)

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -52,7 +54,25 @@ def grouped_topk(
             .head(k)
         )
 
-    part_ds = ds.map_batches(_partial, batch_format="pandas").materialize()
+    key_cols = list(dict.fromkeys(group_cols + order_cols))
+
+    def _partial_arrow(batch: pa.Table) -> pa.Table:
+        """Combiner without a wide-row pandas conversion: the top-k row
+        INDICES come from a slim key-column frame, then one zero-copy
+        ``take`` selects the full rows — content-bearing columns never
+        round-trip through pandas objects."""
+        if batch.num_rows == 0:
+            return batch
+        kdf = batch.select(key_cols).to_pandas()
+        sel = (
+            kdf.sort_values(order_cols, ascending=order_asc)
+            .groupby(group_cols, sort=False)
+            .head(k)
+            .index.to_numpy()
+        )
+        return batch.take(pa.array(np.sort(sel)))
+
+    part_ds = ds.map_batches(_partial_arrow, batch_format="pyarrow").materialize()
     if K.force_distributed() or part_ds.count() > driver_collect_threshold:
         from .joins import _shuffle_partitions
 
