@@ -2441,6 +2441,242 @@ def incremental_minhash_dedup(
     return new_ds.map_batches(_drop, batch_format="pyarrow")
 
 
+def build_embedding_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    num_planes: int = 12,
+    num_tables: int = 8,
+    seed: int = 5,
+    dim: Optional[int] = None,
+    num_buckets: int = 64,
+) -> str:
+    """Persist the corpus EMBEDDING near-dup state for later delta
+    probes — the embedding twin of :func:`build_minhash_index`,
+    completing the incremental family (exact / minhash / paragraph /
+    embedding).  One streaming pass emits both row kinds into a single
+    ``(kind, bucket)``-partitioned parquet tree, sorted before the write
+    so every bucket dir holds a handful of files:
+
+    * ``rows/kind=key/bucket=<k>/`` — one ``(bkey, id)`` row per
+      (vector, LSH table), ``bkey = table << num_planes | sign bits``
+      from the same seeded hyperplanes as :func:`embedding_dup_pairs`
+      (identical vectors get identical keys in EVERY table — planted
+      recall is exactly 1, not probabilistic);
+    * ``rows/kind=vec/bucket=<k>/`` — the normalized float32 vector per
+      id (cosine verification needs magnitudes gone anyway);
+    * ``_meta.json`` — planes seed/shape/dim + bucket count, pinned so a
+      probe with different parameters fails loudly.
+
+    Atomic whole-directory publish (ivf_build pattern)."""
+    import json
+    import os
+    import shutil
+
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
+    import ray as _ray
+
+    planes_ref = _ray.put(planes)
+
+    def _all_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        P = _ray.get(planes_ref)
+        M = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        if (norms == 0).any():
+            raise ValueError(
+                "build_embedding_index: zero-norm embedding — cosine is "
+                "undefined; drop or re-embed those rows"
+            )
+        M = M / norms
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        kparts, iparts = [], []
+        for t in range(num_tables):
+            signs = (M @ P[t]) > 0
+            b = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+            kparts.append((np.int64(t) << num_planes) + b)
+            iparts.append(ids)
+        bkey = np.concatenate(kparts + [np.zeros(n, np.int64)])
+        rid = np.concatenate(iparts + [ids])
+        kind = np.concatenate(
+            [np.repeat("key", num_tables * n), np.repeat("vec", n)]
+        )
+        vecs = [None] * (num_tables * n) + list(M)
+        bucket = np.where(
+            kind == "key", bkey % num_buckets, rid % num_buckets
+        )
+        return pd.DataFrame(
+            {"kind": kind, "bkey": bkey, id_col: rid,
+             "vec": vecs, "bucket": bucket}
+        )
+
+    tmp = index_dir.rstrip("/\\") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ds.map_batches(_all_rows, batch_format="pandas")
+        .sort(["kind", "bucket"])
+        .write_parquet(os.path.join(tmp, "rows"), partition_cols=["kind", "bucket"])
+    )
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_planes": num_planes,
+                "num_tables": num_tables,
+                "seed": seed,
+                "dim": dim,
+                "num_buckets": num_buckets,
+                "id_col": id_col,
+            },
+            f,
+        )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(tmp, index_dir)
+    return index_dir
+
+
+def incremental_embedding_dedup(
+    new_ds: "ray.data.Dataset",
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    cosine_threshold: float = 0.95,
+    max_candidates: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Drop every DELTA vector that is a cosine near-duplicate of a
+    corpus vector, probing the persisted hyperplane index instead of
+    re-reading the corpus — the embedding twin of
+    :func:`incremental_minhash_dedup` (the daily-ingest shape for
+    embedded corpora).  All LSH parameters come from ``_meta.json``.
+
+    Plan, driver state bounded by the DELTA and its collisions: delta
+    bucket keys + normalized vectors collected once; the key index is
+    read ONLY for touched buckets (partition pruning) and semi-joined to
+    matching keys; corpus vectors are fetched ONLY for candidate ids;
+    one chunked row-wise dot product verifies exact cosine; matched
+    delta ids are dropped in a streaming broadcast-mask pass.
+    ``max_candidates`` bounds hot buckets loudly (constant embeddings)."""
+    import glob
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"embedding index {index_dir!r} is missing or incomplete "
+            "(_meta.json not found); build it with build_embedding_index"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    num_planes, num_tables = meta["num_planes"], meta["num_tables"]
+    num_buckets, dim = meta["num_buckets"], meta["dim"]
+    rng = np.random.default_rng(meta["seed"])
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
+    import ray as _ray
+
+    planes_ref = _ray.put(planes)
+
+    def _delta_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        P = _ray.get(planes_ref)
+        M = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        if (norms == 0).any():
+            raise ValueError(
+                "incremental_embedding_dedup: zero-norm delta embedding"
+            )
+        M = M / norms
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        parts = []
+        for t in range(num_tables):
+            signs = (M @ P[t]) > 0
+            b = (signs.astype(np.int64) << np.arange(num_planes)).sum(axis=1)
+            parts.append((np.int64(t) << num_planes) + b)
+        return pd.DataFrame(
+            {"bkey": np.concatenate(parts),
+             "_did": np.tile(ids, num_tables),
+             "vec": list(M) * num_tables}
+        )
+
+    rows = new_ds.map_batches(_delta_rows, batch_format="pandas").to_pandas()
+    if not len(rows):
+        return new_ds
+    # one normalized vector per delta id (first table's copy)
+    first = rows.drop_duplicates("_did")
+    did_sorted = np.sort(first["_did"].to_numpy(np.int64))
+    DV = np.stack(
+        first.sort_values("_did")["vec"].to_numpy()
+    ).astype(np.float32)
+    delta_keys = rows[["bkey", "_did"]]
+
+    from .joins import semi_join
+
+    buckets = np.unique(delta_keys["bkey"].to_numpy(np.int64) % num_buckets)
+    files = []
+    for b in buckets:
+        files.extend(
+            sorted(glob.glob(os.path.join(
+                index_dir, "rows", "kind=key", f"bucket={b}", "*.parquet"
+            )))
+        )
+    if not files:
+        return new_ds
+    idx_keys = ray.data.read_parquet(files, columns=["bkey", meta["id_col"]])
+    hits = semi_join(
+        idx_keys, np.unique(delta_keys["bkey"].to_numpy(np.int64)), "bkey"
+    ).to_pandas()
+    if len(hits) == 0:
+        return new_ds
+    if len(hits) > max_candidates:
+        raise ValueError(
+            f"bucket-key matches ({len(hits)}) exceed max_candidates="
+            f"{max_candidates}: a hot LSH bucket (constant/near-constant "
+            "embeddings) makes collisions corpus-scale — pre-clean or "
+            "raise the cap"
+        )
+    cand = delta_keys.merge(
+        hits.rename(columns={meta["id_col"]: "_cid"}), on="bkey"
+    )[["_did", "_cid"]].drop_duplicates()
+    cid = np.unique(cand["_cid"].to_numpy(np.int64))
+    vbuckets = np.unique(cid % num_buckets)
+    vfiles = []
+    for b in vbuckets:
+        vfiles.extend(
+            sorted(glob.glob(os.path.join(
+                index_dir, "rows", "kind=vec", f"bucket={b}", "*.parquet"
+            )))
+        )
+    vec_ds = ray.data.read_parquet(vfiles, columns=[meta["id_col"], "vec"])
+    corpus_vecs = semi_join(vec_ds, cid, meta["id_col"]).to_pandas()
+    CV = np.stack(corpus_vecs["vec"].to_numpy()).astype(np.float32)
+    cid_sorted_ids = corpus_vecs[meta["id_col"]].to_numpy(np.int64)
+    order = np.argsort(cid_sorted_ids)
+    cid_sorted_ids, CV = cid_sorted_ids[order], CV[order]
+
+    di = np.searchsorted(did_sorted, cand["_did"].to_numpy(np.int64))
+    ci = np.searchsorted(cid_sorted_ids, cand["_cid"].to_numpy(np.int64))
+    cos = np.empty(len(di), dtype=np.float64)
+    for lo in range(0, len(di), 262_144):
+        hi = min(lo + 262_144, len(di))
+        cos[lo:hi] = (DV[di[lo:hi]] * CV[ci[lo:hi]]).sum(axis=1)
+    dup_ids = np.unique(
+        cand["_did"].to_numpy(np.int64)[cos >= cosine_threshold]
+    )
+    dref = _ray.put(dup_ids)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        d = _ray.get(dref)
+        ids = np.asarray(K._as_array(pc.cast(batch[id_col], pa.int64())))
+        return batch.filter(pa.array(~np.isin(ids, d)))
+
+    return new_ds.map_batches(_drop, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring spans (Lee et al. 2021, arXiv:2107.06499)
 # ---------------------------------------------------------------------------

@@ -891,6 +891,47 @@ def q_embedding_dups_planted(sf_dir: str):
     return pairs[["id_a", "id_b"]]
 
 
+def q_incremental_embedding(sf_dir: str):
+    """Incremental EMBEDDING near-dup dedup
+    (ops.dedup.incremental_embedding_dedup): the embeddings table is
+    persisted as a hyperplane-LSH bucket index; the delta re-derives
+    every vector under vec_id+1M — ids %3==0 keep the IDENTICAL corpus
+    vector (identical vectors share every table's bucket, so recall on
+    them is exactly 1 and cosine is exactly 1 ≥ 0.95 → dropped), the
+    rest become the standard basis vector e_{id%64} (max cosine vs any
+    unit gaussian corpus vector = its largest |component| ≈ 0.45 ≪ 0.95
+    at every sf → survive).  The outcome is deterministic given the
+    seeded planes, so the oracle is the exact survivor list."""
+    import os
+    import tempfile
+
+    from .ops import dedup as dd
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = os.path.join(tempfile.mkdtemp(prefix="qamd_emb_index_"), "idx")
+    dd.build_embedding_index(emb, idx, num_buckets=8)
+
+    def _delta(b: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(b["vec_id"], pa.int64())))
+        if len(ids) and ids.max() >= 1_000_000:
+            raise ValueError("incremental_embedding: vec_id >= 1M offset")
+        M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float32)
+        basis = np.eye(M.shape[1], dtype=np.float32)
+        keep = ids % 3 == 0
+        out = np.where(keep[:, None], M, basis[ids % M.shape[1]])
+        return pa.table(
+            {"vec_id": pa.array(ids + 1_000_000), "embedding": pa.array(list(out))}
+        )
+
+    delta = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _delta, batch_format="pyarrow"
+    )
+    surv = dd.incremental_embedding_dedup(delta, idx)
+    return surv.map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+    )
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (ops.packing.cdc_chunks, the LBFS
     boundary rule): boundaries where the 8-char md5-prefix window key
@@ -2921,6 +2962,7 @@ QUERIES = {
     "hourly_active_users": q_hourly_active_users,
     "incremental_dedup": q_incremental_dedup,
     "incremental_minhash": q_incremental_minhash,
+    "incremental_embedding": q_incremental_embedding,
     "k_anonymity": q_k_anonymity,
     "l_diversity": q_l_diversity,
     "decontaminate_docs": q_decontaminate_docs,
@@ -3150,6 +3192,14 @@ ORACLES = {
     "incremental_minhash": (
         "SELECT doc_id + 1000000 AS doc_id, md5(coalesce(text, '')) AS text"
         " FROM documents WHERE doc_id % 3 <> 0"
+    ),
+    # planted twin of q_incremental_embedding: ids %3==0 re-ingest the
+    # identical corpus vector (cosine 1 in every LSH table -> dropped);
+    # the rest become basis vectors (max cosine vs unit gaussian corpus
+    # ~0.45 << 0.95 -> survive), so survivors are exactly this list
+    "incremental_embedding": (
+        "SELECT vec_id + 1000000 AS vec_id FROM embeddings"
+        " WHERE vec_id % 3 <> 0"
     ),
     # planted-dup twin of q_minhash_pairs: star pairs inside every
     # identical-derived-string cluster + one (base rep, near rep) pair per

@@ -3905,3 +3905,89 @@ def test_attribute_sidecar_roundtrip(tmp_path):
     )
     out2 = attach_attributes(ray.data.from_pandas(docs), adir).to_pandas()
     assert sorted(out2["score"]) == sorted(attrs2["score"])
+
+
+def test_incremental_embedding_dedup():
+    """build_embedding_index + incremental_embedding_dedup: planted
+    identical vectors are always dropped (same bucket in every seeded
+    table, cosine exactly 1), basis-vector fresh rows survive, missing
+    meta raises, a hot bucket (constant embeddings) trips the candidate
+    cap, and an empty delta short-circuits."""
+    import os
+    import tempfile
+
+    from qamd_ray.ops.dedup import (
+        build_embedding_index,
+        incremental_embedding_dedup,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 240, 16
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    corpus = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(E)}
+    )
+    idx = os.path.join(tempfile.mkdtemp(), "eidx")
+    build_embedding_index(
+        ray.data.from_pandas(corpus).repartition(4), idx, num_buckets=8
+    )
+
+    ids = np.arange(n, dtype=np.int64)
+    emb = [
+        E[i] if i % 3 == 0 else np.eye(d, dtype=np.float32)[i % d]
+        for i in range(n)
+    ]
+    delta = pd.DataFrame({"vec_id": ids + 1_000_000, "embedding": emb})
+    out = incremental_embedding_dedup(
+        ray.data.from_pandas(delta).repartition(3), idx
+    ).to_pandas()
+    assert set(out["vec_id"]) == set(ids[ids % 3 != 0] + 1_000_000)
+
+    with pytest.raises(FileNotFoundError, match="_meta.json"):
+        incremental_embedding_dedup(
+            ray.data.from_pandas(delta), idx + "_nope"
+        )
+
+    # hot bucket: constant corpus embeddings put every key row in ONE
+    # bucket per table; a same-vector delta makes candidates n_delta x n
+    const = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [np.ones(d, dtype=np.float32)] * n}
+    )
+    hot_idx = os.path.join(tempfile.mkdtemp(), "hot")
+    build_embedding_index(ray.data.from_pandas(const), hot_idx, num_buckets=4)
+    with pytest.raises(ValueError, match="max_candidates"):
+        incremental_embedding_dedup(
+            ray.data.from_pandas(
+                pd.DataFrame(
+                    {"vec_id": np.arange(50, dtype=np.int64) + 10_000,
+                     "embedding": [np.ones(d, dtype=np.float32)] * 50}
+                )
+            ),
+            hot_idx,
+            max_candidates=1000,
+        )
+
+    # empty delta: early return, no index reads
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype="object")}
+    )
+    eout = incremental_embedding_dedup(
+        ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": np.array([5_000_000], dtype=np.int64),
+             "embedding": [np.eye(d, dtype=np.float32)[0]]}
+        )).filter(lambda r: False),
+        idx,
+    )
+    assert len(eout.to_pandas()) == 0
+
+    # zero-norm embeddings raise on both build and probe
+    with pytest.raises(Exception, match="zero-norm"):
+        build_embedding_index(
+            ray.data.from_pandas(pd.DataFrame(
+                {"vec_id": np.array([0], dtype=np.int64),
+                 "embedding": [np.zeros(d, dtype=np.float32)]}
+            )),
+            os.path.join(tempfile.mkdtemp(), "z"),
+        )
