@@ -325,41 +325,73 @@ def weighted_sample(
     return cand.head(k).reset_index(drop=True)
 
 
-def stratified_budget_sample(
-    ds: "ray.data.Dataset",
-    group_col: str,
-    total_k: int,
-    id_col: str = "doc_id",
-    *,
-    salt: str = "strat",
-) -> "ray.data.Dataset":
-    """EXACT-total stratified sample: ``total_k`` rows overall, allocated
-    to groups proportionally by the largest-remainder (Hamilton) method
-    — quota_g = ⌊k·n_g/N⌋ plus one for the groups with the largest
-    remainders (ties → smaller group key) until the quotas sum to k —
-    then each group's quota filled with its smallest ``md5(salt+id)``
-    hashes (the cap_per_group selection).  The mixture-construction step
-    when per-group Bernoulli thresholds (balanced_sample) can't pin an
-    exact total AND the budget must split across strata: fully integer
-    arithmetic, so the sample is reproducible under any parallelism and
-    value-checkable by a window-function SQL twin.  ``total_k`` greater
-    than the corpus raises (a silent clamp would hide a mis-sized
-    budget).  Null group keys form their own stratum.
-
-    Plan: one keys-only counting pass (per-batch Arrow group_by
-    combiner) gives group sizes — O(groups) driver state; the Hamilton
-    allocation is a driver argsort over groups; selection reuses the
-    cap_per_group exchange with a per-group k: each batch emits its
-    quota_g smallest (group, hash) candidates (bounded by batches ×
-    groups × max-quota), the driver derives per-group thresholds, and a
-    second streaming filter keeps rows at or under their group's
-    threshold — content never moves."""
+def _group_count_series(ds: "ray.data.Dataset", group_col: str):
+    """One keys-only counting pass: per-batch Arrow/pandas group sizes
+    merged on the driver — O(groups) driver state regardless of corpus
+    size.  Null group keys are mapped through
+    :func:`qamd_ray.kernels.group_sentinel` so they form their own
+    group.  Returns a pandas Series (index = group key ascending,
+    values = int64 counts)."""
     import pandas as pd
 
-    if total_k < 1:
-        raise ValueError(
-            f"stratified_budget_sample: total_k must be >= 1 (got {total_k})"
+    def _counts(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        gk = K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
+        c = pd.DataFrame({"g": gk}).groupby("g", sort=False).size()
+        return pa.table(
+            {"g": pa.array(c.index, pa.string()),
+             "n": pa.array(c.to_numpy().astype(np.int64))}
         )
+
+    return (
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("g", sort=True)["n"]
+        .sum()
+    )
+
+
+def _hamilton(quota_total: int, weights: np.ndarray) -> np.ndarray:
+    """Largest-remainder (Hamilton) apportionment of ``quota_total``
+    over integer ``weights``: base_g = ⌊k·w_g/W⌋ plus one for the groups
+    with the largest remainders (ties → smaller index, i.e. smaller
+    group key when weights arrive ordered by group) until the quotas
+    sum to k.  All int64 — guarded against ``k·w_g`` overflow so the
+    arithmetic matches a BIGINT SQL twin exactly."""
+    W = int(weights.sum())
+    if quota_total * int(weights.max()) > np.iinfo(np.int64).max:
+        raise ValueError(
+            "hamilton allocation: quota_total * max(weight) exceeds int64 — "
+            "rescale the weights"
+        )
+    base = quota_total * weights // W
+    rem = quota_total * weights % W
+    shortfall = quota_total - int(base.sum())
+    # largest remainder first; ties by group key ascending (weights are
+    # ordered by group key, stable sort preserves that order)
+    order = np.argsort(-rem, kind="stable")
+    quota = base.copy()
+    quota[order[:shortfall]] += 1
+    return quota
+
+
+def _fill_group_quotas(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    salt: str,
+    quotas: dict,
+) -> "ray.data.Dataset":
+    """Fill each group's quota with its smallest ``md5(salt+id)`` hashes
+    (the cap_per_group exchange with a per-group k): each batch emits
+    its quota_g smallest (group, hash) candidates (bounded by batches ×
+    groups × max-quota), the driver derives per-group hash thresholds,
+    and a second streaming filter keeps rows at or under their group's
+    threshold — content never moves."""
+    import pandas as pd
 
     def _hkeys(batch: pa.Table) -> list[str]:
         ids = K._as_array(pc.cast(batch[id_col], pa.string()))
@@ -371,43 +403,6 @@ def stratified_budget_sample(
     def _gkeys(batch: pa.Table) -> list:
         return K.group_sentinel(K._as_array(batch[group_col]).to_pylist())
 
-    def _counts(batch: pa.Table) -> pa.Table:
-        if not len(batch):
-            return pa.table(
-                {"g": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        df = pd.DataFrame({"g": _gkeys(batch)})
-        c = df.groupby("g", sort=False).size()
-        return pa.table(
-            {"g": pa.array(c.index, pa.string()),
-             "n": pa.array(c.to_numpy().astype(np.int64))}
-        )
-
-    cdf = (
-        ds.map_batches(_counts, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("g", sort=True)["n"]
-        .sum()
-    )
-    groups = cdf.index.to_numpy(dtype=object)
-    n_g = cdf.to_numpy(dtype=np.int64)
-    N = int(n_g.sum())
-    if total_k > N:
-        raise ValueError(
-            f"stratified_budget_sample: total_k={total_k} exceeds the "
-            f"corpus size {N}"
-        )
-    base = total_k * n_g // N
-    rem = total_k * n_g % N
-    shortfall = total_k - int(base.sum())
-    # largest remainder first; ties by group key ascending (groups is
-    # already sorted ascending, stable sort preserves that order)
-    order = np.argsort(-rem, kind="stable")
-    quota = base.copy()
-    quota[order[:shortfall]] += 1
-    # Hamilton can over-allocate a tiny group past its size only when
-    # total_k == N (then base == n_g exactly), so quotas are feasible
-    quotas = {g: int(q) for g, q in zip(groups, quota) if q > 0}
     q_ref = ray.put(quotas)
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -452,6 +447,146 @@ def stratified_budget_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def stratified_budget_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    total_k: int,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "strat",
+) -> "ray.data.Dataset":
+    """EXACT-total stratified sample: ``total_k`` rows overall, allocated
+    to groups proportionally by the largest-remainder (Hamilton) method
+    — quota_g = ⌊k·n_g/N⌋ plus one for the groups with the largest
+    remainders (ties → smaller group key) until the quotas sum to k —
+    then each group's quota filled with its smallest ``md5(salt+id)``
+    hashes (the cap_per_group selection).  The mixture-construction step
+    when per-group Bernoulli thresholds (balanced_sample) can't pin an
+    exact total AND the budget must split across strata: fully integer
+    arithmetic, so the sample is reproducible under any parallelism and
+    value-checkable by a window-function SQL twin.  ``total_k`` greater
+    than the corpus raises (a silent clamp would hide a mis-sized
+    budget).  Null group keys form their own stratum.
+
+    Plan: one keys-only counting pass (per-batch Arrow group_by
+    combiner) gives group sizes — O(groups) driver state; the Hamilton
+    allocation is a driver argsort over groups; selection reuses the
+    cap_per_group exchange with a per-group k — content never moves."""
+    if total_k < 1:
+        raise ValueError(
+            f"stratified_budget_sample: total_k must be >= 1 (got {total_k})"
+        )
+    cdf = _group_count_series(ds, group_col)
+    groups = cdf.index.to_numpy(dtype=object)
+    n_g = cdf.to_numpy(dtype=np.int64)
+    N = int(n_g.sum())
+    if total_k > N:
+        raise ValueError(
+            f"stratified_budget_sample: total_k={total_k} exceeds the "
+            f"corpus size {N}"
+        )
+    quota = _hamilton(total_k, n_g)
+    # Hamilton can over-allocate a tiny group past its size only when
+    # total_k == N (then base == n_g exactly), so quotas are feasible
+    quotas = {g: int(q) for g, q in zip(groups, quota) if q > 0}
+    return _fill_group_quotas(ds, group_col, id_col, salt, quotas)
+
+
+#: fixed-point scale for temperature weights: a power of two, so the
+#: float→int step is ``floor(x * 2^20)`` where the multiply is EXACT
+#: (exponent shift, no rounding) — bit-identical between numpy and any
+#: IEEE-754 SQL engine
+_TEMP_SCALE = 1 << 20
+
+
+def _temperature_weights(n_g: np.ndarray, alpha: float) -> np.ndarray:
+    """Integer mixture weights ``floor(n^alpha * 2^20)`` for ``alpha``
+    in {0.25, 0.5, 0.75, 1.0}, built only from IEEE-exact or correctly-
+    rounded steps so numpy and a SQL oracle agree bit-for-bit:
+
+    - ``sqrt`` is correctly rounded by IEEE 754 (unlike ``pow``, whose
+      libm implementations differ across platforms by ULPs — enough to
+      flip a largest-remainder tie), so ``n^0.5 = sqrt(n)``,
+      ``n^0.25 = sqrt(sqrt(n))`` and ``n^0.75 = sqrt(n)·sqrt(sqrt(n))``
+      (one correctly-rounded multiply) are each deterministic;
+    - scaling by ``2^20`` is a float exponent shift (exact);
+    - ``floor`` is unambiguous (``round`` is not: numpy rounds half to
+      even, most SQL engines round half away from zero)."""
+    if alpha == 1.0:
+        return n_g.astype(np.int64) * _TEMP_SCALE
+    s = np.sqrt(n_g.astype(np.float64))
+    if alpha == 0.5:
+        v = s
+    elif alpha == 0.25:
+        v = np.sqrt(s)
+    elif alpha == 0.75:
+        v = s * np.sqrt(s)
+    else:
+        raise ValueError(
+            "temperature_mix_sample: alpha must be one of "
+            f"0.25, 0.5, 0.75, 1.0 (got {alpha}) — other exponents need "
+            "libm pow, which is not bit-reproducible across engines"
+        )
+    return np.floor(v * _TEMP_SCALE).astype(np.int64)
+
+
+def temperature_mix_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    total_k: int,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> "ray.data.Dataset":
+    """Temperature-scaled mixture sample: ``total_k`` rows overall,
+    allocated across groups proportionally to ``n_g^alpha`` instead of
+    ``n_g`` — the multilingual/multi-source rebalancing rule of T5
+    (Raffel et al. 2020, §3.4.3 "temperature-scaled mixing") and BLOOM/
+    ROOTS (Laurençon et al. 2022): ``alpha < 1`` upweights small groups
+    (languages, domains) relative to raw proportional sampling so head
+    groups don't drown the tail.  ``alpha=1.0`` degenerates to
+    :func:`stratified_budget_sample`'s proportional allocation;
+    ``alpha=0.5`` is the classic sqrt temperature.
+
+    Determinism: weights are ``floor(n_g^alpha · 2^20)`` built from
+    IEEE-exact steps (see :func:`_temperature_weights`), allocation is
+    integer Hamilton, selection is the md5-hash threshold exchange —
+    so the result is reproducible under any parallelism and has a
+    value-exact window-function SQL twin.  Raises when a group's quota
+    exceeds its size (sampling without replacement can't fill it —
+    lower ``total_k`` or ``alpha``'s tail boost; a silent clamp would
+    skew the mixture) and when ``total_k`` exceeds the corpus.
+
+    Plan: identical to :func:`stratified_budget_sample` — one keys-only
+    counting pass, driver-side O(groups) allocation, two streaming
+    keys-only selection passes; content never moves."""
+    if total_k < 1:
+        raise ValueError(
+            f"temperature_mix_sample: total_k must be >= 1 (got {total_k})"
+        )
+    cdf = _group_count_series(ds, group_col)
+    groups = cdf.index.to_numpy(dtype=object)
+    n_g = cdf.to_numpy(dtype=np.int64)
+    N = int(n_g.sum())
+    if total_k > N:
+        raise ValueError(
+            f"temperature_mix_sample: total_k={total_k} exceeds the "
+            f"corpus size {N}"
+        )
+    quota = _hamilton(total_k, _temperature_weights(n_g, alpha))
+    over = quota > n_g
+    if over.any():
+        bad = [(g, int(q), int(n)) for g, q, n, o
+               in zip(groups, quota, n_g, over) if o]
+        raise ValueError(
+            "temperature_mix_sample: quota exceeds group size for "
+            f"{bad[:5]} — lower total_k or raise alpha"
+        )
+    quotas = {g: int(q) for g, q in zip(groups, quota) if q > 0}
+    return _fill_group_quotas(ds, group_col, id_col, salt, quotas)
 
 
 def weighted_sample_per_group(

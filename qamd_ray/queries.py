@@ -1181,6 +1181,22 @@ def q_stratified_budget(sf_dir: str):
     )
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled mixture sample (ops.selection.
+    temperature_mix_sample): 150 rows allocated across the 5 languages
+    proportionally to n_lang^0.5 (T5 §3.4.3 / ROOTS sqrt temperature —
+    upweights tail languages vs raw proportional sampling), each
+    group's quota filled with its smallest md5(salt+id) hashes.
+    Weights floor(sqrt(n)·2^20) use only IEEE-exact/correctly-rounded
+    steps, allocation is integer Hamilton → the window-function SQL
+    twin is value-exact."""
+    from .ops.selection import temperature_mix_sample
+
+    return temperature_mix_sample(
+        _t(sf_dir, "documents", ["doc_id", "lang"]), "lang", 150, alpha=0.5
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3021,6 +3037,7 @@ QUERIES = {
     "edit_distances": q_edit_distances,
     "training_shards": q_training_shards,
     "stratified_budget": q_stratified_budget,
+    "temperature_mix": q_temperature_mix,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4153,6 +4170,31 @@ ORACLES = {
         "    ORDER BY md5('strat' || CAST(doc_id AS VARCHAR))) AS rn"
         "   FROM documents)"
         " SELECT doc_id, grp AS source FROM ranked JOIN quota USING (grp)"
+        " WHERE rn <= k"
+    ),
+    # temperature-scaled Hamilton allocation: integer weights
+    # floor(sqrt(n)*2^20) — sqrt is IEEE-correctly-rounded and *2^20 is
+    # an exact exponent shift, so numpy and DuckDB agree bit-for-bit —
+    # then the same largest-remainder + md5-rank construction as
+    # stratified_budget
+    "temperature_mix": (
+        "WITH g AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n"
+        "   FROM documents GROUP BY 1),"
+        " w AS (SELECT grp, n, CAST(floor(sqrt(CAST(n AS DOUBLE))"
+        "   * 1048576.0) AS BIGINT) AS w FROM g),"
+        " tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),"
+        " a AS (SELECT grp, n, CAST((150 * w) // wtot AS BIGINT) AS base,"
+        "   CAST((150 * w) % wtot AS BIGINT) AS rem FROM w, tot),"
+        " sf AS (SELECT CAST(150 - SUM(base) AS BIGINT) AS shortfall FROM a),"
+        " fx AS (SELECT grp, base, rem,"
+        "   row_number() OVER (ORDER BY rem DESC, grp) AS rr FROM a),"
+        " quota AS (SELECT grp, base + CASE WHEN rr <="
+        "   (SELECT shortfall FROM sf) THEN 1 ELSE 0 END AS k FROM fx),"
+        " ranked AS (SELECT doc_id, lang AS grp, row_number() OVER"
+        "   (PARTITION BY lang"
+        "    ORDER BY md5('temp' || CAST(doc_id AS VARCHAR))) AS rn"
+        "   FROM documents)"
+        " SELECT doc_id, grp AS lang FROM ranked JOIN quota USING (grp)"
         " WHERE rn <= k"
     ),
     # literal byte-level levenshtein over the same adjacent-doc pairs

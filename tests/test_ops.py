@@ -3414,6 +3414,84 @@ def test_stratified_budget_sample_hamilton():
         selection.stratified_budget_sample(ray.data.from_pandas(df), "g", 0)
 
 
+def test_temperature_mix_sample():
+    """temperature_mix_sample allocates by floor(n^alpha * 2^20) Hamilton
+    quotas and selects per group by salted md5 rank — matched against a
+    brute-force recomputation at alpha 0.25/0.5/0.75; alpha=1.0 equals
+    stratified_budget_sample's proportional allocation; an over-quota
+    group (tail upweighted past its size) and a bad alpha raise."""
+    import hashlib
+    import math
+
+    from qamd_ray.ops import selection
+
+    groups = ["a"] * 300 + ["b"] * 40 + ["c"] * 12 + [None] * 8
+    ids = np.arange(len(groups), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "g": groups})
+    sent = lambda g: "\x00<null>" if g is None else g
+    n_g: dict = {}
+    for g in groups:
+        n_g[sent(g)] = n_g.get(sent(g), 0) + 1
+    keys = sorted(n_g)
+
+    def brute(total_k, alpha):
+        w = {}
+        for g in keys:
+            n = float(n_g[g])
+            if alpha == 1.0:
+                w[g] = n_g[g] * (1 << 20)
+            elif alpha == 0.5:
+                w[g] = math.floor(math.sqrt(n) * (1 << 20))
+            elif alpha == 0.25:
+                w[g] = math.floor(math.sqrt(math.sqrt(n)) * (1 << 20))
+            elif alpha == 0.75:
+                w[g] = math.floor(
+                    math.sqrt(n) * math.sqrt(math.sqrt(n)) * (1 << 20)
+                )
+        W = sum(w.values())
+        base = {g: total_k * w[g] // W for g in keys}
+        rem = {g: total_k * w[g] % W for g in keys}
+        short = total_k - sum(base.values())
+        for g in sorted(keys, key=lambda g: (-rem[g], g))[:short]:
+            base[g] += 1
+        expect = []
+        for g in keys:
+            members = [i for i in ids if sent(groups[i]) == g]
+            members.sort(
+                key=lambda i: hashlib.md5(f"temp{i}".encode()).hexdigest()
+            )
+            expect.extend(members[: base[g]])
+        return sorted(expect)
+
+    for alpha in (0.25, 0.5, 0.75, 1.0):
+        out = selection.temperature_mix_sample(
+            ray.data.from_pandas(df).repartition(4), "g", 30, alpha=alpha
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == brute(30, alpha), alpha
+        assert len(out) == 30
+
+    # alpha=1.0 degenerates to the proportional Hamilton allocation
+    prop = selection.stratified_budget_sample(
+        ray.data.from_pandas(df), "g", 30, salt="temp"
+    ).to_pandas()
+    eq = selection.temperature_mix_sample(
+        ray.data.from_pandas(df), "g", 30, alpha=1.0
+    ).to_pandas()
+    assert sorted(eq["doc_id"]) == sorted(prop["doc_id"])
+
+    # strong tail boost overruns the 8-row null stratum → loud error
+    with pytest.raises(ValueError, match="quota exceeds group size"):
+        selection.temperature_mix_sample(
+            ray.data.from_pandas(df), "g", 300, alpha=0.25
+        )
+    with pytest.raises(ValueError, match="alpha must be"):
+        selection.temperature_mix_sample(
+            ray.data.from_pandas(df), "g", 10, alpha=0.3
+        )
+    with pytest.raises(ValueError, match="exceeds the"):
+        selection.temperature_mix_sample(ray.data.from_pandas(df), "g", 400)
+
+
 def test_mad_outliers_vs_brute_force():
     """mad_outliers matches a scalar quantile_disc median/MAD
     recomputation (incl. even-sized groups, where quantile_disc picks
