@@ -1197,6 +1197,41 @@ def q_temperature_mix(sf_dir: str):
     )
 
 
+def q_card_scan(sf_dir: str):
+    """Luhn-validated payment-card detection (qamd_ray.scrub.
+    luhn_card_scan): per-doc candidate count (13-19-digit runs, single
+    space/dash separators) and Luhn-passing count over a planted view —
+    every 7th doc gains a VALID card trailer, every 11th an INVALID one
+    (checksum digit off by one; separators exercised).  Python re and
+    DuckDB RE2 both match leftmost-greedy-non-overlapping and the Luhn
+    lambda mirrors the vectorized matrix, so the twin is value-exact."""
+    from .scrub import luhn_card_scan
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        valid = pa.array(
+            np.where(ids % 7 == 0, " 4532015112830366", ""), pa.string()
+        )
+        invalid = pa.array(
+            np.where(ids % 11 == 0, " 4532-0151-1283-0367", ""), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, valid, invalid, ""),
+            }
+        )
+
+    return luhn_card_scan(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3038,6 +3073,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "stratified_budget": q_stratified_budget,
     "temperature_mix": q_temperature_mix,
+    "card_scan": q_card_scan,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4196,6 +4232,29 @@ ORACLES = {
         "   FROM documents)"
         " SELECT doc_id, grp AS lang FROM ranked JOIN quota USING (grp)"
         " WHERE rn <= k"
+    ),
+    # the same planted-card view, candidates via regexp_extract_all
+    # (leftmost-greedy-non-overlapping in both RE2 and Python re), Luhn
+    # spelled out as a list_filter lambda over digit positions
+    "card_scan": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "   || CASE WHEN doc_id % 7 = 0 THEN ' 4532015112830366'"
+        "      ELSE '' END"
+        "   || CASE WHEN doc_id % 11 = 0 THEN ' 4532-0151-1283-0367'"
+        "      ELSE '' END AS t FROM documents),"
+        " c AS (SELECT doc_id, list_transform("
+        "   regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}'),"
+        "   d -> regexp_replace(d, '[ -]', '', 'g')) AS cands FROM v)"
+        " SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,"
+        "  CAST(len(list_filter(cands, d ->"
+        "   list_sum(list_transform(range(1, length(d) + 1), i ->"
+        "    CASE WHEN (length(d) - i) % 2 = 1"
+        "     THEN CASE WHEN 2 * CAST(substr(d, i, 1) AS INT) > 9"
+        "      THEN 2 * CAST(substr(d, i, 1) AS INT) - 9"
+        "      ELSE 2 * CAST(substr(d, i, 1) AS INT) END"
+        "     ELSE CAST(substr(d, i, 1) AS INT) END)) % 10 = 0))"
+        "   AS BIGINT) AS n_cards"
+        " FROM c"
     ),
     # literal byte-level levenshtein over the same adjacent-doc pairs
     "edit_distances": (

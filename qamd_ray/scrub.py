@@ -165,3 +165,147 @@ class Scrubber:
         return out.append_column("scrubbed", pa.array(n_scrubs > 0)).append_column(
             "n_scrubs", pa.array(n_scrubs)
         )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card detection / scrubbing
+# ---------------------------------------------------------------------------
+
+#: 13-19 digits with optional single space/dash separators.  RE2-compatible
+#: (no lookaround), and Python re / RE2 agree on it exactly: both match
+#: leftmost, greedy, non-overlapping — so the DuckDB ``regexp_extract_all``
+#: twin sees the identical candidate list.
+CARD_CANDIDATE_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+_CARD_RX = re.compile(CARD_CANDIDATE_PATTERN)
+_CARD_MAXLEN = 19
+
+
+def luhn_valid(candidates: "np.ndarray") -> "np.ndarray":
+    """Vectorized Luhn checksum (ISO/IEC 7812-1 Annex B) over an array of
+    separator-stripped digit strings (each 13-19 chars): pad-left with
+    '0' to 19 (a left zero lands on a doubled position and 2·0 = 0, so
+    right-alignment preserves the checksum), one byte matrix, doubled
+    every second digit from the right, >9 → −9, sum % 10 == 0."""
+    if len(candidates) == 0:
+        return np.zeros(0, dtype=bool)
+    padded = [s.rjust(_CARD_MAXLEN, "0") for s in candidates]
+    mat = (
+        np.frombuffer("".join(padded).encode("ascii"), dtype=np.uint8)
+        .reshape(-1, _CARD_MAXLEN)
+        .astype(np.int64)
+        - 48
+    )
+    dist = _CARD_MAXLEN - 1 - np.arange(_CARD_MAXLEN)  # distance from right
+    dbl = mat * 2
+    dbl[dbl > 9] -= 9
+    total = np.where(dist % 2 == 1, dbl, mat).sum(axis=1)
+    return total % 10 == 0
+
+
+def _strip_seps(s: str) -> str:
+    return s.replace(" ", "").replace("-", "")
+
+
+def luhn_card_scan(
+    ds: "object",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> "object":
+    """Per-row payment-card detection: ``n_candidates`` = non-overlapping
+    13-19-digit runs (single space/dash separators allowed) and
+    ``n_cards`` = the subset passing the Luhn checksum — the card-number
+    analogue of the reference's ValueRegexPatterns flag check
+    (/root/reference/src/check/post.rs:354-391), which regex-matches but
+    cannot validate checksums.  Pure stateless ``map_batches`` stage:
+    one Arrow prefilter kernel on the common (no digits) path, pandas
+    ``str.findall`` + one vectorized Luhn matrix on candidate rows.
+    DuckDB twin: ``regexp_extract_all`` + a ``list_filter`` Luhn lambda
+    (value-exact — both engines match leftmost-greedy-non-overlapping)."""
+    import pandas as pd
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch[id_col]
+        n_cand = np.zeros(n, dtype=np.int64)
+        n_card = np.zeros(n, dtype=np.int64)
+        if n:
+            content = K._as_array(pc.fill_null(batch[text_col], ""))
+            has = np.asarray(
+                K._as_array(
+                    pc.match_substring_regex(content, CARD_CANDIDATE_PATTERN)
+                ).fill_null(False)
+            )
+            idx = np.nonzero(has)[0]
+            if len(idx):
+                hits = pd.Series(content.take(pa.array(idx)).to_pylist()).str.findall(
+                    _CARD_RX
+                )
+                counts = hits.str.len().to_numpy(dtype=np.int64)
+                n_cand[idx] = counts
+                flat = [_strip_seps(c) for row in hits for c in row]
+                valid = luhn_valid(np.asarray(flat, dtype=object))
+                owner = np.repeat(idx, counts)
+                np.add.at(n_card, owner, valid.astype(np.int64))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_candidates": pa.array(n_cand),
+                "n_cards": pa.array(n_card),
+            }
+        )
+
+    return ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def scrub_cards(
+    ds: "object",
+    text_col: str = "content",
+    replace: str = "<CARD>",
+) -> "object":
+    """Rewrite Luhn-VALID card numbers in place (invalid 13-19-digit runs
+    — order ids, timestamps, hashes — pass through untouched, unlike a
+    bare regex scrub which would mangle them).  Same two-phase shape as
+    :class:`Scrubber`: vectorized Arrow prefilter, Python ``re.sub``
+    with a checksum-checking callable only on candidate rows; untouched
+    rows keep byte-identical content (the sha256 pass-through
+    invariant).  Adds ``n_card_scrubs``."""
+
+    def _sub_count(s: str) -> tuple[str, int]:
+        cnt = 0
+
+        def repl(m: re.Match) -> str:
+            nonlocal cnt
+            if bool(luhn_valid(np.asarray([_strip_seps(m.group(0))], dtype=object))[0]):
+                cnt += 1
+                return replace
+            return m.group(0)
+
+        return _CARD_RX.sub(repl, s), cnt
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        n_scr = np.zeros(n, dtype=np.int64)
+        out = batch
+        if n:
+            content = K._as_array(pc.fill_null(batch[text_col], ""))
+            has = np.asarray(
+                K._as_array(
+                    pc.match_substring_regex(content, CARD_CANDIDATE_PATTERN)
+                ).fill_null(False)
+            )
+            idx = np.nonzero(has)[0]
+            if len(idx):
+                vals = content.to_pylist()
+                changed = False
+                for i in idx:
+                    after, cnt = _sub_count(vals[i])
+                    if cnt:
+                        vals[i] = after
+                        n_scr[i] = cnt
+                        changed = True
+                if changed:
+                    ci = batch.column_names.index(text_col)
+                    out = batch.set_column(ci, text_col, pa.array(vals, pa.string()))
+        return out.append_column("n_card_scrubs", pa.array(n_scr))
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

@@ -187,3 +187,81 @@ def test_distributed_fits_match_inprocess_exactly():
     assert np.array_equal(
         got_p.bits_per_char(probe), want_p.bits_per_char(probe)
     )
+
+
+def test_luhn_card_scan_and_scrub():
+    """luhn_card_scan counts candidates vs Luhn-valid cards (brute-force
+    scalar recount); scrub_cards rewrites ONLY valid numbers — invalid
+    13-19-digit runs (order ids, hashes) and card-free rows pass through
+    byte-identical (the sha256 invariant)."""
+    import hashlib
+
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.scrub import luhn_card_scan, luhn_valid, scrub_cards
+
+    def scalar_luhn(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    rows = [
+        "pay with 4532015112830366 today",            # valid 16
+        "or 4532-0151-1283-0367 maybe",               # invalid 16 (checksum)
+        "two: 4111 1111 1111 1111 and 378282246310005",  # valid 16 + valid 15
+        "order 1234567890123 shipped",                # invalid 13
+        "no digits here at all",
+        None,
+        "long run 45320151128303668 ok",              # 17 digits
+        "short 123456789012 run",                     # 12 digits: no candidate
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(rows)), "content": rows})
+    got = (
+        luhn_card_scan(ray.data.from_pandas(df).repartition(3), "content")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import re as _re
+
+    from qamd_ray.scrub import _CARD_RX, _strip_seps
+
+    for i, s in enumerate(rows):
+        cands = _CARD_RX.findall(s or "")
+        assert got.loc[i, "n_candidates"] == len(cands), s
+        assert got.loc[i, "n_cards"] == sum(
+            scalar_luhn(_strip_seps(c)) for c in cands
+        ), s
+    # the vectorized matrix agrees with the scalar reference on every
+    # candidate, including padded 13/15/17-length ones
+    all_c = [_strip_seps(c) for s in rows for c in _CARD_RX.findall(s or "")]
+    assert list(luhn_valid(np.asarray(all_c, dtype=object))) == [
+        scalar_luhn(c) for c in all_c
+    ]
+
+    out = (
+        scrub_cards(ray.data.from_pandas(df).repartition(3), "content")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "content"] == "pay with <CARD> today"
+    assert out.loc[0, "n_card_scrubs"] == 1
+    assert out.loc[2, "content"] == "two: <CARD> and <CARD>"
+    assert out.loc[2, "n_card_scrubs"] == 2
+    # invalid runs and clean rows pass through byte-identical
+    for i in (1, 3, 4, 7):
+        assert out.loc[i, "content"] == rows[i]
+        assert out.loc[i, "n_card_scrubs"] == 0
+        assert (
+            hashlib.sha256(out.loc[i, "content"].encode()).hexdigest()
+            == hashlib.sha256(rows[i].encode()).hexdigest()
+        )
