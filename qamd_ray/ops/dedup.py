@@ -3559,3 +3559,51 @@ def incremental_paragraph_dedup(
         )
 
     return new_ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def soft_dedup_weights(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Soft deduplication (SoftDeDup, Xue et al. 2024): instead of
+    dropping duplicates, every row gets ``dup_count`` (exact-duplicate
+    group size by content md5) and a training weight ``weight =
+    1/dup_count`` — the corpus keeps its support while repeated content
+    stops dominating the loss.  The frequency-reweighting dual of
+    :func:`exact_dedup`.
+
+    Scale posture: content is hashed in place and never shuffled — only
+    ``(id, md5)`` keys move.  One ``groupby(md5).count()`` plus one hash
+    join of the counts back onto the key table; both exchanges are
+    keys-only.  Returns ``(id_col, dup_count, weight)``.
+    """
+    from .joins import hash_join
+
+    keys = with_content_hash(ds, text_col).select_columns([id_col, "content_md5"])
+    # _compact: hash aggregates emit schemaless empty blocks for empty
+    # shuffle partitions, which poison Dataset.join (see joins._compact)
+    counts = _compact(
+        keys.groupby("content_md5")
+        .aggregate(Count(alias_name="dup_count"))
+        .select_columns(["content_md5", "dup_count"]),
+        [("content_md5", pa.string()), ("dup_count", pa.int64())],
+    )
+    nparts = _shuffle_partitions(num_partitions)
+    joined = hash_join(keys, counts, on=("content_md5",), num_partitions=nparts)
+
+    def _w(batch: pa.Table) -> pa.Table:
+        cnt = pc.cast(batch["dup_count"], pa.int64())
+        weight = pc.divide(
+            pa.scalar(1.0, pa.float64()), pc.cast(cnt, pa.float64())
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "dup_count": K._as_array(cnt),
+                "weight": K._as_array(weight),
+            }
+        )
+
+    return joined.map_batches(_w, batch_format="pyarrow")

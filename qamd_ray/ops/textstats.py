@@ -1410,3 +1410,79 @@ def _pair_edit_distances_joined(
         )
 
     return j2.map_batches(_dist, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Unicode script mix
+# ---------------------------------------------------------------------------
+
+#: (name, lo, hi) inclusive codepoint ranges, counted per doc.  Explicit
+#: ranges (not ``\p{Script}``) so the numpy kernel and the DuckDB RE2 twin
+#: (``[^\x{lo}-\x{hi}]`` strip-and-measure) share one definition; a char in
+#: none of them counts as ``n_other``.  Latin here is ASCII letters only —
+#: the langid-style signal wants the dominant-script split, not full
+#: Latin-Extended coverage.
+SCRIPT_RANGES: "list[tuple[str, int, int]]" = [
+    ("latin_upper", 0x41, 0x5A),
+    ("latin_lower", 0x61, 0x7A),
+    ("cyrillic", 0x400, 0x4FF),
+    ("greek", 0x370, 0x3FF),
+    ("arabic", 0x600, 0x6FF),
+    ("cjk", 0x4E00, 0x9FFF),
+]
+
+
+def script_mix(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-doc Unicode script histogram: ``n_chars_total`` plus one
+    ``n_<script>`` column per :data:`SCRIPT_RANGES` entry (latin upper /
+    lower merged into ``n_latin``) and ``n_other`` — the script-mix
+    precursor every web-scale language-ID stage runs before model
+    scoring (mixed-script docs are the classic mojibake / spam signal;
+    the reference's single-character analogue is the odd-character scan,
+    /root/reference/src/check/post.rs:262-299).
+
+    One flat numpy pass per batch: all texts joined, decoded once to a
+    UTF-32 codepoint array, bucketed by range, ``np.add.reduceat`` back
+    to per-doc counts — no per-row Python.  Stateless ``map_batches``;
+    integer outputs so the DuckDB strip-and-measure twin is value-exact.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(K._as_array(batch[text_col]), "")
+        nchars = np.asarray(K._as_array(pc.utf8_length(texts)), dtype=np.int64)
+        joined = "".join(texts.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        # per-doc counts = prefix-sum differences at doc boundaries
+        # (immune to the empty-segment / one-past-the-end quirks of
+        # np.add.reduceat — empty docs just get a zero difference)
+        bounds = np.concatenate(([0], np.cumsum(nchars)))
+
+        def _seg(inb: "np.ndarray") -> "np.ndarray":
+            csum = np.concatenate(([0], np.cumsum(inb.astype(np.int64))))
+            return csum[bounds[1:]] - csum[bounds[:-1]]
+
+        cols: dict[str, "np.ndarray"] = {}
+        matched = np.zeros(len(cp), dtype=bool)
+        for name, lo, hi in SCRIPT_RANGES:
+            inb = (cp >= lo) & (cp <= hi)
+            matched |= inb
+            cols[name] = _seg(inb)
+        other = _seg(~matched)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars_total": pa.array(nchars),
+                "n_latin": pa.array(cols["latin_upper"] + cols["latin_lower"]),
+                "n_cyrillic": pa.array(cols["cyrillic"]),
+                "n_greek": pa.array(cols["greek"]),
+                "n_arabic": pa.array(cols["arabic"]),
+                "n_cjk": pa.array(cols["cjk"]),
+                "n_other": pa.array(other),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

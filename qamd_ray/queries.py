@@ -1232,6 +1232,145 @@ def q_card_scan(sf_dir: str):
     )
 
 
+def q_iban_scan(sf_dir: str):
+    """ISO 13616 mod-97 IBAN detection (qamd_ray.scrub.iban_scan):
+    per-doc candidate count and checksum-passing count over a planted
+    view — every 6th doc gains a VALID GB IBAN, every 9th an INVALID DE
+    one (final digit off by one; docs divisible by 18 carry both).  The
+    DuckDB twin folds ``(acc*scale + value) % 97`` with ``list_reduce``
+    over the rearranged, letter-expanded candidate — value-exact against
+    the vectorized pow-10 matrix."""
+    from .scrub import iban_scan
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        valid = pa.array(
+            np.where(ids % 6 == 0, " GB82WEST12345698765432", ""), pa.string()
+        )
+        invalid = pa.array(
+            np.where(ids % 9 == 0, " DE89370400440532013001", ""), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, valid, invalid, ""),
+            }
+        )
+
+    return iban_scan(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+def q_script_ratios(sf_dir: str):
+    """Unicode script histogram (ops.textstats.script_mix) over a planted
+    multilingual view — every 3rd doc gains Cyrillic, 5th CJK, 7th Greek,
+    11th Arabic (composites get several scripts).  Integer counts per
+    SCRIPT_RANGES entry; the DuckDB twin strip-and-measures with
+    ``[^\\x{lo}-\\x{hi}]`` RE2 classes over the identical view."""
+    from .ops.textstats import script_mix
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        parts = [t]
+        for mod, snip in ((3, " Привет мир"), (5, " 你好世界"), (7, " γειά σου"), (11, " مرحبا")):
+            parts.append(pa.array(np.where(ids % mod == 0, snip, ""), pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(*parts, ""),
+            }
+        )
+
+    return script_mix(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+def q_blocklist_filter(sf_dir: str):
+    """UT1-style domain blocklist filter (ops.urls.blocklist_filter):
+    synthetic per-doc URLs cycling over five hosts (one single-label, one
+    uppercase-noise) plus a non-URL row; rows on blocked registrable
+    domains (tracker.net, bad.io) are dropped, null-domain rows kept.
+    SQL twin: the same view + ops.urls.domain_sql + NOT IN."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        idstr = ids.astype(np.str_)
+        hosts = np.asarray(_BLF_HOSTS, dtype=np.str_)
+        m = ids % 6
+        with_host = np.char.add(
+            np.char.add(
+                np.char.add("https://", hosts[np.minimum(m, 4)]), "/p/"
+            ),
+            idstr,
+        )
+        url = np.where(m == 5, np.char.add("plain text ", idstr), with_host)
+        return pa.table(
+            {"doc_id": pa.array(ids), "url": pa.array(list(url), pa.string())}
+        )
+
+    return urls.blocklist_filter(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        blocked=_BLF_BLOCKED,
+        url_col="url",
+    )
+
+
+#: hosts m=0..4 of the blocklist view (m=5 is a non-URL row); blocked
+#: registrable domains drop m∈{1,3}.
+_BLF_HOSTS = [
+    "news.example.com",
+    "cdn.Tracker.NET",
+    "blog.example.org",
+    "malware.bad.io",
+    "localhost",
+]
+_BLF_BLOCKED = frozenset({"tracker.net", "bad.io"})
+
+
+def q_soft_dedup_weights(sf_dir: str):
+    """Soft deduplication (ops.dedup.soft_dedup_weights, SoftDeDup-style
+    frequency reweighting): every 7th doc's text is replaced by one of
+    five constant strings (planted duplicate groups; the rest stay
+    unique), then each row gets its exact-duplicate group size and
+    ``weight = 1/dup_count``.  Keys-only groupby + hash join; DuckDB
+    twin is COUNT(*) OVER (PARTITION BY text)."""
+    from .ops.dedup import soft_dedup_weights
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = np.asarray(
+            pc.fill_null(K._as_array(batch["text"]), "").to_pylist(), dtype=object
+        )
+        dup = ids % 7 == 0
+        t[dup] = np.array(
+            ["DUP-" + str(v) for v in (ids[dup] % 5)], dtype=object
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(list(t), pa.string())}
+        )
+
+    return soft_dedup_weights(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3074,6 +3213,10 @@ QUERIES = {
     "stratified_budget": q_stratified_budget,
     "temperature_mix": q_temperature_mix,
     "card_scan": q_card_scan,
+    "iban_scan": q_iban_scan,
+    "script_ratios": q_script_ratios,
+    "blocklist_filter": q_blocklist_filter,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4255,6 +4398,74 @@ ORACLES = {
         "     ELSE CAST(substr(d, i, 1) AS INT) END)) % 10 = 0))"
         "   AS BIGINT) AS n_cards"
         " FROM c"
+    ),
+    # the same planted-IBAN view; validity = the ISO 13616 fold
+    # (acc*scale + value) % 97 over the rearranged, letter-expanded
+    # candidate, via list_reduce (letters scale the accumulator by 100)
+    "iban_scan": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "   || CASE WHEN doc_id % 6 = 0 THEN ' GB82WEST12345698765432'"
+        "      ELSE '' END"
+        "   || CASE WHEN doc_id % 9 = 0 THEN ' DE89370400440532013001'"
+        "      ELSE '' END AS t FROM documents),"
+        " c AS (SELECT doc_id, regexp_extract_all(t,"
+        "   '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS cands FROM v)"
+        " SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,"
+        "  CAST(len(list_filter(cands, cd ->"
+        "   list_reduce(list_transform("
+        "     regexp_extract_all(substr(cd, 5) || substr(cd, 1, 4), '.'),"
+        "     ch -> CASE WHEN ascii(ch) >= 65 THEN ascii(ch) - 55"
+        "       ELSE CAST(ch AS INT) END),"
+        "    (a, b) -> (a * CASE WHEN b >= 10 THEN 100 ELSE 10 END + b) % 97"
+        "   ) = 1)) AS BIGINT) AS n_ibans"
+        " FROM c"
+    ),
+    # the same planted-multilingual view; per-script counts by RE2
+    # strip-and-measure over the SAME codepoint ranges as SCRIPT_RANGES
+    "script_ratios": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 3 = 0 THEN ' Привет мир' ELSE '' END"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' γειά σου' ELSE '' END"
+        "  || CASE WHEN doc_id % 11 = 0 THEN ' مرحبا' ELSE '' END AS t"
+        "  FROM documents),"
+        " n AS (SELECT doc_id, length(t) AS n_chars_total,"
+        "  length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_latin,"
+        "  length(regexp_replace(t, '[^\\x{0400}-\\x{04FF}]', '', 'g'))"
+        "    AS n_cyrillic,"
+        "  length(regexp_replace(t, '[^\\x{0370}-\\x{03FF}]', '', 'g'))"
+        "    AS n_greek,"
+        "  length(regexp_replace(t, '[^\\x{0600}-\\x{06FF}]', '', 'g'))"
+        "    AS n_arabic,"
+        "  length(regexp_replace(t, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))"
+        "    AS n_cjk FROM v)"
+        " SELECT doc_id, n_chars_total, n_latin, n_cyrillic, n_greek,"
+        "  n_arabic, n_cjk, n_chars_total - n_latin - n_cyrillic - n_greek"
+        "  - n_arabic - n_cjk AS n_other FROM n"
+    ),
+    # the same synthetic-URL view; registrable domain via the shared
+    # domain_sql fragment, blocked domains dropped, null domains kept
+    "blocklist_filter": (
+        "WITH v AS (SELECT doc_id, CASE doc_id % 6"
+        "  WHEN 0 THEN 'https://news.example.com/p/' || doc_id"
+        "  WHEN 1 THEN 'https://cdn.Tracker.NET/p/' || doc_id"
+        "  WHEN 2 THEN 'https://blog.example.org/p/' || doc_id"
+        "  WHEN 3 THEN 'https://malware.bad.io/p/' || doc_id"
+        "  WHEN 4 THEN 'https://localhost/p/' || doc_id"
+        "  ELSE 'plain text ' || doc_id END AS url FROM documents),"
+        " d AS (SELECT doc_id, url, " + urls.domain_sql("url") + " AS domain"
+        "  FROM v)"
+        " SELECT doc_id, url, domain FROM d"
+        " WHERE domain IS NULL OR domain NOT IN ('tracker.net', 'bad.io')"
+    ),
+    # the same planted-duplicate view; group size by window COUNT
+    "soft_dedup_weights": (
+        "WITH v AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0"
+        "   THEN 'DUP-' || (doc_id % 5) ELSE coalesce(text, '') END AS t"
+        "  FROM documents)"
+        " SELECT doc_id, COUNT(*) OVER (PARTITION BY t) AS dup_count,"
+        "  CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY t) AS weight"
+        " FROM v"
     ),
     # literal byte-level levenshtein over the same adjacent-doc pairs
     "edit_distances": (

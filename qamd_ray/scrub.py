@@ -309,3 +309,100 @@ def scrub_cards(
         return out.append_column("n_card_scrubs", pa.array(n_scr))
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IBAN detection (ISO 13616 mod-97)
+# ---------------------------------------------------------------------------
+
+#: Two uppercase letters (country), two check digits, 11-30 more uppercase
+#: alphanumerics (total 15-34, covering every real IBAN length), word-
+#: bounded.  ASCII-only, no lookaround: Python re and DuckDB RE2 agree
+#: exactly (including ``\b`` on ASCII).
+IBAN_CANDIDATE_PATTERN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+_IBAN_RX = re.compile(IBAN_CANDIDATE_PATTERN)
+# letters expand to two digits: 34 chars -> at most 68 digits
+_IBAN_MAXDIGITS = 68
+#: 10^k mod 97 for k = 0..67, most-significant-first for a 68-wide matrix.
+_POW10_MOD97 = np.array(
+    [pow(10, _IBAN_MAXDIGITS - 1 - k, 97) for k in range(_IBAN_MAXDIGITS)],
+    dtype=np.int64,
+)
+
+
+def _iban_digits(candidate: str) -> str:
+    """ISO 13616 rearrangement + letter expansion: move the first four
+    chars to the end, then A->10 .. Z->35."""
+    r = candidate[4:] + candidate[:4]
+    return "".join(str(ord(c) - 55) if c.isalpha() else c for c in r)
+
+
+def iban_valid(candidates: "np.ndarray") -> "np.ndarray":
+    """Vectorized ISO 13616 mod-97 check over candidate strings matching
+    :data:`IBAN_CANDIDATE_PATTERN`: rearranged+expanded digit strings are
+    left-padded with '0' (leading zeros don't change the value), one byte
+    matrix, dot with precomputed ``10^k mod 97`` weights, valid iff the
+    remainder is 1.  The per-candidate expansion is scalar Python but
+    candidates only exist on regex-prefiltered rows (same bounded shape
+    as the Luhn scan)."""
+    if len(candidates) == 0:
+        return np.zeros(0, dtype=bool)
+    digit_strs = [_iban_digits(c).rjust(_IBAN_MAXDIGITS, "0") for c in candidates]
+    mat = (
+        np.frombuffer("".join(digit_strs).encode("ascii"), dtype=np.uint8)
+        .reshape(-1, _IBAN_MAXDIGITS)
+        .astype(np.int64)
+        - 48
+    )
+    return (mat @ _POW10_MOD97) % 97 == 1
+
+
+def iban_scan(
+    ds: "object",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> "object":
+    """Per-row IBAN detection: ``n_candidates`` = word-bounded
+    2-letter/2-digit/11-30-alnum runs, ``n_ibans`` = the subset passing
+    the ISO 13616 mod-97 checksum.  Companion to :func:`luhn_card_scan`
+    (the reference's ValueRegexPatterns check family,
+    /root/reference/src/check/post.rs:354-391, extended with checksum
+    validation a bare regex cannot express).  Stateless ``map_batches``:
+    Arrow regex prefilter on the common path, vectorized mod-97 matrix on
+    candidate rows.  DuckDB twin: ``regexp_extract_all`` + a
+    ``list_reduce`` fold ``(acc*10+digit) % 97`` over the rearranged,
+    letter-expanded candidate."""
+    import pandas as pd
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch[id_col]
+        n_cand = np.zeros(n, dtype=np.int64)
+        n_val = np.zeros(n, dtype=np.int64)
+        if n:
+            content = K._as_array(pc.fill_null(batch[text_col], ""))
+            has = np.asarray(
+                K._as_array(
+                    pc.match_substring_regex(content, IBAN_CANDIDATE_PATTERN)
+                ).fill_null(False)
+            )
+            idx = np.nonzero(has)[0]
+            if len(idx):
+                hits = pd.Series(content.take(pa.array(idx)).to_pylist()).str.findall(
+                    _IBAN_RX
+                )
+                counts = hits.str.len().to_numpy(dtype=np.int64)
+                n_cand[idx] = counts
+                flat = [c for row in hits for c in row]
+                valid = iban_valid(np.asarray(flat, dtype=object))
+                owner = np.repeat(idx, counts)
+                np.add.at(n_val, owner, valid.astype(np.int64))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_candidates": pa.array(n_cand),
+                "n_ibans": pa.array(n_val),
+            }
+        )
+
+    return ds.map_batches(_scan, batch_format="pyarrow")

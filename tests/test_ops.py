@@ -4069,3 +4069,70 @@ def test_incremental_embedding_dedup():
             )),
             os.path.join(tempfile.mkdtemp(), "z"),
         )
+
+
+def test_script_mix_counts_and_empty_edges():
+    """script_mix per-range counts vs a scalar recount; empty docs at the
+    batch tail (the reduceat clip path) and an all-empty batch."""
+    import numpy as np
+    import pandas as pd
+
+    from qamd_ray.ops.textstats import SCRIPT_RANGES, script_mix
+
+    rows = [
+        "Hello, мир 你好 γ م 123",
+        "",
+        "только кириллица",
+        "ASCII only text",
+        None,
+        "",  # trailing empties exercise the reduceat start clip
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(rows)), "text": rows})
+    got = (
+        script_mix(ray.data.from_pandas(df).repartition(2), "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def count(s, lo, hi):
+        return sum(lo <= ord(c) <= hi for c in s)
+
+    for i, s in enumerate(rows):
+        s = s or ""
+        assert got.loc[i, "n_chars_total"] == len(s)
+        lat = count(s, 0x41, 0x5A) + count(s, 0x61, 0x7A)
+        assert got.loc[i, "n_latin"] == lat, s
+        named = lat
+        for name, lo, hi in SCRIPT_RANGES[2:]:
+            assert got.loc[i, f"n_{name}"] == count(s, lo, hi), (name, s)
+            named += count(s, lo, hi)
+        assert got.loc[i, "n_other"] == len(s) - named
+    # an entirely empty block (filter leaves zero rows) doesn't crash
+    empty = script_mix(
+        ray.data.from_pandas(df).filter(lambda r: False), "text"
+    ).to_pandas()
+    assert len(empty) == 0
+
+
+def test_soft_dedup_weights_groups():
+    """Planted duplicate groups get dup_count = group size and
+    weight = 1/dup_count; unique rows get exactly 1.0."""
+    import numpy as np
+    import pandas as pd
+
+    from qamd_ray.ops.dedup import soft_dedup_weights
+
+    texts = ["a", "b", "a", "c", "a", "b", None, ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        soft_dedup_weights(ray.data.from_pandas(df).repartition(3), "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # None hashes as "" (the with_content_hash convention) → groups with ""
+    want_counts = {"a": 3, "b": 2, "c": 1, None: 2, "": 2}
+    for i, t in enumerate(texts):
+        assert got.loc[i, "dup_count"] == want_counts[t], t
+        assert got.loc[i, "weight"] == 1.0 / want_counts[t]

@@ -265,3 +265,43 @@ def test_luhn_card_scan_and_scrub():
             hashlib.sha256(out.loc[i, "content"].encode()).hexdigest()
             == hashlib.sha256(rows[i].encode()).hexdigest()
         )
+
+
+def test_iban_scan_matches_scalar_mod97():
+    """iban_scan counts vs a direct big-int mod-97 reference; known-valid
+    GB/DE/FR IBANs pass, single-digit corruptions fail, embedded-in-
+    alnum runs don't match (word boundary)."""
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.scrub import _IBAN_RX, _iban_digits, iban_scan, iban_valid
+
+    def scalar_valid(c):
+        return int(_iban_digits(c)) % 97 == 1
+
+    rows = [
+        "send to GB82WEST12345698765432 please",        # valid
+        "typo GB82WEST12345698765433 here",             # invalid
+        "DE89370400440532013000 and FR1420041010050500013M02606",  # 2 valid
+        "lower gb82west12345698765432 ignored",         # lowercase: no match
+        "xGB82WEST12345698765432 embedded",             # no \b → no candidate
+        "not an iban at all",
+        None,
+        "NL91ABNA0417164300.",                          # valid, punct-bounded
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(rows)), "content": rows})
+    got = (
+        iban_scan(ray.data.from_pandas(df).repartition(3), "content")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(rows):
+        cands = _IBAN_RX.findall(s or "")
+        assert got.loc[i, "n_candidates"] == len(cands), s
+        assert got.loc[i, "n_ibans"] == sum(scalar_valid(c) for c in cands), s
+    all_c = [c for s in rows for c in _IBAN_RX.findall(s or "")]
+    assert list(iban_valid(np.asarray(all_c, dtype=object))) == [
+        scalar_valid(c) for c in all_c
+    ]

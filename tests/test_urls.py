@@ -160,3 +160,44 @@ def test_url_dedup_no_duplicates_passthrough():
     assert sorted(out["doc_id"]) == [0, 1, 2]
     assert "_url_key" not in out.columns
     assert pd.isna(out.sort_values("doc_id")["canonical_url"].iloc[2])
+
+
+def test_blocklist_filter_drops_blocked_domains():
+    """Blocked registrable domains drop (case/port-insensitively);
+    single-label hosts match whole; non-URL rows follow keep_unparsed."""
+    import numpy as np
+
+    urls_in = [
+        "https://news.example.com/a",        # keep
+        "HTTP://WWW.CDN.Tracker.NET:80/x",   # blocked via lowercase+www+port
+        "https://sub.bad.io/y",              # blocked (registrable domain)
+        "https://localhost/z",               # single-label, keep
+        "not a url",                         # null domain
+        "https://bad.io.example.com/q",      # example.com — NOT blocked
+    ]
+    tbl = pa.table(
+        {"doc_id": list(range(len(urls_in))), "url": pa.array(urls_in, pa.string())}
+    )
+    blocked = frozenset({"tracker.net", "bad.io"})
+    kept = (
+        urls.blocklist_filter(
+            ray.data.from_arrow(tbl).repartition(2), blocked, "url"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(kept["doc_id"]) == [0, 3, 4, 5]
+    assert list(kept["domain"].fillna("∅")) == [
+        "example.com", "localhost", "∅", "example.com",
+    ]
+    dropped = (
+        urls.blocklist_filter(
+            ray.data.from_arrow(tbl), blocked, "url", keep_unparsed=False
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(dropped["doc_id"]) == [0, 3, 5]
+    # empty blocklist keeps everything
+    allkept = urls.blocklist_filter(ray.data.from_arrow(tbl), frozenset(), "url")
+    assert len(allkept.to_pandas()) == len(urls_in)
