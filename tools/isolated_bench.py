@@ -1,0 +1,98 @@
+"""Isolated best-of-N timing for individual registered queries (VERDICT
+r4 #3 methodology: per-pipeline numbers free of bench-suite ordering
+effects).
+
+Each named query runs in THIS process (own fresh Ray session), with one
+untimed warm-up execution followed by ``--trials`` timed executions; the
+minimum is reported (the bench.py best-of methodology — the sandbox is
+multi-tenant and identical runs vary up to 2x).
+
+Usage: cd /root/repo && python tools/isolated_bench.py [sf_dir] name [name ...]
+       [--trials 3] [--num-cpus 32]
+
+Emits one JSON line: {"sf": ..., "num_cpus": N, "trials": T,
+"best": {name: sec}, "all": {name: [sec, ...]}}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    trials = 3
+    num_cpus = 32
+    if "--trials" in args:
+        i = args.index("--trials")
+        trials = int(args[i + 1])
+        del args[i : i + 2]
+    if "--num-cpus" in args:
+        i = args.index("--num-cpus")
+        num_cpus = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and "/" in args[0]:
+        sf_dir = args.pop(0)
+    names = args
+    if not names:
+        raise SystemExit("usage: isolated_bench.py [sf_dir] name [...]")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    from qamd_ray.tuning import tune_read_parallelism
+
+    tune_read_parallelism(sf_dir, num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    def consume(res) -> None:
+        # materialize the result the same way the driver does
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+
+    best: dict[str, float] = {}
+    allruns: dict[str, list[float]] = {}
+    for name in names:
+        consume(qs[name](sf_dir))  # untimed warm-up
+        runs = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            consume(qs[name](sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        best[name] = min(runs)
+        allruns[name] = runs
+    print(
+        json.dumps(
+            {
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "trials": trials,
+                "best": best,
+                "all": allruns,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
