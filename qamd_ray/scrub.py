@@ -406,3 +406,56 @@ def iban_scan(
         )
 
     return ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def scrub_ibans(
+    ds: "object",
+    text_col: str = "content",
+    replace: str = "<IBAN>",
+) -> "object":
+    """Rewrite mod-97-VALID IBANs in place (checksum-failing candidates —
+    ticket ids, serials — pass through untouched).  Same two-phase shape
+    as :func:`scrub_cards`: vectorized Arrow prefilter, Python ``re.sub``
+    with a checksum-checking callable only on candidate rows; untouched
+    rows keep byte-identical content (the sha256 pass-through
+    invariant).  Adds ``n_iban_scrubs``."""
+
+    def _sub_count(s: str) -> tuple[str, int]:
+        cnt = 0
+
+        def repl(m: re.Match) -> str:
+            nonlocal cnt
+            if bool(iban_valid(np.asarray([m.group(0)], dtype=object))[0]):
+                cnt += 1
+                return replace
+            return m.group(0)
+
+        return _IBAN_RX.sub(repl, s), cnt
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        n_scr = np.zeros(n, dtype=np.int64)
+        out = batch
+        if n:
+            content = K._as_array(pc.fill_null(batch[text_col], ""))
+            has = np.asarray(
+                K._as_array(
+                    pc.match_substring_regex(content, IBAN_CANDIDATE_PATTERN)
+                ).fill_null(False)
+            )
+            idx = np.nonzero(has)[0]
+            if len(idx):
+                vals = content.to_pylist()
+                changed = False
+                for i in idx:
+                    after, cnt = _sub_count(vals[i])
+                    if cnt:
+                        vals[i] = after
+                        n_scr[i] = cnt
+                        changed = True
+                if changed:
+                    ci = batch.column_names.index(text_col)
+                    out = batch.set_column(ci, text_col, pa.array(vals, pa.string()))
+        return out.append_column("n_iban_scrubs", pa.array(n_scr))
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

@@ -305,3 +305,41 @@ def test_iban_scan_matches_scalar_mod97():
     assert list(iban_valid(np.asarray(all_c, dtype=object))) == [
         scalar_valid(c) for c in all_c
     ]
+
+
+def test_scrub_ibans_rewrites_only_valid():
+    """scrub_ibans rewrites mod-97-valid IBANs; invalid candidates and
+    clean rows pass through byte-identical."""
+    import hashlib
+
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.scrub import scrub_ibans
+
+    rows = [
+        "wire GB82WEST12345698765432 now",       # valid → scrub
+        "ref GB82WEST12345698765433 kept",       # invalid → untouched
+        "two NL91ABNA0417164300 DE89370400440532013000",  # both valid
+        "no iban here",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(rows)), "content": rows})
+    out = (
+        scrub_ibans(ray.data.from_pandas(df).repartition(2), "content")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "content"] == "wire <IBAN> now"
+    assert out.loc[0, "n_iban_scrubs"] == 1
+    assert out.loc[2, "content"] == "two <IBAN> <IBAN>"
+    assert out.loc[2, "n_iban_scrubs"] == 2
+    for i in (1, 3):
+        assert out.loc[i, "content"] == rows[i]
+        assert out.loc[i, "n_iban_scrubs"] == 0
+        assert (
+            hashlib.sha256(out.loc[i, "content"].encode()).hexdigest()
+            == hashlib.sha256(rows[i].encode()).hexdigest()
+        )
