@@ -3607,3 +3607,167 @@ def soft_dedup_weights(
         )
 
     return joined.map_batches(_w, batch_format="pyarrow")
+
+
+def group_set_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str = "repo",
+    item_col: str = "h",
+    *,
+    threshold: float = 0.2,
+    metric: str = "jaccard",
+    num_partitions: Optional[int] = None,
+    df_cap: Optional[int] = None,
+) -> pd.DataFrame:
+    """EXACT set-similarity pairs between GROUPS over their item sets —
+    the repo-granularity dual of :func:`ngram_jaccard_pairs` (fork /
+    mirror detection when groups are repos and items are file content
+    hashes; also works for users×items, hosts×urls, …).  Both columns
+    must be strings.
+
+    ``metric="jaccard"``: |A∩B| / |A∪B| ≥ threshold.
+    ``metric="containment"``: |A∩B| / min(|A|,|B|) ≥ threshold — a fork
+    that copied a subset of a repo scores high here even when the parent
+    is much larger.
+
+    Plan (keys only, group bodies never exist): distinct (group, item)
+    via groupby → per-group sizes ride back on via hash join → self-join
+    on item → groupby (a, b) counting shared items and Max-ing the two
+    sizes → vectorized threshold filter; only QUALIFYING pairs reach the
+    driver.  The threshold compare is ``shared >= threshold * denom``
+    (multiply, never divide) so a DuckDB twin running the same doubles
+    is bit-identical.
+
+    ``df_cap``: drop items present in more than ``df_cap`` groups before
+    the self-join (a file hash every repo carries — an empty __init__.py
+    — makes the join quadratic in its group frequency); per-group sizes
+    are recomputed AFTER the cap so the ratio stays exact ("similarity
+    over the rare-item subspace"), same contract as the gram cap in
+    :func:`ngram_jaccard_pairs`.  All-pairs inside a shared item is
+    quadratic in that item's group count — cap it at corpus scale.
+    Returns columns ``({group}_a, {group}_b, shared, n_a, n_b)``.
+    """
+    from .joins import hash_join
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"group_set_pairs: metric must be 'jaccard' or 'containment'"
+            f" (got {metric!r})"
+        )
+
+    nparts = _shuffle_partitions(num_partitions)
+    distinct = _compact(
+        ds.groupby([group_col, item_col])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: b.select([group_col, item_col]), batch_format="pyarrow"
+        ),
+        [(group_col, pa.string()), (item_col, pa.string())],
+    )
+
+    if df_cap is not None:
+        # keys-only frequency pass; only items in > df_cap groups reach
+        # the driver — at most (distinct rows / df_cap) of them
+        freq = (
+            distinct.map_batches(
+                lambda b: b.select([item_col]), batch_format="pyarrow"
+            )
+            .groupby(item_col)
+            .aggregate(Count(alias_name="df"))
+        )
+        hot = freq.filter(expr=f"df > {int(df_cap)}").to_pandas()
+        if len(hot):
+            hot_ref = ray.put(frozenset(hot[item_col].tolist()))
+
+            def _drop_hot(batch: pa.Table) -> pa.Table:
+                hs = ray.get(hot_ref)
+                vals = K._as_array(batch[item_col]).to_pylist()
+                keep = pa.array([v not in hs for v in vals], pa.bool_())
+                return batch.filter(keep)
+
+            distinct = _compact(
+                distinct.map_batches(_drop_hot, batch_format="pyarrow"),
+                [(group_col, pa.string()), (item_col, pa.string())],
+            )
+
+    sizes = _compact(
+        distinct.groupby(group_col).aggregate(Count(alias_name="n")),
+        [(group_col, pa.string()), ("n", pa.int64())],
+    )
+    left = hash_join(distinct, sizes, on=(group_col,), num_partitions=nparts)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_gb": batch[group_col],
+                item_col: batch[item_col],
+                "_nb": batch["n"],
+            }
+        )
+
+    right = left.map_batches(_rename, batch_format="pyarrow")
+    joined = hash_join(left, right, on=(item_col,), num_partitions=nparts)
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch[group_col], batch["_gb"])
+        tb = batch.filter(keep)
+        return pa.table(
+            {
+                "_ga": tb[group_col],
+                "_gb": tb["_gb"],
+                "n_a": pc.cast(tb["n"], pa.int64()),
+                "n_b": pc.cast(tb["_nb"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        joined.map_batches(_ordered, batch_format="pyarrow")
+        .groupby(["_ga", "_gb"])
+        .aggregate(
+            Count(alias_name="shared"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"),
+        )
+    )
+
+    a_name, b_name = f"{group_col}_a", f"{group_col}_b"
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                a_name: pa.array([], pa.string()),
+                b_name: pa.array([], pa.string()),
+                "shared": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0 or "shared" not in batch.column_names:
+            return empty
+        sh = np.asarray(K._as_array(batch["shared"]), dtype=np.float64)
+        na = np.asarray(K._as_array(batch["n_a"]), dtype=np.float64)
+        nb = np.asarray(K._as_array(batch["n_b"]), dtype=np.float64)
+        denom = np.minimum(na, nb) if metric == "containment" else na + nb - sh
+        tb = batch.filter(pa.array(sh >= threshold * denom))
+        return pa.table(
+            {
+                a_name: tb["_ga"],
+                b_name: tb["_gb"],
+                "shared": pc.cast(tb["shared"], pa.int64()),
+                "n_a": pc.cast(tb["n_a"], pa.int64()),
+                "n_b": pc.cast(tb["n_b"], pa.int64()),
+            }
+        )
+
+    out = pairs.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                a_name: pd.Series([], dtype="object"),
+                b_name: pd.Series([], dtype="object"),
+                "shared": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values([a_name, b_name]).reset_index(drop=True)

@@ -807,6 +807,68 @@ def q_containment_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(ds, k=3, threshold=0.8, metric="containment")
 
 
+def _forked_repo_items(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic fork-planted (repo, h) item rows for the repo-level
+    fork-detection queries (raw testdata has ~zero cross-source identical
+    texts, so overlap is planted exactly like ``minhash_clusters_planted``):
+    every source is a repo whose items are md5(content); every 3rd doc is
+    also copied into a ``fk_<source>`` fork repo, and every 15th doc's
+    fork copy is patched (appended ``' patched'``) so forks diverge — the
+    fork shares ~4/5 of its files with the parent (containment ≈ 0.8,
+    Jaccard ≈ 0.32).  The SQL twin derives the identical view."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _items(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = np.asarray(K._as_array(batch["doc_id"]), dtype=np.int64)
+        src = K._as_array(batch["source"]).to_pylist()
+        txt = K._as_array(pc.fill_null(batch["text"], "")).to_pylist()
+        repos: list[str] = []
+        hs: list[str] = []
+        for i, s, t in zip(ids, src, txt):
+            h = hashlib.md5(t.encode()).hexdigest()
+            repos.append(s)
+            hs.append(h)
+            if i % 3 == 0:
+                repos.append(f"fk_{s}")
+                hs.append(
+                    hashlib.md5((t + " patched").encode()).hexdigest()
+                    if i % 15 == 0
+                    else h
+                )
+        return pa.table(
+            {"repo": pa.array(repos, pa.string()), "h": pa.array(hs, pa.string())}
+        )
+
+    return ds.map_batches(_items, batch_format="pyarrow")
+
+
+def q_fork_pairs(sf_dir: str):
+    """Repo-level fork/mirror detection: file-set Jaccard ≥ 0.2 between
+    repos over the fork-planted corpus — distinct (repo, md5) items,
+    per-repo sizes riding a hash join, self-join on the hash, pair
+    groupby, multiply-form threshold (shared >= t*(n_a+n_b-shared), the
+    exact shape the DuckDB twin runs)."""
+    return dedup.group_set_pairs(
+        _forked_repo_items(sf_dir), "repo", "h", threshold=0.2, metric="jaccard"
+    )
+
+
+def q_fork_containment(sf_dir: str):
+    """Fork detection by CONTAINMENT (shared / min set size ≥ 0.5): a fork
+    that copied a slice of a big repo scores ~1.0 here but low Jaccard —
+    the subset-fork detector.  Same plan as fork_pairs; only the
+    denominator changes."""
+    return dedup.group_set_pairs(
+        _forked_repo_items(sf_dir),
+        "repo",
+        "h",
+        threshold=0.5,
+        metric="containment",
+    )
+
+
 def q_approx_top_langs(sf_dir: str):
     """Count-Min + per-batch candidates heavy hitters over documents.lang.
     The sketch is deterministic and 5 distinct keys cannot collide in a
@@ -3133,6 +3195,8 @@ QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "fork_pairs": q_fork_pairs,
+    "fork_containment": q_fork_containment,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
@@ -3857,6 +3921,41 @@ ORACLES = {
         ") SELECT id_a, id_b FROM inter "
         "JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b "
         "WHERE CAST(inter_n AS DOUBLE) / least(ca.n, cb.n) >= 0.8"
+    ),
+    # fork-planted view: every 3rd doc copied into fk_<source>, every
+    # 15th patched — identical derivation to _forked_repo_items; the
+    # threshold compare is the multiply form the Ray side runs.
+    "fork_pairs": (
+        "WITH base AS (SELECT doc_id, source, coalesce(text, '') AS c FROM documents),"
+        "v AS (SELECT source AS repo, md5(c) AS h FROM base"
+        "      UNION ALL"
+        "      SELECT 'fk_' || source,"
+        "             md5(CASE WHEN doc_id % 15 = 0 THEN c || ' patched' ELSE c END)"
+        "      FROM base WHERE doc_id % 3 = 0),"
+        "f AS (SELECT DISTINCT repo, h FROM v),"
+        "n AS (SELECT repo, count(*) AS n FROM f GROUP BY repo),"
+        "p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared"
+        "      FROM f a JOIN f b USING (h) WHERE a.repo < b.repo GROUP BY 1, 2) "
+        "SELECT repo_a, repo_b, CAST(shared AS BIGINT) AS shared,"
+        "       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
+        "FROM p JOIN n na ON na.repo = repo_a JOIN n nb ON nb.repo = repo_b "
+        "WHERE shared >= 0.2 * (na.n + nb.n - shared)"
+    ),
+    "fork_containment": (
+        "WITH base AS (SELECT doc_id, source, coalesce(text, '') AS c FROM documents),"
+        "v AS (SELECT source AS repo, md5(c) AS h FROM base"
+        "      UNION ALL"
+        "      SELECT 'fk_' || source,"
+        "             md5(CASE WHEN doc_id % 15 = 0 THEN c || ' patched' ELSE c END)"
+        "      FROM base WHERE doc_id % 3 = 0),"
+        "f AS (SELECT DISTINCT repo, h FROM v),"
+        "n AS (SELECT repo, count(*) AS n FROM f GROUP BY repo),"
+        "p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared"
+        "      FROM f a JOIN f b USING (h) WHERE a.repo < b.repo GROUP BY 1, 2) "
+        "SELECT repo_a, repo_b, CAST(shared AS BIGINT) AS shared,"
+        "       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
+        "FROM p JOIN n na ON na.repo = repo_a JOIN n nb ON nb.repo = repo_b "
+        "WHERE shared >= 0.5 * least(na.n, nb.n)"
     ),
     "topk_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "

@@ -4136,3 +4136,45 @@ def test_soft_dedup_weights_groups():
     for i, t in enumerate(texts):
         assert got.loc[i, "dup_count"] == want_counts[t], t
         assert got.loc[i, "weight"] == 1.0 / want_counts[t]
+
+
+def test_group_set_pairs_metrics_and_df_cap():
+    """Hand-computed set similarities: r1={a,b,c,d}, r2={a,b,c}, r3={x,a}.
+    Jaccard(r1,r2)=3/4, (r1,r3)=1/5, (r2,r3)=1/4; containment(r1,r2)=1,
+    (r1,r3)=1/2, (r2,r3)=1/2.  With df_cap=2 the item 'a' (in 3 groups)
+    drops and sizes recompute: r1={b,c,d}, r2={b,c}, r3={x} → only
+    (r1,r2) shared=2, n=(3,2)."""
+    import pandas as pd
+
+    from qamd_ray.ops.dedup import group_set_pairs
+
+    rows = [("r1", i) for i in "abcd"] + [("r2", i) for i in "abc"] + [
+        ("r3", "x"), ("r3", "a"), ("r3", "a")  # dup item row must not double-count
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["repo", "h"])
+    ).repartition(3)
+
+    j = group_set_pairs(ds, "repo", "h", threshold=0.25, metric="jaccard")
+    # (r2,r3) sits exactly AT the threshold (1/4) — inclusive compare keeps it
+    assert list(map(tuple, j.values.tolist())) == [
+        ("r1", "r2", 3, 4, 3),
+        ("r2", "r3", 1, 3, 2),
+    ]
+
+    c = group_set_pairs(ds, "repo", "h", threshold=0.5, metric="containment")
+    assert list(map(tuple, c.values.tolist())) == [
+        ("r1", "r2", 3, 4, 3),
+        ("r1", "r3", 1, 4, 2),
+        ("r2", "r3", 1, 3, 2),
+    ]
+
+    capped = group_set_pairs(
+        ds, "repo", "h", threshold=0.25, metric="jaccard", df_cap=2
+    )
+    assert list(map(tuple, capped.values.tolist())) == [("r1", "r2", 2, 3, 2)]
+
+    none = group_set_pairs(ds, "repo", "h", threshold=0.99, metric="jaccard")
+    assert len(none) == 0 and list(none.columns) == [
+        "repo_a", "repo_b", "shared", "n_a", "n_b"
+    ]
