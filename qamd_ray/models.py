@@ -39,6 +39,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -524,3 +525,181 @@ def fit_perplexity_distributed(
         dense[o_u1:],
         alpha=alpha,
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-log2 naive Bayes (weak-label quality classifier)
+# ---------------------------------------------------------------------------
+
+
+class IntNBModel:
+    """Binary naive-Bayes text classifier whose weights are INTEGER log2
+    magnitudes (bit lengths), in the log-count-ratio family of NBSVM
+    (Wang & Manning 2012, "Baselines and Bigrams").  Trained from weak
+    labels (the FineWeb/Dolma pattern: a cheap rule labels the corpus, a
+    linear model generalizes it).  Substituting ``bit_length`` for
+    ``ln`` quantizes the usual NB log odds to integers, which makes the
+    ENTIRE model — training counts, weights, scores, predictions —
+    exactly reproducible in SQL (``length(bin(x))``), so the trained
+    classifier has a value-checked DuckDB twin rather than a rows-only
+    check.
+
+    Features are per-doc DISTINCT whitespace tokens (doc frequency, the
+    binarized "boolean NB" variant that beats raw counts on text); the
+    vocabulary is the ``vocab_size`` most document-frequent tokens
+    (tie-break: token ascending).
+
+    score(d) = Σ_{t ∈ d ∩ V} [blen(c1_t+1) − blen(c0_t+1)]
+               − |d ∩ V|·[blen(n1+2) − blen(n0+2)]
+               + blen(n1+1) − blen(n0+1),   pred = score > 0
+    where c_y,t = docs of class y containing t, n_y = docs of class y,
+    blen = bit length."""
+
+    def __init__(self, weights: dict, k_w: int, bias: int):
+        self.weights = weights
+        self.k_w = int(k_w)
+        self.bias = int(bias)
+
+    def score_batch(self, texts: list) -> tuple:
+        """→ (scores int64, preds bool) arrays for a list of raw texts.
+        Tokenizes with the SAME Arrow kernels as the training pass
+        (``utf8_lower`` + literal ASCII ``_WS_CLASS`` split) — Python's
+        ``str.lower``/``str.split`` diverge on Unicode case pairs and
+        NBSP and would break the twin."""
+        from .ops.textstats import _WS_CLASS
+
+        lowered = pc.utf8_lower(
+            pc.fill_null(pa.array(texts, pa.string()), "")
+        )
+        toks = pc.split_pattern_regex(lowered, _WS_CLASS)
+        w = self.weights
+        scores = np.empty(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            seen = {t for t in toks[i].as_py() if t}
+            s, k = 0, 0
+            for x in seen:
+                wt = w.get(x)
+                if wt is not None:
+                    s += wt
+                    k += 1
+            scores[i] = s - k * self.k_w + self.bias
+        return scores, scores > 0
+
+
+def _distinct_token_partials(text_col: str, label_col: str):
+    """Batch fn → (token, c1, tot) partial doc-frequency rows, tokens
+    deduped per doc inside the batch (combiner); tokenization shared
+    verbatim with the langid twin (_WS_CLASS split + lower)."""
+    from .ops.textstats import _WS_CLASS
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(K._as_array(batch[text_col]), ""))
+        toks = K._as_array(pc.split_pattern_regex(text, _WS_CLASS))
+        y = np.asarray(K._as_array(batch[label_col]), dtype=np.int64)
+        out_tok: list = []
+        out_y: list = []
+        for i in range(len(batch)):
+            s = {t for t in toks[i].as_py() if t}
+            out_tok.extend(s)
+            out_y.extend([int(y[i])] * len(s))
+        if not out_tok:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "c1": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame({"token": out_tok, "c1": out_y})
+            .groupby("token", sort=False)
+            .agg(c1=("c1", "sum"), tot=("c1", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"], pa.string()),
+                "c1": pa.array(df["c1"].to_numpy(np.int64)),
+                "tot": pa.array(df["tot"].to_numpy(np.int64)),
+            }
+        )
+
+    return _f
+
+
+def fit_int_nb_distributed(
+    ds: "object",
+    text_col: str = "text",
+    label_col: str = "y",
+    *,
+    vocab_size: int = 256,
+) -> IntNBModel:
+    """Fit :class:`IntNBModel` over a labeled Dataset.  One streaming
+    distinct-token pass (per-batch pandas combiner) → keys-only
+    ``groupby(token)`` sum → bounded ``grouped_topk`` vocabulary
+    selection (O(vocab × batches) partials, never O(tokens) to the
+    driver) → integer weights.  Class sizes come from one small Sum/Count
+    aggregate.  Integer counts throughout, so the distributed fit is
+    bit-identical to any single-process fit over the same rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.topk import grouped_topk
+
+    sums = ds.aggregate(Sum(label_col, alias_name="n1"), Count(alias_name="n"))
+    n1 = int(sums["n1"] or 0)
+    n0 = int(sums["n"]) - n1
+
+    cnt = (
+        ds.map_batches(
+            _distinct_token_partials(text_col, label_col), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(Sum("c1", alias_name="c1"), Sum("tot", alias_name="tot"))
+    )
+    vocab = grouped_topk(
+        cnt.map_batches(
+            lambda b: b.append_column("_g", pa.array([0] * len(b), pa.int64())),
+            batch_format="pyarrow",
+        ),
+        ["_g"],
+        "tot",
+        vocab_size,
+        tiebreak=["token"],
+    )
+    c1 = vocab["c1"].to_numpy(np.int64)
+    c0 = vocab["tot"].to_numpy(np.int64) - c1
+    weights = {
+        t: int(c1i + 1).bit_length() - int(c0i + 1).bit_length()
+        for t, c1i, c0i in zip(vocab["token"], c1, c0)
+    }
+    k_w = (n1 + 2).bit_length() - (n0 + 2).bit_length()
+    bias = (n1 + 1).bit_length() - (n0 + 1).bit_length()
+    return IntNBModel(weights, k_w, bias)
+
+
+def int_nb_scores(
+    ds: "object",
+    model: IntNBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "object":
+    """Score every row with a fitted :class:`IntNBModel` →
+    (id, nb_score, nb_pred).  The model dict is broadcast once via
+    ``ray.put`` and read per task — never re-shipped per batch."""
+    import ray as _ray
+
+    ref = _ray.put(model)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        texts = K._as_array(pc.fill_null(batch[text_col], "")).to_pylist()
+        scores, preds = m.score_batch(texts)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "nb_score": pa.array(scores),
+                "nb_pred": pa.array(preds),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

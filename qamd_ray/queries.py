@@ -869,6 +869,30 @@ def q_fork_containment(sf_dir: str):
     )
 
 
+def q_nb_quality(sf_dir: str):
+    """TRAINED quality classifier with a value-checked oracle: weak
+    labels (length ≥ 200) → integer-log2 naive Bayes
+    (models.IntNBModel — bit-length weights quantize the NB log odds to
+    integers, so training counts, vocabulary selection, scores and
+    predictions are all exactly reproducible in SQL via
+    ``length(bin(x))``) → corpus-wide scoring.  The FineWeb/Dolma
+    weak-label→linear-classifier pattern, distributed fit bit-identical
+    to a single-process fit (integer counts)."""
+    from . import models
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lab(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(pc.fill_null(batch["text"], ""))
+        return batch.append_column(
+            "y", pc.cast(pc.greater_equal(n, 200), pa.int64())
+        )
+
+    labeled = ds.map_batches(_lab, batch_format="pyarrow")
+    model = models.fit_int_nb_distributed(labeled, "text", "y", vocab_size=256)
+    return models.int_nb_scores(labeled, model, "text", "doc_id")
+
+
 def q_approx_top_langs(sf_dir: str):
     """Count-Min + per-batch candidates heavy hitters over documents.lang.
     The sketch is deterministic and 5 distinct keys cannot collide in a
@@ -3197,6 +3221,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "fork_pairs": q_fork_pairs,
     "fork_containment": q_fork_containment,
+    "nb_quality": q_nb_quality,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
@@ -3956,6 +3981,35 @@ ORACLES = {
         "       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
         "FROM p JOIN n na ON na.repo = repo_a JOIN n nb ON nb.repo = repo_b "
         "WHERE shared >= 0.5 * least(na.n, nb.n)"
+    ),
+    # trained integer-log2 NB: the twin TRAINS too (weak label, distinct-
+    # token doc frequencies, top-256 vocab with token tie-break, bit-length
+    # weights via length(bin(x))) — every quantity is an integer, so the
+    # fitted classifier is value-checked end to end.
+    "nb_quality": (
+        "WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS c,"
+        "  CASE WHEN length(coalesce(text, '')) >= 200 THEN 1 ELSE 0 END AS y"
+        "  FROM documents),"
+        "tk AS (SELECT DISTINCT doc_id, y, tok FROM ("
+        "  SELECT doc_id, y, unnest(regexp_split_to_array(c, '"
+        + textstats._WS_CLASS
+        + "')) AS tok FROM d) WHERE tok <> ''),"
+        "cnt AS (SELECT tok, CAST(sum(y) AS BIGINT) AS c1, count(*) AS tot"
+        "  FROM tk GROUP BY tok),"
+        "vocab AS (SELECT tok, c1, CAST(tot - c1 AS BIGINT) AS c0 FROM cnt"
+        "  ORDER BY tot DESC, tok LIMIT 256),"
+        "w AS (SELECT tok, length(bin(c1 + 1)) - length(bin(c0 + 1)) AS wt FROM vocab),"
+        "ns AS (SELECT CAST(sum(y) AS BIGINT) AS n1,"
+        "  CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM d),"
+        "co AS (SELECT length(bin(n1 + 2)) - length(bin(n0 + 2)) AS kw,"
+        "  length(bin(n1 + 1)) - length(bin(n0 + 1)) AS bias FROM ns),"
+        "sc AS (SELECT tk.doc_id, sum(w.wt) AS sw, count(*) AS k"
+        "  FROM tk JOIN w USING (tok) GROUP BY tk.doc_id) "
+        "SELECT d.doc_id,"
+        "  CAST(coalesce(sc.sw, 0) - coalesce(sc.k, 0) * co.kw + co.bias AS BIGINT)"
+        "    AS nb_score,"
+        "  (coalesce(sc.sw, 0) - coalesce(sc.k, 0) * co.kw + co.bias > 0) AS nb_pred "
+        "FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id CROSS JOIN co"
     ),
     "topk_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5) "

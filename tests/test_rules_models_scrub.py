@@ -343,3 +343,70 @@ def test_scrub_ibans_rewrites_only_valid():
             hashlib.sha256(out.loc[i, "content"].encode()).hexdigest()
             == hashlib.sha256(rows[i].encode()).hexdigest()
         )
+
+
+def test_int_nb_distributed_matches_local_reference():
+    """fit_int_nb_distributed == a brute-force single-process fit (integer
+    counts make the distributed fit order-independent), and score_batch
+    reproduces the hand formula; vocab_size below the token count
+    exercises the (df desc, token asc) selection boundary."""
+    import pandas as pd
+    import ray
+
+    from qamd_ray.models import IntNBModel, fit_int_nb_distributed, int_nb_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate my homework",
+        "cat cat cat",          # dup tokens must count once per doc
+        "big data big model",
+        "",                     # empty doc: no tokens, score = bias
+        None,                   # null text = empty
+        "the big cat",
+        "mat dog data",
+    ]
+    y = [1, 1, 0, 0, 0, 1, 1, 0]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts, "y": y})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    # brute-force reference fit
+    def toks(t):
+        import re
+        return {x for x in re.split("[ \t\n\f\r]+", (t or "").lower()) if x}
+
+    from collections import Counter
+    c1, tot = Counter(), Counter()
+    for t, yy in zip(texts, y):
+        for tok in toks(t):
+            tot[tok] += 1
+            c1[tok] += yy
+    V = 5
+    vocab = sorted(tot, key=lambda k: (-tot[k], k))[:V]
+    n1, n0 = sum(y), len(y) - sum(y)
+    want_w = {
+        t: (c1[t] + 1).bit_length() - (tot[t] - c1[t] + 1).bit_length()
+        for t in vocab
+    }
+    kw = (n1 + 2).bit_length() - (n0 + 2).bit_length()
+    bias = (n1 + 1).bit_length() - (n0 + 1).bit_length()
+
+    m = fit_int_nb_distributed(ds, "text", "y", vocab_size=V)
+    assert m.weights == want_w and m.k_w == kw and m.bias == bias
+
+    def ref_score(t):
+        present = [x for x in toks(t) if x in want_w]
+        return sum(want_w[x] for x in present) - len(present) * kw + bias
+
+    got = (
+        int_nb_scores(ds, m, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        assert got.loc[i, "nb_score"] == ref_score(t), (i, t)
+        assert bool(got.loc[i, "nb_pred"]) == (ref_score(t) > 0)
+
+    # scoring must use Arrow lower/split: NBSP is NOT a separator here
+    s_nbsp, p = IntNBModel({"a b": 7}, 0, 0).score_batch(["A b"])
+    assert s_nbsp[0] == 7 and bool(p[0])
