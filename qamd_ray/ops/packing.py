@@ -79,6 +79,16 @@ def ordered_prefix_sum(
         .to_pandas()
         .sort_values("k")
     )
+    if blocks["k"].duplicated().any():
+        # two sorted blocks share a first key ⇒ duplicate order_col values
+        # span a block boundary; the per-block offset map would silently
+        # drop one offset and corrupt every cum value in that block
+        dup = int(blocks["k"][blocks["k"].duplicated()].iloc[0])
+        raise ValueError(
+            f"ordered_prefix_sum: order_col {order_col!r} has duplicate "
+            f"value {dup} spanning a block boundary — order keys must be "
+            "unique (compose a tiebreak into the key)"
+        )
     tot = blocks["tot"].to_numpy(dtype=dt)
     offs = np.concatenate([[dt(0)], np.cumsum(tot)[:-1]]) if len(tot) else tot
     off_ref = ray.put(dict(zip(blocks["k"].astype(int), offs)))

@@ -701,3 +701,83 @@ def weighted_sample_per_group(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def token_budget_select(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    *,
+    budget: int,
+    descending: bool = True,
+    id_cap: int = 1 << 32,
+) -> "ray.data.Dataset":
+    """Greedy corpus selection under a GLOBAL token budget: walk rows in
+    ``score_col`` order (best first, ties broken by ``id_col`` ascending)
+    and keep every row whose INCLUSIVE running ``weight_col`` total stays
+    ≤ ``budget`` — the final data-selection step after quality scoring
+    ("take the best N-token corpus"), with the window-sum SQL twin
+    ``SUM(w) OVER (ORDER BY score DESC, id) <= budget``.
+
+    Distributed: the (score, id) order is encoded into ONE int64 key
+    (``(±score)·id_cap + id``) so :func:`ops.packing.ordered_prefix_sum`
+    — range-partitioned sort + per-block offsets, two streaming passes —
+    provides the exact global running total; the keep filter is then a
+    stateless vectorized map.  Integer scores/weights only (exactness);
+    loud guards reject id/score ranges that could overflow or collide
+    (ids must be unique and in [0, id_cap)).
+
+    Returns the kept rows with ``cum_weight`` attached (inclusive).
+    A first row heavier than the whole budget yields an empty result —
+    the prefix rule, same as the SQL twin.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .packing import ordered_prefix_sum
+
+    if budget <= 0:
+        raise ValueError("token_budget_select: budget must be positive")
+    lim = ds.aggregate(
+        Min(id_col, alias_name="id_min"),
+        Max(id_col, alias_name="id_max"),
+        Min(score_col, alias_name="s_min"),
+        Max(score_col, alias_name="s_max"),
+    )
+    if lim["id_min"] is None:  # empty input
+        return ds.map_batches(
+            lambda b: b.append_column("cum_weight", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    if lim["id_min"] < 0 or lim["id_max"] >= id_cap:
+        raise ValueError(
+            f"token_budget_select: {id_col} must lie in [0, {id_cap}) "
+            f"(got [{lim['id_min']}, {lim['id_max']}])"
+        )
+    s_extreme = max(abs(int(lim["s_min"])), abs(int(lim["s_max"])))
+    if s_extreme > (2**63 - 1 - id_cap) // id_cap:
+        raise ValueError(
+            "token_budget_select: score range would overflow the int64 "
+            f"order key (|score| up to {s_extreme}, id_cap {id_cap})"
+        )
+
+    key = "__order_key__"
+    sign = -1 if descending else 1
+
+    def _key(batch: pa.Table) -> pa.Table:
+        s = np.asarray(K._as_array(batch[score_col]), dtype=np.int64)
+        i = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        return batch.append_column(key, pa.array(sign * s * id_cap + i))
+
+    with_cum = ordered_prefix_sum(
+        ds.map_batches(_key, batch_format="pyarrow"),
+        order_col=key,
+        weight_col=weight_col,
+        out_col="cum_weight",
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        cum = np.asarray(K._as_array(batch["cum_weight"]), dtype=np.int64)
+        return batch.filter(pa.array(cum <= budget)).drop_columns([key])
+
+    return with_cum.map_batches(_keep, batch_format="pyarrow")

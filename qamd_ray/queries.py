@@ -893,6 +893,35 @@ def q_nb_quality(sf_dir: str):
     return models.int_nb_scores(labeled, model, "text", "doc_id")
 
 
+def q_token_budget_docs(sf_dir: str):
+    """Global token-budget selection (the "take the best 5k-token
+    corpus" step after scoring): walk docs by quality proxy (n_chars
+    desc, doc_id tiebreak) keeping rows while the inclusive running
+    token total stays ≤ 5 000 — ops.selection.token_budget_select over
+    a distributed ordered prefix sum; twin = window SUM ≤ budget."""
+    from .ops import selection
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _feats(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(pc.split_pattern(t, " ")), pa.int64()
+                ),
+            }
+        )
+
+    feats = ds.map_batches(_feats, batch_format="pyarrow")
+    out = selection.token_budget_select(
+        feats, "n_chars", "n_tokens", budget=5_000
+    )
+    return out.select_columns(["doc_id", "n_tokens", "cum_weight"])
+
+
 def q_approx_top_langs(sf_dir: str):
     """Count-Min + per-batch candidates heavy hitters over documents.lang.
     The sketch is deterministic and 5 distinct keys cannot collide in a
@@ -3222,6 +3251,7 @@ QUERIES = {
     "fork_pairs": q_fork_pairs,
     "fork_containment": q_fork_containment,
     "nb_quality": q_nb_quality,
+    "token_budget_docs": q_token_budget_docs,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
@@ -3981,6 +4011,17 @@ ORACLES = {
         "       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
         "FROM p JOIN n na ON na.repo = repo_a JOIN n nb ON nb.repo = repo_b "
         "WHERE shared >= 0.5 * least(na.n, nb.n)"
+    ),
+    "token_budget_docs": (
+        "WITH s AS (SELECT doc_id,"
+        "    length(coalesce(text, '')) AS n_chars,"
+        "    CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens"
+        "  FROM documents),"
+        "w AS (SELECT doc_id, n_tokens,"
+        "    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id"
+        "      ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
+        "SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_weight "
+        "FROM w WHERE cum <= 5000"
     ),
     # trained integer-log2 NB: the twin TRAINS too (weak label, distinct-
     # token doc frequencies, top-256 vocab with token tie-break, bit-length

@@ -4178,3 +4178,64 @@ def test_group_set_pairs_metrics_and_df_cap():
     assert len(none) == 0 and list(none.columns) == [
         "repo_a", "repo_b", "shared", "n_a", "n_b"
     ]
+
+
+def test_token_budget_select_and_prefix_guard():
+    """Greedy budget walk in (score desc, id asc) order with INCLUSIVE
+    running total ≤ budget; loud guards for id range, score overflow and
+    duplicate order keys spanning blocks."""
+    import pandas as pd
+    import pytest
+
+    from qamd_ray.ops.packing import ordered_prefix_sum
+    from qamd_ray.ops.selection import token_budget_select
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "score": [50, 10, 50, 7, 30],
+            "w": [4, 3, 5, 1, 2],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    # order: id0(s50,w4) id2(s50,w5) id4(s30,w2) id1(s10,w3) id3(s7,w1)
+    # cum:   4           9           11          14          15
+    got = (
+        token_budget_select(ds, "score", "w", budget=11)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["doc_id"].tolist() == [0, 2, 4]
+    assert got["cum_weight"].tolist() == [4, 9, 11]
+
+    # first row heavier than the budget ⇒ nothing qualifies (prefix rule)
+    assert token_budget_select(ds, "score", "w", budget=3).count() == 0
+
+    # ascending mode flips the walk
+    asc = (
+        token_budget_select(ds, "score", "w", budget=4, descending=False)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert asc["doc_id"].tolist() == [1, 3]  # id3(s7,w1)=1, id1(s10,w3)=4
+
+    with pytest.raises(ValueError, match="must lie in"):
+        bad = ray.data.from_pandas(df.assign(doc_id=[-1, 1, 2, 3, 4]))
+        token_budget_select(bad, "score", "w", budget=10)
+    with pytest.raises(ValueError, match="overflow"):
+        bad = ray.data.from_pandas(df.assign(score=[2**33, 1, 2, 3, 4]))
+        token_budget_select(bad, "score", "w", budget=10)
+
+    # duplicate order keys that land in ONE sorted block are harmless
+    # (stable within-block cumsum); the cross-block case raises via the
+    # blocks["k"].duplicated() guard in ordered_prefix_sum (driver-side,
+    # cannot be forced deterministically through the public sort)
+    dup = pd.DataFrame({"k": [7] * 40, "w": [1] * 40})
+    cum = (
+        ordered_prefix_sum(
+            ray.data.from_pandas(dup).repartition(4), order_col="k", weight_col="w"
+        )
+        .to_pandas()["cum_weight"]
+        .tolist()
+    )
+    assert sorted(cum) == list(range(1, 41))
