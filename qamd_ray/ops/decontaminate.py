@@ -154,3 +154,64 @@ def ngram_decontaminate(
         )
 
     return corpus.map_batches(_score, batch_format="pyarrow")
+
+
+def embedding_decontaminate(
+    ds: "ray.data.Dataset",
+    eval_matrix: np.ndarray,
+    *,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """SEMANTIC decontamination: flag corpus rows whose max cosine
+    similarity against the evaluation embedding matrix reaches
+    ``threshold`` — the embedding-space complement of
+    :func:`ngram_decontaminate` (catches paraphrased/reformatted eval
+    leakage that shares no exact n-gram).
+
+    Same distribution shape: the eval side is small by definition, so
+    its (normalized) matrix is broadcast ONCE via ``ray.put``; the
+    corpus streams through one stateless vectorized pass — per batch a
+    single ``V @ E.T`` matmul and a row max.  No shuffle.  Zero-norm
+    vectors raise on either side (the knn_join convention — a clamped
+    zero vector would silently diverge from SQL's
+    ``list_cosine_similarity``).
+
+    Returns (id_col, contaminated bool).  Scores stay internal — the
+    output is the integer-safe flag, value-checkable against a DuckDB
+    ``max(list_cosine_similarity(...)) >= threshold`` twin.
+    """
+    from .similarity import _normalize_strict
+
+    E = _normalize_strict(
+        np.ascontiguousarray(eval_matrix, dtype=np.float64),
+        "eval",
+        who="embedding_decontaminate",
+    )
+    if len(E) == 0:
+        raise ValueError("embedding_decontaminate: empty eval matrix")
+    ref = ray.put(E)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        Et = ray.get(ref)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
+        )
+        if V.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        Vn = _normalize_strict(V, "corpus", who="embedding_decontaminate")
+        mx = (Vn @ Et.T).max(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contaminated": pa.array(mx >= threshold),
+            }
+        )
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -32,7 +32,7 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _normalize_strict(M: np.ndarray, side: str) -> np.ndarray:
+def _normalize_strict(M: np.ndarray, side: str, who: str = "knn_join") -> np.ndarray:
     """Like :func:`_normalize` but raises on zero-norm rows instead of
     clamping — a clamped row gets cosine 0 while SQL's
     ``list_cosine_similarity`` yields NaN/error, so rank rows would
@@ -40,7 +40,7 @@ def _normalize_strict(M: np.ndarray, side: str) -> np.ndarray:
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     if (norms == 0).any():
         raise ValueError(
-            f"knn_join: zero-norm embedding on the {side} side — cosine is "
+            f"{who}: zero-norm embedding on the {side} side — cosine is "
             "undefined for the zero vector; drop or re-embed those rows"
         )
     return M / norms

@@ -922,6 +922,58 @@ def q_token_budget_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "cum_weight"])
 
 
+def q_embedding_decontaminate(sf_dir: str):
+    """Semantic (embedding-space) decontamination with a planted leak:
+    eval set = vec_id % 10 == 0 (broadcast once — eval sets are small by
+    definition); train rows with vec_id % 7 == 0 are overwritten with
+    their floor-to-10 eval neighbor's vector (raw embeddings share no
+    cosine ≥ 0.8 pair, max ≈ 0.49, so flags would be trivially empty
+    unplanted — same precedent as embedding_dups_planted).  Flags every
+    train row whose max cosine vs eval reaches 0.8."""
+    from .ops import decontaminate
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _is_eval(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(batch["vec_id"]), dtype=np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    ev = ds.map_batches(_is_eval, batch_format="pyarrow").to_pandas()
+    ev_vecs = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(ev["vec_id"], ev["embedding"])
+    }
+    E = np.asarray([ev_vecs[k] for k in sorted(ev_vecs)])
+    ev_ref = ray.put(ev_vecs)
+
+    def _train_planted(batch: pa.Table) -> pa.Table:
+        vecs = ray.get(ev_ref)
+        ids = np.asarray(K._as_array(batch["vec_id"]), dtype=np.int64)
+        keep = ids % 10 != 0
+        tb = batch.filter(pa.array(keep))
+        ids = ids[keep]
+        out = []
+        for i, v in zip(ids, tb["embedding"].to_pylist()):
+            if i % 7 == 0:
+                src = (int(i) // 10) * 10
+                if src not in vecs:
+                    raise ValueError(f"planted eval id {src} missing")
+                out.append(vecs[src])
+            else:
+                out.append(np.asarray(v, dtype=np.float64))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [x.tolist() for x in out], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    train = ds.map_batches(_train_planted, batch_format="pyarrow")
+    return decontaminate.embedding_decontaminate(train, E, threshold=0.8)
+
+
 def q_approx_top_langs(sf_dir: str):
     """Count-Min + per-batch candidates heavy hitters over documents.lang.
     The sketch is deterministic and 5 distinct keys cannot collide in a
@@ -3252,6 +3304,7 @@ QUERIES = {
     "fork_containment": q_fork_containment,
     "nb_quality": q_nb_quality,
     "token_budget_docs": q_token_budget_docs,
+    "embedding_decontaminate": q_embedding_decontaminate,
     "simhash_pairs": q_simhash_pairs,
     "approx_top_langs": q_approx_top_langs,
     "common_spans": q_common_spans,
@@ -4011,6 +4064,20 @@ ORACLES = {
         "       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
         "FROM p JOIN n na ON na.repo = repo_a JOIN n nb ON nb.repo = repo_b "
         "WHERE shared >= 0.5 * least(na.n, nb.n)"
+    ),
+    # planted semantic leak: train vec_id%7==0 rows take their floor-to-10
+    # eval neighbor's embedding — identical derivation to the Ray side.
+    "embedding_decontaminate": (
+        "WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),"
+        "tr0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),"
+        "tr AS (SELECT t.vec_id,"
+        "    CASE WHEN t.vec_id % 7 = 0 THEN e.embedding ELSE t.embedding END"
+        "      AS embedding"
+        "  FROM tr0 t LEFT JOIN ev e ON e.vec_id = (t.vec_id // 10) * 10),"
+        "m AS (SELECT tr.vec_id,"
+        "    max(list_cosine_similarity(tr.embedding, ev.embedding)) AS mx"
+        "  FROM tr CROSS JOIN ev GROUP BY tr.vec_id) "
+        "SELECT vec_id, (mx >= 0.8) AS contaminated FROM m"
     ),
     "token_budget_docs": (
         "WITH s AS (SELECT doc_id,"

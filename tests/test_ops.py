@@ -4239,3 +4239,44 @@ def test_token_budget_select_and_prefix_guard():
         .tolist()
     )
     assert sorted(cum) == list(range(1, 41))
+
+
+def test_embedding_decontaminate_planted_and_guards():
+    """Planted eval copies flag, orthogonal vectors don't; zero-norm rows
+    raise on either side; empty eval raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from qamd_ray.ops.decontaminate import embedding_decontaminate
+
+    E = np.eye(3)[:2]  # eval = e0, e1
+    rows = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [0.0, 0.0, 1.0],        # orthogonal to eval → clean
+                [2.0, 0.0, 0.0],        # parallel to e0 (scaled) → flagged
+                [1.0, 1.0, 0.0],        # cos = 1/sqrt(2) ≈ .707 < .8 → clean
+                [0.0, 0.9, 0.1],        # cos vs e1 ≈ .9939 → flagged
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows).repartition(2)
+    got = (
+        embedding_decontaminate(ds, E, threshold=0.8)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert got["contaminated"].tolist() == [False, True, False, True]
+
+    # Ray wraps the worker-side raise in RayTaskError → match on Exception
+    with pytest.raises(Exception, match="zero-norm.*corpus"):
+        bad = ray.data.from_pandas(
+            pd.DataFrame({"vec_id": [9], "embedding": [[0.0, 0.0, 0.0]]})
+        )
+        embedding_decontaminate(bad, E).materialize()
+    with pytest.raises(ValueError, match="zero-norm"):
+        embedding_decontaminate(ds, np.zeros((1, 3)))
+    with pytest.raises(ValueError, match="empty eval"):
+        embedding_decontaminate(ds, np.empty((0, 3)))
