@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from . import kernels as K
+from . import scrub as _scrub
 from .gen_config import quality_config
 from .healthcheck import VariableMeta, frequency_table
 from .ops import dedup, joins, similarity, textstats, urls
@@ -1532,6 +1533,48 @@ def q_soft_dedup_weights(sf_dir: str):
         )
 
     return soft_dedup_weights(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+def q_ip_scrub(sf_dir: str):
+    """GDPR-style IPv4 truncation (qamd_ray.scrub.scrub_ips): every 5th
+    doc gains a VALID dotted-quad (`10.0.<id%200>.7`), every 8th an
+    INVALID one (`999.1.2.3` — first octet out of range, untouched);
+    valid quads are rewritten to `a.b.c.xxx` in place and counted.
+    Python `re` and DuckDB RE2 run the IDENTICAL octet-validating
+    pattern (no lookaround), so counts AND rewritten text are
+    value-exact."""
+    from .scrub import scrub_ips
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        valid = pa.array(
+            np.where(
+                ids % 5 == 0,
+                np.char.add(
+                    np.char.add(" 10.0.", (ids % 200).astype(np.str_)), ".7"
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        invalid = pa.array(
+            np.where(ids % 8 == 0, " 999.1.2.3", ""), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, valid, invalid, ""),
+            }
+        )
+
+    return scrub_ips(
         ds.map_batches(_view, batch_format="pyarrow"),
         text_col="text",
         id_col="doc_id",
@@ -3389,6 +3432,7 @@ QUERIES = {
     "script_ratios": q_script_ratios,
     "blocklist_filter": q_blocklist_filter,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "ip_scrub": q_ip_scrub,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4718,6 +4762,21 @@ ORACLES = {
         "  FROM v)"
         " SELECT doc_id, url, domain FROM d"
         " WHERE domain IS NULL OR domain NOT IN ('tracker.net', 'bad.io')"
+    ),
+    # the same planted-IP view; the IDENTICAL octet-validating pattern
+    # (qamd_ray.scrub.IP_PATTERN) drives both count and rewrite
+    "ip_scrub": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 5 = 0"
+        "     THEN ' 10.0.' || (doc_id % 200) || '.7' ELSE '' END"
+        "  || CASE WHEN doc_id % 8 = 0 THEN ' 999.1.2.3' ELSE '' END AS t"
+        "  FROM documents)"
+        " SELECT doc_id,"
+        "  CAST(len(regexp_extract_all(t, '" + _scrub.IP_PATTERN + "'))"
+        "    AS BIGINT) AS n_ips,"
+        "  regexp_replace(t, '" + _scrub.IP_PATTERN + "', '\\1xxx', 'g')"
+        "    AS text"
+        " FROM v"
     ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (

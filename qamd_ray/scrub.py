@@ -459,3 +459,68 @@ def scrub_ibans(
         return out.append_column("n_iban_scrubs", pa.array(n_scr))
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+#: Valid-dotted-quad IPv4 (octets 0-255 enforced in the pattern itself)
+#: split into (first three octets)(last octet) so anonymization can keep
+#: the network prefix.  The SAME pattern string runs in Python `re` and
+#: DuckDB RE2 (no lookaround), so the SQL twin is literal.
+IP_PREFIX_SUBPATTERN = (
+    r"((?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3})"
+)
+IP_LAST_SUBPATTERN = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IP_PATTERN = r"\b" + IP_PREFIX_SUBPATTERN + IP_LAST_SUBPATTERN + r"\b"
+_IP_RX = re.compile(IP_PATTERN)
+
+
+def scrub_ips(
+    ds: "object",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    replace_last: str = "xxx",
+) -> "object":
+    """GDPR-style IPv4 truncation: every valid dotted-quad (octet range
+    0-255 is part of the regex — `999.1.2.3` is untouched) is rewritten
+    to `a.b.c.xxx`, keeping the network prefix and dropping the host
+    octet.  Extends the reference's ValueRegexPatterns flag-only check
+    (/root/reference/src/check/post.rs:354-391) into an in-place rewrite,
+    like :func:`scrub_cards` / :func:`scrub_ibans`.
+
+    Stateless ``map_batches``: one vectorized Arrow regex prefilter per
+    batch, Python ``re.sub`` only on candidate rows; rows without a match
+    pass through byte-identical (sha256 invariant).  Emits ``n_ips``.
+    DuckDB twin: ``regexp_replace(t, <same pattern>, '\\1xxx', 'g')`` plus
+    ``len(regexp_extract_all(...))`` — value-exact because both engines
+    match leftmost non-overlapping with identical octet alternations.
+    """
+    repl = r"\1" + replace_last
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        n_ips = np.zeros(n, dtype=np.int64)
+        content = K._as_array(pc.fill_null(batch[text_col], ""))
+        out_col = content
+        if n:
+            has = np.asarray(
+                K._as_array(
+                    pc.match_substring_regex(content, IP_PATTERN)
+                ).fill_null(False)
+            )
+            idx = np.nonzero(has)[0]
+            if len(idx):
+                vals = content.to_pylist()
+                for i in idx:
+                    after, cnt = _IP_RX.subn(repl, vals[i])
+                    if cnt:
+                        vals[i] = after
+                        n_ips[i] = cnt
+                out_col = pa.array(vals, pa.string())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_ips": pa.array(n_ips),
+                text_col: out_col,
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

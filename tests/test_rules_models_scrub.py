@@ -345,6 +345,61 @@ def test_scrub_ibans_rewrites_only_valid():
         )
 
 
+def test_scrub_ips_truncates_only_valid_quads():
+    """scrub_ips rewrites octet-valid dotted quads to a.b.c.xxx and
+    counts them; out-of-range octets, version-ish embedded runs and
+    clean rows pass through byte-identical (sha256 invariant); Python re
+    and DuckDB RE2 agree on the identical pattern."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.scrub import IP_PATTERN, scrub_ips
+
+    rows = [
+        "srv 10.0.0.1:8080 and 192.168.10.42",  # 2 valid
+        "bad 999.1.2.3 and 1.2.3.256",          # none valid
+        "edge 0.0.0.0 255.255.255.255",         # both valid
+        "run 1.2.3.4.5 pads",                   # leading quad matches
+        "no ip here",
+        None,
+        "x10.0.0.1 embedded",                   # \b fails → untouched
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(rows)), "content": rows})
+    out = (
+        scrub_ips(ray.data.from_pandas(df).repartition(3), "content")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "content"] == "srv 10.0.0.xxx:8080 and 192.168.10.xxx"
+    assert out.loc[0, "n_ips"] == 2
+    assert out.loc[2, "content"] == "edge 0.0.0.xxx 255.255.255.xxx"
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[3, "content"] == "run 1.2.3.xxx.5 pads"
+    assert out.loc[3, "n_ips"] == 1
+    for i in (1, 4, 6):
+        assert out.loc[i, "content"] == rows[i]
+        assert out.loc[i, "n_ips"] == 0
+        assert (
+            hashlib.sha256(out.loc[i, "content"].encode()).hexdigest()
+            == hashlib.sha256(rows[i].encode()).hexdigest()
+        )
+    assert out.loc[5, "content"] == ""  # null → '' (fill_null), no match
+    # the SQL twin (identical pattern) reproduces count and rewrite
+    for i, s in enumerate(rows):
+        db_text, db_n = duckdb.sql(
+            "select regexp_replace(?, ?, '\\1xxx', 'g'),"
+            " len(regexp_extract_all(?, ?))",
+            params=[s or "", IP_PATTERN, s or "", IP_PATTERN],
+        ).fetchone()
+        assert db_text == out.loc[i, "content"]
+        assert db_n == out.loc[i, "n_ips"]
+
+
 def test_int_nb_distributed_matches_local_reference():
     """fit_int_nb_distributed == a brute-force single-process fit (integer
     counts make the distributed fit order-independent), and score_batch
