@@ -601,3 +601,65 @@ def grouped_quantile_thresholds(
             out_q.append(float(q))
             out_v.append(_disc_pick(vals, cum, q))
     return pd.DataFrame({group_col: out_g, "q": out_q, "value": out_v})
+
+
+#: One capture group, RE2-compatible, with an inline (?m) so the SAME
+#: string runs per-line in Arrow (each line is its own string) and
+#: multi-line in DuckDB's regexp_extract_all over the whole document.
+#: Matches `import X` / `from X import ...` / `#include <X>` shapes.
+IMPORT_PATTERN = (
+    r'(?m)^[ \t]*(?:import|from|#include)[ \t<"]+'
+    r"(?P<mod>[A-Za-z_][A-Za-z0-9_./]*)"
+)
+
+
+def import_stats(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    lang_col: str = "lang",
+    k: int = 5,
+) -> pd.DataFrame:
+    """Top-``k`` imported modules per language — the dependency census a
+    code-corpus card reports (The Stack §5 reports per-language
+    import/package distributions) and the signal dependency-based
+    filtering (drop files importing test/vendored frameworks) keys on.
+
+    Per batch: split lines (zero-copy list array), one vectorized
+    ``extract_regex`` over the flat lines with :data:`IMPORT_PATTERN`,
+    language repeated per line via list offsets, then an Arrow
+    ``group_by(lang, module).count`` partial — the shuffle ships one row
+    per DISTINCT (lang, module) per batch, never per line.  Final
+    selection via :func:`qamd_ray.ops.topk.grouped_topk` (n desc, module
+    asc — total order, layout-independent).
+
+    100-TB posture: stateless map + keys-only groupby + bounded top-k;
+    content never shuffles.  DuckDB twin: ``unnest(regexp_extract_all(t,
+    IMPORT_PATTERN, 1))`` + GROUP BY + QUALIFY row_number ≤ k.
+    """
+    from .topk import grouped_topk
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        content = pc.fill_null(batch[content_col], "")
+        lines = pc.split_pattern(content, "\n")
+        flat = pc.list_flatten(lines)
+        mods = pc.struct_field(pc.extract_regex(flat, IMPORT_PATTERN), "mod")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        langs = K._as_array(pc.fill_null(batch[lang_col], "")).take(
+            pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), n_lines))
+        )
+        t = pa.table({"lang": langs, "module": mods}).filter(
+            pc.is_valid(mods)
+        )
+        cnt = t.group_by(["lang", "module"]).aggregate([("module", "count")])
+        return cnt.rename_columns(["lang", "module", "n"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "module"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["lang", "module", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return grouped_topk(counts, ["lang"], "n", k, tiebreak=["module"])

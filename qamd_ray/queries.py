@@ -1581,6 +1581,65 @@ def q_ip_scrub(sf_dir: str):
     )
 
 
+def q_top_imports(sf_dir: str):
+    """Per-language top-5 imported modules (ops.codestats.import_stats)
+    over a planted view: every 4th doc gains `import mod_<id%13>`, every
+    6th `from pkg_<id%5> import x`, every 10th an indented
+    `#include <lib_<id%7>.h>`.  One vectorized extract_regex over flat
+    lines + keys-only (lang, module) groupby + bounded top-k; the DuckDB
+    twin unnests regexp_extract_all with the IDENTICAL (?m) pattern."""
+    from .ops.codestats import import_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        imp = pa.array(
+            np.where(
+                ids % 4 == 0,
+                np.char.add("\nimport mod_", (ids % 13).astype(np.str_)),
+                "",
+            ),
+            pa.string(),
+        )
+        frm = pa.array(
+            np.where(
+                ids % 6 == 0,
+                np.char.add(
+                    np.char.add("\nfrom pkg_", (ids % 5).astype(np.str_)),
+                    " import x",
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        inc = pa.array(
+            np.where(
+                ids % 10 == 0,
+                np.char.add(
+                    np.char.add("\n  #include <lib_", (ids % 7).astype(np.str_)),
+                    ".h>",
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "lang": pc.fill_null(batch["lang"], ""),
+                "content": pc.binary_join_element_wise(t, imp, frm, inc, ""),
+            }
+        )
+
+    return import_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        content_col="content",
+        lang_col="lang",
+        k=5,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -1618,6 +1677,14 @@ def q_pagerank(sf_dir: str):
         iters=3,
         n_edges=n_edges,
     )
+
+
+def _codestats_import_pattern() -> str:
+    """The shared import-extraction pattern, embedded literally in the
+    top_imports twin (no single quotes, RE2-safe)."""
+    from .ops.codestats import IMPORT_PATTERN
+
+    return IMPORT_PATTERN
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -3433,6 +3500,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "soft_dedup_weights": q_soft_dedup_weights,
     "ip_scrub": q_ip_scrub,
+    "top_imports": q_top_imports,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4777,6 +4845,26 @@ ORACLES = {
         "  regexp_replace(t, '" + _scrub.IP_PATTERN + "', '\\1xxx', 'g')"
         "    AS text"
         " FROM v"
+    ),
+    # the same planted-import view; modules via the IDENTICAL (?m)
+    # pattern (ops.codestats.IMPORT_PATTERN), per-lang top-5 by QUALIFY
+    "top_imports": (
+        "WITH v AS (SELECT coalesce(lang, '') AS lang, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 4 = 0"
+        "     THEN chr(10) || 'import mod_' || (doc_id % 13) ELSE '' END"
+        "  || CASE WHEN doc_id % 6 = 0"
+        "     THEN chr(10) || 'from pkg_' || (doc_id % 5) || ' import x'"
+        "     ELSE '' END"
+        "  || CASE WHEN doc_id % 10 = 0"
+        "     THEN chr(10) || '  #include <lib_' || (doc_id % 7) || '.h>'"
+        "     ELSE '' END AS t FROM documents),"
+        " m AS (SELECT lang, unnest(regexp_extract_all(t, '"
+        + _codestats_import_pattern()
+        + "', 1)) AS module FROM v),"
+        " c AS (SELECT lang, module, COUNT(*) AS n FROM m GROUP BY 1, 2)"
+        " SELECT lang, module, n FROM c"
+        " QUALIFY row_number() OVER"
+        "  (PARTITION BY lang ORDER BY n DESC, module) <= 5"
     ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (

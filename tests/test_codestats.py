@@ -302,3 +302,53 @@ def test_quantile_disc_float_boundary_and_nulls():
     assert int(out.loc[("a", 0.5), "value"]) == 1
     assert int(out.loc[("a", 1.0), "value"]) == 3
     assert int(out.loc[("b", 0.5), "value"]) == 5
+
+
+def test_import_stats_top_modules_per_lang():
+    """import_stats == a brute-force re.findall count + per-lang top-k
+    across multi-block layouts; indented lines, #include brackets,
+    'important' non-matches, dotted/slashed modules, null lang/content
+    and the (n desc, module asc) tie boundary all covered."""
+    import re
+
+    rows = [
+        ("py", "import os\nfrom sys import path\nimportant note"),
+        ("py", "  import os\nx = 1\nimport re"),
+        ("py", "import os.path\nfrom a.b import c"),
+        ("c", '#include <stdio.h>\n  #include "lib/util.h"\nint x;'),
+        ("c", "#include <stdio.h>\nno include here"),
+        (None, "import zlib"),
+        ("py", None),
+        ("py", "from re import sub\nimport re"),  # ties re with os.path etc.
+    ]
+    df = pd.DataFrame(
+        {"lang": [r[0] for r in rows], "content": [r[1] for r in rows]}
+    )
+    got = codestats.import_stats(
+        ray.data.from_pandas(df).repartition(3),
+        content_col="content",
+        lang_col="lang",
+        k=2,
+    )
+    rx = re.compile(codestats.IMPORT_PATTERN)
+    want: dict = {}
+    for lang, content in rows:
+        for m in rx.findall(content or ""):
+            want[((lang or ""), m)] = want.get(((lang or ""), m), 0) + 1
+    top = {}
+    for (lang, mod), n in sorted(want.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])):
+        top.setdefault(lang, [])
+        if len(top[lang]) < 2:
+            top[lang].append((mod, n))
+    got_top = {
+        lang: sorted(zip(part["module"], part["n"]))
+        for lang, part in got.groupby("lang")
+    }
+    assert got_top == {lang: sorted(v) for lang, v in top.items()}
+    # the DuckDB twin pattern agrees on the whole-document form
+    for lang, content in rows:
+        db = duckdb.sql(
+            "select regexp_extract_all(?, ?, 1)",
+            params=[content or "", codestats.IMPORT_PATTERN],
+        ).fetchone()[0]
+        assert db == rx.findall(content or "")
