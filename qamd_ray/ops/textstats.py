@@ -1486,3 +1486,147 @@ def script_mix(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def rare_term_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_df: int = 1,
+    n_rows: Optional[int] = None,
+    broadcast_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-document term novelty: ``n_distinct`` distinct tokens and
+    ``n_rare`` of them with corpus document-frequency ≤ ``max_df`` — the
+    hapax/neologism signal used to spot OCR garbage, codified ids and
+    machine-generated filler (a doc whose vocabulary is mostly
+    corpus-unique is rarely natural text), and the exact complement of
+    :func:`tfidf_top_term`'s distinctiveness ranking.
+
+    Tokens are the non-empty fields of a single-space split (the
+    ``token_counts`` convention).  Every input doc gets a row (zero
+    counts when token-less).
+
+    Plan (same shape as ``tfidf_top_term``): per-batch exact distinct
+    (doc, term) pairs — a doc is ONE input row so its pairs never split
+    across batches — then a keys-only df aggregate.  The attach is
+    size-routed: under ``broadcast_threshold`` the vocabulary-sized df
+    table broadcasts via ``ray.put`` and counts are computed inside a
+    per-DOCUMENT pass; above it the pair rows hash-join the df table on
+    term, aggregate per doc, and token-less docs are unioned in from a
+    per-batch pass (they never reach the join).  Integer outputs only.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        toks = K._as_array(pc.split_pattern(text, " "))
+        offs = np.asarray(toks.offsets)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+        tb = pa.table(
+            {"doc_id": np.repeat(ids, sizes), "term": toks.flatten()}
+        )
+        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        g = tb.group_by(["doc_id", "term"]).aggregate([])
+        return g.select(["doc_id", "term"])
+
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        out = batch.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table({"term": out["term"], "df": out["doc_id_count"]})
+
+    pair_rows = ds.map_batches(_pairs, batch_format="pyarrow")
+    df_tbl = (
+        pair_rows.map_batches(_df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    small = not K.force_distributed() and (
+        n_rows is None or n_rows <= broadcast_threshold
+    )
+    if small:
+        dfp = df_tbl.to_pandas()
+        dfs = pd.Series(
+            dfp["df"].to_numpy(np.int64), index=dfp["term"].to_numpy(object)
+        )
+        ref = _ray.put(dfs)
+
+        def _stats(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            ids = np.asarray(K._as_array(batch[id_col]), dtype=np.int64)
+            n_distinct = np.zeros(n, dtype=np.int64)
+            n_rare = np.zeros(n, dtype=np.int64)
+            rows = _pairs(batch)
+            if len(rows):
+                d = _ray.get(ref)
+                terms = np.asarray(K._as_array(rows["term"]), dtype=object)
+                dfv = d.to_numpy()[d.index.get_indexer(terms)]
+                owner_ids = np.asarray(
+                    K._as_array(rows["doc_id"]), dtype=np.int64
+                )
+                pos = {int(i): p for p, i in enumerate(ids)}
+                owner = np.fromiter(
+                    (pos[int(i)] for i in owner_ids),
+                    dtype=np.int64,
+                    count=len(owner_ids),
+                )
+                np.add.at(n_distinct, owner, 1)
+                np.add.at(n_rare, owner, (dfv <= max_df).astype(np.int64))
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "n_distinct": pa.array(n_distinct),
+                    "n_rare": pa.array(n_rare),
+                }
+            )
+
+        return ds.map_batches(_stats, batch_format="pyarrow")
+
+    from . import joins
+
+    joined = joins.hash_join(
+        pair_rows,
+        joins._compact(df_tbl, [("term", pa.string()), ("df", pa.int64())]),
+        on="term",
+        num_partitions=joins._shuffle_partitions(),
+    )
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        dfv = np.asarray(K._as_array(batch["df"]), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch["doc_id"],
+                "n_distinct": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "n_rare": pa.array((dfv <= max_df).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_flags, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_rare", alias_name="n_rare"),
+        )
+    )
+
+    def _zero_docs(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        # a doc has zero tokens iff its text is all spaces / empty
+        stripped = pc.utf8_trim(text, " ")
+        mask = pc.equal(stripped, "")
+        ids = batch[id_col].filter(mask)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_distinct": pa.array(z),
+                "n_rare": pa.array(z),
+            }
+        )
+
+    zeros = ds.map_batches(_zero_docs, batch_format="pyarrow")
+    return agg.union(zeros)

@@ -1640,6 +1640,46 @@ def q_top_imports(sf_dir: str):
     )
 
 
+def q_rare_terms(sf_dir: str):
+    """Per-doc term novelty (ops.textstats.rare_term_stats): distinct
+    tokens and those with corpus df ≤ 1 (hapaxes) — every 3rd doc gains
+    a guaranteed-unique ` uniq_<id>` token, every 4th a high-df
+    ` sharedtok`.  Keys-only (doc, term) exchange + size-routed df
+    attach; DuckDB twin is the literal DISTINCT-unnest / df / LEFT JOIN
+    chain."""
+    from .ops.textstats import rare_term_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        uniq = pa.array(
+            np.where(
+                ids % 3 == 0,
+                np.char.add(" uniq_", ids.astype(np.str_)),
+                "",
+            ),
+            pa.string(),
+        )
+        shared = pa.array(
+            np.where(ids % 4 == 0, " sharedtok", ""), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, uniq, shared, ""),
+            }
+        )
+
+    return rare_term_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+        max_df=1,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3501,6 +3541,7 @@ QUERIES = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "ip_scrub": q_ip_scrub,
     "top_imports": q_top_imports,
+    "rare_terms": q_rare_terms,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4865,6 +4906,26 @@ ORACLES = {
         " SELECT lang, module, n FROM c"
         " QUALIFY row_number() OVER"
         "  (PARTITION BY lang ORDER BY n DESC, module) <= 5"
+    ),
+    # the same planted-hapax view; distinct-unnest pairs, df aggregate,
+    # LEFT JOIN keeps token-less docs at zero
+    "rare_terms": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 3 = 0 THEN ' uniq_' || doc_id"
+        "     ELSE '' END"
+        "  || CASE WHEN doc_id % 4 = 0 THEN ' sharedtok' ELSE '' END AS t"
+        "  FROM documents),"
+        " p AS (SELECT DISTINCT doc_id, term FROM"
+        "   (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM v)"
+        "   WHERE term <> ''),"
+        " df AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),"
+        " agg AS (SELECT p.doc_id, COUNT(*) AS n_distinct,"
+        "   SUM(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) AS n_rare"
+        "   FROM p JOIN df USING (term) GROUP BY 1)"
+        " SELECT v.doc_id,"
+        "  CAST(coalesce(agg.n_distinct, 0) AS BIGINT) AS n_distinct,"
+        "  CAST(coalesce(agg.n_rare, 0) AS BIGINT) AS n_rare"
+        " FROM v LEFT JOIN agg USING (doc_id)"
     ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (

@@ -4280,3 +4280,63 @@ def test_embedding_decontaminate_planted_and_guards():
         embedding_decontaminate(ds, np.zeros((1, 3)))
     with pytest.raises(ValueError, match="empty eval"):
         embedding_decontaminate(ds, np.empty((0, 3)))
+
+
+def test_rare_term_stats_both_paths_match_brute_force():
+    """rare_term_stats == a brute-force df count on both the broadcast
+    and the hash-join (forced-distributed) paths; token-less docs get
+    zero rows, repeated tokens count once, max_df threshold honored."""
+    texts = [
+        "alpha beta alpha gamma",   # alpha dup within doc
+        "beta delta",
+        "",                          # token-less
+        "   ",                       # token-less (spaces only)
+        "epsilon epsilon",
+        "alpha zeta",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    def brute(max_df):
+        import collections
+
+        toks = {
+            i: set(t for t in (s or "").split(" ") if t)
+            for i, s in enumerate(texts)
+        }
+        dfc = collections.Counter(t for s in toks.values() for t in s)
+        return {
+            i: (len(s), sum(1 for t in s if dfc[t] <= max_df))
+            for i, s in toks.items()
+        }
+
+    for max_df in (1, 2):
+        want = brute(max_df)
+        for forced in (False, True):
+            if forced:
+                import os
+
+                os.environ["QAMD_FORCE_DISTRIBUTED"] = "1"
+            try:
+                got = (
+                    textstats.rare_term_stats(
+                        ray.data.from_pandas(df).repartition(3),
+                        text_col="text",
+                        id_col="doc_id",
+                        max_df=max_df,
+                    )
+                    .to_pandas()
+                    .sort_values("doc_id")
+                    .reset_index(drop=True)
+                )
+            finally:
+                if forced:
+                    os.environ.pop("QAMD_FORCE_DISTRIBUTED", None)
+            assert len(got) == len(texts), (max_df, forced)
+            for i in range(len(texts)):
+                row = got[got["doc_id"] == i].iloc[0]
+                assert (row["n_distinct"], row["n_rare"]) == want[i], (
+                    i,
+                    max_df,
+                    forced,
+                )
