@@ -1680,6 +1680,43 @@ def q_rare_terms(sf_dir: str):
     )
 
 
+def q_oov_rate(sf_dir: str):
+    """Per-doc OOV counts vs the corpus's own top-100 tokens
+    (ops.textstats.oov_stats): every 5th doc gains a guaranteed-OOV
+    ` zzoov_<id>` token.  One keys-only token-count aggregate selects
+    the vocab (ties (n desc, token asc) — deterministic in both
+    engines), broadcast once, then a stateless membership pass.  DuckDB
+    twin: QUALIFY top-k vocab CTE + NOT IN count."""
+    from .ops.textstats import oov_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        oov = pa.array(
+            np.where(
+                ids % 5 == 0,
+                np.char.add(" zzoov_", ids.astype(np.str_)),
+                "",
+            ),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, oov, ""),
+            }
+        )
+
+    return oov_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+        vocab_size=100,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3542,6 +3579,7 @@ QUERIES = {
     "ip_scrub": q_ip_scrub,
     "top_imports": q_top_imports,
     "rare_terms": q_rare_terms,
+    "oov_rate": q_oov_rate,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4925,6 +4963,26 @@ ORACLES = {
         " SELECT v.doc_id,"
         "  CAST(coalesce(agg.n_distinct, 0) AS BIGINT) AS n_distinct,"
         "  CAST(coalesce(agg.n_rare, 0) AS BIGINT) AS n_rare"
+        " FROM v LEFT JOIN agg USING (doc_id)"
+    ),
+    # the same planted-OOV view; top-100 vocab by QUALIFY, NOT IN count
+    "oov_rate": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' zzoov_' || doc_id"
+        "     ELSE '' END AS t FROM documents),"
+        " tk AS (SELECT doc_id, token FROM"
+        "   (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM v)"
+        "   WHERE token <> ''),"
+        " cnt AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY 1),"
+        " vocab AS (SELECT token FROM cnt"
+        "   QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100),"
+        " agg AS (SELECT doc_id, COUNT(*) AS n_tokens,"
+        "   SUM(CASE WHEN token NOT IN (SELECT token FROM vocab)"
+        "       THEN 1 ELSE 0 END) AS n_oov"
+        "   FROM tk GROUP BY 1)"
+        " SELECT v.doc_id,"
+        "  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,"
+        "  CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov"
         " FROM v LEFT JOIN agg USING (doc_id)"
     ),
     # the same planted-duplicate view; group size by window COUNT

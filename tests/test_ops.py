@@ -4340,3 +4340,47 @@ def test_rare_term_stats_both_paths_match_brute_force():
                     max_df,
                     forced,
                 )
+
+
+def test_oov_stats_vs_brute_force_vocab():
+    """oov_stats == brute force against the (count desc, token asc)
+    top-k vocabulary; empty/whitespace docs emit zero rows, repeats
+    count per occurrence, boundary ties resolved identically."""
+    import collections
+
+    texts = [
+        "a a a b b c",
+        "b c d",
+        "",
+        "   ",
+        "d e zz_rare",
+        None,
+        "a zz_rare",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    for k in (1, 3, 100):
+        cnt = collections.Counter(
+            t for s in texts for t in (s or "").split(" ") if t
+        )
+        vocab = set(
+            t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        )
+        got = (
+            textstats.oov_stats(
+                ray.data.from_pandas(df).repartition(3),
+                text_col="text",
+                id_col="doc_id",
+                vocab_size=k,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, s in enumerate(texts):
+            toks = [t for t in (s or "").split(" ") if t]
+            row = got[got["doc_id"] == i].iloc[0]
+            assert row["n_tokens"] == len(toks), (i, k)
+            assert row["n_oov"] == sum(1 for t in toks if t not in vocab), (
+                i,
+                k,
+            )
