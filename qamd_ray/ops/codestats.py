@@ -663,3 +663,142 @@ def import_stats(
         )
     )
     return grouped_topk(counts, ["lang"], "n", k, tiebreak=["module"])
+
+
+#: dir = everything before the LAST slash ('' when the path has none);
+#: ext = the trailing alnum/underscore run after the last dot in the
+#: final segment ('' when none).  RE2-compatible, shared with the twin.
+PATH_DIR_PATTERN = r"^(?P<d>.*)/[^/]*$"
+PATH_EXT_PATTERN = r"\.(?P<e>[A-Za-z0-9_]+)$"
+
+
+def repo_tree_stats(
+    ds: "ray.data.Dataset",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> "ray.data.Dataset":
+    """Per-repo file-layout census: ``n_files``, ``max_depth`` (count of
+    '/'), ``n_dirs`` (distinct directory prefixes) and ``n_exts``
+    (distinct file extensions) — the repository-shape profile used to
+    spot vendored trees, data dumps and generated sprawl before
+    content-level filtering (the repo-granular twin of the reference's
+    per-file BadFileName check, /root/reference/src/check/post.rs:44-67).
+
+    Plan — every exchange is keys-only, content/paths collapse per batch:
+
+    1. per-batch Arrow ``group_by(repo)`` partials (file count, max
+       depth) widened with zero dir/ext columns;
+    2. per-batch DISTINCT ``(repo, kind, value)`` rows (kind ∈ d/e) →
+       exact distinct groupby → per-triple counting rows, widened the
+       complementary way;
+    3. the two partial streams UNION into ONE ``groupby(repo)``
+       (sum/max/sum/sum) — join-free assembly, because chained
+       ``Dataset.join`` emits empty-schema blocks the join operator
+       chokes on (the ``funnel`` lesson).
+
+    DuckDB twin: the same dir/ext expressions + COUNT(DISTINCT).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def _wide(
+        repos: pa.Array,
+        n_files: np.ndarray,
+        depth: np.ndarray,
+        n_dirs: np.ndarray,
+        n_exts: np.ndarray,
+    ) -> pa.Table:
+        return pa.table(
+            {
+                "repo": repos,
+                "n_files": pa.array(n_files),
+                "max_depth": pa.array(depth),
+                "n_dirs": pa.array(n_dirs),
+                "n_exts": pa.array(n_exts),
+            }
+        )
+
+    def _base(batch: pa.Table) -> pa.Table:
+        paths = pc.fill_null(batch[path_col], "")
+        depth = pc.cast(pc.count_substring(paths, "/"), pa.int64())
+        t = pa.table(
+            {
+                "repo": pc.fill_null(batch[repo_col], ""),
+                "n_files": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "depth": depth,
+            }
+        )
+        g = t.group_by("repo").aggregate(
+            [("n_files", "sum"), ("depth", "max")]
+        )
+        z = np.zeros(len(g), dtype=np.int64)
+        return _wide(
+            g["repo"],
+            np.asarray(g["n_files_sum"], dtype=np.int64),
+            np.asarray(g["depth_max"], dtype=np.int64),
+            z,
+            z,
+        )
+
+    base = ds.map_batches(_base, batch_format="pyarrow")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        paths = pc.fill_null(batch[path_col], "")
+        repos = pc.fill_null(batch[repo_col], "")
+        d = pc.fill_null(
+            pc.struct_field(pc.extract_regex(paths, PATH_DIR_PATTERN), "d"),
+            "",
+        )
+        e = pc.fill_null(
+            pc.struct_field(pc.extract_regex(paths, PATH_EXT_PATTERN), "e"),
+            "",
+        )
+        t = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "repo": repos,
+                        "kind": pa.array(["d"] * len(batch), pa.string()),
+                        "value": d,
+                    }
+                ),
+                pa.table(
+                    {
+                        "repo": repos,
+                        "kind": pa.array(["e"] * len(batch), pa.string()),
+                        "value": e,
+                    }
+                ),
+            ]
+        )
+        return t.group_by(["repo", "kind", "value"]).aggregate([]).select(
+            ["repo", "kind", "value"]
+        )
+
+    def _pivot(batch: pa.Table) -> pa.Table:
+        # rows are globally-distinct (repo, kind, value) triples
+        is_d = np.asarray(
+            K._as_array(pc.equal(batch["kind"], "d")), dtype=bool
+        )
+        z = np.zeros(len(batch), dtype=np.int64)
+        return _wide(
+            batch["repo"], z, z, is_d.astype(np.int64),
+            (~is_d).astype(np.int64),
+        )
+
+    distinct = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["repo", "kind", "value"])
+        .count()
+    )
+    counts = distinct.map_batches(_pivot, batch_format="pyarrow")
+    out = (
+        base.union(counts)
+        .groupby("repo")
+        .aggregate(
+            Sum("n_files", alias_name="n_files"),
+            Max("max_depth", alias_name="max_depth"),
+            Sum("n_dirs", alias_name="n_dirs"),
+            Sum("n_exts", alias_name="n_exts"),
+        )
+    )
+    return out

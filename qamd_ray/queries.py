@@ -1717,6 +1717,44 @@ def q_oov_rate(sf_dir: str):
     )
 
 
+def q_repo_tree(sf_dir: str):
+    """Per-repo file-tree census (ops.codestats.repo_tree_stats) over a
+    planted path view — module dirs by id%3, a nested `a/` level every
+    4th file, extensions cycling py/txt/md/rs/none.  Keys-only partial
+    aggregates + one distinct-triple exchange + a hash join on repo;
+    DuckDB twin uses the same dir/ext expressions with
+    COUNT(DISTINCT)."""
+    from .ops.codestats import repo_tree_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    exts = np.asarray([".py", ".txt", ".md", ".rs", ""], dtype=np.str_)
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        nest = np.where(ids % 4 == 0, "a/", "")
+        path = np.char.add(
+            np.char.add(
+                np.char.add(
+                    np.char.add("m", (ids % 3).astype(np.str_)), "/"
+                ),
+                np.char.add(nest, "f_"),
+            ),
+            np.char.add(ids.astype(np.str_), exts[ids % 5]),
+        )
+        return pa.table(
+            {
+                "repo": pc.fill_null(batch["source"], ""),
+                "path": pa.array(list(path), pa.string()),
+            }
+        )
+
+    return repo_tree_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        repo_col="repo",
+        path_col="path",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3580,6 +3618,7 @@ QUERIES = {
     "top_imports": q_top_imports,
     "rare_terms": q_rare_terms,
     "oov_rate": q_oov_rate,
+    "repo_tree": q_repo_tree,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -4984,6 +5023,26 @@ ORACLES = {
         "  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,"
         "  CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov"
         " FROM v LEFT JOIN agg USING (doc_id)"
+    ),
+    # the same planted-path view; dir/ext via the shared expressions,
+    # COUNT(DISTINCT) over them ('' root-dir / no-ext classes count once)
+    "repo_tree": (
+        "WITH v AS (SELECT coalesce(source, '') AS repo,"
+        "  'm' || (doc_id % 3) || '/'"
+        "  || CASE WHEN doc_id % 4 = 0 THEN 'a/' ELSE '' END"
+        "  || 'f_' || doc_id"
+        "  || CASE doc_id % 5 WHEN 0 THEN '.py' WHEN 1 THEN '.txt'"
+        "     WHEN 2 THEN '.md' WHEN 3 THEN '.rs' ELSE '' END AS path"
+        "  FROM documents)"
+        " SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files,"
+        "  CAST(MAX(length(path) - length(replace(path, '/', '')))"
+        "    AS BIGINT) AS max_depth,"
+        "  CAST(COUNT(DISTINCT CASE WHEN path LIKE '%/%'"
+        "    THEN regexp_replace(path, '/[^/]*$', '') ELSE '' END)"
+        "    AS BIGINT) AS n_dirs,"
+        "  CAST(COUNT(DISTINCT regexp_extract(path,"
+        "    '\\.([A-Za-z0-9_]+)$', 1)) AS BIGINT) AS n_exts"
+        " FROM v GROUP BY 1"
     ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (

@@ -352,3 +352,51 @@ def test_import_stats_top_modules_per_lang():
             params=[content or "", codestats.IMPORT_PATTERN],
         ).fetchone()[0]
         assert db == rx.findall(content or "")
+
+
+def test_repo_tree_stats_census():
+    """repo_tree_stats over a hand-built tree: distinct dirs (root ''
+    counts once), distinct exts ('' no-ext class counts once), max
+    depth, null repo/path normalization."""
+    rows = [
+        ("r1", "README"),               # dir '', ext ''
+        ("r1", "src/a.py"),             # dir 'src', ext 'py'
+        ("r1", "src/b.py"),
+        ("r1", "src/sub/c.rs"),         # dir 'src/sub', ext 'rs'
+        ("r1", "docs/d.md"),
+        ("r2", "x.py"),
+        ("r2", "x.tar.gz"),             # ext = 'gz' (last dot)
+        (None, None),                    # '' repo, '' path
+    ]
+    df = pd.DataFrame(
+        {"repo": [r[0] for r in rows], "path": [r[1] for r in rows]}
+    )
+    got = (
+        codestats.repo_tree_stats(
+            ray.data.from_pandas(df).repartition(3), "repo", "path"
+        )
+        .to_pandas()
+        .set_index("repo")
+        .sort_index()
+    )
+    # r1: dirs {'', src, src/sub, docs}=4, exts {'', py, rs, md}=4, depth 2
+    assert tuple(got.loc["r1"]) == (5, 2, 4, 4)
+    # r2: dirs {''}, exts {py, gz}
+    assert tuple(got.loc["r2"]) == (2, 0, 1, 2)
+    # null row: '' repo, '' path → dir '', ext '', depth 0
+    assert tuple(got.loc[""]) == (1, 0, 1, 1)
+    # DuckDB twin expressions agree on dir/ext classes
+    for _, p in rows:
+        p = p or ""
+        want_dir = p.rsplit("/", 1)[0] if "/" in p else ""
+        db_dir, db_ext = duckdb.sql(
+            "select CASE WHEN ? LIKE '%/%'"
+            " THEN regexp_replace(?, '/[^/]*$', '') ELSE '' END,"
+            " regexp_extract(?, '\\.([A-Za-z0-9_]+)$', 1)",
+            params=[p, p, p],
+        ).fetchone()
+        assert db_dir == want_dir
+        import re as _re
+
+        m = _re.search(r"\.([A-Za-z0-9_]+)$", p)
+        assert db_ext == (m.group(1) if m else "")
