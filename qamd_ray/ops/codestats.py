@@ -802,3 +802,81 @@ def repo_tree_stats(
         )
     )
     return out
+
+
+def brace_nesting(
+    ds: "ray.data.Dataset",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-file brace structure: ``n_open``/``n_close`` counts,
+    ``max_nesting`` (the peak of the running {+1, -1} depth, floored at
+    0) and ``balanced`` (never dips negative AND ends at 0) — the
+    cheap structural-complexity / truncation signal code filters use
+    (a deeply nested or unbalanced file is generated data or a chopped
+    fragment; SantaCoder §4 ablates on similar structure heuristics).
+
+    Stateless vectorized ``map_batches``: one RE2 pass strips non-brace
+    chars, then ONE global cumsum over the batch's concatenated brace
+    bytes with per-doc segment offsets (``np.maximum/minimum.reduceat``)
+    — no per-row Python, no shuffle.  DuckDB twin: zipped
+    ``unnest``/``generate_subscripts`` + a running-SUM window.
+    """
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        content = pc.fill_null(batch[content_col], "")
+        braces = K._as_array(
+            pc.replace_substring_regex(content, "[^{}]", "")
+        )
+        if isinstance(braces, pa.ChunkedArray):
+            braces = braces.combine_chunks()
+        n_open = np.asarray(
+            K._as_array(pc.cast(pc.count_substring(braces, "{"), pa.int64()))
+        )
+        n_close = np.asarray(
+            K._as_array(pc.cast(pc.count_substring(braces, "}"), pa.int64()))
+        )
+        bufs = braces.buffers()
+        odt = (
+            np.int64
+            if pa.types.is_large_string(braces.type)
+            else np.int32
+        )
+        offs = np.frombuffer(
+            bufs[1], dtype=odt, count=n + 1 + braces.offset
+        )[braces.offset :].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        flat = data[offs[0] : offs[-1]]
+        starts = offs[:-1] - offs[0]
+        ends = offs[1:] - offs[0]
+        max_nest = np.zeros(n, dtype=np.int64)
+        min_run = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            delta = np.where(flat == ord("{"), 1, -1).astype(np.int64)
+            cum = np.cumsum(delta)
+            base = np.concatenate(([0], cum))
+            nonempty = ends > starts
+            if nonempty.any():
+                s = starts[nonempty]
+                mx = np.maximum.reduceat(cum, s) - base[s]
+                mn = np.minimum.reduceat(cum, s) - base[s]
+                max_nest[nonempty] = np.maximum(mx, 0)
+                min_run[nonempty] = np.minimum(mn, 0)
+        total = n_open - n_close
+        balanced = (min_run >= 0) & (total == 0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_open": pa.array(n_open),
+                "n_close": pa.array(n_close),
+                "max_nesting": pa.array(max_nest),
+                "balanced": pa.array(balanced),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

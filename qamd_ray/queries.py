@@ -1755,6 +1755,38 @@ def q_repo_tree(sf_dir: str):
     )
 
 
+def q_brace_check(sf_dir: str):
+    """Per-file brace structure (ops.codestats.brace_nesting): every 3rd
+    doc gains a balanced 2-deep block, every 7th an unbalanced `} {`
+    tail, every 11th a 3-deep `{{{}}}` run (composites stack).  One
+    global segmented cumsum per batch; the DuckDB twin is a zipped
+    unnest + running-SUM window over the same planted view."""
+    from .ops.codestats import brace_nesting
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        b1 = pa.array(
+            np.where(ids % 3 == 0, " { x { y } z }", ""), pa.string()
+        )
+        b2 = pa.array(np.where(ids % 7 == 0, " } {", ""), pa.string())
+        b3 = pa.array(np.where(ids % 11 == 0, " {{{}}}", ""), pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, b1, b2, b3, ""),
+            }
+        )
+
+    return brace_nesting(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        content_col="text",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3619,6 +3651,7 @@ QUERIES = {
     "rare_terms": q_rare_terms,
     "oov_rate": q_oov_rate,
     "repo_tree": q_repo_tree,
+    "brace_check": q_brace_check,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5043,6 +5076,33 @@ ORACLES = {
         "  CAST(COUNT(DISTINCT regexp_extract(path,"
         "    '\\.([A-Za-z0-9_]+)$', 1)) AS BIGINT) AS n_exts"
         " FROM v GROUP BY 1"
+    ),
+    # the same planted-brace view; zipped unnest/generate_subscripts +
+    # a running-SUM window reproduces the segmented cumsum exactly
+    "brace_check": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 3 = 0 THEN ' { x { y } z }' ELSE '' END"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' } {' ELSE '' END"
+        "  || CASE WHEN doc_id % 11 = 0 THEN ' {{{}}}' ELSE '' END AS t"
+        "  FROM documents),"
+        " u AS (SELECT doc_id, unnest(regexp_extract_all(t, '[{}]')) AS ch,"
+        "   generate_subscripts(regexp_extract_all(t, '[{}]'), 1) AS i"
+        "   FROM v),"
+        " r AS (SELECT doc_id, ch, SUM(CASE WHEN ch = '{' THEN 1 ELSE -1"
+        "   END) OVER (PARTITION BY doc_id ORDER BY i) AS depth FROM u),"
+        " agg AS (SELECT doc_id,"
+        "   CAST(SUM(CASE WHEN ch = '{' THEN 1 ELSE 0 END) AS BIGINT)"
+        "     AS n_open,"
+        "   CAST(SUM(CASE WHEN ch = '}' THEN 1 ELSE 0 END) AS BIGINT)"
+        "     AS n_close,"
+        "   CAST(GREATEST(MAX(depth), 0) AS BIGINT) AS max_nesting,"
+        "   (MIN(depth) >= 0 AND SUM(CASE WHEN ch = '{' THEN 1 ELSE -1"
+        "    END) = 0) AS balanced FROM r GROUP BY 1)"
+        " SELECT v.doc_id, coalesce(n_open, 0) AS n_open,"
+        "  coalesce(n_close, 0) AS n_close,"
+        "  coalesce(max_nesting, 0) AS max_nesting,"
+        "  coalesce(balanced, TRUE) AS balanced"
+        " FROM v LEFT JOIN agg USING (doc_id)"
     ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (

@@ -400,3 +400,42 @@ def test_repo_tree_stats_census():
 
         m = _re.search(r"\.([A-Za-z0-9_]+)$", p)
         assert db_ext == (m.group(1) if m else "")
+
+
+def test_brace_nesting_vs_scalar_scan():
+    """brace_nesting == a scalar stack scan across multi-block layouts;
+    empties, unbalanced dips, deep nesting and brace-free docs."""
+    texts = [
+        "a { b { } } }{",     # max 2, dips negative at tail
+        "no braces",
+        "{{{}}}",             # max 3 balanced
+        "}}}",                # all closers
+        "",
+        None,
+        "{",                  # dangling open
+        "x{y}z{w}",           # two flat blocks
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "content": texts})
+    got = (
+        codestats.brace_nesting(
+            ray.data.from_pandas(df).repartition(3), "content", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        depth = mx = mn = n_open = n_close = 0
+        for ch in s or "":
+            if ch == "{":
+                depth += 1
+                n_open += 1
+            elif ch == "}":
+                depth -= 1
+                n_close += 1
+            mx = max(mx, depth)
+            mn = min(mn, depth)
+        row = got.iloc[i]
+        assert row["n_open"] == n_open and row["n_close"] == n_close, i
+        assert row["max_nesting"] == mx, i
+        assert bool(row["balanced"]) == (mn >= 0 and depth == 0), i
