@@ -1787,6 +1787,55 @@ def q_brace_check(sf_dir: str):
     )
 
 
+def q_comment_email_scrub(sf_dir: str):
+    """Comment-scoped email scrubbing (ops.codestats.
+    scrub_comment_emails, the StarCoder PII convention): every 4th doc
+    gains a comment line with an email (scrubbed), every 6th a plain
+    line with one (kept verbatim).  Arrow and DuckDB run the identical
+    RE2 comment/email patterns, so counts AND rewritten text are
+    value-exact."""
+    from .ops.codestats import scrub_comment_emails
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        idstr = ids.astype(np.str_)
+        com = pa.array(
+            np.where(
+                ids % 4 == 0,
+                np.char.add(
+                    np.char.add("\n# contact user", idstr), "@example.com now"
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        plain = pa.array(
+            np.where(
+                ids % 6 == 0,
+                np.char.add(
+                    np.char.add("\nplain user", idstr), "@example.com here"
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, com, plain, ""),
+            }
+        )
+
+    return scrub_comment_emails(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        content_col="text",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -1832,6 +1881,34 @@ def _codestats_import_pattern() -> str:
     from .ops.codestats import IMPORT_PATTERN
 
     return IMPORT_PATTERN
+
+
+def _comment_email_scrub_oracle() -> str:
+    """The comment-scoped email-scrub twin, composed from the SAME
+    comment-line and email RE2 patterns the Ray op runs."""
+    from .ops.codestats import COMMENT_LINE_REGEX
+    from .scrub import DEFAULT_PATTERNS
+
+    email = next(p.pattern for p in DEFAULT_PATTERNS if p.name == "email")
+    return (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '# contact user'"
+        "     || doc_id || '@example.com now' ELSE '' END"
+        "  || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'plain user'"
+        "     || doc_id || '@example.com here' ELSE '' END AS t"
+        "  FROM documents),"
+        " l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM v)"
+        " SELECT doc_id,"
+        "  CAST(list_sum(list_transform(ls, x -> CASE WHEN"
+        f"   regexp_matches(x, '{COMMENT_LINE_REGEX}')"
+        f"   THEN len(regexp_extract_all(x, '{email}')) ELSE 0 END))"
+        "   AS BIGINT) AS n_email_scrubs,"
+        "  array_to_string(list_transform(ls, x -> CASE WHEN"
+        f"   regexp_matches(x, '{COMMENT_LINE_REGEX}')"
+        f"   THEN regexp_replace(x, '{email}', '<EMAIL>', 'g')"
+        "   ELSE x END), chr(10)) AS text"
+        " FROM l"
+    )
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -3652,6 +3729,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "repo_tree": q_repo_tree,
     "brace_check": q_brace_check,
+    "comment_email_scrub": q_comment_email_scrub,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5104,6 +5182,9 @@ ORACLES = {
         "  coalesce(balanced, TRUE) AS balanced"
         " FROM v LEFT JOIN agg USING (doc_id)"
     ),
+    # the same planted view; comment/email RE2 patterns shared with the
+    # Ray op, scrub applied per line via list_transform
+    "comment_email_scrub": _comment_email_scrub_oracle(),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (
         "WITH v AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0"

@@ -439,3 +439,42 @@ def test_brace_nesting_vs_scalar_scan():
         assert row["n_open"] == n_open and row["n_close"] == n_close, i
         assert row["max_nesting"] == mx, i
         assert bool(row["balanced"]) == (mn >= 0 and depth == 0), i
+
+
+def test_scrub_comment_emails_line_scoped():
+    """scrub_comment_emails rewrites emails on comment lines only;
+    non-comment emails, comment lines without emails, and email-free
+    docs pass through byte-identical (sha256 invariant)."""
+    import hashlib
+
+    texts = [
+        "# author a@b.com\ncode(\"c@d.org\")",     # comment scrubbed, literal kept
+        "x = 1\ny = 2",                            # untouched
+        "// two e@f.io g@h.co\nplain e@f.io",      # 2 scrubs on one line
+        "",
+        None,
+        "  * doc k@l.me\n-- sql m@n.us",           # '*' and '--' leaders
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "content": texts})
+    got = (
+        codestats.scrub_comment_emails(
+            ray.data.from_pandas(df).repartition(3), "content", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "content"] == '# author <EMAIL>\ncode("c@d.org")'
+    assert got.loc[0, "n_email_scrubs"] == 1
+    assert got.loc[2, "content"] == "// two <EMAIL> <EMAIL>\nplain e@f.io"
+    assert got.loc[2, "n_email_scrubs"] == 2
+    assert got.loc[5, "content"] == "  * doc <EMAIL>\n-- sql <EMAIL>"
+    assert got.loc[5, "n_email_scrubs"] == 2
+    for i in (1, 3):
+        assert got.loc[i, "content"] == texts[i]
+        assert got.loc[i, "n_email_scrubs"] == 0
+        assert (
+            hashlib.sha256(got.loc[i, "content"].encode()).hexdigest()
+            == hashlib.sha256(texts[i].encode()).hexdigest()
+        )
+    assert got.loc[4, "content"] == ""  # null → ''
