@@ -578,3 +578,69 @@ def interval_union(
         .groupby(_PART)
         .map_groups(_union, batch_format="pyarrow")
     )
+
+
+def decayed_counts(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    bucket_us: int = 3_600_000_000,
+    horizon: int = 8,
+    now_us: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Integer-exact exponentially-decayed activity score per key — the
+    "trending" aggregate (events lose half their weight per time bucket):
+    ``score = Σ 2^(horizon − age_buckets)`` over events with
+    ``age_buckets ≤ horizon`` relative to ``now`` (default: the corpus
+    max timestamp, one cheap global-max aggregate).  Doubling weights
+    instead of halving keeps every weight an INTEGER, so the sum is
+    associative, order-independent and hash-exact against a SQL twin —
+    the usual float ``exp(-λΔt)`` form is neither.
+
+    Emits ``(key, score, n_events)`` for keys with ≥1 in-horizon event.
+    Stateless per-batch weighting + one keys-only groupby sum; events
+    never shuffle.  DuckDB twin: the same bucket arithmetic under
+    ``epoch_us`` + GROUP BY.
+    """
+    from ray.data.aggregate import Sum
+
+    if now_us is None:
+        mx = ds.max(ts_col)
+        # ray returns a numpy/pandas timestamp; normalize to µs since epoch
+        now_us = int(pd.Timestamp(mx).value // 1_000)
+
+    def _weights(batch: pa.Table) -> pa.Table:
+        # normalize any timestamp unit (ns from pandas, us from parquet)
+        # to µs before the integer bucket arithmetic
+        ts = np.asarray(
+            K._as_array(
+                pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+            ),
+            dtype=np.int64,
+        )
+        age = (now_us - ts) // bucket_us
+        ok = (age >= 0) & (age <= horizon)
+        keys = batch[key_col].filter(pa.array(ok))
+        w = np.int64(1) << (horizon - age[ok])
+        t = pa.table(
+            {
+                "key": keys,
+                "score": pa.array(w),
+                "n_events": pa.array(np.ones(int(ok.sum()), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("key").aggregate(
+            [("score", "sum"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["key", "score", "n_events"])
+
+    out = (
+        ds.map_batches(_weights, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("score", alias_name="score"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+    return out

@@ -1836,6 +1836,24 @@ def q_comment_email_scrub(sf_dir: str):
     )
 
 
+def q_trending_users(sf_dir: str):
+    """Integer-exact decayed activity (ops.temporal.decayed_counts):
+    per-user score Σ 2^(8 − age_hours) over the 8 hours up to the corpus
+    max timestamp — events halve in weight per hour of age, realized as
+    doubling integer weights so the sum is order-independent and
+    hash-exact.  DuckDB twin: the same epoch_us bucket arithmetic with a
+    bit shift."""
+    from .ops.temporal import decayed_counts
+
+    return decayed_counts(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id",
+        ts_col="ts",
+        bucket_us=3_600_000_000,
+        horizon=8,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3730,6 +3748,7 @@ QUERIES = {
     "repo_tree": q_repo_tree,
     "brace_check": q_brace_check,
     "comment_email_scrub": q_comment_email_scrub,
+    "trending_users": q_trending_users,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5185,6 +5204,18 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # identical bucket arithmetic relative to the corpus max ts; weights
+    # are 1 << (8 - age) so SUM is integer-exact
+    "trending_users": (
+        "WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),"
+        " w AS (SELECT user_id,"
+        "  ((SELECT m FROM mx) - epoch_us(ts)) // 3600000000 AS age"
+        "  FROM events)"
+        " SELECT user_id AS key,"
+        "  CAST(SUM(1::BIGINT << CAST(8 - age AS INT)) AS BIGINT) AS score,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_events"
+        " FROM w WHERE age BETWEEN 0 AND 8 GROUP BY 1"
+    ),
     # the same planted-duplicate view; group size by window COUNT
     "soft_dedup_weights": (
         "WITH v AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0"

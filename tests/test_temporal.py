@@ -284,3 +284,49 @@ def test_interval_union_overlap_merge():
     assert int(out.loc[1, "n_intervals"]) == 3
     assert int(out.loc[2, "covered_us"]) == 20
     assert int(out.loc[2, "n_intervals"]) == 2
+
+
+def test_decayed_counts_integer_weights():
+    """decayed_counts == a scalar recompute: halving per bucket realized
+    as 1 << (horizon - age); events outside [0, horizon] buckets are
+    excluded; explicit now_us overrides the corpus max."""
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.ops.temporal import decayed_counts
+
+    base = pd.Timestamp("2024-01-01 12:00:00").value // 1_000  # µs
+    hours = [0, 0, 1, 3, 8, 9, -1]  # age in hours relative to now
+    users = [1, 1, 1, 2, 2, 3, 3]
+    ts = pd.to_datetime(
+        [(base - h * 3_600_000_000) * 1_000 for h in hours]
+    )
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+    got = (
+        decayed_counts(
+            ray.data.from_pandas(df).repartition(3),
+            key_col="user_id",
+            ts_col="ts",
+            bucket_us=3_600_000_000,
+            horizon=8,
+            now_us=base,
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    # user 1: ages 0,0,1 → 256+256+128; user 2: ages 3,8 → 32+1
+    assert tuple(got.loc[1]) == (640, 3)
+    assert tuple(got.loc[2]) == (33, 2)
+    # user 3: age 9 (too old) and -1 (future) both excluded → no row
+    assert 3 not in got.index
+    # default now = corpus max ts (the future event becomes now)
+    got2 = decayed_counts(
+        ray.data.from_pandas(df).repartition(2),
+        key_col="user_id",
+        ts_col="ts",
+        bucket_us=3_600_000_000,
+        horizon=8,
+    ).to_pandas()
+    assert got2["score"].sum() > 0
