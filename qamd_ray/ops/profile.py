@@ -319,3 +319,119 @@ def mad_outliers(
         ).drop_columns(["_sg"])
 
     return dev.map_batches(_flag, batch_format="pyarrow")
+
+
+def grouped_cdf(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_hist_rows: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Exact per-row within-group rank: ``n_le`` = rows in the group with
+    value ≤ this row's value (ties included) and ``n_group`` = group
+    size — the integer form of the per-group CDF/percentile attach that
+    score normalization uses (CCNet buckets per-language; FineWeb
+    percentile-filters per domain).  ``n_le / n_group`` is the exact
+    percent rank, left to the caller so every emitted column stays an
+    integer.
+
+    Plan: one keys-only ``(group, value, count)`` histogram exchange —
+    bounded by DISTINCT values per group, the ``quantile_thresholds``
+    assumption — collected and broadcast via ``ray.put`` (size-capped by
+    ``max_hist_rows``, loud error above), then one stateless searchsorted
+    pass per batch.  Rows never shuffle.  Nulls in the group column form
+    their own group (SQL semantics); null values raise (rank of NULL is
+    undefined — filter first).
+
+    DuckDB twin: ``COUNT(*) OVER (PARTITION BY g ORDER BY v)`` (RANGE
+    frame counts peers) + a plain partition COUNT.
+    """
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        if batch[value_col].null_count:
+            raise ValueError(
+                "grouped_cdf: null values in value column — filter first"
+            )
+        t = pa.table(
+            {
+                "g": pc.fill_null(
+                    pc.cast(batch[group_col], pa.string()), _CDF_NULL
+                ),
+                "v": pc.cast(batch[value_col], pa.int64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["g", "v"]).aggregate([("n", "sum")])
+        return out.rename_columns(["g", "v", "n"])
+
+    hist_ds = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["g", "v", "n"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_hist = hist_ds.count()
+    if n_hist > max_hist_rows:
+        raise ValueError(
+            f"grouped_cdf: histogram has {n_hist} distinct (group, value) "
+            f"rows > max_hist_rows={max_hist_rows}; bucket the value "
+            "column (quantile_buckets) or raise the cap"
+        )
+    hist = hist_ds.to_pandas().sort_values(["g", "v"], kind="stable")
+    lookup: dict = {}
+    for g, part in hist.groupby("g", sort=False):
+        vals = part["v"].to_numpy(np.int64)
+        cum = part["n"].to_numpy(np.int64).cumsum()
+        lookup[g] = (vals, cum)
+    import ray as _ray
+
+    ref = _ray.put(lookup)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        g = np.asarray(
+            K._as_array(
+                pc.fill_null(pc.cast(batch[group_col], pa.string()), _CDF_NULL)
+            ),
+            dtype=object,
+        )
+        v = np.asarray(
+            K._as_array(pc.cast(batch[value_col], pa.int64())), dtype=np.int64
+        )
+        n_le = np.zeros(len(batch), dtype=np.int64)
+        n_group = np.zeros(len(batch), dtype=np.int64)
+        # one searchsorted per group present in the batch
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        bounds = np.nonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1], [True]))
+        )[0]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            idx = order[a:b]
+            vals, cum = lk[gs[a]]
+            pos = np.searchsorted(vals, v[idx], side="right")
+            n_le[idx] = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+            n_group[idx] = cum[-1]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                value_col: pc.cast(batch[value_col], pa.int64()),
+                "n_le": pa.array(n_le),
+                "n_group": pa.array(n_group),
+            }
+        )
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+#: null-group sentinel — the SAME value kernels.group_sentinel uses at
+#: every group-key boundary, applied here via vectorized fill_null
+#: (group_sentinel itself is a per-row normalizer for dict lookups)
+_CDF_NULL = "\x00<null>"

@@ -1854,6 +1854,37 @@ def q_trending_users(sf_dir: str):
     )
 
 
+def q_length_cdf(sf_dir: str):
+    """Exact per-row within-language CDF attach (ops.profile.
+    grouped_cdf): each doc's char length gets its group rank ``n_le``
+    (ties included) and group size — the integer percentile-rank
+    normalization step.  One bounded histogram exchange + a stateless
+    searchsorted pass; the DuckDB twin is the peers-counting RANGE
+    window."""
+    from .ops.profile import grouped_cdf
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_cdf(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        group_col="lang",
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3749,6 +3780,7 @@ QUERIES = {
     "brace_check": q_brace_check,
     "comment_email_scrub": q_comment_email_scrub,
     "trending_users": q_trending_users,
+    "length_cdf": q_length_cdf,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5204,6 +5236,18 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the same length view; COUNT(*) OVER (PARTITION ... ORDER BY v)
+    # counts peers (RANGE frame) == the searchsorted(side='right') rank
+    "length_cdf": (
+        "WITH v AS (SELECT doc_id, lang,"
+        "  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars"
+        "  FROM documents)"
+        " SELECT doc_id, lang, n_chars,"
+        "  CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars)"
+        "    AS BIGINT) AS n_le,"
+        "  CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group"
+        " FROM v"
+    ),
     # identical bucket arithmetic relative to the corpus max ts; weights
     # are 1 << (8 - age) so SUM is integer-exact
     "trending_users": (

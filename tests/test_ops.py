@@ -4384,3 +4384,44 @@ def test_oov_stats_vs_brute_force_vocab():
                 i,
                 k,
             )
+
+
+def test_grouped_cdf_rank_with_ties_and_null_groups():
+    """grouped_cdf == a pandas rank recompute: ties counted (≤), null
+    group keys form their own group, null values raise, histogram cap
+    raises loudly."""
+    from qamd_ray.ops.profile import grouped_cdf
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8),
+            "g": ["a", "a", "a", "b", "b", None, None, "a"],
+            "v": [5, 3, 5, 1, 2, 7, 7, 1],
+        }
+    )
+    got = (
+        grouped_cdf(
+            ray.data.from_pandas(df).repartition(3), "g", "v", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i in range(len(df)):
+        grp = df[df["g"].isna()] if pd.isna(df.loc[i, "g"]) else df[
+            df["g"] == df.loc[i, "g"]
+        ]
+        n_le = int((grp["v"] <= df.loc[i, "v"]).sum())
+        assert got.loc[i, "n_le"] == n_le, i
+        assert got.loc[i, "n_group"] == len(grp), i
+    bad = pd.DataFrame(
+        {"doc_id": [0], "g": ["a"], "v": pd.array([None], dtype="Int64")}
+    )
+    with pytest.raises(Exception, match="null values"):
+        grouped_cdf(
+            ray.data.from_pandas(bad), "g", "v", "doc_id"
+        ).materialize()
+    with pytest.raises(ValueError, match="max_hist_rows"):
+        grouped_cdf(
+            ray.data.from_pandas(df), "g", "v", "doc_id", max_hist_rows=2
+        ).materialize()
