@@ -644,3 +644,105 @@ def decayed_counts(
         )
     )
     return out
+
+
+def interval_join(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    *,
+    key_col: str = "key",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    band_us: int = 3_600_000_000,
+    max_spans: int = 1_000,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """All overlapping interval PAIRS across two interval tables sharing
+    a key — the interval-overlap join (downtime × sessions, promotions ×
+    orders) completing the temporal-join family (as-of, banded range,
+    rolling, union-coverage).  Intervals are half-open ``[start, end)``
+    in µs; output is ``(key, id_a, id_b, overlap_us)`` with
+    ``overlap_us = min(ends) − max(starts) > 0``.
+
+    Plan — the banded equi-join that keeps skewed keys bounded: each
+    interval emits one span row per ``band_us`` bucket it crosses
+    (> ``max_spans`` bands per interval raises — widen the band instead
+    of flooding the exchange), the two span tables hash-join on
+    ``(key, band)``, and a candidate pair is kept only in the band
+    containing ``max(starts)`` (the standard emit-once rule, so overlap
+    pairs never duplicate) with the exact overlap filter applied
+    vectorized after the join.  Zero/negative-length intervals join
+    nothing.  DuckDB twin: the literal overlap-predicate join.
+    """
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _spans(idc: str, sfx: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            if batch[key_col].null_count:
+                raise ValueError("interval_join: null keys — filter first")
+            s = np.asarray(
+                K._as_array(pc.cast(batch[start_col], pa.int64())),
+                dtype=np.int64,
+            )
+            e = np.asarray(
+                K._as_array(pc.cast(batch[end_col], pa.int64())),
+                dtype=np.int64,
+            )
+            ok = e > s
+            s, e = s[ok], e[ok]
+            keys = batch[key_col].filter(pa.array(ok))
+            ids = batch[idc].filter(pa.array(ok))
+            b0 = s // band_us
+            b1 = (e - 1) // band_us
+            nb = b1 - b0 + 1
+            if len(nb) and nb.max() > max_spans:
+                raise ValueError(
+                    f"interval_join: an interval crosses {int(nb.max())} "
+                    f"bands > max_spans={max_spans}; raise band_us"
+                )
+            rep = np.repeat(np.arange(len(s), dtype=np.int64), nb)
+            band = b0[rep] + (
+                np.arange(len(rep), dtype=np.int64)
+                - np.repeat(np.cumsum(np.concatenate(([0], nb[:-1]))), nb)
+            )
+            take = pa.array(rep)
+            return pa.table(
+                {
+                    "key": keys.take(take),
+                    "band": pa.array(band),
+                    f"id{sfx}": ids.take(take),
+                    f"s{sfx}": pa.array(s[rep]),
+                    f"e{sfx}": pa.array(e[rep]),
+                }
+            )
+
+        return _f
+
+    sa = a.map_batches(_spans(id_a, "_a"), batch_format="pyarrow")
+    sb = b.map_batches(_spans(id_b, "_b"), batch_format="pyarrow")
+    joined = hash_join(
+        sa, sb, on=["key", "band"], num_partitions=num_partitions
+    )
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        s_a = np.asarray(K._as_array(batch["s_a"]), dtype=np.int64)
+        e_a = np.asarray(K._as_array(batch["e_a"]), dtype=np.int64)
+        s_b = np.asarray(K._as_array(batch["s_b"]), dtype=np.int64)
+        e_b = np.asarray(K._as_array(batch["e_b"]), dtype=np.int64)
+        band = np.asarray(K._as_array(batch["band"]), dtype=np.int64)
+        lo = np.maximum(s_a, s_b)
+        overlap = np.minimum(e_a, e_b) - lo
+        keep = (overlap > 0) & (lo // band_us == band)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "key": t["key"],
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "overlap_us": pa.array(overlap[keep]),
+            }
+        )
+
+    return joined.map_batches(_emit, batch_format="pyarrow")

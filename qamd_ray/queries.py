@@ -1885,6 +1885,48 @@ def q_length_cdf(sf_dir: str):
     )
 
 
+def _event_intervals(sf_dir: str, mod: int, dur_us: int, id_name: str):
+    """Per-user interval table from every ``mod``-th event:
+    [ts, ts + dur_us) in epoch µs — built identically in SQL."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["event_id"], pa.int64())))
+        keep = ids % mod == 0
+        t = batch.filter(pa.array(keep))
+        s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                id_name: pc.cast(t["event_id"], pa.int64()),
+                "start_us": s,
+                "end_us": pc.add(s, dur_us),
+            }
+        )
+
+    return ds.map_batches(_view, batch_format="pyarrow")
+
+
+def q_incident_overlaps(sf_dir: str):
+    """Interval-overlap pair join (ops.temporal.interval_join): 30-min
+    windows after every 20th event × 10-min windows after every 13th
+    event, per user — banded (key, band) equi-join, emit-once band rule,
+    exact overlap filter.  DuckDB twin: the literal overlap-predicate
+    join."""
+    from .ops.temporal import interval_join
+
+    return interval_join(
+        _event_intervals(sf_dir, 20, 1_800_000_000, "id_a"),
+        _event_intervals(sf_dir, 13, 600_000_000, "id_b"),
+        key_col="key",
+        id_a="id_a",
+        id_b="id_b",
+        start_col="start_us",
+        end_col="end_us",
+        band_us=3_600_000_000,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3781,6 +3823,7 @@ QUERIES = {
     "comment_email_scrub": q_comment_email_scrub,
     "trending_users": q_trending_users,
     "length_cdf": q_length_cdf,
+    "incident_overlaps": q_incident_overlaps,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5236,6 +5279,21 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the same two interval views; the twin is the literal
+    # overlap-predicate join (half-open intervals)
+    "incident_overlaps": (
+        "WITH a AS (SELECT user_id AS key, event_id AS id_a,"
+        "   epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e"
+        "   FROM events WHERE event_id % 20 = 0),"
+        " b AS (SELECT user_id AS key, event_id AS id_b,"
+        "   epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e"
+        "   FROM events WHERE event_id % 13 = 0)"
+        " SELECT a.key, id_a, id_b,"
+        "  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)"
+        "    AS overlap_us"
+        " FROM a JOIN b ON a.key = b.key"
+        "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
     # the same length view; COUNT(*) OVER (PARTITION ... ORDER BY v)
     # counts peers (RANGE frame) == the searchsorted(side='right') rank
     "length_cdf": (

@@ -330,3 +330,65 @@ def test_decayed_counts_integer_weights():
         horizon=8,
     ).to_pandas()
     assert got2["score"].sum() > 0
+
+
+def test_interval_join_pairs_vs_brute_force():
+    """interval_join == the O(n²) overlap recompute across band sizes
+    (including bands much smaller than intervals — the multi-span,
+    emit-once path); zero-length intervals join nothing; null keys
+    raise; span flood raises."""
+    import itertools
+
+    import pandas as pd
+    import pytest
+
+    import ray
+
+    from qamd_ray.ops.temporal import interval_join
+
+    rng = np.random.RandomState(5)
+    def mk(n, dur_lo, dur_hi, id_name):
+        s = rng.randint(0, 1000, n).astype(np.int64)
+        d = rng.randint(dur_lo, dur_hi, n).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "key": rng.randint(0, 4, n).astype(np.int64),
+                id_name: np.arange(n, dtype=np.int64),
+                "start_us": s,
+                "end_us": s + d,
+            }
+        )
+
+    a = mk(40, 0, 120, "id_a")     # includes zero-length intervals
+    b = mk(50, 1, 80, "id_b")
+    want = set()
+    for (_, ra), (_, rb) in itertools.product(a.iterrows(), b.iterrows()):
+        if ra["key"] != rb["key"]:
+            continue
+        ov = min(ra["end_us"], rb["end_us"]) - max(ra["start_us"], rb["start_us"])
+        if ov > 0 and ra["end_us"] > ra["start_us"] and rb["end_us"] > rb["start_us"]:
+            want.add((ra["key"], ra["id_a"], rb["id_b"], ov))
+    for band in (37, 100, 5000):
+        got = interval_join(
+            ray.data.from_pandas(a).repartition(3),
+            ray.data.from_pandas(b).repartition(2),
+            band_us=band,
+        ).to_pandas()
+        got_set = set(
+            zip(got["key"], got["id_a"], got["id_b"], got["overlap_us"])
+        )
+        assert got_set == want, band
+        assert len(got) == len(got_set)  # emit-once: no duplicate pairs
+    with pytest.raises(Exception, match="max_spans"):
+        interval_join(
+            ray.data.from_pandas(a),
+            ray.data.from_pandas(b),
+            band_us=1,
+            max_spans=3,
+        ).materialize()
+    bad = a.copy()
+    bad.loc[0, "key"] = None
+    with pytest.raises(Exception, match="null keys"):
+        interval_join(
+            ray.data.from_pandas(bad), ray.data.from_pandas(b)
+        ).materialize()
