@@ -1712,3 +1712,120 @@ def oov_stats(
         )
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+#: RE2 classes shared with the DuckDB twin: a token is a "mixed-script
+#: word" when it contains BOTH a Latin and a Cyrillic letter — the
+#: homoglyph-spoofing shape (`pаypal` with a Cyrillic а) that doc-level
+#: script_mix cannot see because it counts scripts per document.
+MIXED_LATIN_CLASS = r"[A-Za-z]"
+MIXED_CYRILLIC_CLASS = r"[\x{0400}-\x{04FF}]"
+
+
+def mixed_script_words(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-doc count of whitespace tokens mixing Latin and Cyrillic
+    letters inside ONE word — the homoglyph/confusable spam signal
+    (IDN-spoofing lexicon; a real multilingual doc mixes scripts across
+    words, spam mixes them inside a word).  Emits ``n_tokens`` and
+    ``n_mixed``.
+
+    Stateless vectorized pass: one space-split, two ``match_substring
+    _regex`` kernels over the flat tokens, segmented bincount — no
+    shuffle.  DuckDB twin: ``list_filter`` with the identical RE2
+    classes."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        toks = K._as_array(pc.split_pattern(text, " "))
+        offs = np.asarray(toks.offsets)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = toks.flatten()
+        nonempty = np.asarray(
+            K._as_array(pc.not_equal(flat, "")), dtype=bool
+        )
+        lat = np.asarray(
+            K._as_array(pc.match_substring_regex(flat, MIXED_LATIN_CLASS)),
+            dtype=bool,
+        )
+        cyr = np.asarray(
+            K._as_array(
+                pc.match_substring_regex(flat, MIXED_CYRILLIC_CLASS)
+            ),
+            dtype=bool,
+        )
+        mixed = lat & cyr & nonempty
+        n = len(batch)
+        owner = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        n_tok = np.bincount(owner[nonempty], minlength=n).astype(np.int64)
+        n_mix = np.bincount(owner[mixed], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "n_mixed": pa.array(n_mix),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def char_runs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_run: int = 5,
+) -> "ray.data.Dataset":
+    """Per-doc repeated-character runs: ``max_run`` (longest run of one
+    codepoint) and ``n_long_runs`` (runs ≥ ``min_run``) — the
+    `aaaaaa`/`-----` filler-spam signal (RedPajama-v2 ships the same
+    family as `rps_doc_frac_chars_top_*`-style repetition annotations;
+    the reference's odd-character scan has no run-length notion).
+
+    One flat numpy pass per batch (the ``script_mix`` layout): all texts
+    decoded once to UTF-32, run break-points = codepoint change OR doc
+    boundary, run lengths by differencing break indices,
+    ``maximum.reduceat`` back to per-doc maxima.  Stateless, no shuffle,
+    integer outputs.  DuckDB twin: gaps-and-islands over
+    ``regexp_extract_all(t, '(?s).')`` with two windows.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        texts = pc.fill_null(K._as_array(batch[text_col]), "")
+        nchars = np.asarray(K._as_array(pc.utf8_length(texts)), dtype=np.int64)
+        joined = "".join(texts.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        starts = np.concatenate(([0], np.cumsum(nchars)))[:-1]
+        max_run = np.zeros(n, dtype=np.int64)
+        n_long = np.zeros(n, dtype=np.int64)
+        if len(cp):
+            change = np.ones(len(cp), dtype=bool)
+            change[1:] = cp[1:] != cp[:-1]
+            change[starts[starts < len(cp)]] = True
+            idx = np.nonzero(change)[0]
+            runlens = np.diff(np.concatenate((idx, [len(cp)])))
+            owner = np.searchsorted(starts, idx, side="right") - 1
+            # runs are contiguous per doc: reduceat at each doc's first run
+            first_run = np.searchsorted(idx, starts, side="left")
+            nonempty = nchars > 0
+            fr = np.minimum(first_run[nonempty], len(runlens) - 1)
+            max_run[nonempty] = np.maximum.reduceat(runlens, fr)
+            long_mask = runlens >= min_run
+            if long_mask.any():
+                n_long += np.bincount(
+                    owner[long_mask], minlength=n
+                ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "max_run": pa.array(max_run),
+                "n_long_runs": pa.array(n_long),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -1927,6 +1927,72 @@ def q_incident_overlaps(sf_dir: str):
     )
 
 
+def q_homoglyph_words(sf_dir: str):
+    """Mixed-script word detection (ops.textstats.mixed_script_words):
+    every 6th doc gains ` pаypal` (Cyrillic а — MIXED), every 9th
+    ` привет` (pure Cyrillic — clean), every 15th ` miхed` (Cyrillic х —
+    MIXED).  Two RE2 class kernels over flat tokens + segmented
+    bincounts; the DuckDB twin list_filters with the identical
+    classes."""
+    from .ops.textstats import mixed_script_words
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        parts = [t]
+        for mod, snip in ((6, " pаypal"), (9, " привет"), (15, " miхed")):
+            parts.append(
+                pa.array(np.where(ids % mod == 0, snip, ""), pa.string())
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(*parts, ""),
+            }
+        )
+
+    return mixed_script_words(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+def q_char_run_stats(sf_dir: str):
+    """Repeated-character run detection (ops.textstats.char_runs):
+    every 4th doc gains ` aaaaaa`, every 10th ` zzzzzzzzzzzz`, every 9th
+    a run-free ` abab`.  One flat UTF-32 pass with run breaks at
+    codepoint changes / doc boundaries; the DuckDB twin is
+    gaps-and-islands over per-codepoint unnest."""
+    from .ops.textstats import char_runs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        parts = [t]
+        for mod, snip in ((4, " aaaaaa"), (10, " zzzzzzzzzzzz"), (9, " abab")):
+            parts.append(
+                pa.array(np.where(ids % mod == 0, snip, ""), pa.string())
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(*parts, ""),
+            }
+        )
+
+    return char_runs(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+        min_run=5,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3824,6 +3890,8 @@ QUERIES = {
     "trending_users": q_trending_users,
     "length_cdf": q_length_cdf,
     "incident_overlaps": q_incident_overlaps,
+    "homoglyph_words": q_homoglyph_words,
+    "char_run_stats": q_char_run_stats,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5279,6 +5347,48 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the same planted-run view; gaps-and-islands over per-codepoint
+    # unnest ((?s). matches newlines too) with two windows
+    "char_run_stats": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 4 = 0 THEN ' aaaaaa' ELSE '' END"
+        "  || CASE WHEN doc_id % 10 = 0 THEN ' zzzzzzzzzzzz' ELSE '' END"
+        "  || CASE WHEN doc_id % 9 = 0 THEN ' abab' ELSE '' END AS t"
+        "  FROM documents),"
+        " u AS (SELECT doc_id, unnest(regexp_extract_all(t, '(?s).'))"
+        "   AS ch, generate_subscripts(regexp_extract_all(t, '(?s).'), 1)"
+        "   AS i FROM v),"
+        " m AS (SELECT doc_id, i, ch, CASE WHEN lag(ch) OVER"
+        "   (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM ch"
+        "   THEN 1 ELSE 0 END AS brk FROM u),"
+        " g AS (SELECT doc_id, i, SUM(brk) OVER"
+        "   (PARTITION BY doc_id ORDER BY i) AS run_id FROM m),"
+        " runs AS (SELECT doc_id, run_id, COUNT(*) AS rl FROM g"
+        "   GROUP BY 1, 2),"
+        " agg AS (SELECT doc_id, MAX(rl) AS max_run,"
+        "   SUM(CASE WHEN rl >= 5 THEN 1 ELSE 0 END) AS n_long"
+        "   FROM runs GROUP BY 1)"
+        " SELECT v.doc_id, CAST(coalesce(max_run, 0) AS BIGINT)"
+        "   AS max_run, CAST(coalesce(n_long, 0) AS BIGINT)"
+        "   AS n_long_runs"
+        " FROM v LEFT JOIN agg USING (doc_id)"
+    ),
+    # the same planted-homoglyph view; identical RE2 classes, tokens
+    # filtered per doc with list_filter
+    "homoglyph_words": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 6 = 0 THEN ' pаypal' ELSE '' END"
+        "  || CASE WHEN doc_id % 9 = 0 THEN ' привет' ELSE '' END"
+        "  || CASE WHEN doc_id % 15 = 0 THEN ' miхed' ELSE '' END AS t"
+        "  FROM documents),"
+        " tk AS (SELECT doc_id,"
+        "   list_filter(string_split(t, ' '), x -> x <> '') AS ts FROM v)"
+        " SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,"
+        "  CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')"
+        "   AND regexp_matches(x, '[\\x{0400}-\\x{04FF}]'))) AS BIGINT)"
+        "   AS n_mixed"
+        " FROM tk"
+    ),
     # the same two interval views; the twin is the literal
     # overlap-predicate join (half-open intervals)
     "incident_overlaps": (

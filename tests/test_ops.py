@@ -4425,3 +4425,58 @@ def test_grouped_cdf_rank_with_ties_and_null_groups():
         grouped_cdf(
             ray.data.from_pandas(df), "g", "v", "doc_id", max_hist_rows=2
         ).materialize()
+
+
+def test_mixed_script_words_homoglyph_detection():
+    """mixed_script_words flags tokens mixing Latin and Cyrillic inside
+    one word; pure-script tokens and cross-word mixes are clean."""
+    texts = [
+        "pаypal is fake",          # Cyrillic а inside a Latin word
+        "привет world",                  # mixed ACROSS words, not within
+        "clean latin only",
+        "",
+        None,
+        "miхed xа plain",     # two mixed tokens
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        textstats.mixed_script_words(
+            ray.data.from_pandas(df).repartition(3), "text", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_mixed"]) == [1, 0, 0, 0, 0, 2]
+    assert list(got["n_tokens"]) == [3, 2, 3, 0, 0, 3]
+
+
+def test_char_runs_vs_groupby_scan():
+    """char_runs == itertools.groupby per doc; runs never leak across
+    doc boundaries, multi-byte codepoints count as single chars."""
+    import itertools
+
+    texts = [
+        "aaab",
+        "",
+        None,
+        "zzzzzz yy",
+        "üüüüüü",                        # multi-byte run of 6
+        "a" * 7 + "b" + "c" * 5,         # two qualifying runs
+        "aa",                             # doc ends where next starts with a
+        "aaaa",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        textstats.char_runs(
+            ray.data.from_pandas(df).repartition(1), "text", "doc_id",
+            min_run=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        runs = [len(list(g)) for _, g in itertools.groupby(s or "")]
+        assert got.loc[i, "max_run"] == (max(runs) if runs else 0), i
+        assert got.loc[i, "n_long_runs"] == sum(1 for r in runs if r >= 5), i
