@@ -16,6 +16,8 @@ lookups.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional, Sequence, Union
 
 import numpy as np
@@ -309,3 +311,82 @@ def hash_anti_join(
         return out.drop_columns(drop) if drop else out
 
     return j.map_batches(_orphans, batch_format="pyarrow")
+
+
+def bucketed_join(
+    path_a: str,
+    path_b: str,
+    *,
+    columns_a: "Optional[Sequence[str]]" = None,
+    columns_b: "Optional[Sequence[str]]" = None,
+    how: str = "inner",
+    suffix: str = "_b",
+) -> "ray.data.Dataset":
+    """Shuffle-FREE join of two :func:`qamd_ray.sources.write_bucketed`
+    tables bucketed on the SAME key with the SAME bucket count: bucket
+    ``i`` of A can only match bucket ``i`` of B (identical md5 keying,
+    pinned in each side's ``_bucket_meta.json`` and verified here), so
+    the join is one task per bucket pair reading exactly two partition
+    directories — the Hive/Iceberg bucketed-join pattern that amortizes
+    ONE write-side shuffle across every subsequent join on that key.
+    At 100 TB this is the difference between an all-to-all exchange per
+    join and none.
+
+    Key columns may be named differently per side; the join key is each
+    side's pinned ``key_col``.  Non-key name collisions get ``suffix``.
+    Empty buckets on either side contribute nothing (inner) or the
+    A side verbatim (left).
+    """
+    import pyarrow.parquet as _pq
+
+    from ..sources import read_bucket_meta
+
+    ma, mb = read_bucket_meta(path_a), read_bucket_meta(path_b)
+    if ma["n_buckets"] != mb["n_buckets"] or ma["hash"] != mb["hash"]:
+        raise ValueError(
+            f"bucketed_join: incompatible bucketing {ma} vs {mb} — "
+            "rewrite one side with matching n_buckets"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucketed_join: unsupported how={how!r}")
+    ka, kb = ma["key_col"], mb["key_col"]
+    n_buckets = int(ma["n_buckets"])
+
+    def _one_bucket(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for i in batch["bucket"].to_pylist():
+            da = os.path.join(path_a, f"bucket={i}")
+            db = os.path.join(path_b, f"bucket={i}")
+            if not os.path.isdir(da):
+                continue
+            ta = _pq.read_table(da, columns=list(columns_a) if columns_a else None)
+            adf = ta.to_pandas()
+            if os.path.isdir(db):
+                tb = _pq.read_table(
+                    db, columns=list(columns_b) if columns_b else None
+                )
+                bdf = tb.to_pandas()
+            else:
+                bdf = pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in ([kb] if columns_b is None else columns_b)}
+                )
+            merged = adf.merge(
+                bdf,
+                left_on=ka,
+                right_on=kb,
+                how=how,
+                suffixes=("", suffix),
+            )
+            if kb != ka and kb in merged.columns:
+                merged = merged.drop(columns=[kb])
+            out.append(merged)
+        if not out:
+            return pd.DataFrame()
+        return pd.concat(out, ignore_index=True)
+
+    import ray.data as _rd
+
+    return _rd.from_items(
+        [{"bucket": i} for i in range(n_buckets)],
+        override_num_blocks=n_buckets,
+    ).map_batches(_one_bucket, batch_size=1, batch_format="pyarrow")

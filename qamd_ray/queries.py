@@ -1993,6 +1993,55 @@ def q_char_run_stats(sf_dir: str):
     )
 
 
+def q_bucketed_join_orders(sf_dir: str):
+    """Shuffle-free bucketed join (sources.write_bucketed + ops.joins.
+    bucketed_join): customer and orders are bucketed on custkey with the
+    same md5 keying (ONE write-side shuffle), then joined bucket-by-
+    bucket — one task per bucket pair, no exchange.  The DuckDB twin is
+    the plain key join, proving bucket routing loses/duplicates
+    nothing."""
+    import hashlib as _hl
+
+    from .ops.joins import bucketed_join
+    from .sources import write_bucketed
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/qamd_bucketed_{tag}"
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _cview(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _oview(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            }
+        )
+
+    write_bucketed(
+        cust.map_batches(_cview, batch_format="pyarrow"),
+        f"{base}/customer",
+        "custkey",
+        16,
+    )
+    write_bucketed(
+        orders.map_batches(_oview, batch_format="pyarrow"),
+        f"{base}/orders",
+        "o_custkey",
+        16,
+    )
+    return bucketed_join(f"{base}/customer", f"{base}/orders", how="inner")
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3892,6 +3941,7 @@ QUERIES = {
     "incident_overlaps": q_incident_overlaps,
     "homoglyph_words": q_homoglyph_words,
     "char_run_stats": q_char_run_stats,
+    "bucketed_join_orders": q_bucketed_join_orders,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5347,6 +5397,11 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the plain key join — bucket routing must lose/duplicate nothing
+    "bucketed_join_orders": (
+        "SELECT c_custkey AS custkey, c_nationkey, o_orderkey"
+        " FROM customer JOIN orders ON o_custkey = c_custkey"
+    ),
     # the same planted-run view; gaps-and-islands over per-codepoint
     # unnest ((?s). matches newlines too) with two windows
     "char_run_stats": (

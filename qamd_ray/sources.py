@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -486,3 +487,65 @@ def attach_attributes(
         docs, attrs, on=tuple(key_cols), how=how,
         num_partitions=_shuffle_partitions(num_partitions),
     )
+
+
+def write_bucketed(
+    ds: "ray.data.Dataset",
+    path: str,
+    key_col: str,
+    n_buckets: int,
+) -> dict[str, int]:
+    """Bucketed storage: rows land in ``bucket = md5(key)[:8] % n``
+    hive partitions with the layout pinned in ``_bucket_meta.json`` —
+    the Hive/Iceberg bucketing pattern that lets every LATER stage
+    (joins, incremental merges, dedup probes) co-locate on the same key
+    WITHOUT re-shuffling: two tables bucketed the same way join
+    bucket-by-bucket, each pair in one task (:func:`qamd_ray.ops.joins.
+    bucketed_join`).  The md5 keying matches ``shuffle_shards`` /
+    the incremental-index bucketing (deterministic across engines and
+    runs).  Atomic whole-directory publish; returns the per-bucket row
+    manifest."""
+    import json
+    import shutil
+
+    from . import kernels as K
+
+    if n_buckets <= 0:
+        raise ValueError("write_bucketed: n_buckets must be positive")
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.string())
+        h = K.digest64(K._as_array(keys)) % n_buckets
+        return batch.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    stage = f"{path}.bstage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    manifest = write_partitioned(
+        ds.map_batches(_with_bucket, batch_format="pyarrow"),
+        stage,
+        ["bucket"],
+    )
+    with open(os.path.join(stage, "_bucket_meta.json"), "w") as fh:
+        json.dump(
+            {"key_col": key_col, "n_buckets": n_buckets, "hash": "md5_64"},
+            fh,
+            sort_keys=True,
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(stage, path)
+    return manifest
+
+
+def read_bucket_meta(path: str) -> dict:
+    """The pinned bucketing parameters of a :func:`write_bucketed` dir
+    (loud error when the directory isn't bucketed storage)."""
+    import json
+
+    meta_path = os.path.join(path, "_bucket_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{path} has no _bucket_meta.json — not bucketed storage "
+            "(write with sources.write_bucketed)"
+        )
+    with open(meta_path) as fh:
+        return json.load(fh)

@@ -4480,3 +4480,65 @@ def test_char_runs_vs_groupby_scan():
         runs = [len(list(g)) for _, g in itertools.groupby(s or "")]
         assert got.loc[i, "max_run"] == (max(runs) if runs else 0), i
         assert got.loc[i, "n_long_runs"] == sum(1 for r in runs if r >= 5), i
+
+
+def test_bucketed_join_matches_pandas_merge(tmp_path):
+    """write_bucketed + bucketed_join == a plain pandas merge (inner and
+    left); differing key names, empty buckets, meta mismatch guard."""
+    from qamd_ray.ops.joins import bucketed_join
+    from qamd_ray.sources import read_bucket_meta, write_bucketed
+
+    rng = np.random.RandomState(9)
+    a = pd.DataFrame(
+        {
+            "k": rng.randint(0, 30, 80).astype(np.int64),
+            "va": np.arange(80, dtype=np.int64),
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "kb": rng.randint(10, 40, 60).astype(np.int64),
+            "vb": np.arange(60, dtype=np.int64),
+        }
+    )
+    pa_dir = str(tmp_path / "a")
+    pb_dir = str(tmp_path / "b")
+    write_bucketed(ray.data.from_pandas(a).repartition(3), pa_dir, "k", 8)
+    write_bucketed(ray.data.from_pandas(b).repartition(2), pb_dir, "kb", 8)
+    assert read_bucket_meta(pa_dir)["n_buckets"] == 8
+
+    for how in ("inner", "left"):
+        got = (
+            bucketed_join(pa_dir, pb_dir, how=how)
+            .to_pandas()
+            .sort_values(["k", "va", "vb"], na_position="last")
+            .reset_index(drop=True)
+        )
+        want = (
+            a.merge(b, left_on="k", right_on="kb", how=how)
+            .drop(columns=["kb"])
+            .sort_values(["k", "va", "vb"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        np.testing.assert_array_equal(
+            got["k"].to_numpy(), want["k"].to_numpy(), err_msg=how
+        )
+        np.testing.assert_array_equal(
+            got["va"].to_numpy(), want["va"].to_numpy(), err_msg=how
+        )
+        np.testing.assert_array_equal(
+            pd.isna(got["vb"]).to_numpy(), pd.isna(want["vb"]).to_numpy()
+        )
+        mask = ~pd.isna(want["vb"])
+        np.testing.assert_array_equal(
+            got.loc[mask, "vb"].to_numpy(np.int64),
+            want.loc[mask, "vb"].to_numpy(np.int64),
+        )
+
+    pc_dir = str(tmp_path / "c")
+    write_bucketed(ray.data.from_pandas(b), pc_dir, "kb", 4)  # wrong count
+    with pytest.raises(ValueError, match="incompatible bucketing"):
+        bucketed_join(pa_dir, pc_dir)
+    with pytest.raises(FileNotFoundError, match="_bucket_meta"):
+        read_bucket_meta(str(tmp_path / "nope"))
