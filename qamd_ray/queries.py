@@ -2042,6 +2042,28 @@ def q_bucketed_join_orders(sf_dir: str):
     return bucketed_join(f"{base}/customer", f"{base}/orders", how="inner")
 
 
+def q_pruned_orders(sf_dir: str):
+    """Zone-map data skipping (sources.write_sorted + read_pruned):
+    orders sorted on o_orderkey into per-file [min, max] zones, then a
+    range read opens ONLY overlapping files (skip count asserted > 0)
+    with the exact predicate applied in-batch.  The DuckDB twin is the
+    plain WHERE — pruning must lose/add nothing."""
+    import hashlib as _hl
+
+    from .sources import read_pruned, write_sorted
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/qamd_zones_{tag}/orders"
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).repartition(12)
+    write_sorted(ds, path, "o_orderkey")
+    out, stats = read_pruned(path, 2_000, 5_000)
+    if stats["files_skipped"] == 0 and stats["files_total"] > 1:
+        raise AssertionError(
+            f"zone pruning skipped nothing: {stats}"
+        )
+    return out
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3942,6 +3964,7 @@ QUERIES = {
     "homoglyph_words": q_homoglyph_words,
     "char_run_stats": q_char_run_stats,
     "bucketed_join_orders": q_bucketed_join_orders,
+    "pruned_orders": q_pruned_orders,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5397,6 +5420,11 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the plain range predicate — zone pruning must lose/add nothing
+    "pruned_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders"
+        " WHERE o_orderkey BETWEEN 2000 AND 5000"
+    ),
     # the plain key join — bucket routing must lose/duplicate nothing
     "bucketed_join_orders": (
         "SELECT c_custkey AS custkey, c_nationkey, o_orderkey"

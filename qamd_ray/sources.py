@@ -549,3 +549,106 @@ def read_bucket_meta(path: str) -> dict:
         )
     with open(meta_path) as fh:
         return json.load(fh)
+
+
+def write_sorted(
+    ds: "ray.data.Dataset",
+    path: str,
+    sort_col: str,
+) -> list[dict]:
+    """Range-partitioned sorted storage with zone maps: one global sort
+    on ``sort_col``, one parquet file per output block, and a
+    ``_zones.json`` manifest of per-file [min, max] ranges read from the
+    parquet FOOTERS (stats, not trust) — the Delta/Iceberg data-skipping
+    layout.  :func:`read_pruned` then serves range predicates touching
+    only overlapping files.  Atomic whole-directory publish; returns the
+    zone list."""
+    import json
+    import shutil
+
+    stage = f"{path}.zstage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.sort(sort_col).write_parquet(stage)
+    zones: list[dict] = []
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(stage, f)).metadata
+        idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }[sort_col]
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"write_sorted: {f} row group {rg} lacks min/max stats "
+                    f"for {sort_col!r}"
+                )
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            zones.append(
+                {"file": f, "min": lo, "max": hi, "rows": meta.num_rows}
+            )
+    with open(os.path.join(stage, "_zones.json"), "w") as fh:
+        json.dump({"sort_col": sort_col, "zones": zones}, fh, sort_keys=True)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(stage, path)
+    return zones
+
+
+def read_pruned(
+    path: str,
+    lo,
+    hi,
+    *,
+    columns: Optional[Sequence[str]] = None,
+) -> tuple["ray.data.Dataset", dict]:
+    """Zone-map-pruned range read over a :func:`write_sorted` directory:
+    only files whose [min, max] overlaps ``[lo, hi]`` are opened, then
+    the exact predicate filters inside each batch.  Returns ``(dataset,
+    stats)`` where stats reports files read vs skipped — the
+    data-skipping evidence a 100 TB scan depends on (a point/range query
+    touches O(matching ranges), not the corpus)."""
+    import json
+
+    zpath = os.path.join(path, "_zones.json")
+    if not os.path.exists(zpath):
+        raise FileNotFoundError(
+            f"{path} has no _zones.json — not sorted-zone storage "
+            "(write with sources.write_sorted)"
+        )
+    with open(zpath) as fh:
+        meta = json.load(fh)
+    sort_col = meta["sort_col"]
+    keep = [
+        z for z in meta["zones"] if not (z["max"] < lo or z["min"] > hi)
+    ]
+    stats = {
+        "files_total": len(meta["zones"]),
+        "files_read": len(keep),
+        "files_skipped": len(meta["zones"]) - len(keep),
+        "sort_col": sort_col,
+    }
+    if not keep:
+        # typed empty dataset from any one file's schema, filtered to 0
+        files = [os.path.join(path, meta["zones"][0]["file"])] if meta["zones"] else []
+        if not files:
+            raise ValueError(f"read_pruned: {path} holds no zones")
+        ds = ray.data.read_parquet(files, columns=list(columns) if columns else None)
+        return ds.filter(lambda row: False), stats
+
+    files = [os.path.join(path, z["file"]) for z in keep]
+    ds = ray.data.read_parquet(
+        files, columns=list(columns) if columns else None
+    )
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        col = batch[sort_col]
+        mask = pc.and_(
+            pc.greater_equal(col, lo), pc.less_equal(col, hi)
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(_exact, batch_format="pyarrow"), stats

@@ -4542,3 +4542,37 @@ def test_bucketed_join_matches_pandas_merge(tmp_path):
         bucketed_join(pa_dir, pc_dir)
     with pytest.raises(FileNotFoundError, match="_bucket_meta"):
         read_bucket_meta(str(tmp_path / "nope"))
+
+
+def test_write_sorted_read_pruned_zone_maps(tmp_path):
+    """read_pruned over write_sorted zones == a plain filter, with files
+    actually skipped; out-of-range queries return empty; unsorted dir
+    raises."""
+    from qamd_ray.sources import read_pruned, write_sorted
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(np.arange(1000)).astype(np.int64),
+            "v": np.arange(1000, dtype=np.int64),
+        }
+    )
+    path = str(tmp_path / "z")
+    zones = write_sorted(
+        ray.data.from_pandas(df).repartition(8), path, "k"
+    )
+    assert len(zones) > 1
+    assert sum(z["rows"] for z in zones) == 1000
+    out, stats = read_pruned(path, 100, 250)
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        df[(df["k"] >= 100) & (df["k"] <= 250)]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert stats["files_skipped"] > 0
+    empty, st2 = read_pruned(path, 5000, 6000)
+    assert empty.count() == 0 and st2["files_read"] == 0
+    with pytest.raises(FileNotFoundError, match="_zones"):
+        read_pruned(str(tmp_path / "nope"), 0, 1)
