@@ -11,9 +11,12 @@ This module is that routing, written once.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -93,3 +96,116 @@ def size_routed_group_agg(
     return pa.concat_tables([t.combine_chunks() for t in tabs]).select(
         [key] + names
     )
+
+
+def build_count_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    key_cols: "Sequence[str]",
+    *,
+    count_col: str = "n",
+) -> dict:
+    """Persist a grouped row-count aggregate as a refreshable parquet
+    index (``_meta.json``-pinned key columns, atomic publish) — the
+    MATERIALIZED-VIEW maintenance pattern: corpus-level stats (docs per
+    language / source / shard) stay current across daily ingests by
+    merging DELTA partials instead of re-scanning the corpus
+    (:func:`update_count_index`), completing the incremental family
+    (exact / MinHash / paragraph / embedding dedup indexes → aggregates).
+    Returns the meta dict."""
+    import json
+    import shutil
+
+    key_cols = list(key_cols)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            k: pc.fill_null(pc.cast(batch[k], pa.string()), _NULL_KEY)
+            for k in key_cols
+        }
+        cols[count_col] = pa.array(np.ones(len(batch), dtype=np.int64))
+        t = pa.table(cols)
+        g = t.group_by(key_cols).aggregate([(count_col, "sum")])
+        return g.rename_columns([*key_cols, count_col])
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key_cols)
+        .sum(count_col)
+        .map_batches(
+            lambda b: b.rename_columns([*key_cols, count_col]),
+            batch_format="pyarrow",
+        )
+    )
+    stage = f"{index_dir}.cstage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    agg.write_parquet(stage)
+    meta = {"key_cols": key_cols, "count_col": count_col, "version": 1}
+    with open(os.path.join(stage, "_meta.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(stage, index_dir)
+    return meta
+
+
+def update_count_index(
+    delta: "ray.data.Dataset",
+    index_dir: str,
+) -> "ray.data.Dataset":
+    """Refresh a :func:`build_count_index` aggregate with a DELTA: the
+    delta's per-batch partials UNION the persisted rows into ONE
+    keys-only groupby sum (the corpus itself is never re-read — only its
+    bounded aggregate), the result republished atomically (version
+    bumped) and returned as a Dataset.  Equals a full recompute over
+    corpus ∪ delta exactly (integer sums are associative)."""
+    import json
+    import shutil
+
+    import ray.data as _rd
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{index_dir} has no _meta.json — build with build_count_index"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    key_cols = list(meta["key_cols"])
+    count_col = meta["count_col"]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            k: pc.fill_null(pc.cast(batch[k], pa.string()), _NULL_KEY)
+            for k in key_cols
+        }
+        cols[count_col] = pa.array(np.ones(len(batch), dtype=np.int64))
+        t = pa.table(cols)
+        g = t.group_by(key_cols).aggregate([(count_col, "sum")])
+        return g.rename_columns([*key_cols, count_col])
+
+    base = _rd.read_parquet(index_dir)
+    merged = (
+        delta.map_batches(_partial, batch_format="pyarrow")
+        .union(base)
+        .groupby(key_cols)
+        .sum(count_col)
+        .map_batches(
+            lambda b: b.rename_columns([*key_cols, count_col]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    stage = f"{index_dir}.cstage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.write_parquet(stage)
+    meta["version"] = int(meta.get("version", 1)) + 1
+    with open(os.path.join(stage, "_meta.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.replace(stage, index_dir)
+    return merged
+
+
+#: null group keys persist as this sentinel (kernels.group_sentinel's
+#: value) so base and delta normalize identically
+_NULL_KEY = "\x00<null>"

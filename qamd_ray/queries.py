@@ -2064,6 +2064,37 @@ def q_pruned_orders(sf_dir: str):
     return out
 
 
+def q_incremental_lang_counts(sf_dir: str):
+    """Materialized-aggregate maintenance (ops.reduce.build_count_index
+    + update_count_index): per-language doc counts built from the even
+    half of the corpus, refreshed with the odd half as a DELTA — the
+    persisted aggregate merges delta partials without re-scanning the
+    base.  Equals the full-corpus GROUP BY exactly (integer sums)."""
+    import hashlib as _hl
+
+    from .ops.reduce import build_count_index, update_count_index
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/qamd_cidx_{tag}/lang_counts"
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _half(parity: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                K._as_array(pc.cast(batch["doc_id"], pa.int64()))
+            )
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return _f
+
+    build_count_index(
+        docs.map_batches(_half(0), batch_format="pyarrow"), idx, ["lang"]
+    )
+    return update_count_index(
+        docs.map_batches(_half(1), batch_format="pyarrow"), idx
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -3965,6 +3996,7 @@ QUERIES = {
     "char_run_stats": q_char_run_stats,
     "bucketed_join_orders": q_bucketed_join_orders,
     "pruned_orders": q_pruned_orders,
+    "incremental_lang_counts": q_incremental_lang_counts,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5420,6 +5452,13 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the full-corpus GROUP BY — base+delta maintenance must equal it;
+    # null keys persist under the shared \x00<null> sentinel
+    "incremental_lang_counts": (
+        "SELECT CASE WHEN lang IS NULL THEN chr(0) || '<null>'"
+        "  ELSE lang END AS lang,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+    ),
     # the plain range predicate — zone pruning must lose/add nothing
     "pruned_orders": (
         "SELECT o_orderkey, o_custkey FROM orders"

@@ -4576,3 +4576,41 @@ def test_write_sorted_read_pruned_zone_maps(tmp_path):
     assert empty.count() == 0 and st2["files_read"] == 0
     with pytest.raises(FileNotFoundError, match="_zones"):
         read_pruned(str(tmp_path / "nope"), 0, 1)
+
+
+def test_count_index_incremental_equals_full(tmp_path):
+    """build_count_index + update_count_index == a full-recompute
+    groupby; null keys sentinel-normalized identically in base and
+    delta; version bumps; missing meta raises."""
+    from qamd_ray.ops.reduce import build_count_index, update_count_index
+
+    base = pd.DataFrame({"g": ["a", "b", None, "a"], "x": range(4)})
+    delta = pd.DataFrame({"g": ["b", None, "c"], "x": range(3)})
+    idx = str(tmp_path / "cidx")
+    meta = build_count_index(ray.data.from_pandas(base), idx, ["g"])
+    assert meta["version"] == 1
+    out = (
+        update_count_index(ray.data.from_pandas(delta), idx)
+        .to_pandas()
+        .set_index("g")["n"]
+        .sort_index()
+    )
+    assert out["a"] == 2 and out["b"] == 2 and out["c"] == 1
+    assert out["\x00<null>"] == 2
+    import json
+
+    with open(f"{idx}/_meta.json") as fh:
+        assert json.load(fh)["version"] == 2
+    # a second delta keeps accumulating on the republished index
+    out2 = (
+        update_count_index(
+            ray.data.from_pandas(pd.DataFrame({"g": ["c"], "x": [0]})), idx
+        )
+        .to_pandas()
+        .set_index("g")["n"]
+    )
+    assert out2["c"] == 2
+    with pytest.raises(FileNotFoundError, match="_meta"):
+        update_count_index(
+            ray.data.from_pandas(delta), str(tmp_path / "nope")
+        )
