@@ -808,6 +808,8 @@ def brace_nesting(
     ds: "ray.data.Dataset",
     content_col: str = "content",
     id_col: str = "doc_id",
+    *,
+    passthrough: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """Per-file brace structure: ``n_open``/``n_close`` counts,
     ``max_nesting`` (the peak of the running {+1, -1} depth, floored at
@@ -869,15 +871,16 @@ def brace_nesting(
                 min_run[nonempty] = np.minimum(mn, 0)
         total = n_open - n_close
         balanced = (min_run >= 0) & (total == 0)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_open": pa.array(n_open),
-                "n_close": pa.array(n_close),
-                "max_nesting": pa.array(max_nest),
-                "balanced": pa.array(balanced),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_open": pa.array(n_open),
+            "n_close": pa.array(n_close),
+            "max_nesting": pa.array(max_nest),
+            "balanced": pa.array(balanced),
+        }
+        for c in passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(_stats, batch_format="pyarrow")
 

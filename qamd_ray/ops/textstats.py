@@ -1779,6 +1779,7 @@ def char_runs(
     id_col: str = "doc_id",
     *,
     min_run: int = 5,
+    passthrough: Sequence[str] = (),
 ) -> "ray.data.Dataset":
     """Per-doc repeated-character runs: ``max_run`` (longest run of one
     codepoint) and ``n_long_runs`` (runs ≥ ``min_run``) — the
@@ -1820,12 +1821,13 @@ def char_runs(
                 n_long += np.bincount(
                     owner[long_mask], minlength=n
                 ).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "max_run": pa.array(max_run),
-                "n_long_runs": pa.array(n_long),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "max_run": pa.array(max_run),
+            "n_long_runs": pa.array(n_long),
+        }
+        for c in passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -2095,6 +2095,96 @@ def q_incremental_lang_counts(sf_dir: str):
     )
 
 
+def q_curation_v2(sf_dir: str):
+    """End-to-end curation v2 composing the round-5 signal family as ONE
+    value-checked unit: planted view (comment emails / balanced and
+    unbalanced braces / char runs) → comment-scoped email scrub →
+    brace-structure gate (balanced only) → char-run gate (max_run < 6) →
+    token count + content md5 of the SCRUBBED text.  The oracle is the
+    literal CTE chain of the per-stage twins, so the whole pipeline —
+    including the rewritten bytes — hashes exactly."""
+    from .ops.codestats import brace_nesting, scrub_comment_emails
+    from .ops.textstats import char_runs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        idstr = ids.astype(np.str_)
+        mail = pa.array(
+            np.where(
+                ids % 4 == 0,
+                np.char.add(
+                    np.char.add("\n# mail user", idstr), "@example.com"
+                ),
+                "",
+            ),
+            pa.string(),
+        )
+        bal = pa.array(np.where(ids % 3 == 0, " { x { y } }", ""), pa.string())
+        unb = pa.array(np.where(ids % 7 == 0, " } {", ""), pa.string())
+        run = pa.array(np.where(ids % 5 == 0, " aaaaaaaa", ""), pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, mail, bal, unb, run, ""),
+            }
+        )
+
+    scrubbed = scrub_comment_emails(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        content_col="text",
+        id_col="doc_id",
+    )
+    braced = brace_nesting(
+        scrubbed,
+        content_col="text",
+        id_col="doc_id",
+        passthrough=["n_email_scrubs", "text"],
+    )
+    runs = char_runs(
+        braced,
+        text_col="text",
+        id_col="doc_id",
+        min_run=6,
+        passthrough=["n_email_scrubs", "balanced", "max_nesting", "text"],
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            batch["balanced"], pc.less(batch["max_run"], 6)
+        )
+        t = batch.filter(keep)
+        text = K._as_array(t["text"])
+        lists = K._as_array(pc.split_pattern(text, " "))
+        sizes = np.asarray(
+            K._as_array(pc.cast(pc.list_value_length(lists), pa.int64()))
+        )
+        flat = lists.flatten()
+        is_empty = np.asarray(
+            K._as_array(pc.equal(flat, "")), dtype=bool
+        )
+        owner = np.repeat(np.arange(len(t), dtype=np.int64), sizes)
+        n_tokens = sizes - np.bincount(
+            owner[is_empty], minlength=len(t)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_email_scrubs": t["n_email_scrubs"],
+                "max_nesting": t["max_nesting"],
+                "max_run": t["max_run"],
+                "n_tokens": pa.array(n_tokens),
+                "content_md5": pa.array(
+                    K.digest_rows(text, "md5"), pa.string()
+                ),
+            }
+        )
+
+    return runs.map_batches(_final, batch_format="pyarrow")
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -2167,6 +2257,66 @@ def _comment_email_scrub_oracle() -> str:
         f"   THEN regexp_replace(x, '{email}', '<EMAIL>', 'g')"
         "   ELSE x END), chr(10)) AS text"
         " FROM l"
+    )
+
+
+def _curation_v2_oracle() -> str:
+    """The curation-v2 twin: the literal CTE chain of the per-stage
+    twins (comment-email scrub → brace islands → char-run islands →
+    gates → token count + md5), built from the SAME RE2 fragments the
+    Ray stages run."""
+    from .ops.codestats import COMMENT_LINE_REGEX
+    from .scrub import DEFAULT_PATTERNS
+
+    email = next(p.pattern for p in DEFAULT_PATTERNS if p.name == "email")
+    crx = COMMENT_LINE_REGEX
+    return (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '# mail user'"
+        "     || doc_id || '@example.com' ELSE '' END"
+        "  || CASE WHEN doc_id % 3 = 0 THEN ' { x { y } }' ELSE '' END"
+        "  || CASE WHEN doc_id % 7 = 0 THEN ' } {' ELSE '' END"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' aaaaaaaa' ELSE '' END AS t"
+        "  FROM documents),"
+        " l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM v),"
+        " s AS (SELECT doc_id,"
+        "  CAST(list_sum(list_transform(ls, x -> CASE WHEN"
+        f"   regexp_matches(x, '{crx}')"
+        f"   THEN len(regexp_extract_all(x, '{email}')) ELSE 0 END))"
+        "   AS BIGINT) AS n_email_scrubs,"
+        "  array_to_string(list_transform(ls, x -> CASE WHEN"
+        f"   regexp_matches(x, '{crx}')"
+        f"   THEN regexp_replace(x, '{email}', '<EMAIL>', 'g')"
+        "   ELSE x END), chr(10)) AS t2 FROM l),"
+        " u AS (SELECT doc_id, unnest(regexp_extract_all(t2, '[{}]'))"
+        "   AS ch, generate_subscripts(regexp_extract_all(t2, '[{}]'), 1)"
+        "   AS i FROM s),"
+        " r AS (SELECT doc_id, ch, SUM(CASE WHEN ch = '{' THEN 1 ELSE -1"
+        "   END) OVER (PARTITION BY doc_id ORDER BY i) AS depth FROM u),"
+        " br AS (SELECT doc_id, CAST(GREATEST(MAX(depth), 0) AS BIGINT)"
+        "   AS max_nesting, (MIN(depth) >= 0 AND SUM(CASE WHEN ch = '{'"
+        "   THEN 1 ELSE -1 END) = 0) AS balanced FROM r GROUP BY 1),"
+        " cu AS (SELECT doc_id, unnest(regexp_extract_all(t2, '(?s).'))"
+        "   AS ch, generate_subscripts(regexp_extract_all(t2, '(?s).'),"
+        "   1) AS i FROM s),"
+        " cm AS (SELECT doc_id, i, CASE WHEN lag(ch) OVER (PARTITION BY"
+        "   doc_id ORDER BY i) IS DISTINCT FROM ch THEN 1 ELSE 0 END"
+        "   AS brk FROM cu),"
+        " cg AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id"
+        "   ORDER BY i) AS run_id FROM cm),"
+        " cr AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM"
+        "   (SELECT doc_id, run_id, COUNT(*) AS rl FROM cg GROUP BY 1, 2)"
+        "   GROUP BY 1),"
+        " f AS (SELECT s.doc_id, n_email_scrubs,"
+        "   coalesce(br.max_nesting, 0) AS max_nesting,"
+        "   coalesce(cr.max_run, 0) AS max_run, t2"
+        "   FROM s LEFT JOIN br USING (doc_id) LEFT JOIN cr USING (doc_id)"
+        "   WHERE coalesce(br.balanced, TRUE)"
+        "   AND coalesce(cr.max_run, 0) < 6)"
+        " SELECT doc_id, n_email_scrubs, max_nesting, max_run,"
+        "  CAST(len(list_filter(string_split(t2, ' '), x -> x <> ''))"
+        "    AS BIGINT) AS n_tokens,"
+        "  md5(t2) AS content_md5 FROM f"
     )
 
 
@@ -3997,6 +4147,7 @@ QUERIES = {
     "bucketed_join_orders": q_bucketed_join_orders,
     "pruned_orders": q_pruned_orders,
     "incremental_lang_counts": q_incremental_lang_counts,
+    "curation_v2": q_curation_v2,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5452,6 +5603,8 @@ ORACLES = {
     # the same planted view; comment/email RE2 patterns shared with the
     # Ray op, scrub applied per line via list_transform
     "comment_email_scrub": _comment_email_scrub_oracle(),
+    # the whole v2 pipeline as one CTE chain (scrub text bytes included)
+    "curation_v2": _curation_v2_oracle(),
     # the full-corpus GROUP BY — base+delta maintenance must equal it;
     # null keys persist under the shared \x00<null> sentinel
     "incremental_lang_counts": (

@@ -291,3 +291,22 @@ def test_dup_flag_join_matches_broadcast(corpus, cfg):
     empty = win_ds.filter(expr="winner == 'impossible'")
     c = finalize(enriched, cfg, empty).to_pandas()
     assert not c["f_duplicate"].any()
+
+
+def test_curation_v2_gates_and_scrub_compose():
+    """q_curation_v2 over sf0.001: unbalanced-brace docs (id%7==0 unless
+    re-balanced) and long-run docs (id%5==0) are gone; surviving
+    comment-email docs are scrubbed (md5 differs from raw), and
+    passthrough columns survive the chain."""
+    from qamd_ray.queries import q_curation_v2
+
+    out = q_curation_v2("/root/testdata/sf0.001").to_pandas()
+    ids = set(out["doc_id"])
+    # planted drops: every 5th doc gains an 8-run; every 7th an
+    # unbalanced tail (id also %3 can't rebalance ' } {')
+    assert not any(i % 5 == 0 for i in ids)
+    assert not any(i % 7 == 0 for i in ids)
+    surv_mail = out[out["doc_id"] % 4 == 0]
+    assert len(surv_mail) and (surv_mail["n_email_scrubs"] >= 1).all()
+    assert (out.loc[out["doc_id"] % 3 == 0, "max_nesting"] >= 2).all()
+    assert out["content_md5"].str.len().eq(32).all()
