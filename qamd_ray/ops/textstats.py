@@ -1831,3 +1831,58 @@ def char_runs(
         return pa.table(cols)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def top_bigrams(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 20,
+) -> "ray.data.Dataset":
+    """Corpus-wide exact top-``k`` adjacent token PAIRS — the bigram
+    table every n-gram LM / collocation / boilerplate-phrase analysis
+    starts from (the 2-gram extension of the ``top_tokens`` heavy
+    hitters).  Tokens are the non-empty fields of a single-space split;
+    bigrams never cross documents.
+
+    Per batch: one flat split, empties filtered with owners kept,
+    adjacency = consecutive filtered positions with equal owner, one
+    vectorized string concat, Arrow ``group_by`` partial counts — the
+    shuffle ships one row per DISTINCT bigram per batch.  Deterministic
+    ties by bigram string.  DuckDB twin: ``lead() OVER (PARTITION BY
+    doc ORDER BY position)`` over the unnested filtered tokens.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        toks = K._as_array(pc.split_pattern(text, " "))
+        offs = np.asarray(toks.offsets)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = np.asarray(toks.flatten(), dtype=np.str_)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), sizes)
+        keep = flat != ""
+        flat, owner = flat[keep], owner[keep]
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        adj = owner[1:] == owner[:-1]
+        big = np.char.add(np.char.add(flat[:-1][adj], " "), flat[1:][adj])
+        t = pa.table({"bigram": pa.array(list(big), pa.string())})
+        cnt = t.group_by("bigram").aggregate([("bigram", "count")])
+        return cnt.rename_columns(["bigram", "n"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["bigram", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -2185,6 +2185,21 @@ def q_curation_v2(sf_dir: str):
     return runs.map_batches(_final, batch_format="pyarrow")
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide exact top-20 adjacent token pairs
+    (ops.textstats.top_bigrams) over documents — per-batch bigram
+    partials, keys-only groupby, deterministic (n desc, bigram asc)
+    ties.  DuckDB twin: lead() over the unnested filtered tokens."""
+    from .ops.textstats import top_bigrams
+
+    return top_bigrams(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        text_col="text",
+        id_col="doc_id",
+        k=20,
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4148,6 +4163,7 @@ QUERIES = {
     "pruned_orders": q_pruned_orders,
     "incremental_lang_counts": q_incremental_lang_counts,
     "curation_v2": q_curation_v2,
+    "top_bigrams": q_top_bigrams,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5605,6 +5621,20 @@ ORACLES = {
     "comment_email_scrub": _comment_email_scrub_oracle(),
     # the whole v2 pipeline as one CTE chain (scrub text bytes included)
     "curation_v2": _curation_v2_oracle(),
+    # lead() over unnested filtered tokens; same (n desc, bigram) ties
+    "top_bigrams": (
+        "WITH tk AS (SELECT doc_id,"
+        "   unnest(list_filter(string_split(coalesce(text, ''), ' '),"
+        "     x -> x <> '')) AS w,"
+        "   generate_subscripts(list_filter(string_split("
+        "     coalesce(text, ''), ' '), x -> x <> ''), 1) AS i"
+        "   FROM documents),"
+        " bg AS (SELECT w || ' ' || lead(w) OVER"
+        "   (PARTITION BY doc_id ORDER BY i) AS bigram FROM tk)"
+        " SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg"
+        " WHERE bigram IS NOT NULL GROUP BY 1"
+        " ORDER BY n DESC, bigram LIMIT 20"
+    ),
     # the full-corpus GROUP BY — base+delta maintenance must equal it;
     # null keys persist under the shared \x00<null> sentinel
     "incremental_lang_counts": (

@@ -4614,3 +4614,31 @@ def test_count_index_incremental_equals_full(tmp_path):
         update_count_index(
             ray.data.from_pandas(delta), str(tmp_path / "nope")
         )
+
+
+def test_top_bigrams_vs_brute_force():
+    """top_bigrams == a scalar zip count; bigrams never cross docs,
+    empties removed before pairing, boundary ties by bigram string."""
+    import collections
+
+    texts = [
+        "a b a b c",
+        "b  c",          # double space: ('b','c') still adjacent
+        "x",
+        "",
+        None,
+        "a b",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    cnt = collections.Counter()
+    for s in texts:
+        toks = [t for t in (s or "").split(" ") if t]
+        cnt.update(f"{u} {v}" for u, v in zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = (
+        textstats.top_bigrams(
+            ray.data.from_pandas(df).repartition(3), k=3
+        )
+        .to_pandas()
+    )
+    assert list(zip(got["bigram"], got["n"])) == want
