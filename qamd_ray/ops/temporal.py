@@ -746,3 +746,71 @@ def interval_join(
         )
 
     return joined.map_batches(_emit, batch_format="pyarrow")
+
+
+def inter_arrival_stats(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per-key inter-arrival gap stats: ``n_events``, ``min_gap_us``,
+    ``max_gap_us`` over consecutive sorted timestamps — the
+    bot/scripted-traffic signal (machine traffic has near-constant tiny
+    gaps; humans are bursty).  Keys with one event emit nothing (no
+    gaps; the SQL twin's HAVING ≥ 2).
+
+    Distribution: the standard temporal co-partition — (key, ts µs)
+    pairs hash-partition by key, one vectorized pass per partition
+    (sort, diff, same-key adjacency mask, pandas groupby min/max).  The
+    gap MULTISET per key is order-independent under timestamp ties, so
+    results are layout-stable.  Events ship once, keys-only."""
+    num_partitions = _shuffle_partitions(num_partitions)
+
+    def _lift(batch: pa.Table) -> pa.Table:
+        if batch[key_col].null_count or batch[ts_col].null_count:
+            raise ValueError(
+                "inter_arrival_stats: null keys/timestamps — filter first"
+            )
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        t = pa.table(
+            {"key": pc.cast(batch[key_col], pa.int64()), "ts": ts}
+        )
+        df = t.to_pandas()
+        df[_PART] = _part_ids(df, ["key"], num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "ts"], kind="stable")
+        k = df["key"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        gap = np.diff(ts)
+        same = k[1:] == k[:-1]
+        gdf = pd.DataFrame({"key": k[1:][same], "gap": gap[same]})
+        if len(gdf) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "min_gap_us": pd.Series(dtype="int64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        agg = gdf.groupby("key")["gap"].agg(["min", "max"])
+        counts = pd.Series(k).value_counts()
+        out = pd.DataFrame(
+            {
+                "key": agg.index.to_numpy(np.int64),
+                "n_events": counts.reindex(agg.index).to_numpy(np.int64),
+                "min_gap_us": agg["min"].to_numpy(np.int64),
+                "max_gap_us": agg["max"].to_numpy(np.int64),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(_lift, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(_stats, batch_format="pandas")
+    )

@@ -2200,6 +2200,59 @@ def q_top_bigrams(sf_dir: str):
     )
 
 
+def q_top_quarter_docs(sf_dir: str):
+    """FineWeb-Edu-style top-fraction selection per group: keep docs in
+    the top 25% of their language's length CDF — the grouped_cdf attach
+    USED as a filter, integer cross-multiplied (4·n_le > 3·n_group) so
+    the boundary is tie-stable in both engines."""
+    from .ops.profile import grouped_cdf
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cdf = grouped_cdf(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        group_col="lang",
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        n_le = np.asarray(K._as_array(batch["n_le"]), dtype=np.int64)
+        n_g = np.asarray(K._as_array(batch["n_group"]), dtype=np.int64)
+        return batch.filter(pa.array(4 * n_le > 3 * n_g)).select(
+            ["doc_id", "lang", "n_chars"]
+        )
+
+    return cdf.map_batches(_keep, batch_format="pyarrow")
+
+
+def q_user_gaps(sf_dir: str):
+    """Per-user inter-arrival gap stats (ops.temporal.
+    inter_arrival_stats): min/max µs between consecutive events — the
+    scripted-traffic signal.  Hash co-partition by user, one vectorized
+    diff pass; gap multiset is tie-stable so min/max hash exactly.
+    DuckDB twin: lag() window + HAVING ≥ 2."""
+    from .ops.temporal import inter_arrival_stats
+
+    return inter_arrival_stats(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id",
+        ts_col="ts",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4164,6 +4217,8 @@ QUERIES = {
     "incremental_lang_counts": q_incremental_lang_counts,
     "curation_v2": q_curation_v2,
     "top_bigrams": q_top_bigrams,
+    "top_quarter_docs": q_top_quarter_docs,
+    "user_gaps": q_user_gaps,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5708,6 +5763,27 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # lag() gaps per user; COUNT(*) spans all events, HAVING drops
+    # single-event users (no gaps)
+    "user_gaps": (
+        "SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        " CAST(MIN(gap) AS BIGINT) AS min_gap_us,"
+        " CAST(MAX(gap) AS BIGINT) AS max_gap_us"
+        " FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER"
+        "   (PARTITION BY user_id ORDER BY ts) AS gap FROM events)"
+        " GROUP BY 1 HAVING COUNT(*) >= 2"
+    ),
+    # the same CDF window, filtered with the identical integer rule
+    "top_quarter_docs": (
+        "WITH v AS (SELECT doc_id, lang,"
+        "  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars"
+        "  FROM documents),"
+        " c AS (SELECT doc_id, lang, n_chars,"
+        "  COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars) AS n_le,"
+        "  COUNT(*) OVER (PARTITION BY lang) AS n_group FROM v)"
+        " SELECT doc_id, lang, n_chars FROM c"
+        " WHERE 4 * n_le > 3 * n_group"
     ),
     # the same length view; COUNT(*) OVER (PARTITION ... ORDER BY v)
     # counts peers (RANGE frame) == the searchsorted(side='right') rank

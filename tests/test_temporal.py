@@ -392,3 +392,35 @@ def test_interval_join_pairs_vs_brute_force():
         interval_join(
             ray.data.from_pandas(bad), ray.data.from_pandas(b)
         ).materialize()
+
+
+def test_inter_arrival_stats_vs_pandas():
+    """inter_arrival_stats == a pandas lag recompute; single-event users
+    absent; timestamp ties give zero gaps regardless of layout."""
+    import pandas as pd
+
+    import ray
+
+    from qamd_ray.ops.temporal import inter_arrival_stats
+
+    base = pd.Timestamp("2024-03-01").value // 1_000
+    rows = [
+        (1, 0), (1, 10), (1, 10), (1, 45),   # gaps 10, 0, 35
+        (2, 5),                              # single → absent
+        (3, 100), (3, 101),                  # gap 1
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([(base + r[1]) * 1_000 for r in rows]),
+        }
+    )
+    got = (
+        inter_arrival_stats(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    assert tuple(got.loc[1]) == (4, 0, 35)
+    assert tuple(got.loc[3]) == (2, 1, 1)
+    assert 2 not in got.index
