@@ -374,3 +374,26 @@ def group_sentinel(values) -> list:
         else:
             out.append(str(g))
     return out
+
+
+def json_field_pattern(field: str) -> str:
+    """RE2 pattern extracting a flat JSON integer field — shared
+    verbatim with DuckDB's ``regexp_extract`` so engine semantics can't
+    diverge (DuckDB's native json_extract differs on escape edge cases;
+    the shared-regex convention sidesteps that the same way the scrub
+    twins do).  Matches ``"<field>"\\s*:\\s*(-?digits)``."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_]+", field):
+        raise ValueError(f"json_field_pattern: unsafe field {field!r}")
+    return '"' + field + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+
+
+def json_int_field(arr, field: str) -> "pa.Array":
+    """Vectorized flat-JSON integer field extraction over a string
+    column: one ``extract_regex`` kernel, null where absent/non-integer.
+    For the props-style payload columns event streams carry."""
+    ex = pc.extract_regex(
+        pc.fill_null(_as_array(arr), ""), json_field_pattern(field)
+    )
+    return pc.cast(pc.struct_field(ex, "v"), pa.int64())

@@ -2253,6 +2253,35 @@ def q_user_gaps(sf_dir: str):
     )
 
 
+def q_props_k_histogram(sf_dir: str):
+    """Semi-structured payload handling (kernels.json_int_field): the
+    flat-JSON `k` field of events.props extracted with ONE shared RE2
+    kernel, then a keys-only histogram.  The DuckDB twin runs the
+    IDENTICAL pattern via regexp_extract (sidestepping native-JSON
+    escape-semantics divergence)."""
+    ds = _t(sf_dir, "events", ["props"])
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        k = K.json_int_field(batch["props"], "k")
+        t = pa.table(
+            {
+                "k": k,
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("k").aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    return (
+        ds.map_batches(_extract, batch_format="pyarrow")
+        .groupby("k")
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["k", "n"]), batch_format="pyarrow"
+        )
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4219,6 +4248,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "top_quarter_docs": q_top_quarter_docs,
     "user_gaps": q_user_gaps,
+    "props_k_histogram": q_props_k_histogram,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5763,6 +5793,12 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # the identical flat-JSON field pattern via regexp_extract
+    "props_k_histogram": (
+        "SELECT CAST(NULLIF(regexp_extract(props,"
+        " '\"k\"\\s*:\\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
     ),
     # lag() gaps per user; COUNT(*) spans all events, HAVING drops
     # single-event users (no gaps)

@@ -305,3 +305,25 @@ def test_digest64_matches_digest_rows():
     )
     assert (got == exp).all()
     assert K.digest64(pa.array([], pa.string())).size == 0
+
+
+def test_json_int_field_extraction():
+    """json_int_field: flat ints extracted, absent/quoted/other fields
+    null, unsafe field names raise, DuckDB twin pattern agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pytest
+
+    from qamd_ray.kernels import json_field_pattern, json_int_field
+
+    rows = ['{"k": 69}', '{"k":-3}', "{}", None, '{"kk": 5}', '{"k": "x"}']
+    got = json_int_field(pa.array(rows), "k").to_pylist()
+    assert got == [69, -3, None, None, None, None]
+    with pytest.raises(ValueError, match="unsafe field"):
+        json_field_pattern('k" OR 1')
+    for s, want in zip(rows, got):
+        db = duckdb.sql(
+            "select CAST(NULLIF(regexp_extract(?, ?, 1), '') AS BIGINT)",
+            params=[s or "", json_field_pattern("k")],
+        ).fetchone()[0]
+        assert db == want, s
