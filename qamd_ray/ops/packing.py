@@ -671,3 +671,77 @@ def cdc_dup_doc_stats(
         )
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+SECTION_HEADING_REGEX = r"^#"
+
+
+def section_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Structure-aware document segmentation: split each doc into
+    sections at markdown-style heading lines (lines matching
+    :data:`SECTION_HEADING_REGEX`), emitting one row per section with
+    ``(doc_id, section_idx, n_lines, n_chars)`` — the
+    heading-boundary complement of the fixed-token :func:`chunk_by_tokens`
+    (RAG pipelines chunk by structure first, tokens second).  Content
+    before the first heading is section 0; a heading line starts (and
+    belongs to) its section.
+
+    One vectorized pass: flat lines, heading flags, section id = running
+    per-doc flag cumsum, per-(doc, section) line/char sums via
+    ``np.add.at`` over a dense section index — no shuffle, no per-row
+    Python.  DuckDB twin: the islands shape (running SUM of heading
+    flags over unnested lines, then a group count).
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = K._as_array(pc.fill_null(batch[text_col], ""))
+        lines = K._as_array(pc.split_pattern(text, "\n"))
+        offs = np.asarray(lines.offsets)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = lines.flatten()
+        heading = np.asarray(
+            K._as_array(
+                pc.match_substring_regex(flat, SECTION_HEADING_REGEX)
+            ),
+            dtype=bool,
+        )
+        lens = np.asarray(
+            K._as_array(pc.cast(pc.utf8_length(flat), pa.int64()))
+        )
+        owner = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        # section id = per-doc INCLUSIVE running heading count: content
+        # before the first heading is section 0, a heading line opens
+        # (and belongs to) its own section
+        h = heading.astype(np.int64)
+        cum = np.cumsum(h)
+        starts = offs[:-1]
+        base = np.concatenate(([0], cum))[starts]
+        sec = cum - np.repeat(base, sizes)
+        # dense (doc, section) index: sections per doc ≤ headings+1
+        key = owner * (int(sec.max()) + 1 if len(sec) else 1) + sec
+        uniq, inv = np.unique(key, return_inverse=True)
+        n_lines = np.bincount(inv).astype(np.int64)
+        n_chars = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_chars, inv, lens)
+        out_doc = (uniq // (int(sec.max()) + 1 if len(sec) else 1)).astype(
+            np.int64
+        )
+        out_sec = (uniq % (int(sec.max()) + 1 if len(sec) else 1)).astype(
+            np.int64
+        )
+        ids = np.asarray(K._as_array(pc.cast(batch[id_col], pa.int64())))
+        return pa.table(
+            {
+                id_col: pa.array(ids[out_doc]),
+                "section_idx": pa.array(out_sec),
+                "n_lines": pa.array(n_lines),
+                "n_chars": pa.array(n_chars),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -2282,6 +2282,41 @@ def q_props_k_histogram(sf_dir: str):
     )
 
 
+def q_section_stats(sf_dir: str):
+    """Structure-aware segmentation (ops.packing.section_stats): every
+    3rd doc gains a `# s1` section, every 4th a `# s2` section with two
+    body lines (composites get both); one row per (doc, section) with
+    line/char counts.  One flat pass with a per-doc inclusive heading
+    cumsum; the DuckDB twin is the islands running-SUM over unnested
+    lines."""
+    from .ops.packing import section_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _view(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(K._as_array(pc.cast(batch["doc_id"], pa.int64())))
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        s1 = pa.array(
+            np.where(ids % 3 == 0, "\n# s1\nbody one", ""), pa.string()
+        )
+        s2 = pa.array(
+            np.where(ids % 4 == 0, "\n# s2\nbody two\nmore", ""),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pc.binary_join_element_wise(t, s1, s2, ""),
+            }
+        )
+
+    return section_stats(
+        ds.map_batches(_view, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4249,6 +4284,7 @@ QUERIES = {
     "top_quarter_docs": q_top_quarter_docs,
     "user_gaps": q_user_gaps,
     "props_k_histogram": q_props_k_histogram,
+    "section_stats": q_section_stats,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5793,6 +5829,26 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # the same planted-section view; inclusive running heading count
+    # over unnested lines == the vectorized per-doc cumsum
+    "section_stats": (
+        "WITH v AS (SELECT doc_id, coalesce(text, '')"
+        "  || CASE WHEN doc_id % 3 = 0"
+        "     THEN chr(10) || '# s1' || chr(10) || 'body one'"
+        "     ELSE '' END"
+        "  || CASE WHEN doc_id % 4 = 0"
+        "     THEN chr(10) || '# s2' || chr(10) || 'body two'"
+        "       || chr(10) || 'more' ELSE '' END AS t FROM documents),"
+        " u AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,"
+        "   generate_subscripts(string_split(t, chr(10)), 1) AS i FROM v),"
+        " s AS (SELECT doc_id, line,"
+        "   SUM(CASE WHEN regexp_matches(line, '^#') THEN 1 ELSE 0 END)"
+        "   OVER (PARTITION BY doc_id ORDER BY i) AS section_idx FROM u)"
+        " SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,"
+        "  CAST(COUNT(*) AS BIGINT) AS n_lines,"
+        "  CAST(SUM(length(line)) AS BIGINT) AS n_chars"
+        " FROM s GROUP BY 1, 2"
     ),
     # the identical flat-JSON field pattern via regexp_extract
     "props_k_histogram": (

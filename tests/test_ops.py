@@ -4642,3 +4642,42 @@ def test_top_bigrams_vs_brute_force():
         .to_pandas()
     )
     assert list(zip(got["bigram"], got["n"])) == want
+
+
+def test_section_stats_heading_islands():
+    """section_stats == a scalar scan: inclusive heading cumsum, content
+    before the first heading is section 0, heading opens its own
+    section, heading-first and heading-free docs."""
+    from qamd_ray.ops.packing import section_stats
+
+    texts = [
+        "intro\n# h1\nbody\n# h2\nb2\nb3",
+        "no headings here\nsecond line",
+        "# lead\nbody",
+        "",
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = (
+        section_stats(
+            ray.data.from_pandas(df).repartition(3), "text", "doc_id"
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "section_idx"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i, s in enumerate(texts):
+        secs: dict = {}
+        sec = 0
+        for line in (s or "").split("\n"):
+            if line.startswith("#"):
+                sec += 1
+            ln, ch = secs.get(sec, (0, 0))
+            secs[sec] = (ln + 1, ch + len(line))
+        for sidx in sorted(secs):
+            want.append((i, sidx, *secs[sidx]))
+    got_rows = list(
+        zip(got["doc_id"], got["section_idx"], got["n_lines"], got["n_chars"])
+    )
+    assert got_rows == want
