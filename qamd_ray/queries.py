@@ -2317,6 +2317,32 @@ def q_section_stats(sf_dir: str):
     )
 
 
+def q_user_top_event(sf_dir: str):
+    """Exact per-group mode (ops.profile.mode_per_group): each user's
+    most frequent event type, ties to the smallest value.  Bounded
+    (group, value, count) histogram exchange + the top-k combiner;
+    DuckDB twin is the QUALIFY argmax."""
+    from .ops.profile import mode_per_group
+
+    return mode_per_group(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        group_col="user_id",
+        value_col="event_type",
+    )
+
+
+def q_qty_digit_histogram(sf_dir: str):
+    """Benford-style first-digit histogram (ops.profile.
+    digit_histogram) over lineitem quantities — the numeric-forensics
+    check; identical substr(CAST(abs(...))) expression in both
+    engines."""
+    from .ops.profile import digit_histogram
+
+    return digit_histogram(
+        _t(sf_dir, "lineitem", ["l_quantity"]), "l_quantity"
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4285,6 +4311,8 @@ QUERIES = {
     "user_gaps": q_user_gaps,
     "props_k_histogram": q_props_k_histogram,
     "section_stats": q_section_stats,
+    "user_top_event": q_user_top_event,
+    "qty_digit_histogram": q_qty_digit_histogram,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5829,6 +5857,21 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # QUALIFY argmax per user with the same (n desc, value asc) ties;
+    # group keys stringified like the Ray histogram
+    "user_top_event": (
+        "WITH h AS (SELECT CAST(user_id AS VARCHAR) AS user_id,"
+        "  event_type AS mode, COUNT(*) AS n FROM events GROUP BY 1, 2)"
+        " SELECT user_id, mode, CAST(n AS BIGINT) AS mode_count FROM h"
+        " QUALIFY row_number() OVER"
+        "  (PARTITION BY user_id ORDER BY n DESC, mode) = 1"
+    ),
+    # the identical first-digit expression over integral quantities
+    "qty_digit_histogram": (
+        "SELECT substr(CAST(abs(CAST(l_quantity AS BIGINT)) AS VARCHAR),"
+        "  1, 1) AS digit, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1"
     ),
     # the same planted-section view; inclusive running heading count
     # over unnested lines == the vectorized per-doc cumsum

@@ -4681,3 +4681,35 @@ def test_section_stats_heading_islands():
         zip(got["doc_id"], got["section_idx"], got["n_lines"], got["n_chars"])
     )
     assert got_rows == want
+
+
+def test_mode_per_group_and_digit_histogram():
+    """mode_per_group ties to the smallest value and sentinels null
+    groups; digit_histogram matches a scalar recount including the
+    abs/zero classes."""
+    from qamd_ray.ops.profile import digit_histogram, mode_per_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", None, None],
+            "v": ["x", "y", "y", "q", "p", "z", "z"],
+        }
+    )
+    got = mode_per_group(
+        ray.data.from_pandas(df).repartition(3), "g", "v"
+    ).set_index("g")
+    assert got.loc["a", "mode"] == "y" and got.loc["a", "mode_count"] == 2
+    # b ties 1-1: smallest value wins
+    assert got.loc["b", "mode"] == "p"
+    assert got.loc["\x00<null>", "mode"] == "z"
+
+    vals = pd.DataFrame(
+        {"x": pd.array([15, 150, 9, -23, 0, None, 7], dtype="Int64")}
+    )
+    hist = (
+        digit_histogram(ray.data.from_pandas(vals).repartition(2), "x")
+        .to_pandas()
+        .set_index("digit")["n"]
+    )
+    assert hist["1"] == 2 and hist["9"] == 1 and hist["2"] == 1
+    assert hist["0"] == 1 and hist["7"] == 1 and hist.sum() == 6
