@@ -781,3 +781,68 @@ def token_budget_select(
         return batch.filter(pa.array(cum <= budget)).drop_columns([key])
 
     return with_cum.map_batches(_keep, batch_format="pyarrow")
+
+
+def negative_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    *,
+    n_rows: int,
+    k: int = 2,
+    salt: str = "neg",
+) -> "ray.data.Dataset":
+    """Deterministic NEGATIVE pair sampling for contrastive training:
+    each row gets ``k`` pseudo-random partner ids
+    ``(id + 1 + md5int(salt:id:j) % (n−1)) % n`` — never itself, uniform
+    over the other rows, reproducible across engines and cluster sizes
+    (the salted-md5 arithmetic convention of ``shuffle_shards``).
+    Requires DENSE ids 0..n_rows−1 (guarded per batch, loud error) —
+    run ``shuffle_shards``/``grouped_row_number`` first if ids are
+    sparse.  Stateless per-batch map, no shuffle; emits
+    ``(id_a, id_b, pair_idx)``.
+    """
+    import hashlib as _hl
+
+    if n_rows < 2:
+        raise ValueError("negative_pairs: need n_rows >= 2")
+    if k < 1:
+        raise ValueError("negative_pairs: need k >= 1")
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            K._as_array(pc.cast(batch[id_col], pa.int64())), dtype=np.int64
+        )
+        if len(ids) and (ids.min() < 0 or ids.max() >= n_rows):
+            raise ValueError(
+                f"negative_pairs: ids outside dense range [0, {n_rows})"
+            )
+        out_a, out_b, out_j = [], [], []
+        for j in range(1, k + 1):
+            offs = np.fromiter(
+                (
+                    int(
+                        _hl.md5(f"{salt}:{int(i)}:{j}".encode()).hexdigest()[
+                            :8
+                        ],
+                        16,
+                    )
+                    % (n_rows - 1)
+                    for i in ids
+                ),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            out_a.append(ids)
+            out_b.append((ids + 1 + offs) % n_rows)
+            out_j.append(np.full(len(ids), j, dtype=np.int64))
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a) if out_a else []),
+                "id_b": pa.array(np.concatenate(out_b) if out_b else []),
+                "pair_idx": pa.array(
+                    np.concatenate(out_j) if out_j else []
+                ),
+            }
+        )
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")

@@ -13,6 +13,8 @@ None of these call ray.init — the caller owns the session.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2343,6 +2345,20 @@ def q_qty_digit_histogram(sf_dir: str):
     )
 
 
+def q_negative_pairs(sf_dir: str):
+    """Deterministic contrastive negative sampling (ops.selection.
+    negative_pairs): two salted-md5 partners per doc, never itself,
+    reproducible at any parallelism.  DuckDB twin: the identical
+    md5-hex arithmetic over a generate_series cross join."""
+    from .ops.selection import negative_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    n = int(
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    )
+    return negative_pairs(docs, "doc_id", n_rows=n, k=2)
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4313,6 +4329,7 @@ QUERIES = {
     "section_stats": q_section_stats,
     "user_top_event": q_user_top_event,
     "qty_digit_histogram": q_qty_digit_histogram,
+    "negative_pairs": q_negative_pairs,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5857,6 +5874,17 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # the identical salted-md5 offset arithmetic, 2 partners per doc
+    "negative_pairs": (
+        "WITH n AS (SELECT COUNT(*) AS c FROM documents),"
+        " j AS (SELECT unnest(generate_series(1, 2)) AS pair_idx)"
+        " SELECT doc_id AS id_a,"
+        "  (doc_id + 1 + (CAST(CAST('0x' || substr(md5('neg:' || doc_id"
+        "   || ':' || pair_idx), 1, 8) AS UBIGINT) AS BIGINT)"
+        "   % (c - 1))) % c AS id_b,"
+        "  CAST(pair_idx AS BIGINT) AS pair_idx"
+        " FROM documents, n, j"
     ),
     # QUALIFY argmax per user with the same (n desc, value asc) ties;
     # group keys stringified like the Ray histogram

@@ -4713,3 +4713,37 @@ def test_mode_per_group_and_digit_histogram():
     )
     assert hist["1"] == 2 and hist["9"] == 1 and hist["2"] == 1
     assert hist["0"] == 1 and hist["7"] == 1 and hist.sum() == 6
+
+
+def test_negative_pairs_deterministic_and_self_free():
+    """negative_pairs: never pairs a row with itself, deterministic
+    across layouts, dense-range guard raises, k respected."""
+    from qamd_ray.ops.selection import negative_pairs
+
+    n = 37
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    a = (
+        negative_pairs(
+            ray.data.from_pandas(df).repartition(4), n_rows=n, k=3
+        )
+        .to_pandas()
+        .sort_values(["id_a", "pair_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        negative_pairs(ray.data.from_pandas(df), n_rows=n, k=3)
+        .to_pandas()
+        .sort_values(["id_a", "pair_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # layout-independent
+    assert len(a) == n * 3
+    assert (a["id_a"] != a["id_b"]).all()
+    assert a["id_b"].between(0, n - 1).all()
+    # roughly uniform: each partner id hit at least once at k=3, n=37
+    assert a["id_b"].nunique() > n // 2
+    with pytest.raises(Exception, match="dense range"):
+        negative_pairs(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": [5, 99]})),
+            n_rows=10,
+        ).materialize()
