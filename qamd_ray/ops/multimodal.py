@@ -1425,3 +1425,96 @@ def _decode_jpeg_inner(payload):
     raise ValueError("no scan data in JPEG")
 
 
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average-hash (aHash) of a decoded raster: grayscale mean
+    per 8×8 block grid cell, bit = cell ≥ global mean — the classic
+    perceptual fingerprint (identical pixels give identical hashes no
+    matter which container encoded them, which is what cross-format
+    image dedup needs).  Pure numpy, deterministic."""
+    if img.ndim == 3:
+        g = img.astype(np.int64).sum(axis=2)
+    else:
+        g = img.astype(np.int64)
+    h, w = g.shape
+    yi = (np.arange(9) * h // 8).astype(int)
+    xi = (np.arange(9) * w // 8).astype(int)
+    cells = np.empty((8, 8), dtype=np.float64)
+    csum = g.cumsum(axis=0).cumsum(axis=1)
+    z = np.zeros((h + 1, w + 1), dtype=np.int64)
+    z[1:, 1:] = csum
+    for a in range(8):
+        for b in range(8):
+            y0, y1 = yi[a], max(yi[a + 1], yi[a] + 1)
+            x0, x1 = xi[b], max(xi[b + 1], xi[b] + 1)
+            area = (y1 - y0) * (x1 - x0)
+            cells[a, b] = (
+                z[y1, x1] - z[y0, x1] - z[y1, x0] + z[y0, x0]
+            ) / area
+    bits = (cells >= cells.mean()).ravel()
+    # uint64 bit pattern shifted into signed int64 range (identity key)
+    return int(np.packbits(bits).view(">u8")[0].item()) - (1 << 63)
+
+
+class AHasher:
+    """Actor stage: image payload → 64-bit aHash (REAL decode —
+    ppm/pgm/png/jpeg via the from-scratch codecs; unknown formats
+    raise).  Stateless per batch; codecs are module-level so __init__
+    has nothing to load, but the class form keeps the stage shaped for
+    heavier perceptual models (pHash DCT, embedding hashers)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = K._as_array(batch["payload"]).to_pylist()
+        fmts = np.asarray(K._as_array(batch["format"]), dtype=object)
+        out = np.empty(len(payloads), dtype=np.int64)
+        for i, (p, fmt) in enumerate(zip(payloads, fmts)):
+            if fmt == "png":
+                img = decode_png(p)
+            elif fmt in ("jpeg", "jpg"):
+                img = decode_jpeg(p)
+            elif fmt in ("ppm", "pgm"):
+                img = decode_netpbm(p)
+            else:
+                raise NotImplementedError(f"ahash: no codec for {fmt!r}")
+            out[i] = ahash64(img)
+        return pa.table(
+            {"media_id": batch["media_id"], "ahash": pa.array(out)}
+        )
+
+
+def ahash_dup_pairs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cross-format image near-dup pairs: equal 64-bit aHash ⇒ a pair
+    (smaller id first) — the multimodal twin of exact text dedup (the
+    hash, not the bytes, is the identity; a PNG and a PPM of the same
+    raster pair up while their payload md5s differ).  Decode+hash in an
+    actor-pool ``map_batches``, then ONE keys-only (ahash, id) groupby
+    with per-group pairing in ``map_groups`` — payload bytes never
+    shuffle."""
+
+    hashed = ds.map_batches(
+        AHasher, concurrency=2, batch_size=32, batch_format="pyarrow"
+    )
+
+    def _pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        import itertools
+
+        import pandas as pd
+
+        ids = np.sort(df["media_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        pairs = list(itertools.combinations(ids, 2))
+        return pd.DataFrame(
+            {
+                "id_a": np.array([p[0] for p in pairs], np.int64),
+                "id_b": np.array([p[1] for p in pairs], np.int64),
+            }
+        )
+
+    return hashed.groupby("ahash").map_groups(_pairs, batch_format="pandas")

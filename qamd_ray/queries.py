@@ -2359,6 +2359,40 @@ def q_negative_pairs(sf_dir: str):
     return negative_pairs(docs, "doc_id", n_rows=n, k=2)
 
 
+def q_phash_dups(sf_dir: str):
+    """Cross-format image dedup by perceptual hash (ops.multimodal.
+    ahash_dup_pairs): n seeded rasters encoded as REAL PPM, every 3rd
+    re-encoded as a REAL PNG twin (same pixels, different bytes/md5) —
+    equal aHash pairs them up.  The oracle is the planted-pair formula
+    (id, id + n); payload bytes never shuffle, decode runs in an actor
+    pool over the from-scratch codecs."""
+    from .ops.multimodal import ahash_dup_pairs, encode_netpbm, encode_png
+
+    n_docs = int(
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    )
+    n = min(256, n_docs // 4)
+    ids, fmts, payloads = [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(9_000 + i)
+        img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+        ids.append(i)
+        fmts.append("ppm")
+        payloads.append(encode_netpbm(img))
+        if i % 3 == 0:
+            ids.append(i + n)
+            fmts.append("png")
+            payloads.append(encode_png(img, filter_type=i % 5))
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "format": pa.array(fmts, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    return ahash_dup_pairs(ray.data.from_arrow(media).repartition(8))
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4330,6 +4364,7 @@ QUERIES = {
     "user_top_event": q_user_top_event,
     "qty_digit_histogram": q_qty_digit_histogram,
     "negative_pairs": q_negative_pairs,
+    "phash_dups": q_phash_dups,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5874,6 +5909,14 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # the planted-pair formula: twin id = base id + n for every 3rd
+    # base (equal pixels ⇒ equal aHash; distinct rasters don't collide)
+    "phash_dups": (
+        "WITH n AS (SELECT LEAST(256, COUNT(*) // 4) AS c FROM documents)"
+        " SELECT doc_id AS id_a, doc_id + c AS id_b"
+        " FROM documents CROSS JOIN n"
+        " WHERE doc_id < c AND doc_id % 3 = 0"
     ),
     # the identical salted-md5 offset arithmetic, 2 partners per doc
     "negative_pairs": (

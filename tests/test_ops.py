@@ -4747,3 +4747,50 @@ def test_negative_pairs_deterministic_and_self_free():
             ray.data.from_pandas(pd.DataFrame({"doc_id": [5, 99]})),
             n_rows=10,
         ).materialize()
+
+
+def test_ahash_cross_format_dups():
+    """ahash_dup_pairs pairs identical pixels across PPM/PNG containers
+    (different bytes), leaves distinct rasters unpaired; ahash64 is
+    format-independent by construction."""
+    from qamd_ray.ops.multimodal import (
+        ahash64,
+        ahash_dup_pairs,
+        decode_netpbm,
+        decode_png,
+        encode_netpbm,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (20, 28, 3)).astype(np.uint8) for _ in range(6)]
+    ids, fmts, payloads = [], [], []
+    for i, img in enumerate(imgs):
+        ids.append(i)
+        fmts.append("ppm")
+        payloads.append(encode_netpbm(img))
+        if i % 2 == 0:  # twin in the other container
+            ids.append(i + 100)
+            fmts.append("png")
+            payloads.append(encode_png(img, filter_type=i % 5))
+    assert ahash64(decode_netpbm(payloads[0])) == ahash64(
+        decode_png(payloads[1])
+    )
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "format": pa.array(fmts, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    got = (
+        ahash_dup_pairs(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(got["id_a"], got["id_b"])) == [
+        (0, 100),
+        (2, 102),
+        (4, 104),
+    ]
