@@ -2393,6 +2393,98 @@ def q_phash_dups(sf_dir: str):
     return ahash_dup_pairs(ray.data.from_arrow(media).repartition(8))
 
 
+def q_corpus_card(sf_dir: str):
+    """One-row corpus card — the summary table a dataset release ships:
+    doc/char counts, language count, empty docs, distinct texts and
+    docs belonging to duplicated texts.  Per-batch count partials + one
+    keys-only (text-md5, count) exchange; every number integer-exact
+    against the literal SQL twin."""
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "n_chars": pa.array(
+                    [
+                        int(
+                            pc.sum(pc.utf8_length(t)).as_py() or 0
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "n_empty": pa.array(
+                    [int(pc.sum(pc.cast(pc.equal(t, ""), pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    base = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+
+    def _lang_rows(batch: pa.Table) -> pa.Table:
+        langs = pc.drop_null(K._as_array(batch["lang"]))
+        t = pa.table({"lang": langs})
+        return t.group_by("lang").aggregate([]).select(["lang"])
+
+    n_langs = (
+        ds.map_batches(_lang_rows, batch_format="pyarrow")
+        .groupby("lang")
+        .count()
+        .count()
+    )
+
+    def _text_keys(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(K._as_array(batch["text"]), "")
+        keys = pa.array(K.digest_rows(t, "md5"), pa.string())
+        tb = pa.table(
+            {
+                "k": keys,
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        g = tb.group_by("k").aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    counts = (
+        ds.map_batches(_text_keys, batch_format="pyarrow")
+        .groupby("k")
+        .sum("n")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n_distinct": pa.array(
+                        np.ones(len(b), dtype=np.int64)
+                    ),
+                    "n_dup_docs": pc.if_else(
+                        pc.greater(b["sum(n)"], 1),
+                        pc.cast(b["sum(n)"], pa.int64()),
+                        pa.scalar(0, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(base["n_docs"])],
+            "n_chars": [int(base["n_chars"])],
+            "n_empty": [int(base["n_empty"])],
+            "n_langs": [int(n_langs)],
+            "n_distinct_texts": [int(counts["n_distinct"])],
+            "n_dup_docs": [int(counts["n_dup_docs"])],
+        }
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer PageRank (ops.graph.pagerank_int, 3 rounds) over the
     bipartite customer→supplier graph (distinct pairs from
@@ -4365,6 +4457,7 @@ QUERIES = {
     "qty_digit_histogram": q_qty_digit_histogram,
     "negative_pairs": q_negative_pairs,
     "phash_dups": q_phash_dups,
+    "corpus_card": q_corpus_card,
     "mad_outliers": q_mad_outliers,
     "weighted_group_sample": q_weighted_group_sample,
     "sorted_neighborhood": q_sorted_neighborhood,
@@ -5909,6 +6002,20 @@ ORACLES = {
         "    AS overlap_us"
         " FROM a JOIN b ON a.key = b.key"
         "  AND least(a.e, b.e) > greatest(a.s, b.s)"
+    ),
+    # the literal one-row summary; dup docs = sum of counts > 1
+    "corpus_card": (
+        "WITH t AS (SELECT coalesce(text, '') AS t, lang FROM documents),"
+        " d AS (SELECT t, COUNT(*) AS c FROM t GROUP BY 1)"
+        " SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_docs,"
+        "  (SELECT CAST(SUM(length(t)) AS BIGINT) FROM t) AS n_chars,"
+        "  (SELECT CAST(SUM(CASE WHEN t = '' THEN 1 ELSE 0 END)"
+        "    AS BIGINT) FROM t) AS n_empty,"
+        "  (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM t)"
+        "    AS n_langs,"
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_distinct_texts,"
+        "  (SELECT CAST(coalesce(SUM(CASE WHEN c > 1 THEN c ELSE 0 END),"
+        "    0) AS BIGINT) FROM d) AS n_dup_docs"
     ),
     # the planted-pair formula: twin id = base id + n for every 3rd
     # base (equal pixels ⇒ equal aHash; distinct rasters don't collide)

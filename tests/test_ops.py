@@ -4794,3 +4794,21 @@ def test_ahash_cross_format_dups():
         (2, 102),
         (4, 104),
     ]
+
+
+def test_corpus_card_summary_counts():
+    """q_corpus_card counts vs a scalar recompute on sf0.001."""
+    import duckdb
+
+    from qamd_ray.queries import ORACLES, q_corpus_card
+
+    got = q_corpus_card("/root/testdata/sf0.001").iloc[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.execute(ORACLES["corpus_card"]).fetchdf().iloc[0]
+    for c in got.index:
+        assert int(got[c]) == int(want[c]), c
+    assert got["n_docs"] >= got["n_distinct_texts"]
