@@ -90,6 +90,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_paragraph_dedup,
         q_pagerank,
         q_knn_eval_join,
+        q_curation_v2,
+        q_rare_terms,
     )
 
     src = corpus_path()
@@ -215,6 +217,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("paragraph_dedup", q_paragraph_dedup),
         ("pagerank", q_pagerank),
         ("knn_eval_join", q_knn_eval_join),
+        ("curation_v2", q_curation_v2),
+        ("rare_terms", q_rare_terms),
     ]):
         def _one(fn=fn):
             res = fn(sf_dir)
