@@ -306,3 +306,56 @@ def test_member_mask_equals_isin(flat_vals, key_vals):
     got = _member_mask(flat, keys)
     want = np.isin(flat, keys)
     assert np.array_equal(got, want)
+
+
+NUMDOT = st.text(alphabet="0123456789. ax-:", max_size=60)
+
+
+@given(st.lists(NUMDOT, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_ip_pattern_python_duckdb_agree(texts):
+    """scrub_ips' octet-validating pattern matches identically in Python
+    re and DuckDB RE2 on adversarial digit/dot soup — counts AND
+    rewritten strings (the cross-engine invariant behind the ip_scrub
+    twin)."""
+    import duckdb
+
+    from qamd_ray.scrub import IP_PATTERN, _IP_RX
+
+    con = duckdb.connect()
+    for t in texts:
+        py_text, py_n = _IP_RX.subn(r"\1xxx", t)
+        db_text, db_n = con.execute(
+            "select regexp_replace(?, ?, '\\1xxx', 'g'),"
+            " len(regexp_extract_all(?, ?))",
+            [t, IP_PATTERN, t, IP_PATTERN],
+        ).fetchone()
+        assert py_text == db_text, t
+        assert py_n == db_n, t
+
+
+@given(st.lists(st.text(alphabet="{}ab \n", max_size=80), max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_brace_scan_scalar_property(texts):
+    """The brace-nesting scalar model (inclusive cumsum max / min / end)
+    is consistent: max ≥ 0, balanced ⇒ equal open/close counts, and
+    concatenating a balanced prefix never changes a suffix's verdict."""
+    def scan(s):
+        d = mx = mn = 0
+        for ch in s:
+            if ch == "{":
+                d += 1
+            elif ch == "}":
+                d -= 1
+            mx = max(mx, d)
+            mn = min(mn, d)
+        return mx, mn, d
+
+    for s in texts:
+        mx, mn, d = scan(s)
+        assert mx >= 0 and mn <= 0
+        if mn >= 0 and d == 0:
+            assert s.count("{") == s.count("}")
+        # balanced prefix invariance
+        mx2, mn2, d2 = scan("{}" + s)
+        assert (mn2 >= 0 and d2 == 0) == (mn >= 0 and d == 0)
